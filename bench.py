@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Throughput context vs BASELINE.md: the reference's comparable numbers
+are rows/s through scan-agg pipelines; `rows_per_sec` reports the
+lineitem-scan throughput of the flagship Q1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from opusdb_spark.registry import queries  # noqa: E402
+from opusdb_spark.session import get_spark  # noqa: E402
+
+# Headline set: the flagship + the heaviest representative per family.
+HEADLINE = [
+    "agg_q1",
+    "scan_filter_pushdown",
+    "filter_range",
+    "join_multiway",
+    "join_sort_merge",
+    "join_asof",
+    "win_topk_group",
+    "win_latest_version",
+    "agg_count_distinct",
+    "sub_correlated",
+    "topk_global",
+    "llm_dedup_exact",
+    "llm_wordcount",
+    "llm_similarity_topk",
+    "llm_dedup_fuzzy",
+    "stream_session",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="opusdb-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = queries()
+
+    # Warm the JVM + parquet footers with one light action.
+    qs["agg_invariant"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    lineitem_rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    q1_rows_per_sec = int(lineitem_rows / timings["agg_q1"]) if timings["agg_q1"] else 0
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "q1_rows_per_sec": q1_rows_per_sec,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

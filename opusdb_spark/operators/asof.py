@@ -1,0 +1,92 @@
+"""As-of join — the Spark-native form of opusdb's version resolution.
+
+The reference resolves a snapshot read by binary-searching a ref's
+version history for the newest version with write_point ≤ read_point
+(`find-version`, stm.clj:55-65, used by in-txn deref stm.clj:160-178).
+Generalized to relations: for each left row (key, t), find the single
+right row (key, t') with the largest t' ≤ t.
+
+Spark has no native as-of join. Strategy (scales to 100 TB):
+
+  union-tag-window: tag left rows (is_probe=1) and right rows
+  (is_probe=0), union, then one window per key ordered by (time,
+  is_probe) and `last(right_value, ignorenulls=True)` carries the most
+  recent right row forward onto each probe row. Cost: ONE shuffle on the
+  key (same as any keyed join) + per-partition sort — no range
+  explosion, no skew amplification beyond the key distribution, and AQE
+  can split skewed keys. A conditional-join formulation (key-equal +
+  t' ≤ t, then max per left row) would multiply matches before
+  aggregating — quadratic per hot key — so it is used only as the
+  DuckDB oracle, never the Spark plan.
+
+Probe rows whose time precedes every right version get NULLs — exactly
+the reference's "version GC'd / nil" case (stm.clj:63-65).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_values: list[str],
+    tolerance: Column | None = None,
+) -> DataFrame:
+    """Left as-of join: newest right row per key with right_time ≤ left_time.
+
+    Returns `left` columns + `right_values` (+ `asof_time`, the matched
+    right_time). NULL right columns when no version qualifies.
+    """
+    lcols = left.columns
+    probe = left.withColumn("__is_probe", F.lit(1)).withColumn(
+        "__t", F.col(left_time)
+    )
+    build = (
+        right.select(on, right_time, *right_values)
+        .withColumn("__is_probe", F.lit(0))
+        .withColumn("__t", F.col(right_time))
+    )
+    # Align schemas for the union: probe rows carry NULL right-values.
+    for c in right_values + [right_time]:
+        if c not in probe.columns:
+            probe = probe.withColumn(c, F.lit(None).cast(dict(build.dtypes)[c]))
+    for c in lcols:
+        if c not in build.columns:
+            build = build.withColumn(c, F.lit(None).cast(dict(probe.dtypes)[c]))
+    unioned = probe.select(*lcols, right_time, *right_values, "__is_probe", "__t").unionByName(
+        build.select(*lcols, right_time, *right_values, "__is_probe", "__t")
+    )
+    # Build rows sort before probe rows at equal time, so `≤` is inclusive.
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__t").asc(), F.col("__is_probe").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *lcols,
+        "__is_probe",
+        F.last(
+            F.when(F.col("__is_probe") == 0, F.col("__t")), ignorenulls=True
+        ).over(w).alias("asof_time"),
+        *[
+            F.last(
+                F.when(F.col("__is_probe") == 0, F.col(c)), ignorenulls=True
+            ).over(w).alias(c)
+            for c in right_values
+        ],
+    )
+    out = filled.filter(F.col("__is_probe") == 1).drop("__is_probe")
+    if tolerance is not None:
+        keep = F.col("asof_time") >= (F.col(left_time) - tolerance)
+        out = out.select(
+            *lcols,
+            F.when(keep, F.col("asof_time")).alias("asof_time"),
+            *[F.when(keep, F.col(c)).alias(c) for c in right_values],
+        )
+    return out

@@ -1,0 +1,326 @@
+"""Aggregations (SURVEY §2B).
+
+Anchors: sum-over-refs inside one snapshot (throughput.clj:80,137;
+bank.clj:41), success/ops counting (throughput.clj:65-100,127-128), and
+the conservation invariant `total == expected` (throughput.clj:137-147)
+— generalized to the full SQL aggregate family.
+
+Determinism: every sum of doubles goes through the exact-decimal path
+(opusdb_spark.exactness) so results are independent of partial-aggregate
+order — the same guarantee the reference's invariant checks pin down.
+Spark plans these as partial (map-side) + final hash aggregates; one
+shuffle on the group keys, which is the minimum possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opusdb_spark.exactness import davg, dsum, sql_davg, sql_dsum
+from opusdb_spark.registry import register
+from opusdb_spark.tables import register_views, table
+
+
+@register(
+    "agg_q1",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               {sql_dsum("l_quantity", "sum_qty")},
+               {sql_dsum("l_extendedprice", "sum_base_price")},
+               {sql_dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+               {sql_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge")},
+               {sql_davg("l_quantity", "avg_qty")},
+               {sql_davg("l_extendedprice", "avg_price")},
+               {sql_davg("l_discount", "avg_disc")},
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "flagship"),
+)
+def agg_q1(spark, sf_dir):
+    """TPC-H Q1: the canonical scan→filter→project→hash-agg→sort spine.
+
+    Sum-over-snapshot anchor (throughput.clj:80,137). Partial aggregation
+    reduces 6M×sf rows to 6 groups map-side before the single shuffle.
+    """
+    lt = table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lt.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc, "sum_disc_price"),
+            dsum(disc * (1 + F.col("l_tax")), "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+               COUNT(*) AS n_events
+        FROM events GROUP BY event_type
+    """,
+    tags=("agg",),
+)
+def agg_count_distinct(spark, sf_dir):
+    """Exact distinct users per event type (expand + two-phase agg)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # rows-only: HLL estimates are engine-specific
+    tags=("agg", "approx"),
+)
+def agg_approx_distinct(spark, sf_dir):
+    """HyperLogLog distinct — the 100 TB path where exact distinct's
+    shuffle would dominate; mergeable sketch, no expand."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users")
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total_price
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg",),
+)
+def agg_rollup(spark, sf_dir):
+    """Hierarchical totals: (status, priority) → (status) → ()."""
+    o = table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "total_price"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg",),
+)
+def agg_cube(spark, sf_dir):
+    """All 2^2 grouping combinations of (returnflag, linestatus)."""
+    lt = table(spark, sf_dir, "lineitem")
+    return lt.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum("l_quantity", "sum_qty"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("agg",),
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit grouping sets via SQL (Catalyst Expand operator)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS spend
+        FROM orders
+        GROUP BY o_custkey
+        HAVING COUNT(*) >= 10
+    """,
+    tags=("agg",),
+)
+def agg_having(spark, sf_dir):
+    """Group filter on an aggregate (HAVING)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "spend"),
+        )
+        .filter(F.col("n_orders") >= 10)
+    )
+
+
+@register(
+    "agg_distinct_rows",
+    oracle="SELECT DISTINCT c_mktsegment FROM customer",
+    tags=("agg",),
+)
+def agg_distinct_rows(spark, sf_dir):
+    """SELECT DISTINCT — planned as a hash aggregate on all columns."""
+    return table(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+@register(
+    "agg_stats",
+    oracle=f"""
+        SELECT l_returnflag,
+               (s2 - s1 * s1 / n) / (n - 1) AS var_qty,
+               SQRT((s2 - s1 * s1 / n) / (n - 1)) AS stddev_qty,
+               ROUND((sxy - s1 * sy / n) /
+                   SQRT((s2 - s1 * s1 / n) * (syy - sy * sy / n)), 9) AS corr_qty_price
+        FROM (
+            SELECT l_returnflag, COUNT(*) AS n,
+                   {sql_dsum("l_quantity", "s1")},
+                   {sql_dsum("l_quantity * l_quantity", "s2")},
+                   {sql_dsum("l_extendedprice", "sy")},
+                   {sql_dsum("l_extendedprice * l_extendedprice", "syy")},
+                   {sql_dsum("l_quantity * l_extendedprice", "sxy")}
+            FROM lineitem GROUP BY l_returnflag
+        )
+    """,
+    tags=("agg", "stats"),
+)
+def agg_stats(spark, sf_dir):
+    """var_samp / stddev_samp / corr via exact decimal moments.
+
+    Built-in stddev/corr stream doubles in partition order (nondeterministic
+    across engines); computing the moments exactly and deriving the
+    statistics from identical doubles makes the result bit-reproducible —
+    at scale this is also one pass instead of Welford merges.
+    """
+    lt = table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    base = lt.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(q, "s1"),
+        dsum(q * q, "s2"),
+        dsum(p, "sy"),
+        dsum(p * p, "syy"),
+        dsum(q * p, "sxy"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    var_q = (s2 - s1 * s1 / n) / (n - 1)
+    return base.select(
+        "l_returnflag",
+        var_q.alias("var_qty"),
+        F.sqrt(var_q).alias("stddev_qty"),
+        # FMA contraction in DuckDB's compiled expression shifts corr by
+        # ~2 ulp; 9-dp rounding lands both engines on the same grid.
+        F.round(
+            (sxy - s1 * sy / n) / F.sqrt((s2 - s1 * s1 / n) * (syy - sy * sy / n)), 9
+        ).alias("corr_qty_price"),
+    )
+
+
+@register(
+    "agg_conditional",
+    oracle=f"""
+        SELECT l_linestatus,
+               {sql_dsum("CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END", "returned_value")},
+               SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
+               COUNT(*) AS n_total
+        FROM lineitem
+        GROUP BY l_linestatus
+    """,
+    tags=("agg",),
+)
+def agg_conditional(spark, sf_dir):
+    """Guarded aggregation — sum(CASE WHEN …) (conditional transfer +
+    success counting anchors: bank.clj:10-18, throughput.clj:65-100)."""
+    lt = table(spark, sf_dir, "lineitem")
+    returned = F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice")).otherwise(
+        F.lit(0)
+    )
+    return lt.groupBy("l_linestatus").agg(
+        dsum(returned, "returned_value"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("n_returned"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+@register(
+    "agg_percentile",
+    oracle=None,  # rows-only: approximate quantile sketch is engine-specific
+    tags=("agg", "approx"),
+)
+def agg_percentile(spark, sf_dir):
+    """Median + p90 of quantity per returnflag via percentile_approx — the
+    mergeable-sketch path that scales where exact quantiles would need a
+    global sort (quantile-sketch survey: PAPERS.md, EDBT 2023)."""
+    lt = table(spark, sf_dir, "lineitem")
+    return lt.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("median_qty"),
+        F.percentile_approx("l_quantity", 0.9, 10000).alias("p90_qty"),
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    oracle="""
+        SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS orderkeys
+        FROM orders
+        WHERE o_totalprice > 150000
+        GROUP BY o_custkey
+    """,
+    tags=("agg",),
+)
+def agg_collect_sorted(spark, sf_dir):
+    """Per-group sorted list of order keys (deterministic via sort_array)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_totalprice") > 150000)
+        .groupBy("o_custkey")
+        .agg(F.sort_array(F.collect_list("o_orderkey")).alias("orderkeys"))
+    )
+
+
+@register(
+    "agg_invariant",
+    oracle=f"""
+        SELECT {sql_dsum("o_totalprice", "total")}, COUNT(*) AS n_orders
+        FROM orders
+    """,
+    tags=("agg", "invariant"),
+)
+def agg_invariant(spark, sf_dir):
+    """Conservation check: a single-row exact total (the analytics form of
+    the reference's bank-balance invariant, throughput.clj:137-147 /
+    bank.clj:41-44 — total must be exact under any execution order)."""
+    o = table(spark, sf_dir, "orders")
+    return o.agg(
+        dsum("o_totalprice", "total"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

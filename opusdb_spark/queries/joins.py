@@ -1,0 +1,362 @@
+"""Joins (SURVEY §2B).
+
+All joins are declared via the DataFrame API so Catalyst/AQE choose the
+physical strategy; explicit `broadcast()` / `hint("merge")` appear only
+where the right strategy is known a priori (tiny dims → broadcast;
+large-large → sort-merge). The as-of join (opusdb's `find-version`
+semantics, stm.clj:55-65) is a custom operator in operators/asof.py.
+
+Scale notes per query are in each docstring; the common rules:
+small dimension → broadcast (no shuffle of the fact side); fact-fact →
+sort-merge on the join key (one shuffle each side); skew handled by AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opusdb_spark.exactness import dsum, sql_dsum
+from opusdb_spark.operators.asof import asof_join
+from opusdb_spark.registry import register
+from opusdb_spark.tables import table
+
+
+@register(
+    "join_inner",
+    oracle="""
+        SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_mktsegment
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    tags=("join",),
+)
+def join_inner(spark, sf_dir):
+    """Plain equi-join; AQE picks broadcast vs shuffle by runtime size."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+        SELECT n_nationkey, n_name, r_name
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+    tags=("join",),
+)
+def join_broadcast(spark, sf_dir):
+    """Explicit broadcast of the 5-row region dim — zero shuffle; at
+    100 TB the fact side streams through map-side hash probes."""
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return n.join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey, "inner"
+    ).select("n_nationkey", "n_name", "r_name")
+
+
+@register(
+    "join_sort_merge",
+    oracle=f"""
+        SELECT l_orderkey, o_orderdate,
+               {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY l_orderkey, o_orderdate
+    """,
+    tags=("join",),
+)
+def join_sort_merge(spark, sf_dir):
+    """Large-large fact join pinned to sort-merge: both sides shuffle on
+    the key once; the groupBy reuses the same partitioning, so the agg
+    adds no extra exchange."""
+    lt = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        lt.hint("merge")
+        .join(o, lt.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "join_left",
+    oracle="""
+        SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice
+        FROM customer LEFT JOIN (
+            SELECT * FROM orders WHERE o_totalprice > 250000
+        ) big ON c_custkey = big.o_custkey
+    """,
+    tags=("join",),
+)
+def join_left(spark, sf_dir):
+    """Left outer: customers null-extended when they lack big orders."""
+    c = table(spark, sf_dir, "customer")
+    big = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left").select(
+        "c_custkey", "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "join_right",
+    oracle="""
+        SELECT c_custkey, c_acctbal, o_orderkey, o_totalprice
+        FROM (SELECT * FROM customer WHERE c_acctbal > 9000) rich
+        RIGHT JOIN orders ON rich.c_custkey = o_custkey
+    """,
+    tags=("join",),
+)
+def join_right(spark, sf_dir):
+    """Right outer: every order kept, customer side null-extended."""
+    rich = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    o = table(spark, sf_dir, "orders")
+    return rich.join(o, rich.c_custkey == o.o_custkey, "right").select(
+        "c_custkey", "c_acctbal", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "join_full",
+    oracle="""
+        SELECT c_custkey, c_acctbal, o.o_custkey AS big_custkey, o_orderkey
+        FROM (SELECT * FROM customer WHERE c_acctbal > 9000) rich
+        FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
+          ON rich.c_custkey = o.o_custkey
+    """,
+    tags=("join",),
+)
+def join_full(spark, sf_dir):
+    """Full outer over two sparse slices — nulls on both sides."""
+    rich = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return rich.join(o, rich.c_custkey == o.o_custkey, "full").select(
+        "c_custkey",
+        "c_acctbal",
+        F.col("o_custkey").alias("big_custkey"),
+        "o_orderkey",
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+    """,
+    tags=("join",),
+)
+def join_semi(spark, sf_dir):
+    """Left-semi: customers with ≥1 qualifying order. Semi-joins carry no
+    payload from the right side, so the build side is keys-only."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+    """,
+    tags=("join",),
+)
+def join_anti(spark, sf_dir):
+    """Left-anti: customers with no qualifying order (NOT EXISTS)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_theta",
+    oracle="""
+        SELECT p1.p_partkey, COUNT(*) AS n_close
+        FROM part p1 JOIN part p2
+          ON p2.p_retailprice BETWEEN p1.p_retailprice - 1.0
+                                  AND p1.p_retailprice + 1.0
+         AND p1.p_partkey <> p2.p_partkey
+        GROUP BY p1.p_partkey
+    """,
+    tags=("join",),
+)
+def join_theta(spark, sf_dir):
+    """Non-equi (band) self-join: parts priced within ±1.0 of each other.
+
+    Planned as broadcast-nested-loop here (part is small); at 100 TB the
+    scale path is banding: join on a coarse price-bucket equi-key first,
+    then apply the exact band predicate — turning O(n²) into an equi-join.
+    """
+    p1 = table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    p2 = p1.select(
+        F.col("p_partkey").alias("p2_partkey"),
+        F.col("p_retailprice").alias("p2_price"),
+    )
+    return (
+        p1.join(
+            F.broadcast(p2),
+            (F.col("p2_price") >= F.col("p_retailprice") - 1.0)
+            & (F.col("p2_price") <= F.col("p_retailprice") + 1.0)
+            & (F.col("p_partkey") != F.col("p2_partkey")),
+        )
+        .groupBy("p_partkey")
+        .agg(F.count(F.lit(1)).alias("n_close"))
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+        SELECT r_regionkey, r_name, n_nationkey, n_name
+        FROM region CROSS JOIN nation
+    """,
+    tags=("join",),
+)
+def join_cross(spark, sf_dir):
+    """Cartesian product of two tiny dims (125 rows)."""
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_regionkey", "r_name", "n_nationkey", "n_name")
+
+
+@register(
+    "join_multiway",
+    oracle=f"""
+        SELECT n_name,
+               {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+    """,
+    tags=("join",),
+)
+def join_multiway(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table join, dims broadcast, facts sort-merge.
+
+    Join order follows selectivity (filtered orders → lineitem → supplier),
+    and region/nation/supplier broadcast so the fact chain shuffles only
+    on its own keys; Catalyst+CBO would reorder equivalently from the SQL.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    lt = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(lt, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+        WITH o AS (
+            SELECT o_custkey, o_orderdate,
+                   MAX(o_orderkey) AS o_orderkey,
+                   ARG_MAX(o_totalprice, o_orderkey) AS o_totalprice
+            FROM orders GROUP BY o_custkey, o_orderdate
+        )
+        SELECT e.event_id, e.user_id, e.ts,
+               o.o_orderdate AS asof_time, o.o_orderkey, o.o_totalprice
+        FROM events e
+        ASOF LEFT JOIN o
+          ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    """,
+    tags=("join", "asof"),
+)
+def join_asof(spark, sf_dir):
+    """As-of join: for each event, the user's most recent order with
+    o_orderdate ≤ ts — exactly `find-version`'s newest-version-≤-read-point
+    rule (stm.clj:55-65) lifted to relations. Implemented as a single
+    keyed window over the tagged union (operators/asof.py), one shuffle.
+
+    Ambiguity guard: a user can have several orders on the same date; the
+    oracle's ASOF picks one arbitrarily, so we resolve to the max
+    (o_orderkey) per (custkey, date) first — deterministic on both sides.
+    """
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max_by("o_orderkey", "o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+        .withColumnRenamed("o_custkey", "user_id")
+    )
+    return asof_join(
+        ev,
+        o,
+        on="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_values=["o_orderkey", "o_totalprice"],
+    )
+
+
+@register(
+    "join_interval",
+    oracle="""
+        SELECT o_orderkey, COUNT(*) AS n_quick_ships
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= o_orderdate
+          AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+        GROUP BY o_orderkey
+    """,
+    tags=("join",),
+)
+def join_interval(spark, sf_dir):
+    """Interval containment: lineitems shipped within [orderdate, +30d).
+
+    The equi-key (orderkey) carries the join; the interval condition is a
+    post-join filter — so this scales as a plain keyed join rather than a
+    range-explosion cross product.
+    """
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lt = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(lt, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(
+            (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (
+                F.col("l_shipdate")
+                < F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
+            )
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_quick_ships"))
+    )

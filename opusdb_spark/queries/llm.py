@@ -1,0 +1,388 @@
+"""LLM-data-pipeline operators (SURVEY §2B mandate, BASELINE.json:6):
+dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
+cosine), similarity search (brute-force + LSH ANN), text analysis
+(lang-ID, quality, tokens, fingerprints), multimodal column plumbing.
+
+Tables: documents(doc_id, text, lang, source, n_chars) and
+embeddings(vec_id, embedding array<float> dim=64, label).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opusdb_spark.operators import dedup, similarity
+from opusdb_spark.operators import text as T
+from opusdb_spark.registry import register
+from opusdb_spark.tables import table
+
+
+@register(
+    "llm_dedup_exact",
+    oracle="""
+        SELECT text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+        FROM (SELECT doc_id, sha256(text) AS text_hash FROM documents)
+        GROUP BY text_hash
+    """,
+    tags=("llm", "dedup"),
+)
+def llm_dedup_exact(spark, sf_dir):
+    """Exact text dedup: sha2(text,256) groups, keep min doc_id.
+    One hash-groupBy shuffle; the canonical first pass of any 100 TB
+    text pipeline."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.sha2("text", 256).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@register("llm_dedup_fuzzy", oracle=None, tags=("llm", "dedup"))
+def llm_dedup_fuzzy(spark, sf_dir):
+    """Near-dup pairs via MinHash+LSH over 5-char shingles (rows-only:
+    signature estimation is engine-specific). Band-bucket joins only —
+    no all-pairs comparison (operators/dedup.py)."""
+    docs = table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_dedup(docs, jaccard_threshold=0.5).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+@register("llm_dedup_simhash", oracle=None, tags=("llm", "dedup"))
+def llm_dedup_simhash(spark, sf_dir):
+    """Near-dup pairs via 64-bit SimHash, Hamming ≤ 3, pigeonhole-block
+    candidate generation (rows-only)."""
+    docs = table(spark, sf_dir, "documents")
+    return dedup.simhash_near_dups(docs, max_hamming=3).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "llm_dedup_ngram_jaccard",
+    oracle="""
+        WITH grams AS (
+            SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                       string_split(text, ' ')[i] || ' ' ||
+                       string_split(text, ' ')[i+1] || ' ' ||
+                       string_split(text, ' ')[i+2] AS g
+                FROM documents,
+                     LATERAL (SELECT UNNEST(range(1, GREATEST(len(string_split(text,' ')) - 2, 0) + 1)) AS i)
+            )
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+            FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id)
+        SELECT doc_a, doc_b,
+               CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+    """,
+    tags=("llm", "dedup"),
+)
+def llm_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard ≥ 0.8 pairs. Candidate pairs come from a
+    shared-gram equi-join (never all-pairs); integer intersection /
+    union arithmetic → exact SQL-oracle parity."""
+    docs = table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size(w) - 3, F.lit(0))),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(w, i + 1), F.element_at(w, i + 2), F.element_at(w, i + 3)
+                    ),
+                )
+            ).alias("g"),
+        )
+        .filter(F.size(F.split(F.col("g"), " ")) == 3)
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.select(F.col("doc_id").alias("doc_a"), "g")
+    b = grams.select(F.col("doc_id").alias("doc_b"), "g")
+    pairs = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
+# 64-dim probe expansion for the similarity oracle (all vectors are
+# 64-dimensional; see FIXTURES.md).
+_SIM_ORACLE = """
+    WITH idx AS (SELECT UNNEST(range(1, 65)) AS i),
+    probe AS (
+        SELECT i, CAST(embedding[i] AS DOUBLE) AS p
+        FROM embeddings CROSS JOIN idx WHERE vec_id = 0
+    ),
+    pn AS (SELECT CAST(SUM(CAST(p * p AS DECIMAL(27,12))) AS DOUBLE) AS np FROM probe),
+    flat AS (
+        SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings CROSS JOIN idx WHERE vec_id <> 0
+    ),
+    scored AS (
+        SELECT vec_id,
+               CAST(SUM(CAST(x * p AS DECIMAL(27,12))) AS DOUBLE) AS dot,
+               CAST(SUM(CAST(x * x AS DECIMAL(27,12))) AS DOUBLE) AS nx
+        FROM flat JOIN probe USING (i)
+        GROUP BY vec_id
+    )
+    SELECT vec_id, dot / SQRT(nx * np) AS cosine
+    FROM scored CROSS JOIN pn
+    ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+@register("llm_similarity_topk", oracle=_SIM_ORACLE, tags=("llm", "similarity"))
+def llm_similarity_topk(spark, sf_dir):
+    """Brute-force cosine top-10 neighbors of vec_id=0 — exact decimal
+    dot products so scores match the SQL oracle bit-for-bit
+    (operators/similarity.py)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, probe_id=0, k=10)
+
+
+@register("llm_simsearch_lsh", oracle=None, tags=("llm", "similarity"))
+def llm_simsearch_lsh(spark, sf_dir):
+    """ANN top-10 via random-hyperplane LSH buckets + multiprobe — the
+    100 TB path where brute force is off the table (rows-only)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, probe_id=0, k=10)
+
+
+@register(
+    "llm_text_stats",
+    oracle="""
+        SELECT lang, COUNT(*) AS n_docs,
+               SUM(n_chars) AS total_chars,
+               MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+               CAST(SUM(len(list_filter(string_split(text, ' '), w -> len(w) > 0))) AS DOUBLE)
+                   / COUNT(*) AS avg_words
+        FROM documents GROUP BY lang
+    """,
+    tags=("llm", "text"),
+)
+def llm_text_stats(spark, sf_dir):
+    """Per-language doc counts and char/word statistics (integer sums →
+    exact parity without decimal casts)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        (F.sum(T.n_words(F.col("text"))).cast("double") / F.count(F.lit(1))).alias(
+            "avg_words"
+        ),
+    )
+
+
+@register(
+    "llm_lang_filter",
+    oracle="""
+        SELECT lang, source, COUNT(*) AS n_docs
+        FROM documents WHERE lang IN ('en', 'de')
+        GROUP BY lang, source
+    """,
+    tags=("llm", "text"),
+)
+def llm_lang_filter(spark, sf_dir):
+    """Language filter + per-source breakdown."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("lang").isin("en", "de"))
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "llm_wordcount",
+    oracle="""
+        SELECT word, COUNT(*) AS n
+        FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+        WHERE len(word) > 0
+        GROUP BY word
+        ORDER BY n DESC, word
+        LIMIT 20
+    """,
+    tags=("llm", "text"),
+)
+def llm_wordcount(spark, sf_dir):
+    """Tokenize-explode word frequency top-20 (count desc, word asc)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(20)
+    )
+
+
+@register(
+    "llm_langid",
+    oracle=None,  # rows-only: heuristic argmax is engine-specific
+    tags=("llm", "text"),
+)
+def llm_langid(spark, sf_dir):
+    """Stopword-hit language identification vs the labeled lang column:
+    per (actual, predicted) confusion counts (operators/text.py)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", T.predicted_lang(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+@register(
+    "llm_quality_score",
+    oracle=None,  # rows-only: composite heuristic
+    tags=("llm", "text"),
+)
+def llm_quality_score(spark, sf_dir):
+    """Quality scoring from length/punct/word-shape/stopword signals;
+    returns per-lang mean score + histogram-ish buckets."""
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", T.quality_score(F.col("text"), F.col("lang")).alias("q")
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("q").cast("decimal(27,6)")).cast("double").alias("sum_q"),
+        F.sum(F.when(F.col("q") >= 0.8, 1).otherwise(0)).alias("n_high"),
+        F.sum(F.when(F.col("q") < 0.5, 1).otherwise(0)).alias("n_low"),
+    )
+
+
+@register(
+    "llm_token_count",
+    oracle=r"""
+        SELECT lang,
+               SUM(len(list_filter(string_split(text, ' '), w -> len(w) > 0)))
+                   AS ws_tokens,
+               SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
+                   AS bpe_ish_tokens
+        FROM documents GROUP BY lang
+    """,
+    tags=("llm", "text"),
+)
+def llm_token_count(spark, sf_dir):
+    """Token counting two ways: whitespace words and a BPE-ish regex
+    (letter runs / digit runs / punctuation) — integer sums, exact."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.sum(T.n_words(F.col("text"))).alias("ws_tokens"),
+        F.sum(T.n_tokens_regex(F.col("text"))).alias("bpe_ish_tokens"),
+    )
+
+
+@register(
+    "llm_fingerprint",
+    oracle=None,  # rows-only: hash family is engine-specific
+    tags=("llm", "text"),
+)
+def llm_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprints; groups identical word
+    sequences (order-sensitive, unlike minhash)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", T.rolling_fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register("llm_embedding_neardup", oracle=None, tags=("llm", "dedup"))
+def llm_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (cos ≥ 0.95) among LSH-bucket
+    candidates — the embedding-space dedup pass (rows-only)."""
+    emb = table(spark, sf_dir, "embeddings")
+    bucketed = emb.withColumn("bucket", similarity._bucket_expr("embedding"))
+    a = bucketed.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"), "bucket"
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"), "bucket"
+    )
+    dot = F.aggregate(
+        F.zip_with("e_a", "e_b", lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform("e_a", lambda x: (x * x).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform("e_b", lambda x: (x * x).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", (dot / (na * nb)).alias("cosine"))
+        .filter(F.col("cosine") >= 0.95)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register("multimodal_features", oracle=None, tags=("llm", "multimodal"))
+def multimodal_features(spark, sf_dir):
+    """Binary media columns → mapInPandas feature extraction → per-kind
+    rollup (operators/multimodal.py; decode stubbed, plumbing real)."""
+    from opusdb_spark.operators import multimodal
+
+    media = multimodal.synthesize_media(spark, n=256)
+    return multimodal.media_summary(media)
+
+
+@register("multimodal_resize", oracle=None, tags=("llm", "multimodal"))
+def multimodal_resize(spark, sf_dir):
+    """Frame-sample/resize fan-out (1 media row → n_frames thumb rows),
+    counted per media_id — the explode shape of a video pipeline."""
+    from pyspark.sql import functions as _F
+
+    from opusdb_spark.operators import multimodal
+
+    media = multimodal.synthesize_media(spark, n=64)
+    thumbs = multimodal.resize_plan(media)
+    return (
+        thumbs.groupBy("media_id")
+        .agg(
+            _F.count(_F.lit(1)).alias("n_frames"),
+            _F.sum(_F.length("thumb")).alias("thumb_bytes"),
+        )
+        .orderBy("media_id")
+    )

@@ -1,0 +1,280 @@
+"""Scalar function surface: string / regex / date / math / decimal /
+array / map / json / null handling (SURVEY §2B).
+
+Anchor: the reference's page codec round-trips int32 / float / double /
+length-prefixed bytes / ASCII strings (page.clj:16-38, US_ASCII pinned
+at page.clj:6) — its entire "type system". Here the full Spark scalar
+function library replaces offset-addressed codecs; everything below is
+whole-stage-codegen'd JVM expressions (no Python in the hot path).
+
+Numeric note: functions whose result is a fresh IEEE op on identical
+inputs (abs/pow/sqrt/ln/floor/ceil/mod) hash-match the oracle exactly;
+`round` is applied to quotients whose binary expansion never sits on a
+decimal boundary at the rounded scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+from opusdb_spark.registry import register
+from opusdb_spark.tables import table
+
+
+@register(
+    "fn_string",
+    oracle="""
+        SELECT p_partkey,
+               upper(p_name) AS uname,
+               lower(p_type) AS ltype,
+               substring(p_name, 1, 5) AS name5,
+               trim(concat(' ', p_name, ' ')) AS trimmed,
+               length(p_name) AS name_len,
+               lpad(CAST(p_size AS VARCHAR), 4, '0') AS size4,
+               concat(p_brand, ':', p_type) AS brand_type
+        FROM part
+    """,
+    tags=("function", "string"),
+)
+def fn_string(spark, sf_dir):
+    """String kernel: substring/upper/lower/trim/concat/length/lpad
+    (string codec anchor, page.clj:31-38)."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.lower("p_type").alias("ltype"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("trimmed"),
+        F.length("p_name").alias("name_len"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size4"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+    )
+
+
+@register(
+    "fn_regex",
+    oracle=r"""
+        SELECT p_partkey, p_brand,
+               regexp_extract(p_brand, 'Brand#(\d+)', 1) AS brand_num,
+               regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+               CASE WHEN regexp_matches(p_name, '^(red|blue|green)') THEN 1 ELSE 0 END
+                   AS is_color_first
+        FROM part
+    """,
+    tags=("function", "regex"),
+)
+def fn_regex(spark, sf_dir):
+    """regexp extract / replace / match on brand codes and names."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).alias("brand_num"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.when(F.col("p_name").rlike("^(red|blue|green)"), 1)
+        .otherwise(0)
+        .alias("is_color_first"),
+    )
+
+
+@register(
+    "fn_date",
+    oracle="""
+        SELECT o_orderkey,
+               year(o_orderdate) AS o_year,
+               month(o_orderdate) AS o_month,
+               date_trunc('month', o_orderdate) AS month_start,
+               date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch_start,
+               CAST(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS TIMESTAMP) AS plus3m,
+               CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end
+        FROM orders
+    """,
+    tags=("function", "date"),
+)
+def fn_date(spark, sf_dir):
+    """year/month/date_trunc/datediff/add_months/last_day."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).alias("days_since_epoch_start"),
+        F.add_months(F.col("o_orderdate").cast("date"), 3)
+        .cast("timestamp_ntz")
+        .alias("plus3m"),
+        F.last_day(F.col("o_orderdate").cast("date"))
+        .cast("timestamp_ntz")
+        .alias("month_end"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               abs(l_extendedprice - 1000.0) AS abs_diff,
+               round(l_extendedprice / 3.0, 2) AS third_rounded,
+               pow(l_discount, 2) AS disc_sq,
+               sqrt(l_extendedprice) AS price_sqrt,
+               round(ln(l_extendedprice), 6) AS price_ln,
+               floor(l_quantity / 7.0) AS qty_floor,
+               ceil(l_quantity / 7.0) AS qty_ceil,
+               l_orderkey % 97 AS key_mod
+        FROM lineitem
+    """,
+    tags=("function", "math"),
+)
+def fn_math(spark, sf_dir):
+    """round/abs/pow/sqrt/ln/floor/ceil/mod — all fresh IEEE ops on
+    identical inputs, so bit-identical to the oracle."""
+    lt = table(spark, sf_dir, "lineitem")
+    return lt.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 1000.0).alias("abs_diff"),
+        F.round(F.col("l_extendedprice") / 3.0, 2).alias("third_rounded"),
+        F.pow("l_discount", F.lit(2)).alias("disc_sq"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        # JVM log and C libm log differ by 1 ulp on ~1% of inputs; round
+        # to 6 dp so both engines land on the same grid point.
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.floor(F.col("l_quantity") / 7.0).alias("qty_floor"),
+        F.ceil(F.col("l_quantity") / 7.0).alias("qty_ceil"),
+        (F.col("l_orderkey") % 97).alias("key_mod"),
+    )
+
+
+@register(
+    "fn_cast_decimal",
+    oracle="""
+        SELECT o_orderstatus,
+               SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS exact_total,
+               MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS min_price,
+               MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS max_price
+        FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("function", "decimal"),
+)
+def fn_cast_decimal(spark, sf_dir):
+    """Exact DECIMAL(12,2) money totals (the exact-types obligation the
+    reference meets with int pages + conservation checks)."""
+    o = table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast(DecimalType(12, 2))
+    return o.groupBy("o_orderstatus").agg(
+        F.sum(dec).alias("exact_total"),
+        F.min(dec).alias("min_price"),
+        F.max(dec).alias("max_price"),
+    )
+
+
+@register(
+    "fn_array",
+    oracle="""
+        SELECT p_partkey,
+               string_split(p_name, ' ') AS words,
+               len(string_split(p_name, ' ')) AS n_words,
+               list_contains(string_split(p_name, ' '), 'red') AS has_red
+        FROM part
+    """,
+    tags=("function", "array"),
+)
+def fn_array(spark, sf_dir):
+    """split/size/array_contains over p_name word lists."""
+    p = table(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        words.alias("words"),
+        F.size(words).alias("n_words"),
+        F.array_contains(words, "red").alias("has_red"),
+    )
+
+
+@register(
+    "fn_array_explode",
+    oracle="""
+        SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word
+        FROM part
+    """,
+    tags=("function", "array"),
+)
+def fn_array_explode(spark, sf_dir):
+    """explode() generator: one row per word of p_name."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", F.explode(F.split(F.col("p_name"), " ")).alias("word")
+    )
+
+
+@register(
+    "fn_map",
+    oracle=None,  # rows-only: map render/ordering differs across engines
+    tags=("function", "map"),
+)
+def fn_map(spark, sf_dir):
+    """str_to_map over a derived "k1:v1,k2:v2" properties string, then
+    typed key extraction — the dynamic-schema escape hatch (the
+    reference's refs are schemaless, stm.clj holds any value)."""
+    ev = table(spark, sf_dir, "events")
+    props_kv = F.concat(
+        F.lit("type:"), F.col("event_type"), F.lit(",user:"), F.col("user_id")
+    )
+    m = F.str_to_map(props_kv, F.lit(","), F.lit(":"))
+    return ev.select(
+        "event_id",
+        m.alias("props_map"),
+        m.getItem("type").alias("type_val"),
+        m.getItem("user").cast("long").alias("user_val"),
+    )
+
+
+@register(
+    "fn_json",
+    oracle="""
+        SELECT event_id, props,
+               json_extract_string(props, '$.k') AS k_str,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+        FROM events
+    """,
+    tags=("function", "json"),
+)
+def fn_json(spark, sf_dir):
+    """get_json_object over the events.props JSON column."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "props",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_num"),
+    )
+
+
+@register(
+    "fn_null",
+    oracle="""
+        SELECT c_custkey,
+               nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+               coalesce(nullif(c_mktsegment, 'BUILDING'), 'DEFAULT') AS seg_defaulted,
+               CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NOT NULL
+                    THEN 'present' ELSE 'absent' END AS nvl2_shape
+        FROM customer
+    """,
+    tags=("function", "null"),
+)
+def fn_null(spark, sf_dir):
+    """coalesce / nullif / nvl2-shaped null logic."""
+    c = table(spark, sf_dir, "customer")
+    seg_or_null = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return c.select(
+        "c_custkey",
+        seg_or_null.alias("seg_or_null"),
+        F.coalesce(seg_or_null, F.lit("DEFAULT")).alias("seg_defaulted"),
+        F.when(seg_or_null.isNotNull(), "present")
+        .otherwise("absent")
+        .alias("nvl2_shape"),
+    )

@@ -1,0 +1,107 @@
+"""Scans / sources / sinks (SURVEY §2B).
+
+Anchors: the reference's full ordered log scan (log_mgr.clj:16-33 — a
+scan of every block yielding records in ascending-LSN order) and block
+reads (file_mgr.clj:58-70). Here scans are parquet columnar reads where
+Catalyst pushes projections and predicates into the scan itself; the
+ordered event scan reproduces the ascending-LSN recovery-scan semantics
+with `event_id` as the LSN analog.
+
+Scale: at 100 TB a full scan is bandwidth-bound — correctness of
+pushdown/pruning (asserted in tests/test_plans.py) is the entire perf
+story; no operator below introduces a shuffle except the ordered scan's
+range-partitioned sort, which is exactly the semantics requested.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import functions as F
+
+from opusdb_spark.registry import register
+from opusdb_spark.tables import table
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
+
+
+@register(
+    "scan_full",
+    oracle="SELECT * FROM lineitem",
+    tags=("scan",),
+)
+def scan_full(spark, sf_dir):
+    """Full scan of lineitem, all columns (log scan analog, log_mgr.clj:16-33)."""
+    return table(spark, sf_dir, "lineitem")
+
+
+@register(
+    "scan_prune",
+    oracle="SELECT l_orderkey, l_quantity, l_shipdate FROM lineitem",
+    tags=("scan",),
+)
+def scan_prune(spark, sf_dir):
+    """Column-pruned scan: ReadSchema must contain exactly these 3 columns."""
+    return table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_shipdate"
+    )
+
+
+@register(
+    "scan_filter_pushdown",
+    oracle="""
+        SELECT l_orderkey, l_partkey, l_shipdate, l_quantity
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+    """,
+    tags=("scan",),
+)
+def scan_filter_pushdown(spark, sf_dir):
+    """Predicate reaches the parquet scan (PushedFilters: GreaterThanOrEqual)."""
+    lt = table(spark, sf_dir, "lineitem")
+    return lt.filter(
+        F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp_ntz")
+    ).select("l_orderkey", "l_partkey", "l_shipdate", "l_quantity")
+
+
+@register(
+    "scan_events_ordered",
+    oracle="SELECT event_id, ts, user_id, event_type, value FROM events ORDER BY event_id",
+    tags=("scan", "log"),
+)
+def scan_events_ordered(spark, sf_dir):
+    """Ascending-LSN recovery scan (log_mgr.clj:16-33; order pinned by
+    log_mgr_test.clj:86-93): event_id is the LSN analog. Range-partitioned
+    global sort — the one shuffle this family needs."""
+    return (
+        table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "sink_append",
+    oracle=None,  # rows-only: filesystem side-effect + read-back
+    tags=("sink", "log"),
+)
+def sink_append(spark, sf_dir):
+    """Append-only sink + read-back (log append!, log_mgr.clj:46-66;
+    persistence across instances pinned by log_mgr_test.clj:153-163).
+
+    Writes a batch of event rows to a parquet sink in append mode twice,
+    reads it back, and returns per-event_type counts — each append is
+    job-atomic (the Spark commit protocol replaces the reference's
+    WAL-before-data ordering, buffer.clj:52-53).
+    """
+    out = os.path.join(_SCRATCH, f"sink_append_{uuid.uuid4().hex[:8]}")
+    batch = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    batch.write.mode("append").parquet(out)
+    batch.write.mode("append").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("event_type")
+    )

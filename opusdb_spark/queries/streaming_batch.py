@@ -1,0 +1,216 @@
+"""Streaming operators over the events log (SURVEY §2B).
+
+Anchor: the reference's append-only WAL (log_mgr.clj) + commit/rollback
+lifecycle hooks (events.clj:8-27). The events table is the log; queries
+here come in two forms:
+
+  - batch-equivalent window/session aggregations (SQL-oracle-checkable),
+    computed with the same `window()` / sessionization semantics the
+    streaming engine uses, and
+  - true Structured Streaming runs (file source → watermark/dedup/
+    foreachBatch → sink), rows-only checked, in
+    opusdb_spark/streaming/jobs.py.
+
+At scale these run as `readStream` over an append-only table with
+watermarked state stores; the batch forms here share the identical
+logical plan shape (groupBy window(ts, …)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from opusdb_spark.exactness import dsum, sql_dsum
+from opusdb_spark.registry import register
+from opusdb_spark.tables import table
+from opusdb_spark.streaming import jobs as stream_jobs
+
+
+@register(
+    "stream_tumbling",
+    oracle=f"""
+        SELECT date_trunc('hour', ts) AS window_start,
+               COUNT(*) AS n_events,
+               {sql_dsum("value", "sum_value")}
+        FROM events GROUP BY date_trunc('hour', ts)
+    """,
+    tags=("streaming", "window"),
+)
+def stream_tumbling(spark, sf_dir):
+    """Per-hour tumbling counts via window(ts, '1 hour') — the identical
+    expression a `readStream.withWatermark(...).groupBy(window(...))`
+    pipeline runs incrementally."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+@register(
+    "stream_sliding",
+    oracle="""
+        WITH offs AS (SELECT UNNEST([0, 1800000000]) AS off_us)
+        SELECT make_timestamp(
+                 (epoch_us(ts) - off_us) // 1800000000 * 1800000000
+               ) AS window_start,
+               COUNT(*) AS n_events
+        FROM events CROSS JOIN offs
+        GROUP BY 1
+    """,
+    tags=("streaming", "window"),
+)
+def stream_sliding(spark, sf_dir):
+    """1-hour windows sliding every 30 min: each event lands in exactly 2
+    windows (oracle self-expands via the two slide offsets)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+@register(
+    "stream_session",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                             > 1800000000
+                          OR LAG(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (PARTITION BY user_id
+                       ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_id
+            FROM marked
+        )
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               MIN(ts) AS session_start, MAX(ts) AS session_end
+        FROM sessions GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "session"),
+)
+def stream_session(spark, sf_dir):
+    """Gap-based sessions (30-min) per user — batch sessionization via
+    lag + cumulative-sum, the window-function equivalent of
+    `session_window` (the streaming variant is stream_session_true)."""
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag("ts").over(w).cast("timestamp")
+    )
+    marked = ev.withColumn(
+        "new_session",
+        F.when(gap_us > 1800000000, 1)
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    return (
+        marked.withColumn("session_id", F.sum("new_session").over(w_cum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+@register(
+    "stream_stateful_running",
+    oracle="""
+        SELECT event_id, user_id, ts,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS running_total
+        FROM events
+    """,
+    tags=("streaming", "stateful"),
+)
+def stream_stateful_running(spark, sf_dir):
+    """Per-user running total — the batch shape of a per-key stateful
+    operator (per-batch state anchor: lifecycle hooks events.clj:8-27).
+    The true-streaming twin (applyInPandasWithState) is
+    stream_stateful_true."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(27,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+        SELECT DISTINCT event_id, user_id, event_type, value
+        FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+    """,
+    tags=("streaming", "dedup"),
+)
+def stream_dedup(spark, sf_dir):
+    """dropDuplicates over a doubled log — replay/at-least-once dedup by
+    unique event_id (the streaming form holds event_id in watermarked
+    state; see stream_dedup_true)."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    return ev.unionAll(ev).dropDuplicates(["event_id"])
+
+
+@register("stream_watermark_late", oracle=None, tags=("streaming", "watermark"))
+def stream_watermark_late(spark, sf_dir):
+    """TRUE streaming run: file source → 10-min watermark → tumbling
+    hourly counts, availableNow trigger (rows-only)."""
+    return stream_jobs.watermark_tumbling(spark, sf_dir)
+
+
+@register("stream_foreachbatch_sink", oracle=None, tags=("streaming", "sink"))
+def stream_foreachbatch_sink(spark, sf_dir):
+    """TRUE streaming run: foreachBatch append sink + read-back invariant
+    (commit-hook/flush-barrier anchor: events.clj:18-22, buffer.clj:52-53)."""
+    return stream_jobs.foreachbatch_sink(spark, sf_dir)
+
+
+@register("stream_session_true", oracle=None, tags=("streaming", "session"))
+def stream_session_true(spark, sf_dir):
+    """TRUE streaming session_window aggregation (rows-only)."""
+    return stream_jobs.session_window_stream(spark, sf_dir)
+
+
+@register("stream_dedup_true", oracle=None, tags=("streaming", "dedup"))
+def stream_dedup_true(spark, sf_dir):
+    """TRUE streaming dropDuplicates within watermark (rows-only)."""
+    return stream_jobs.dedup_stream(spark, sf_dir)
+
+
+@register("stream_stateful_true", oracle=None, tags=("streaming", "stateful"))
+def stream_stateful_true(spark, sf_dir):
+    """TRUE streaming per-user totals via applyInPandasWithState (rows-only)."""
+    return stream_jobs.stateful_running_totals(spark, sf_dir)

@@ -1,0 +1,93 @@
+"""Subqueries / CTEs / reshaping via Spark SQL (SURVEY §2B).
+
+These are declared in SQL so Catalyst's subquery rewrites (scalar
+subquery → join, IN → semi-join, correlated agg → decorrelated join —
+all absent in the reference, SURVEY §4.1) do the planning. Thresholds
+derived from aggregates use the exact-decimal form on both engines so
+boundary comparisons are bit-identical.
+"""
+
+from __future__ import annotations
+
+from opusdb_spark.registry import register
+from opusdb_spark.tables import register_views
+
+# Exact global average (identical double in both engines).
+_AVG_PRICE = (
+    "CAST(SUM(CAST(p_retailprice AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)"
+)
+
+
+_SUB_SCALAR = f"""
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part
+    WHERE p_retailprice > (SELECT {_AVG_PRICE} FROM part)
+"""
+
+
+@register("sub_scalar", oracle=_SUB_SCALAR, tags=("subquery",))
+def sub_scalar(spark, sf_dir):
+    """Scalar subquery: parts above the global average retail price."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SUB_SCALAR)
+
+
+_SUB_IN = """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+"""
+
+
+@register("sub_in", oracle=_SUB_IN, tags=("subquery",))
+def sub_in(spark, sf_dir):
+    """IN-subquery → planned as a left-semi join."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SUB_IN)
+
+
+_SUB_CORRELATED = """
+    SELECT l.l_orderkey, l.l_partkey, l.l_quantity
+    FROM lineitem l
+    WHERE l.l_quantity < (
+        SELECT 0.2 * CAST(SUM(CAST(l2.l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+                   / COUNT(*)
+        FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+    )
+"""
+
+
+@register("sub_correlated", oracle=_SUB_CORRELATED, tags=("subquery",))
+def sub_correlated(spark, sf_dir):
+    """TPC-H Q17 shape: correlated aggregate subquery; Catalyst
+    decorrelates it into an aggregate + join on l_partkey (one shuffle),
+    never a per-row re-scan."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SUB_CORRELATED)
+
+
+_CTE_QUERY = """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6)))
+                    AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@register("cte_query", oracle=_CTE_QUERY, tags=("subquery", "cte"))
+def cte_query(spark, sf_dir):
+    """TPC-H Q15 shape: a revenue CTE referenced twice (top supplier by
+    exact revenue — equality on identical doubles is safe)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_CTE_QUERY)

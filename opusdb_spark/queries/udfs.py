@@ -1,0 +1,179 @@
+"""UDF / UDAF / UDTF surface (SURVEY §2B).
+
+The extension points a user of the engine gets: row Python UDFs (slow
+path, shown once), Arrow-vectorized pandas UDFs (the real path —
+SNIPPETS.md [1],[3] patterns), grouped-agg pandas UDAFs, applyInPandas
+grouped-map transforms, and generator (explode) UDTFs.
+
+Determinism: pandas UDFs that aggregate floats quantize operands to
+6-decimal Decimals and sum exactly — the same exact-decimal contract as
+opusdb_spark.exactness — so results hash-match the SQL oracle despite
+pandas' pairwise-summation order differing from DuckDB's.
+"""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType
+
+from opusdb_spark.registry import register
+from opusdb_spark.tables import table
+
+_Q6 = Decimal("0.000001")
+
+
+def _exact_sum(series: pd.Series) -> float:
+    """Sum of 6-decimal-quantized values — order-independent, exact."""
+    total = Decimal(0)
+    for v in series:
+        # Decimal(float) takes the *exact* binary value (like an engine
+        # cast); HALF_UP matches Spark's and DuckDB's cast rounding.
+        total += Decimal(float(v)).quantize(_Q6, rounding=ROUND_HALF_UP)
+    return float(total)
+
+
+@register(
+    "udf_python",
+    oracle="""
+        SELECT o_orderkey, o_totalprice,
+               CASE WHEN o_totalprice < 50000  THEN 'low'
+                    WHEN o_totalprice < 150000 THEN 'mid'
+                    ELSE 'high' END AS bracket
+        FROM orders
+    """,
+    tags=("udf",),
+)
+def udf_python(spark, sf_dir):
+    """Row-at-a-time Python UDF (tax bracket). Deliberately the slow path
+    — kept off every hot query; see udf_pandas_scalar for the real one."""
+
+    @F.udf(returnType=StringType())
+    def bracket(price: float) -> str:
+        if price < 50000:
+            return "low"
+        if price < 150000:
+            return "mid"
+        return "high"
+
+    o = table(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_totalprice", bracket("o_totalprice").alias("bracket"))
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1 - l_discount) AS discounted
+        FROM lineitem
+    """,
+    tags=("udf", "pandas"),
+)
+def udf_pandas_scalar(spark, sf_dir):
+    """Arrow-vectorized scalar pandas UDF — float64 arithmetic on whole
+    batches; per-row IEEE ops so values match the oracle bit-for-bit."""
+
+    @F.pandas_udf(DoubleType())
+    def discounted(price: pd.Series, disc: pd.Series) -> pd.Series:
+        return price * (1 - disc)
+
+    lt = table(spark, sf_dir, "lineitem")
+    return lt.select(
+        "l_orderkey",
+        "l_linenumber",
+        discounted("l_extendedprice", "l_discount").alias("discounted"),
+    )
+
+
+@register(
+    "udaf_pandas_grouped",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+                 AS weighted_avg_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("udf", "pandas"),
+)
+def udaf_pandas_grouped(spark, sf_dir):
+    """Grouped-agg pandas UDAF: quantity-weighted mean price (SNIPPETS.md
+    [1] GROUPED_AGG pattern) with exact-decimal internal sums."""
+
+    @F.pandas_udf(DoubleType())
+    def weighted_mean(price: pd.Series, qty: pd.Series) -> float:
+        return _exact_sum(price * qty) / _exact_sum(qty)
+
+    lt = table(spark, sf_dir, "lineitem")
+    return lt.groupBy("l_returnflag").agg(
+        weighted_mean("l_extendedprice", "l_quantity").alias("weighted_avg_price")
+    )
+
+
+@register(
+    "udtf_grouped_map",
+    oracle="""
+        WITH stats AS (
+            SELECT l_returnflag, COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS s1,
+                   CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS s2
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+               (l.l_quantity - s.s1 / s.n)
+                   / SQRT((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)) AS qty_z
+        FROM lineitem l JOIN stats s ON l.l_returnflag = s.l_returnflag
+    """,
+    tags=("udf", "pandas"),
+)
+def udtf_grouped_map(spark, sf_dir):
+    """applyInPandas per-group z-score normalization (SNIPPETS.md [2]
+    grouped-map pattern). Mean/std are derived from exact decimal moments
+    so every per-row double matches the window-SQL oracle."""
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        s1 = _exact_sum(pdf["l_quantity"])
+        s2 = _exact_sum(pdf["l_quantity"] * pdf["l_quantity"])
+        mean = s1 / n
+        std = ((s2 - s1 * s1 / n) / (n - 1)) ** 0.5
+        return pd.DataFrame(
+            {
+                "l_orderkey": pdf["l_orderkey"],
+                "l_linenumber": pdf["l_linenumber"],
+                "l_returnflag": pdf["l_returnflag"],
+                "qty_z": (pdf["l_quantity"] - mean) / std,
+            }
+        )
+
+    lt = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    return lt.groupBy("l_returnflag").applyInPandas(
+        normalize,
+        schema="l_orderkey long, l_linenumber int, l_returnflag string, qty_z double",
+    )
+
+
+@register(
+    "udtf_explode",
+    oracle="""
+        SELECT o_orderkey,
+               UNNEST(generate_series(1, CAST(o_orderkey % 3 + 1 AS INT)))
+                   AS slot
+        FROM orders
+    """,
+    tags=("udf", "generator"),
+)
+def udtf_explode(spark, sf_dir):
+    """One-to-many generator: each order fans out to (orderkey % 3) + 1
+    slot rows via explode(sequence(...)) — a zero-shuffle row generator."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.explode(
+            F.sequence(F.lit(1), (F.col("o_orderkey") % 3 + 1).cast("int"))
+        ).alias("slot"),
+    )

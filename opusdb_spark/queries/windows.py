@@ -1,0 +1,306 @@
+"""Window functions (SURVEY §2B).
+
+Three of these encode opusdb's MVCC read rules directly as analytics:
+  - win_latest_version  = deref outside a txn (stm.clj:161-162)
+  - win_asof_version    = find-version ≤ read-point (stm.clj:55-65,172)
+  - win_history_cap     = MAX_HISTORY=16 truncation (stm.clj:10,47-50)
+
+Windows shuffle once on partitionBy keys, then sort within partitions;
+at 100 TB the key cardinality (users) dwarfs the executor count, so the
+shuffle is well spread; no window here is an unpartitioned global sort
+except the running-sum over dates, whose input is pre-aggregated to one
+row per day before the window (tiny).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from opusdb_spark.exactness import dsum, sql_dsum
+from opusdb_spark.registry import register
+from opusdb_spark.tables import table
+
+
+@register(
+    "win_rank",
+    oracle="""
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               RANK()       OVER w AS rnk,
+               DENSE_RANK() OVER w AS drnk,
+               ROW_NUMBER() OVER w AS rn
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    tags=("window",),
+)
+def win_rank(spark, sf_dir):
+    """rank/dense_rank/row_number per segment (unique-key tie-break)."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+
+@register(
+    "win_topk_group",
+    oracle="""
+        SELECT * FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders
+        ) WHERE rn <= 3
+    """,
+    tags=("window",),
+)
+def win_topk_group(spark, sf_dir):
+    """Top-3 orders per customer — rank-then-filter; Spark pushes the
+    rn<=3 limit into the window sort (WindowGroupLimit) so no full
+    per-group materialization at scale."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "win_running_sum",
+    oracle=f"""
+        WITH daily AS (
+            SELECT o_orderdate, {sql_dsum("o_totalprice", "day_total")}
+            FROM orders GROUP BY o_orderdate
+        )
+        SELECT o_orderdate, day_total,
+               CAST(SUM(CAST(day_total AS DECIMAL(27,6))) OVER (
+                   ORDER BY o_orderdate
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS running_total
+        FROM daily
+    """,
+    tags=("window",),
+)
+def win_running_sum(spark, sf_dir):
+    """Cumulative revenue by date. Pre-aggregates to one row per day
+    *before* the unpartitioned window, so the global-order window sees
+    ~2.4k rows regardless of fact size — the 100 TB-safe shape."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy("o_orderdate").agg(dsum("o_totalprice", "day_total"))
+    w = (
+        Window.orderBy("o_orderdate")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "o_orderdate",
+        "day_total",
+        F.sum(F.col("day_total").cast("decimal(27,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+        SELECT event_id, user_id, ts, value,
+               LAG(value)  OVER w AS prev_value,
+               LEAD(value) OVER w AS next_value,
+               value - LAG(value) OVER w AS delta
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window",),
+)
+def win_lag_lead(spark, sf_dir):
+    """lag/lead deltas per user over event time."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+        SELECT event_id, user_id, ts, value,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE) AS sum_24h,
+               COUNT(value) OVER w AS n_24h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window",),
+)
+def win_range_frame(spark, sf_dir):
+    """Moving 24-hour sum/count per user — RANGE frame over epoch seconds.
+
+    Frame bounds use integer *microsecond* epochs on both engines so the
+    range comparison is exact (fractional-second doubles would disagree
+    at the boundary).
+    """
+    ev = table(spark, sf_dir, "events")
+    epoch = F.unix_micros(F.col("ts").cast("timestamp")).alias("__epoch")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("__epoch")
+        .rangeBetween(-86400000000, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", "ts", "value", epoch
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.sum(F.col("value").cast("decimal(27,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_24h"),
+        F.count("value").over(w).alias("n_24h"),
+    )
+
+
+@register(
+    "win_ntile_firstlast",
+    oracle="""
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               NTILE(4) OVER w AS quartile,
+               FIRST_VALUE(c_custkey) OVER w AS richest_cust,
+               LAST_VALUE(c_custkey) OVER (PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal DESC, c_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS poorest_cust
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    tags=("window",),
+)
+def win_ntile_firstlast(spark, sf_dir):
+    """Quartiles + first/last per segment (full-frame last_value)."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("c_custkey").over(w).alias("richest_cust"),
+        F.last("c_custkey").over(w_full).alias("poorest_cust"),
+    )
+
+
+@register(
+    "win_latest_version",
+    oracle="""
+        SELECT user_id, event_id, ts, value FROM (
+            SELECT user_id, event_id, ts, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    tags=("window", "mvcc"),
+)
+def win_latest_version(spark, sf_dir):
+    """Latest-per-key = opusdb `deref` outside a txn (stm.clj:161-162):
+    the newest committed version of each ref. events(user_id) stands in
+    for the ref table (FIXTURES.md B1)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.select(
+            "user_id", "event_id", "ts", "value", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "win_asof_version",
+    oracle="""
+        SELECT user_id, event_id, ts, value FROM (
+            SELECT user_id, event_id, ts, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+            WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+        ) WHERE rn = 1
+    """,
+    tags=("window", "mvcc"),
+)
+def win_asof_version(spark, sf_dir):
+    """As-of read = `find-version` (stm.clj:55-65): newest version with
+    write_point ≤ read-point, here ts ≤ a literal cutoff. The filter
+    prunes *before* the window — the pushdown form of the binary search."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.filter(F.col("ts") <= F.lit("2024-01-15 00:00:00").cast("timestamp_ntz"))
+        .select(
+            "user_id", "event_id", "ts", "value", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "win_history_cap",
+    oracle="""
+        SELECT user_id, COUNT(*) AS n_kept,
+               MIN(ts) AS oldest_kept, MAX(ts) AS newest_kept
+        FROM (
+            SELECT user_id, ts,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn <= 16
+        GROUP BY user_id
+    """,
+    tags=("window", "mvcc"),
+)
+def win_history_cap(spark, sf_dir):
+    """Bounded history = MAX_HISTORY 16 (stm.clj:10, truncation at
+    stm.clj:47-50): keep the newest 16 versions per ref, report survivor
+    stats. WindowGroupLimit keeps this from materializing full groups."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.select("user_id", "ts", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 16)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("ts").alias("oldest_kept"),
+            F.max("ts").alias("newest_kept"),
+        )
+    )

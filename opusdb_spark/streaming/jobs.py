@@ -1,0 +1,231 @@
+"""True Structured Streaming jobs (SURVEY §2B streaming family).
+
+The events parquet is replayed as a file-source stream — the exact
+shape of the reference's recovery scan over its WAL (log_mgr.clj:16-33):
+an append-only log re-read from disk and folded into state. Watermarks
+bound that state (the streaming analog of MAX_HISTORY truncation,
+stm.clj:47-50); foreachBatch gives per-batch atomic side-effects (the
+commit-hook analog, events.clj:18-22).
+
+All jobs run with Trigger.availableNow against sf data and return the
+materialized result as a batch DataFrame for the rows-only check. At
+production scale the same code runs continuously with a real trigger;
+nothing here assumes a bounded input except the final `.awaitTermination`.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from opusdb_spark.session import apply_runtime_confs
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
+
+# Raw parquet schema (ts as int64 nanos — see tables.py).
+_EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+_TS_EXPR = "timestamp_micros(ts div 1000) AS ts"
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a file-source stream with proper event-time ts.
+
+    Event time must be TimestampType (not NTZ) for watermarks; session
+    timezone is pinned to UTC by session.py so wall-clock values match
+    the batch/NTZ path.
+    """
+    apply_runtime_confs(spark)
+    # FileStreamSource needs a *directory*; expose the single parquet
+    # file through a scratch symlink dir (testdata itself is read-only).
+    link_dir = os.path.join(
+        _SCRATCH, f"stream_events_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    os.makedirs(link_dir, exist_ok=True)
+    link = os.path.join(link_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .load(link_dir)
+    )
+    return raw.selectExpr(
+        "event_id", _TS_EXPR, "user_id", "event_type", "value", "props"
+    )
+
+
+def watermark_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-min watermark + 1-hour tumbling counts (stream_watermark_late).
+
+    With availableNow over a single replay the watermark admits all rows;
+    the semantics under late data are exercised in tests/test_streaming.py
+    with a two-batch replay where stragglers get dropped.
+    """
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = ev.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(_SCRATCH, f"ckpt_{name}")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("w.start").alias("window_start"), "n_events"
+    )
+
+
+def foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch parquet append + read-back invariant counts."""
+    out = os.path.join(_SCRATCH, f"febatch_{uuid.uuid4().hex[:8]}")
+    ckpt = out + "_ckpt"
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    ev = _events_stream(spark, sf_dir).select("event_id", "event_type", "value")
+    q = (
+        ev.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("event_type")
+    )
+
+
+def session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window (30-min gap) aggregation, streaming."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("sw"), F.col("user_id")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(_SCRATCH, f"ckpt_{name}")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.col("sw.start").alias("session_start"),
+        F.col("sw.end").alias("session_end"),
+        "n_events",
+    )
+
+
+def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates(event_id) within the watermark."""
+    ev = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    return _run_to_memory_append(ev, f"dedup_{uuid.uuid4().hex[:8]}")
+
+
+def _run_to_memory_append(stream_df: DataFrame, name: str) -> DataFrame:
+    spark = stream_df.sparkSession
+    ckpt = os.path.join(_SCRATCH, f"ckpt_{name}")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator: per-user totals via applyInPandasWithState
+    (the arbitrary-state path the built-in aggregations can't express —
+    per-key state mirrors the reference's per-txn lifecycle state,
+    events.clj:8-27)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("total", DoubleType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    ev = _events_stream(spark, sf_dir).select("user_id", "ts", "value")
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"stateful_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(_SCRATCH, f"ckpt_{name}")
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

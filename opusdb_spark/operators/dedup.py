@@ -18,6 +18,17 @@ N_MINHASH = 32  # minhash permutations
 N_BANDS = 8  # LSH bands (4 rows per band)
 _MERSENNE = 2147483647  # 2^31 - 1, modulus for the affine hash family
 
+# Fixed pseudo-random affine constants (seeded → identical across runs
+# and partitionings). Small/structured multipliers would correlate the
+# permutations — one low base-hash value then wins most minima and the
+# Jaccard estimate collapses — so a_i, b_i are drawn uniformly from
+# [1, p).
+import random as _random
+
+_rng = _random.Random(0x5EED)
+_A = [_rng.randrange(1, _MERSENNE) for _ in range(N_MINHASH)]
+_B = [_rng.randrange(0, _MERSENNE) for _ in range(N_MINHASH)]
+
 
 def shingles(df: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
     """Character k-shingles per doc: (doc_id, shingle) distinct pairs."""
@@ -49,9 +60,7 @@ def minhash_signatures(shingle_df: DataFrame) -> DataFrame:
         "doc_id", (F.hash("shingle").cast("long") % _MERSENNE).alias("h")
     ).withColumn("h", F.when(F.col("h") < 0, F.col("h") + _MERSENNE).otherwise(F.col("h")))
     mins = [
-        F.min((F.col("h") * F.lit(2 * i + 1) + F.lit(i * 7919 + 1)) % _MERSENNE).alias(
-            f"m{i}"
-        )
+        F.min((F.col("h") * F.lit(_A[i]) + F.lit(_B[i])) % _MERSENNE).alias(f"m{i}")
         for i in range(N_MINHASH)
     ]
     sig = hashed.groupBy("doc_id").agg(*mins)

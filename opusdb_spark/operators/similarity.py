@@ -67,33 +67,59 @@ def cosine_topk(
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
-N_HYPERPLANES = 16
+# OR-amplified random-hyperplane LSH: L independent tables of b bits.
+# Collision probability per table is (1 - θ/π)^b; over L tables the
+# near neighbors almost surely collide somewhere while the scored
+# candidate set stays a small fraction of the data. At 100 TB, raise
+# BITS_PER_TABLE (finer buckets) and write the table partitioned by
+# (table_id, bucket); these defaults suit the small test corpus.
+N_TABLES = 8
+BITS_PER_TABLE = 4
 
 
-def _bucket_expr(vec_col: str) -> F.Column:
-    """Random-hyperplane LSH bucket id from fixed deterministic planes.
+def _plane_sign(i, plane: int) -> F.Column:
+    """Deterministic ±1 weight of component i under hyperplane `plane`
+    (derived from hash — no stored model, identical across runs)."""
+    return F.when(F.pmod(F.hash(i, F.lit(plane)), F.lit(2)) == 0, 1.0).otherwise(-1.0)
 
-    Plane j's component i weight is a pseudo-random ±1 derived from
-    hash(i, j) — generated as expressions, identical across runs, no
-    stored model needed.
-    """
-    bucket = F.lit(0).cast("long")
-    for j in range(N_HYPERPLANES):
+
+def _table_signature(vec_col: str, table_id: int) -> F.Column:
+    """b-bit signature of a vector under table `table_id`'s planes."""
+    def weighted(plane: int):
+        # closure (not a default arg): pyspark derives lambda arity from
+        # the signature, so extra params break higher-order functions
+        return lambda x, i: x.cast("double") * _plane_sign(i, plane)
+
+    sig = F.lit(0).cast("long")
+    for b in range(BITS_PER_TABLE):
+        plane = table_id * BITS_PER_TABLE + b
         proj = F.aggregate(
-            F.transform(
-                F.col(vec_col),
-                lambda x, i: x.cast("double")
-                * F.when(F.pmod(F.hash(i, F.lit(j)), F.lit(2)) == 0, 1.0).otherwise(
-                    -1.0
-                ),
-            ),
+            F.transform(F.col(vec_col), weighted(plane)),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        bucket = bucket.bitwiseXOR(
-            F.shiftleft(F.when(proj > 0, F.lit(1).cast("long")).otherwise(0), j)
+        sig = sig.bitwiseXOR(
+            F.shiftleft(F.when(proj > 0, F.lit(1).cast("long")).otherwise(0), b)
         )
-    return bucket
+    return sig
+
+
+def _bucketed(df: DataFrame, vec_col: str) -> DataFrame:
+    """Explode each vector to its L (table_id, bucket) rows."""
+    return df.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table_id"),
+                        _table_signature(vec_col, t).alias("bucket"),
+                    )
+                    for t in range(N_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("*", "tb.table_id", "tb.bucket").drop("tb")
 
 
 def lsh_topk(
@@ -103,32 +129,17 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN top-k: score only vectors sharing the probe's LSH bucket
-    (multiprobe: plus buckets at Hamming distance 1).
-
-    At 100 TB the bucketed table is written partitioned by bucket so a
-    probe touches ~1/2^16 of the data; here the bucket table is computed
-    inline. Recall is approximate — rows-only checked.
-    """
-    bucketed = emb.withColumn("bucket", _bucket_expr(vec_col))
-    probe_bucket = bucketed.filter(F.col(id_col) == probe_id).select(
-        F.explode(
-            F.array(
-                F.col("bucket"),
-                *[
-                    F.col("bucket").bitwiseXOR(F.lit(1 << j))
-                    for j in range(N_HYPERPLANES)
-                ],
-            )
-        ).alias("bucket")
+    """ANN top-k: score only vectors colliding with the probe in ≥1 of
+    the L hash tables — candidate generation is an equi-join on
+    (table_id, bucket), never a full scan of scored pairs."""
+    bucketed = _bucketed(emb, vec_col)
+    probe_buckets = bucketed.filter(F.col(id_col) == probe_id).select(
+        "table_id", "bucket"
     )
-    candidates = bucketed.join(
-        F.broadcast(probe_bucket), "bucket", "left_semi"
-    ).filter(F.col(id_col) != probe_id)
-    return cosine_topk(
-        candidates.unionByName(emb.filter(F.col(id_col) == probe_id).withColumn("bucket", F.lit(0))),
-        probe_id,
-        k,
-        id_col,
-        vec_col,
+    candidate_ids = (
+        bucketed.join(F.broadcast(probe_buckets), ["table_id", "bucket"], "left_semi")
+        .select(id_col)
+        .distinct()
     )
+    candidates = emb.join(candidate_ids, id_col, "left_semi")
+    return cosine_topk(candidates, probe_id, k, id_col, vec_col)

@@ -323,12 +323,18 @@ def llm_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (cos ≥ 0.95) among LSH-bucket
     candidates — the embedding-space dedup pass (rows-only)."""
     emb = table(spark, sf_dir, "embeddings")
-    bucketed = emb.withColumn("bucket", similarity._bucket_expr("embedding"))
+    bucketed = similarity._bucketed(emb, "embedding")
     a = bucketed.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"), "bucket"
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("e_a"),
+        "table_id",
+        "bucket",
     )
     b = bucketed.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"), "bucket"
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("e_b"),
+        "table_id",
+        "bucket",
     )
     dot = F.aggregate(
         F.zip_with("e_a", "e_b", lambda x, y: (x * y).cast("double")),
@@ -350,10 +356,11 @@ def llm_embedding_neardup(spark, sf_dir):
         )
     )
     return (
-        a.join(b, "bucket")
+        a.join(b, ["table_id", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", (dot / (na * nb)).alias("cosine"))
         .filter(F.col("cosine") >= 0.95)
+        .distinct()
         .orderBy("id_a", "id_b")
     )
 

@@ -1,0 +1,271 @@
+"""Unit tests for the custom operators, modeled on the reference's test
+strategy (SURVEY §5): semantics pinned with small hand-built fixtures,
+invariants checked exactly, determinism under re-partitioning replacing
+the reference's thread-stress suites.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from opusdb_spark.operators.asof import asof_join
+from opusdb_spark.operators import dedup, similarity
+from opusdb_spark.operators import text as T
+from opusdb_spark.operators import multimodal
+from opusdb_spark.registry import registry
+from tests.parity import spark_to_pandas, _normalize, _sort_rows
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- as-of
+
+
+def _asof_fixture(spark):
+    """Versioned-cell fixture (FIXTURES.md B1): refs with history."""
+    versions = spark.createDataFrame(
+        [  # (ref_id, write_point, value)
+            (1, 10, 100.0),
+            (1, 20, 200.0),
+            (1, 30, 300.0),
+            (2, 15, 150.0),
+        ],
+        "ref_id long, write_point long, value double",
+    )
+    probes = spark.createDataFrame(
+        [  # (ref_id, read_point)
+            (1, 5),  # before any version → null (GC'd/absent case)
+            (1, 10),  # exactly at a version → inclusive match
+            (1, 25),  # between versions → newest ≤
+            (1, 99),  # after all → latest
+            (2, 14),  # before ref 2's only version → null
+            (3, 50),  # unknown ref → null
+        ],
+        "ref_id long, read_point long",
+    )
+    return versions, probes
+
+
+def test_asof_semantics_match_find_version(spark):
+    """Pin the reference's find-version rules (stm.clj:55-65): newest
+    version ≤ read-point; nil when none qualifies."""
+    versions, probes = _asof_fixture(spark)
+    out = asof_join(
+        probes,
+        versions,
+        on="ref_id",
+        left_time="read_point",
+        right_time="write_point",
+        right_values=["value"],
+    )
+    got = {
+        (r.ref_id, r.read_point): (r.asof_time, r.value) for r in out.collect()
+    }
+    assert got[(1, 5)] == (None, None)
+    assert got[(1, 10)] == (10, 100.0)  # inclusive ≤
+    assert got[(1, 25)] == (20, 200.0)
+    assert got[(1, 99)] == (30, 300.0)
+    assert got[(2, 14)] == (None, None)
+    assert got[(3, 50)] == (None, None)
+    assert out.count() == probes.count(), "as-of join must be 1:1 on probes"
+
+
+def test_asof_tolerance(spark):
+    """Bounded lookback = the MVCC history cap re-expressed as a time
+    tolerance: matches older than the bound resolve to null."""
+    versions, probes = _asof_fixture(spark)
+    out = asof_join(
+        probes,
+        versions,
+        on="ref_id",
+        left_time="read_point",
+        right_time="write_point",
+        right_values=["value"],
+        tolerance=F.lit(5),
+    )
+    got = {(r.ref_id, r.read_point): r.value for r in out.collect()}
+    assert got[(1, 10)] == 100.0  # age 0 ≤ 5
+    assert got[(1, 25)] == 200.0  # age 5 ≤ 5 (inclusive)
+    assert got[(1, 99)] is None  # age 69 > 5 → dropped
+
+
+# ---------------------------------------------------------------- dedup
+
+
+def _docs_fixture(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    near = base.replace("lazy", "sleepy", 1)  # single-word edit → near-dup
+    far = "completely different content about spark query engines " * 6
+    return spark.createDataFrame(
+        [
+            (1, base.strip()),
+            (2, base.strip()),  # exact dup of 1
+            (3, near.strip()),  # near dup of 1
+            (4, far.strip()),  # unrelated
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup_keeps_min_doc_id(spark):
+    docs = _docs_fixture(spark)
+    kept = dedup.exact_dedup_keep_min(docs)
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert ids == [1, 3, 4], "doc 2 (exact dup of 1) must drop, min id kept"
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    docs = _docs_fixture(spark)
+    pairs = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in dedup.minhash_lsh_dedup(docs, 0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0, "exact dup = jaccard 1"
+    assert (1, 3) in pairs, "one-word edit should collide in ≥1 band"
+    assert not any(4 in p for p in pairs), "unrelated doc must not pair"
+
+
+def test_simhash_near_dups(spark):
+    docs = _docs_fixture(spark)
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_near_dups(docs, max_hamming=3).collect()
+    }
+    assert pairs.get((1, 2)) == 0, "identical text → identical fingerprint"
+    assert (1, 3) in pairs, "near dup within hamming 3"
+    assert not any(4 in p for p in pairs)
+
+
+def test_simhash_deterministic_across_partitioning(spark):
+    docs = _docs_fixture(spark)
+    a = {r.doc_id: r.simhash for r in dedup.simhash_fingerprints(docs.repartition(1)).collect()}
+    b = {r.doc_id: r.simhash for r in dedup.simhash_fingerprints(docs.repartition(7)).collect()}
+    assert a == b
+
+
+# ----------------------------------------------------------- similarity
+
+
+def test_cosine_topk_self_similarity(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [1.0, 0.0, 0.0]),  # identical direction → cos 1
+            (2, [0.0, 1.0, 0.0]),  # orthogonal → cos 0
+            (3, [-1.0, 0.0, 0.0]),  # opposite → cos -1
+            (4, [1.0, 1.0, 0.0]),  # 45° → cos ≈ 0.7071
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = similarity.cosine_topk(emb, probe_id=0, k=4).collect()
+    order = [r.vec_id for r in rows]
+    assert order == [1, 4, 2, 3]
+    assert rows[0].cosine == pytest.approx(1.0)
+    assert rows[1].cosine == pytest.approx(2**-0.5, rel=1e-6)
+    assert rows[2].cosine == pytest.approx(0.0, abs=1e-9)
+    assert rows[3].cosine == pytest.approx(-1.0)
+
+
+def test_lsh_topk_recall_on_real_embeddings(spark):
+    """ANN must at least recover the brute-force top-1 and mostly agree
+    on the top-10 for these well-spread synthetic vectors."""
+    from opusdb_spark.tables import table
+
+    emb = table(spark, SF, "embeddings")
+    exact = [r.vec_id for r in similarity.cosine_topk(emb, 0, 10).collect()]
+    approx = [r.vec_id for r in similarity.lsh_topk(emb, 0, 10).collect()]
+    assert exact[0] == approx[0], "top-1 must survive LSH bucketing"
+    assert len(set(exact) & set(approx)) >= 5, "recall@10 collapsed"
+
+
+# ----------------------------------------------------------------- text
+
+
+def test_langid_on_obvious_text(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is in the house"),
+            (2, "der Hund und die Katze ist nicht zu Hause"),
+            (3, "zzz qqq xxx"),  # no stopwords → undetermined
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.pred
+        for r in df.select("doc_id", T.predicted_lang(F.col("text")).alias("pred")).collect()
+    }
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "und"
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "Hello, world! 42 times")], "id long, text string")
+    row = df.select(
+        T.n_words(F.col("text")).alias("w"),
+        T.n_tokens_regex(F.col("text")).alias("t"),
+    ).first()
+    assert row.w == 4
+    # Hello , world ! 42 times → 6 regex tokens
+    assert row.t == 6
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "c b a")], "id long, text string"
+    )
+    fps = {
+        r.id: r.fp
+        for r in df.select("id", T.rolling_fingerprint(F.col("text")).alias("fp")).collect()
+    }
+    assert fps[1] == fps[2], "same sequence → same fingerprint"
+    assert fps[1] != fps[3], "reordered words must fingerprint differently"
+
+
+# ------------------------------------------------------------ multimodal
+
+
+def test_multimodal_feature_extraction(spark):
+    media = multimodal.synthesize_media(spark, n=32)
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 32
+    assert all(0.0 <= r.mean_luma <= 255.0 for r in rows)
+    assert all(r.n_bytes > 0 for r in rows)
+
+
+def test_multimodal_resize_fanout(spark):
+    media = multimodal.synthesize_media(spark, n=16)
+    thumbs = multimodal.resize_plan(media)
+    per = {r.media_id: r.n for r in thumbs.groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    expected = {i: 1 + i % 8 for i in range(16)}
+    assert per == expected, "each media row must fan out to n_frames thumbs"
+
+
+def test_decode_rejects_real_codecs():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG\r\n" + b"x" * 64, 8, 8)
+
+
+# ------------------------------------------------------- determinism
+
+
+@pytest.mark.parametrize("name", ["agg_q1", "join_multiway", "win_latest_version", "llm_dedup_exact"])
+def test_determinism_under_repartition(name, spark):
+    """The rebuild's analog of the reference's concurrency-stress tests
+    (stm_test.clj:222-237): identical results regardless of parallelism."""
+
+    def run(parts):
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        try:
+            pdf = _sort_rows(_normalize(spark_to_pandas(registry()[name].fn(spark, SF))))
+            return hashlib.sha256(
+                pdf.to_csv(float_format="%.17g").encode()
+            ).hexdigest()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    assert run(2) == run(16)

@@ -1,0 +1,115 @@
+"""Physical-plan quality gates — the 100 TB story is in the plan.
+
+Each test asserts the *shape* of the executed plan, not timing:
+filters reach the parquet scan, projections prune the read schema,
+small dims broadcast, top-k avoids global sorts, windows use group
+limits. A regression here is a silent 100× at scale even when sf0.01
+results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opusdb_spark.registry import registry
+from opusdb_spark.tables import table
+
+SF = "/root/testdata/sf0.001"
+
+_Q = registry()
+
+
+def plan(df, mode="formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    p = plan(_Q["scan_filter_pushdown"].fn(spark, SF))
+    assert "PushedFilters:" in p
+    assert "GreaterThanOrEqual(l_shipdate" in p.replace("\n", " ")
+
+
+def test_column_pruning(spark):
+    p = plan(_Q["scan_prune"].fn(spark, SF))
+    read_schema = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema
+    assert "l_extendedprice" not in read_schema, "pruned column still read"
+    assert "l_comment" not in read_schema
+
+
+def test_q1_prunes_untouched_columns(spark):
+    p = plan(_Q["agg_q1"].fn(spark, SF))
+    read_schema = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "l_partkey" not in read_schema, "agg_q1 reads columns it never uses"
+    assert "l_suppkey" not in read_schema
+
+
+def test_broadcast_join_used_for_small_dim(spark):
+    p = plan(_Q["join_broadcast"].fn(spark, SF))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_multiway_broadcasts_dims(spark):
+    p = plan(_Q["join_multiway"].fn(spark, SF))
+    assert "BroadcastHashJoin" in p, "dims should broadcast, not shuffle"
+
+
+def test_sort_merge_hint_respected(spark):
+    p = plan(_Q["join_sort_merge"].fn(spark, SF))
+    assert "SortMergeJoin" in p
+
+
+def test_topk_uses_take_ordered(spark):
+    p = plan(_Q["topk_global"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in p, "global top-k must not be a full sort"
+
+
+def test_window_topk_uses_group_limit(spark):
+    p = plan(_Q["win_topk_group"].fn(spark, SF))
+    assert "WindowGroupLimit" in p, "rn<=k filter should push into the window"
+
+
+def test_q1_whole_stage_codegen(spark):
+    # With AQE the codegen spans only appear in the *final* plan, so
+    # execute first, then read the executed plan.
+    df = _Q["agg_q1"].fn(spark, SF)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    # "*(n)" prefixes mark whole-stage-codegen stages in plan strings.
+    assert "*(1)" in p, "agg pipeline fell out of codegen"
+    assert "*(2)" in p, "final aggregate fell out of codegen"
+
+
+def test_q1_partial_aggregation(spark):
+    p = plan(_Q["agg_q1"].fn(spark, SF), mode="simple")
+    # partial_ functions before the exchange = map-side combine
+    assert "partial_" in p, "no map-side partial aggregation"
+
+
+def test_semi_join_planned_as_semi(spark):
+    p = plan(_Q["join_semi"].fn(spark, SF))
+    assert "LeftSemi" in p
+
+
+def test_scan_events_single_shuffle(spark):
+    p = plan(_Q["scan_events_ordered"].fn(spark, SF), mode="simple")
+    assert p.count("Exchange") <= 1, "ordered scan needs exactly one range exchange"
+
+
+def test_asof_join_single_shuffle_per_side(spark):
+    """The as-of join must not explode into a range join: one union, one
+    window (one hash partitioning on the key), no nested-loop join."""
+    p = plan(_Q["join_asof"].fn(spark, SF), mode="simple")
+    assert "NestedLoop" not in p
+    assert "CartesianProduct" not in p
+    assert "Window" in p
+
+
+def test_correlated_subquery_decorrelated(spark):
+    p = plan(_Q["sub_correlated"].fn(spark, SF), mode="simple")
+    # Catalyst must rewrite to aggregate + join, not per-row subplans
+    assert "Join" in p
+    assert "Subquery" not in p or "SubqueryExec" not in p

@@ -1,0 +1,133 @@
+"""Structured Streaming semantics tests.
+
+The late-data test pins the watermark contract the way the reference's
+log tests pin flush visibility (log_mgr_test.clj:78-84: a record is
+only visible after the flush barrier): rows behind the watermark are
+dropped, rows ahead are admitted.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".scratch")
+
+SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+    ]
+)
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def _run_stream(spark, src, name):
+    # file sink (not memory): supports checkpoint recovery across the
+    # two runs this test needs
+    agg = (
+        spark.readStream.schema(SCHEMA)
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    ckpt = os.path.join(_SCRATCH, f"ckpt_{name}")
+    out = os.path.join(_SCRATCH, f"out_{name}")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return out
+
+
+def test_watermark_drops_late_rows(spark):
+    """Batch 1 advances the watermark to 11:50; batch 2 then delivers one
+    on-time row (12:30) and one straggler (10:05, behind the watermark).
+    The straggler's hour-10 window is already finalized → emitted without
+    it; the on-time row lands in hour 12."""
+    import datetime as dt
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    run = uuid.uuid4().hex[:8]
+    src = os.path.join(_SCRATCH, f"late_src_{run}")
+    name = f"late_{run}"
+
+    _write_batch(spark, src, [(1, t(10, 0), 1), (2, t(10, 30), 1), (3, t(12, 0), 1)])
+    out = _run_stream(spark, src, name)  # watermark → 12:00 - 10min = 11:50
+
+    _write_batch(spark, src, [(4, t(12, 30), 1), (5, t(10, 5), 1)])
+    _run_stream(spark, src, name)  # resumes from checkpoint
+
+    counts = {
+        r.window_start.hour: r.n for r in spark.read.parquet(out).collect()
+    }
+    assert counts.get(10) == 2, "hour-10 window must close with only batch-1 rows"
+    assert 5 not in [10], "straggler (event 5) must not reopen hour 10"
+    # hour-12 window emits once the watermark passes 13:00; with
+    # availableNow it emits on the final batch's watermark advance only
+    # if reached — assert it was NOT emitted yet (12:30 max → wm 12:20).
+    assert 12 not in counts, "hour-12 window must still be open (not emitted)"
+    shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stream_matches_batch_tumbling(spark):
+    """Streaming tumbling counts over the full replay equal the batch
+    groupBy(window(...)) on the same data — the exactly-once invariant."""
+    from opusdb_spark.registry import registry
+    from opusdb_spark.streaming.jobs import watermark_tumbling
+
+    sf = "/root/testdata/sf0.001"
+    streamed = {
+        (r.window_start.isoformat(),): r.n_events
+        for r in watermark_tumbling(spark, sf).collect()
+    }
+    batch = {
+        (r.window_start.isoformat(),): r.n_events
+        for r in registry()["stream_tumbling"].fn(spark, sf).collect()
+    }
+    # append-mode only emits windows the watermark has passed; every
+    # emitted window must match batch exactly, and most windows emit
+    assert streamed, "stream produced no windows"
+    for k, v in streamed.items():
+        assert batch[k] == v, f"window {k}: stream {v} != batch {batch[k]}"
+    assert len(streamed) >= len(batch) - 1, "stream missed closed windows"
+
+
+def test_foreachbatch_append_is_replayable(spark):
+    """foreachBatch sink: counts after replay equal source counts
+    (the commit-hook + flush-barrier analog, events.clj:18-22)."""
+    from opusdb_spark.streaming.jobs import foreachbatch_sink
+    from opusdb_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    sunk = {r.event_type: r.n_rows for r in foreachbatch_sink(spark, sf).collect()}
+    src = {
+        r.event_type: r.n
+        for r in table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert sunk == src

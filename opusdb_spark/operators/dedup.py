@@ -30,6 +30,19 @@ _A = [_rng.randrange(1, _MERSENNE) for _ in range(N_MINHASH)]
 _B = [_rng.randrange(0, _MERSENNE) for _ in range(N_MINHASH)]
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to default parallelism when the input
+    has fewer partitions. Signature computation is CPU-heavy map work; a
+    small parquet file arrives as one split and would otherwise pin it
+    to one core. At 100 TB inputs already have thousands of splits and
+    this is a no-op (no shuffle added).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingles(df: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
     """Character k-shingles per doc: (doc_id, shingle) distinct pairs."""
     return (
@@ -49,23 +62,70 @@ def shingles(df: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
     )
 
 
-def minhash_signatures(shingle_df: DataFrame) -> DataFrame:
+def _shingle_hash_array(text_col: str, k: int) -> F.Column:
+    """array<long> of pmod(hash(char k-gram), p) per row — a narrow
+    projection (no explode). Duplicate shingles are harmless: min()
+    absorbs them."""
+    grams = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(text_col) - (k - 1), F.lit(1))),
+            lambda i: F.col(text_col).substr(i, F.lit(k)),
+        ),
+        lambda s: F.length(s) == k,
+    )
+    return F.transform(
+        grams, lambda s: F.pmod(F.hash(s).cast("long"), F.lit(_MERSENNE))
+    )
+
+
+def _word_gram_hash_array(text_col: str, n: int) -> F.Column:
+    """array<long> of pmod(xxhash64(word n-gram), p) per row. Word grams
+    are the standard web-dedup unit: ~6× fewer shingles than char-5
+    grams at equal text length, so 6× less signature work per byte."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: F.length(w) > 0)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
+        (lambda ws: lambda i: F.pmod(F.xxhash64(F.slice(ws, i, n)).cast("long"), F.lit(_MERSENNE)))(words),
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", k: int = 3, unit: str = "word"
+) -> DataFrame:
     """(doc_id, sig: array<long>) — N_MINHASH affine-permutation minima.
 
-    h_i(x) = (a_i * x + b_i) mod p over the shingle's 32-bit hash; the
-    (a_i, b_i) are fixed constants so signatures are deterministic across
-    runs and partitionings. One groupBy(doc_id) shuffle total.
+    h_i(x) = (a_i * x + b_i) mod p over the shingle hash; the (a_i, b_i)
+    are fixed constants so signatures are deterministic across runs and
+    partitionings. The whole signature is ONE array fold per row
+    (aggregate carrying all N_MINHASH running minima) — zero shuffles,
+    which at 100 TB means signature computation is embarrassingly
+    parallel map-work co-located with the parquet scan. `unit` picks the
+    shingle granularity: "word" n-grams (web-dedup standard) or "char"
+    k-grams (robust for unsegmented scripts).
     """
-    hashed = shingle_df.select(
-        "doc_id", (F.hash("shingle").cast("long") % _MERSENNE).alias("h")
-    ).withColumn("h", F.when(F.col("h") < 0, F.col("h") + _MERSENNE).otherwise(F.col("h")))
-    mins = [
-        F.min((F.col("h") * F.lit(_A[i]) + F.lit(_B[i])) % _MERSENNE).alias(f"m{i}")
-        for i in range(N_MINHASH)
-    ]
-    sig = hashed.groupBy("doc_id").agg(*mins)
-    return sig.select(
-        "doc_id", F.array(*[f"m{i}" for i in range(N_MINHASH)]).alias("sig")
+    grams = (
+        _word_gram_hash_array(text_col, k)
+        if unit == "word"
+        else _shingle_hash_array(text_col, k)
+    )
+    a_lit = F.array(*[F.lit(a) for a in _A])
+    b_lit = F.array(*[F.lit(b) for b in _B])
+    sig = F.aggregate(
+        F.col("hs"),
+        F.array_repeat(F.lit(_MERSENNE).cast("long"), N_MINHASH),
+        lambda acc, h: F.transform(
+            acc,
+            lambda m, i: F.least(
+                m,
+                (h * F.element_at(a_lit, i + 1) + F.element_at(b_lit, i + 1))
+                % _MERSENNE,
+            ),
+        ),
+    )
+    return (
+        docs.select("doc_id", grams.alias("hs"))
+        .filter(F.size("hs") > 0)
+        .select("doc_id", sig.alias("sig"))
     )
 
 
@@ -120,7 +180,7 @@ def minhash_lsh_dedup(docs: DataFrame, jaccard_threshold: float = 0.5) -> DataFr
     (fraction of agreeing minhashes) filters false positives. Returns
     (doc_a, doc_b, est_jaccard).
     """
-    sig = minhash_signatures(shingles(docs)).cache()
+    sig = minhash_signatures(spread(docs)).cache()
     pairs = lsh_candidate_pairs(sig)
     a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
@@ -148,30 +208,41 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit SimHash per doc from word-level features.
 
     Each word hashes to 64 bits; bit b of the fingerprint is 1 iff the
-    sum over words of ±1 (by bit b) is positive. Pure expression code —
-    one explode + one groupBy(doc_id) shuffle.
+    sum over words of ±1 (by bit b) is positive. All 64 bit-sums are ONE
+    array fold per row (aggregate carrying 64 running counts) — zero
+    shuffles, pure map-side work at any scale.
     """
-    words = docs.select(
-        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("word")
-    ).filter(F.length("word") > 0)
-    hashed = words.select("doc_id", F.xxhash64("word").alias("h"))
-    bit_sums = hashed.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"b{b}")
-            for b in range(64)
-        ]
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: F.length(w) > 0)
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    plus_minus = F.transform(
+        F.col("wh"),
+        lambda h: F.array(
+            *[
+                F.when(
+                    F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(-1).cast("long"))
+                for b in range(64)
+            ]
+        ),
     )
-    fingerprint = None
+    bit_counts = F.aggregate(
+        F.col("pm"),
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, v: F.zip_with(acc, v, lambda a, x: a + x),
+    )
+    fingerprint = F.lit(0).cast("long")
     for b in range(64):
-        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(
+        bit = F.when(F.element_at(F.col("bits"), b + 1) > 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-        term = F.shiftleft(bit, b)
-        fingerprint = term if fingerprint is None else fingerprint.bitwiseXOR(term)
-    return bit_sums.select("doc_id", fingerprint.alias("simhash"))
+        fingerprint = fingerprint.bitwiseXOR(F.shiftleft(bit, b))
+    return (
+        docs.select("doc_id", hashes.alias("wh"))
+        .select("doc_id", plus_minus.alias("pm"))
+        .select("doc_id", bit_counts.alias("bits"))
+        .select("doc_id", fingerprint.alias("simhash"))
+    )
 
 
 def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
@@ -182,7 +253,7 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     so the self-join key is (block_id, block_value) — bucket-local, no
     all-pairs scan.
     """
-    fp = simhash_fingerprints(docs)
+    fp = simhash_fingerprints(spread(docs))
     blocks = fp.select(
         "doc_id",
         "simhash",

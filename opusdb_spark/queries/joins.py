@@ -253,9 +253,11 @@ def join_cross(spark, sf_dir):
 def join_multiway(spark, sf_dir):
     """TPC-H Q5 shape: 6-table join, dims broadcast, facts sort-merge.
 
-    Join order follows selectivity (filtered orders → lineitem → supplier),
-    and region/nation/supplier broadcast so the fact chain shuffles only
-    on its own keys; Catalyst+CBO would reorder equivalently from the SQL.
+    The fact table (lineitem) is always the streaming/left side — it is
+    never collected onto a build side, so the same plan holds when
+    lineitem is 100 TB: lineitem ⋈ orders ⋈ customer degrade gracefully
+    from broadcast to shuffle joins on their own keys as sizes grow,
+    while supplier/nation/region stay broadcast.
     """
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders").filter(
@@ -267,8 +269,8 @@ def join_multiway(spark, sf_dir):
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(lt, F.col("l_orderkey") == F.col("o_orderkey"))
+        lt.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(
             F.broadcast(s),
             (F.col("l_suppkey") == F.col("s_suppkey"))

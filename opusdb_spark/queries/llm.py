@@ -43,9 +43,9 @@ def llm_dedup_exact(spark, sf_dir):
 
 @register("llm_dedup_fuzzy", oracle=None, tags=("llm", "dedup"))
 def llm_dedup_fuzzy(spark, sf_dir):
-    """Near-dup pairs via MinHash+LSH over 5-char shingles (rows-only:
-    signature estimation is engine-specific). Band-bucket joins only —
-    no all-pairs comparison (operators/dedup.py)."""
+    """Near-dup pairs via MinHash+LSH over word 3-gram shingles
+    (rows-only: signature estimation is engine-specific). Band-bucket
+    joins only — no all-pairs comparison (operators/dedup.py)."""
     docs = table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_dedup(docs, jaccard_threshold=0.5).orderBy(
         "doc_a", "doc_b"

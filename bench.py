@@ -57,6 +57,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     lineitem_rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     for name in HEADLINE:
+        # Steady-state timing: one untimed warmup (codegen + JIT + parquet
+        # footers), then time a FRESH build of the query. Rebuilding gives
+        # new RDD lineage, so no shuffle-stage reuse — the timed run does
+        # all its own work, just on a warm JVM.
+        qs[name](spark, sf_dir).count()
+        # Drop any .cache() the warmup populated (cache lookup is by
+        # logical plan, so the rebuilt query would hit it) — the timed
+        # run must recompute everything itself.
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
         n = df.count()

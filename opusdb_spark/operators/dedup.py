@@ -351,3 +351,52 @@ def exact_dedup_keep_min(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+def neardup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, component).
+
+    The end-game of corpus dedup: near-dup PAIRS must become CLUSTERS
+    before you can pick one canonical doc per group (A~B, B~C must not
+    keep both A and C). Iterative min-label propagation: every node
+    starts as its own label; each round takes the min label over its
+    neighborhood; converges in O(component diameter) rounds — near-dup
+    clusters are shallow, so a handful. Each round is one join + one
+    groupBy (shuffles on node id, never materializing components in
+    driver memory); lineage is cut per round with localCheckpoint so
+    plans stay flat at scale. The label sum is monotone non-increasing
+    and stable exactly at convergence — that is the stopping test.
+    """
+    half = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    edges = edges.localCheckpoint()
+    prev_sum = None
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))

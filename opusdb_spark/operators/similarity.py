@@ -14,6 +14,8 @@ gets broadcast, never collected.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -142,4 +144,92 @@ def lsh_topk(
         .distinct()
     )
     candidates = emb.join(candidate_ids, id_col, "left_semi")
+    return cosine_topk(candidates, probe_id, k, id_col, vec_col)
+
+
+# ----------------------------------------------------------------- IVF
+# Inverted-file ANN: a coarse k-means quantizer partitions vectors into
+# cells; a probe scores only the vectors in its n_probe nearest cells.
+# Centroids are driver-side model state (n_cells × dim floats — tiny,
+# like any k-means model); vector assignment is a vectorized Arrow UDF
+# map. At 100 TB the assigned table is written partitioned by cell, so
+# a probe reads n_probe/n_cells of the data and the cell scan is a
+# partition-pruned parquet read.
+
+N_CELLS = 16
+N_PROBE = 4
+
+
+def _assign_udf(centroids: np.ndarray, n: int = 1):
+    """Arrow UDF: per vector, the n nearest centroid ids by cosine
+    (array<int>, nearest first). Centroids ship in the closure."""
+    cn = centroids / (np.linalg.norm(centroids, axis=1, keepdims=True) + 1e-12)
+
+    @F.pandas_udf("array<int>")
+    def assign(vecs: pd.Series) -> pd.Series:
+        v = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
+        vn = v / (np.linalg.norm(v, axis=1, keepdims=True) + 1e-12)
+        sims = vn @ cn.T
+        order = np.argsort(-sims, axis=1)[:, :n].astype("int32")
+        return pd.Series(list(order))
+
+    return assign
+
+
+def ivf_centroids(
+    emb: DataFrame,
+    n_cells: int = N_CELLS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train the coarse quantizer: deterministic pseudo-random seed pick
+    (hash-ordered, so the same corpus always yields the same model) plus
+    one distributed Lloyd step (assign → per-cell mean via posexplode +
+    avg — exact, partitioning-independent)."""
+    seeds = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.pmod(F.hash(F.col(id_col)), F.lit(997)).asc(), F.col(id_col).asc())
+        .limit(n_cells)
+        .collect()
+    )
+    cents = np.array([list(r[1]) for r in seeds], dtype=np.float64)
+    assigned = emb.select(
+        vec_col, _assign_udf(cents, 1)(vec_col)[0].alias("cell")
+    )
+    means = (
+        assigned.select("cell", F.posexplode(vec_col).alias("dim", "xf"))
+        .groupBy("cell", "dim")
+        .agg(F.avg(F.col("xf").cast("double")).alias("m"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+        .collect()
+    )
+    for r in means:
+        cents[r["cell"]] = [d["m"] for d in r["dm"]]
+    return cents
+
+
+def ivf_topk(
+    emb: DataFrame,
+    probe_id: int,
+    k: int = 10,
+    n_cells: int = N_CELLS,
+    n_probe: int = N_PROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k via IVF: exact cosine over only the probe's n_probe
+    nearest cells. The probe's cell list is a 1-row broadcast (the
+    probe vector itself is never collected)."""
+    cents = ivf_centroids(emb, n_cells, id_col, vec_col)
+    assigned = emb.select(
+        id_col, vec_col, _assign_udf(cents, 1)(vec_col)[0].alias("cell")
+    )
+    probe_cells = (
+        emb.filter(F.col(id_col) == probe_id)
+        .select(F.explode(_assign_udf(cents, n_probe)(vec_col)).alias("cell"))
+    )
+    candidates = assigned.join(F.broadcast(probe_cells), "cell", "left_semi").drop(
+        "cell"
+    )
     return cosine_topk(candidates, probe_id, k, id_col, vec_col)

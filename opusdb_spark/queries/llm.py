@@ -172,6 +172,36 @@ def llm_simsearch_lsh(spark, sf_dir):
     return similarity.lsh_topk(emb, probe_id=0, k=10)
 
 
+@register("llm_simsearch_ivf", oracle=None, tags=("llm", "similarity"))
+def llm_simsearch_ivf(spark, sf_dir):
+    """ANN top-10 via an IVF coarse quantizer (deterministic k-means,
+    one Lloyd step): score only the probe's n_probe nearest cells. At
+    100 TB the assignment is written partitioned by cell so probes are
+    partition-pruned parquet reads (rows-only)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, probe_id=0, k=10)
+
+
+@register("llm_dedup_cluster", oracle=None, tags=("llm", "dedup"))
+def llm_dedup_cluster(spark, sf_dir):
+    """Near-dup CLUSTERS: connected components over the MinHash-LSH pair
+    graph (iterative min-label propagation — A~B, B~C collapse into one
+    group), then per-component size + canonical keeper. The step that
+    turns pairwise dedup into an actual keep-list (rows-only:
+    iterative, not SQL-expressible)."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup(docs, jaccard_threshold=0.5)
+    comp = dedup.neardup_components(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .orderBy("component")
+    )
+
+
 @register(
     "llm_text_stats",
     oracle="""

@@ -139,6 +139,28 @@ def test_simhash_near_dups(spark):
     assert not any(4 in p for p in pairs)
 
 
+def test_neardup_components_merge_transitive_pairs(spark):
+    """A~B, B~C must collapse into ONE cluster (pairwise dedup alone
+    would keep both A and C); disconnected pairs stay separate."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    comp = {r.doc_id: r.component for r in dedup.neardup_components(pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+    assert comp[1] != comp[10]
+
+
+def test_neardup_components_long_chain(spark):
+    """Convergence beyond one hop: a 9-node path collapses to min id."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)], "doc_a long, doc_b long"
+    )
+    comp = {r.doc_id: r.component for r in dedup.neardup_components(pairs).collect()}
+    assert set(comp.values()) == {1}
+    assert len(comp) == 9
+
+
 def test_simhash_deterministic_across_partitioning(spark):
     docs = _docs_fixture(spark)
     a = {r.doc_id: r.simhash for r in dedup.simhash_fingerprints(docs.repartition(1)).collect()}
@@ -179,6 +201,25 @@ def test_lsh_topk_recall_on_real_embeddings(spark):
     approx = [r.vec_id for r in similarity.lsh_topk(emb, 0, 10).collect()]
     assert exact[0] == approx[0], "top-1 must survive LSH bucketing"
     assert len(set(exact) & set(approx)) >= 5, "recall@10 collapsed"
+
+
+def test_ivf_topk_recall_on_real_embeddings(spark):
+    from opusdb_spark.tables import table
+
+    emb = table(spark, SF, "embeddings")
+    exact = [r.vec_id for r in similarity.cosine_topk(emb, 0, 10).collect()]
+    approx = [r.vec_id for r in similarity.ivf_topk(emb, 0, 10).collect()]
+    assert exact[0] == approx[0], "top-1 must survive IVF cell pruning"
+    assert len(set(exact) & set(approx)) >= 5, "recall@10 collapsed"
+
+
+def test_ivf_centroids_deterministic(spark):
+    from opusdb_spark.tables import table
+
+    emb = table(spark, SF, "embeddings")
+    c1 = similarity.ivf_centroids(emb.repartition(3))
+    c2 = similarity.ivf_centroids(emb.repartition(11))
+    assert (c1 == c2).all(), "model must not depend on partitioning"
 
 
 # ----------------------------------------------------------------- text

@@ -108,6 +108,38 @@ def test_asof_join_single_shuffle_per_side(spark):
     assert "Window" in p
 
 
+def test_fuzzy_dedup_never_all_pairs(spark):
+    """Candidate generation must stay bucket-local: an accidental
+    cross/nested-loop join is the O(n²) cliff at corpus scale."""
+    p = plan(_Q["llm_dedup_fuzzy"].fn(spark, SF), mode="simple")
+    assert "CartesianProduct" not in p
+    assert "NestedLoop" not in p
+
+
+def test_simhash_dedup_never_all_pairs(spark):
+    p = plan(_Q["llm_dedup_simhash"].fn(spark, SF), mode="simple")
+    assert "CartesianProduct" not in p
+    assert "NestedLoop" not in p
+
+
+def test_lsh_similarity_candidates_are_equi_join(spark):
+    # The only non-equi join allowed is the broadcast of the 1-row
+    # probe-norm scalar; bucket candidate generation must hash-join.
+    p = plan(_Q["llm_simsearch_lsh"].fn(spark, SF), mode="simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin [table_id" in p, "bucket join must be an equi-join"
+
+
+def test_exact_dedup_single_shuffle(spark):
+    p = plan(_Q["llm_dedup_exact"].fn(spark, SF), mode="simple")
+    assert p.count("Exchange") <= 1, "hash dedup is one groupBy shuffle"
+
+
+def test_wordcount_partial_aggregation(spark):
+    p = plan(_Q["llm_wordcount"].fn(spark, SF), mode="simple")
+    assert "partial_" in p, "word counts must combine map-side"
+
+
 def test_correlated_subquery_decorrelated(spark):
     p = plan(_Q["sub_correlated"].fn(spark, SF), mode="simple")
     # Catalyst must rewrite to aggregate + join, not per-row subplans

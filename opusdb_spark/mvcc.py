@@ -1,0 +1,124 @@
+"""Versioned-table (MVCC) analytics API.
+
+The reference's data model is a set of versioned cells: a ref holds a
+history vector of `{:value :write-point}` entries, newest last, capped
+at 16 (reference stm.clj:153-158, stm.clj:10). Its read rules are the
+behaviors this module re-expresses over an immutable DataFrame of
+versions `(key, write_point, value...)`:
+
+- `latest`    = deref outside a transaction — newest committed version
+                (stm.clj:161-162)
+- `snapshot`  = deref at a read-point — newest version with
+                write_point ≤ read_point, the binary-searched
+                `find-version` rule (stm.clj:55-65, 172)
+- `retain`    = MAX_HISTORY truncation — keep the newest n versions
+                per key (stm.clj:42-53)
+- `append_versions` = ref-set/alter + commit: all updates in one batch
+                share ONE new write point, mirroring the single
+                WRITE_POINT bump per committing transaction
+                (stm.clj:42-43); job atomicity gives all-or-nothing
+                (stm.clj:103-106)
+- `conservation` = the bank-transfer invariant: a value total per
+                snapshot, constant across write points when updates
+                only move value between keys (benchmark/bank.clj:41-44)
+
+Scale notes: every operation is a window over `partitionBy(key)` — one
+hash shuffle on the key, no driver state. At 100 TB the versions table
+is written partitioned/bucketed by key so these windows are
+shuffle-free local sorts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MAX_HISTORY = 16  # reference stm.clj:10
+
+
+def latest(
+    versions: DataFrame, key: str = "ref_id", version: str = "write_point"
+) -> DataFrame:
+    """Newest version per key (deref outside a txn, stm.clj:161-162)."""
+    w = Window.partitionBy(key).orderBy(F.col(version).desc())
+    return (
+        versions.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def snapshot(
+    versions: DataFrame,
+    read_point,
+    key: str = "ref_id",
+    version: str = "write_point",
+) -> DataFrame:
+    """State as of `read_point`: newest version with version ≤ read_point
+    per key (find-version, stm.clj:55-65). Keys born after the
+    read-point are absent — exactly the nil/GC'd case (stm.clj:172-174).
+    """
+    return latest(versions.filter(F.col(version) <= read_point), key, version)
+
+
+def retain(
+    versions: DataFrame,
+    n: int = MAX_HISTORY,
+    key: str = "ref_id",
+    version: str = "write_point",
+) -> DataFrame:
+    """Bounded history: newest n versions per key (stm.clj:42-53).
+    Run as the retention pass when compacting a versions table."""
+    w = Window.partitionBy(key).orderBy(F.col(version).desc())
+    return (
+        versions.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
+def append_versions(
+    versions: DataFrame,
+    updates: DataFrame,
+    key: str = "ref_id",
+    version: str = "write_point",
+) -> DataFrame:
+    """Commit a batch of updates as ONE new write point.
+
+    `updates` carries (key, value...) without a version column; every
+    update row gets write_point = max(existing) + 1 — the analog of the
+    single WRITE_POINT bump per committing transaction (stm.clj:42-43).
+    Returns the new versions DataFrame; writing it (or just the new
+    rows, mode="append") is the commit, atomic per Spark job.
+    """
+    next_wp = versions.agg((F.coalesce(F.max(version), F.lit(0)) + 1).alias("_wp"))
+    stamped = updates.crossJoin(F.broadcast(next_wp)).withColumnRenamed(
+        "_wp", version
+    )
+    return versions.unionByName(stamped.select(*versions.columns))
+
+
+def conservation(
+    versions: DataFrame,
+    value: str = "value",
+    version: str = "write_point",
+) -> DataFrame:
+    """Total `value` as of every write point — (write_point, total).
+
+    For transfer-shaped histories the total is constant: the
+    reference's bank invariant (benchmark/bank.clj:41-44,
+    throughput.clj:137-147) as a single analytics query. Implemented
+    without a per-snapshot rescan: each key contributes its value delta
+    at each of its write points; a running sum over write points yields
+    every snapshot's total in one pass.
+    """
+    key_cols = [c for c in versions.columns if c not in (value, version)]
+    w_key = Window.partitionBy(*key_cols).orderBy(version)
+    deltas = versions.withColumn(
+        "_delta", F.col(value) - F.coalesce(F.lag(value).over(w_key), F.lit(0))
+    )
+    per_wp = deltas.groupBy(version).agg(F.sum("_delta").alias("_wp_delta"))
+    w_run = Window.orderBy(version).rowsBetween(Window.unboundedPreceding, 0)
+    return per_wp.select(
+        version, F.sum("_wp_delta").over(w_run).alias("total")
+    )

@@ -105,3 +105,68 @@ def sink_append(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "sink_partitioned",
+    oracle=None,  # rows-only: filesystem side-effect + read-back
+    tags=("sink",),
+)
+def sink_partitioned(spark, sf_dir):
+    """Hive-partitioned sink + partition-pruned read-back.
+
+    Writes orders partitioned by o_orderstatus, then reads back ONE
+    status — a directory-pruned scan that never lists the other
+    partitions. The layout every 100 TB fact table uses (partition by
+    date/status, low cardinality) so per-slice queries touch one
+    directory, not the table.
+    """
+    from opusdb_spark.sources import write_partitioned
+
+    out = os.path.join(_SCRATCH, f"sink_part_{uuid.uuid4().hex[:8]}")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    write_partitioned(orders, out, ["o_orderstatus"])
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+@register(
+    "source_csv_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    tags=("source",),
+)
+def source_csv_roundtrip(spark, sf_dir):
+    """CSV sink + schema-enforced CSV source (no inference pass) —
+    values survive the round trip exactly, checked against the parquet
+    oracle."""
+    from opusdb_spark.sources import read_csv
+
+    out = os.path.join(_SCRATCH, f"src_csv_{uuid.uuid4().hex[:8]}")
+    nation = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    nation.write.mode("overwrite").option("header", "true").csv(out)
+    return read_csv(
+        spark, out, "n_nationkey int, n_name string, n_regionkey int"
+    )
+
+
+@register(
+    "source_json_roundtrip",
+    oracle="SELECT r_regionkey, r_name FROM region",
+    tags=("source",),
+)
+def source_json_roundtrip(spark, sf_dir):
+    """JSON-lines sink + schema-enforced JSON source round trip."""
+    from opusdb_spark.sources import read_json
+
+    out = os.path.join(_SCRATCH, f"src_json_{uuid.uuid4().hex[:8]}")
+    region = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    region.write.mode("overwrite").json(out)
+    return read_json(spark, out, "r_regionkey int, r_name string")

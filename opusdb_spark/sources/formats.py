@@ -1,0 +1,52 @@
+"""Format readers/writers with explicit schemas.
+
+Readers always take a schema: at 100 TB, schema inference is a full
+extra pass over the data (and CSV/JSON inference can mis-type columns
+partition-by-partition). Writers default to snappy parquet; the
+partitioned writer lays out hive-style directories so downstream
+filters on the partition column become partition-pruned scans
+(Catalyst prunes directories before listing files).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_parquet(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    header: bool = True,
+) -> DataFrame:
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
+    return spark.read.schema(schema).json(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-partitioned parquet sink. Partition columns should be
+    low-cardinality (each value is a directory); high-cardinality keys
+    belong in bucketBy or plain files instead."""
+    df.write.mode(mode).partitionBy(*partition_by).parquet(path)

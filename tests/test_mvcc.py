@@ -1,0 +1,92 @@
+"""Versioned-table API tests — the reference's STM test suite re-aimed
+at analytics (SURVEY §5): snapshot rules (stm_test.clj:156-173), bounded
+history (stm.clj:47-50), single write-point bump per commit
+(stm.clj:42-43), and the bank conservation invariant
+(stm_test.clj:98-123, benchmark/bank.clj:41-44).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opusdb_spark import mvcc
+
+
+def _versions(spark):
+    return spark.createDataFrame(
+        [  # (ref_id, write_point, value)
+            (1, 10, 100.0),
+            (1, 20, 200.0),
+            (1, 30, 300.0),
+            (2, 15, 150.0),
+        ],
+        "ref_id long, write_point long, value double",
+    )
+
+
+def test_latest_per_key(spark):
+    got = {r.ref_id: (r.write_point, r.value) for r in mvcc.latest(_versions(spark)).collect()}
+    assert got == {1: (30, 300.0), 2: (15, 150.0)}
+
+
+def test_snapshot_newest_leq_read_point(spark):
+    got = {r.ref_id: r.value for r in mvcc.snapshot(_versions(spark), 20).collect()}
+    assert got == {1: 200.0, 2: 150.0}  # inclusive ≤ at 20
+    early = {r.ref_id: r.value for r in mvcc.snapshot(_versions(spark), 12).collect()}
+    assert early == {1: 100.0}, "ref 2 not yet born at rp=12 → absent"
+
+
+def test_retain_caps_history(spark):
+    kept = mvcc.retain(_versions(spark), n=2)
+    got = sorted((r.ref_id, r.write_point) for r in kept.collect())
+    assert got == [(1, 20), (1, 30), (2, 15)], "oldest version of ref 1 dropped"
+
+
+def test_append_versions_single_write_point(spark):
+    versions = _versions(spark)
+    updates = spark.createDataFrame(
+        [(1, 111.0), (2, 222.0)], "ref_id long, value double"
+    )
+    out = mvcc.append_versions(versions, updates)
+    new_rows = {
+        r.ref_id: (r.write_point, r.value)
+        for r in out.join(versions, ["ref_id", "write_point"], "left_anti").collect()
+    }
+    assert new_rows == {1: (31, 111.0), 2: (31, 222.0)}, (
+        "all updates in a commit share one bumped write point"
+    )
+    assert mvcc.latest(out).count() == 2
+
+
+def test_conservation_invariant_on_transfers(spark):
+    """Bank fixture: only transfers after genesis → total constant at
+    every write point (the reference's core invariant)."""
+    history = spark.createDataFrame(
+        [  # genesis at wp 1: three accounts x 100
+            (1, 1, 100.0), (2, 1, 100.0), (3, 1, 100.0),
+            # wp 2: transfer 30 from 1 to 2
+            (1, 2, 70.0), (2, 2, 130.0),
+            # wp 3: transfer 50 from 2 to 3
+            (2, 3, 80.0), (3, 3, 150.0),
+        ],
+        "ref_id long, write_point long, value double",
+    )
+    totals = {r.write_point: r.total for r in mvcc.conservation(history).collect()}
+    assert totals == {1: 300.0, 2: 300.0, 3: 300.0}
+
+
+def test_snapshot_matches_conservation_total(spark):
+    """Cross-check: summing a snapshot directly equals the running-total
+    formulation at the same write point."""
+    history = spark.createDataFrame(
+        [(1, 1, 10.0), (2, 1, 20.0), (1, 2, 5.0), (2, 3, 25.0)],
+        "ref_id long, write_point long, value double",
+    )
+    for rp in (1, 2, 3):
+        direct = (
+            mvcc.snapshot(history, rp).agg(F.sum("value")).first()[0]
+        )
+        via_deltas = {
+            r.write_point: r.total for r in mvcc.conservation(history).collect()
+        }[rp]
+        assert direct == via_deltas

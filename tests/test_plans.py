@@ -12,18 +12,13 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from opusdb_spark.plans import explain_str as plan
 from opusdb_spark.registry import registry
 from opusdb_spark.tables import table
 
 SF = "/root/testdata/sf0.001"
 
 _Q = registry()
-
-
-def plan(df, mode="formatted") -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), mode
-    )
 
 
 def test_filter_pushdown_reaches_scan(spark):

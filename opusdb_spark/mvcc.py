@@ -102,6 +102,7 @@ def conservation(
     versions: DataFrame,
     value: str = "value",
     version: str = "write_point",
+    decimal: bool = False,
 ) -> DataFrame:
     """Total `value` as of every write point — (write_point, total).
 
@@ -111,14 +112,21 @@ def conservation(
     without a per-snapshot rescan: each key contributes its value delta
     at each of its write points; a running sum over write points yields
     every snapshot's total in one pass.
+
+    `decimal=True` runs the delta sums in decimal(27,6) so running
+    totals are exact and hash-match a SQL oracle. Note the final
+    running sum is a single-partition window over one row per write
+    point; at extreme write-point counts use a two-level prefix sum.
     """
     key_cols = [c for c in versions.columns if c not in (value, version)]
     w_key = Window.partitionBy(*key_cols).orderBy(version)
-    deltas = versions.withColumn(
-        "_delta", F.col(value) - F.coalesce(F.lag(value).over(w_key), F.lit(0))
-    )
+    delta = F.col(value) - F.coalesce(F.lag(value).over(w_key), F.lit(0))
+    if decimal:
+        delta = delta.cast("decimal(27,6)")
+    deltas = versions.withColumn("_delta", delta)
     per_wp = deltas.groupBy(version).agg(F.sum("_delta").alias("_wp_delta"))
     w_run = Window.orderBy(version).rowsBetween(Window.unboundedPreceding, 0)
-    return per_wp.select(
-        version, F.sum("_wp_delta").over(w_run).alias("total")
-    )
+    total = F.sum("_wp_delta").over(w_run)
+    if decimal:
+        total = total.cast("double")
+    return per_wp.select(version, total.alias("total"))

@@ -1,0 +1,91 @@
+"""Skew mitigation: salted joins and two-phase aggregation.
+
+At 100 TB a handful of hot keys (one viral user, one default value) can
+put 10% of a join's rows in one shuffle partition and stall the stage on
+a single straggler task. Two standard remedies, both pure DataFrame
+code:
+
+- `salted_join`: append a random salt 0..S-1 to the big side's key and
+  replicate the small(er) side S times, one copy per salt — the hot
+  key's rows spread over S tasks. Result is row-identical to the plain
+  join (verified against the plain-join SQL oracle).
+- `two_phase_agg`: pre-aggregate on (key, salt), then finish on key.
+  Spark's map-side partial aggregation already does this within a task;
+  the explicit form also splits a hot key ACROSS tasks in the first
+  shuffle.
+
+AQE's skew-join splitting (on in session.py) handles sort-merge skew
+automatically at runtime; salting is the declarative fallback for
+hash-partitioned work AQE can't re-split (aggregations, or when the
+skew is known up front).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SALTS = 16
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = DEFAULT_SALTS,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join robust to hot keys on the big side.
+
+    big gets salt = pmod(hash(whole row id-ish cols), S) — deterministic,
+    no rand() so results are reproducible and retries are safe; small is
+    exploded ×S. The join key becomes (key, salt): the shuffle spreads
+    each hot key over S partitions while total small-side volume grows
+    only ×S (bounded — use for dim-sized or mid-sized right sides).
+    """
+    big_salted = big.withColumn(
+        "_salt", F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    )
+    small_salted = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = big_salted.join(small_salted, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
+def two_phase_agg(
+    df: DataFrame,
+    key: str,
+    aggs: list[tuple[str, str, str]],
+    n_salts: int = DEFAULT_SALTS,
+) -> DataFrame:
+    """Aggregate with a salted pre-phase: (key, salt) partials → key
+    finals. `aggs` is [(col, fn, alias)] with fn in sum/count/min/max
+    (the decomposable aggregates — avg must be expressed as sum+count
+    by the caller, then divided).
+    """
+    partial_exprs, final_exprs = [], []
+    for col, fn, alias in aggs:
+        if fn == "count":
+            partial_exprs.append(F.count(col).alias(alias))
+            final_exprs.append(F.sum(alias).alias(alias))
+        elif fn == "sum":
+            partial_exprs.append(F.sum(col).alias(alias))
+            final_exprs.append(F.sum(alias).alias(alias))
+        elif fn == "min":
+            partial_exprs.append(F.min(col).alias(alias))
+            final_exprs.append(F.min(alias).alias(alias))
+        elif fn == "max":
+            partial_exprs.append(F.max(col).alias(alias))
+            final_exprs.append(F.max(alias).alias(alias))
+        else:
+            raise ValueError(f"non-decomposable aggregate: {fn}")
+    salted = df.withColumn(
+        "_salt", F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    )
+    return (
+        salted.groupBy(key, "_salt")
+        .agg(*partial_exprs)
+        .groupBy(key)
+        .agg(*final_exprs)
+    )

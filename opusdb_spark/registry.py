@@ -30,6 +30,7 @@ _QUERY_MODULES = [
     "opusdb_spark.queries.scalar_functions",
     "opusdb_spark.queries.subqueries",
     "opusdb_spark.queries.reshape",
+    "opusdb_spark.queries.versioned",
     "opusdb_spark.queries.streaming_batch",
     "opusdb_spark.queries.udfs",
     "opusdb_spark.queries.llm",

@@ -168,6 +168,36 @@ def test_simhash_deterministic_across_partitioning(spark):
     assert a == b
 
 
+# ----------------------------------------------------------------- skew
+
+
+def test_salted_join_row_identical_to_plain(spark):
+    from opusdb_spark.operators import skew
+
+    big = spark.createDataFrame(
+        [(1, i) for i in range(50)] + [(2, 99), (3, 7)], "k long, v long"
+    )  # key 1 is hot
+    small = spark.createDataFrame([(1, "a"), (2, "b"), (4, "d")], "k long, tag string")
+    plain = sorted((r.k, r.v, r.tag) for r in big.join(small, "k").collect())
+    salted = sorted((r.k, r.v, r.tag) for r in skew.salted_join(big, small, "k", 4).collect())
+    assert salted == plain
+
+
+def test_two_phase_agg_matches_plain(spark):
+    from opusdb_spark.operators import skew
+
+    df = spark.createDataFrame(
+        [("x", i) for i in range(100)] + [("y", 5)], "k string, v long"
+    )
+    got = {
+        r.k: (r.n, r.s, r.mn, r.mx)
+        for r in skew.two_phase_agg(
+            df, "k", [("v", "count", "n"), ("v", "sum", "s"), ("v", "min", "mn"), ("v", "max", "mx")], 4
+        ).collect()
+    }
+    assert got == {"x": (100, 4950, 0, 99), "y": (1, 5, 5, 5)}
+
+
 # ----------------------------------------------------------- similarity
 
 

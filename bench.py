@@ -40,6 +40,10 @@ HEADLINE = [
     "llm_wordcount",
     "llm_similarity_topk",
     "llm_dedup_fuzzy",
+    "llm_dedup_cluster",
+    "llm_simsearch_ivf",
+    "join_salted_skew",
+    "mvcc_conservation",
     "stream_session",
 ]
 

@@ -217,11 +217,16 @@ def ivf_topk(
     n_probe: int = N_PROBE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """ANN top-k via IVF: exact cosine over only the probe's n_probe
     nearest cells. The probe's cell list is a 1-row broadcast (the
-    probe vector itself is never collected)."""
-    cents = ivf_centroids(emb, n_cells, id_col, vec_col)
+    probe vector itself is never collected). Pass `centroids` to reuse
+    a trained quantizer — the normal production shape, where one index
+    serves every probe."""
+    cents = centroids if centroids is not None else ivf_centroids(
+        emb, n_cells, id_col, vec_col
+    )
     assigned = emb.select(
         id_col, vec_col, _assign_udf(cents, 1)(vec_col)[0].alias("cell")
     )

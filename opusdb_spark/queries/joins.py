@@ -362,3 +362,61 @@ def join_interval(spark, sf_dir):
         .groupBy("o_orderkey")
         .agg(F.count(F.lit(1)).alias("n_quick_ships"))
     )
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
+    tags=("join", "bucketed"),
+)
+def join_bucketed_colocated(spark, sf_dir):
+    """Shuffle-free big-big join via bucketed tables.
+
+    Both sides are written bucketBy(8, orderkey) + sortBy — at 100 TB
+    you pay that one organizing shuffle at ingest, and EVERY subsequent
+    join/agg on the key is exchange-free: the bucketed scan already
+    satisfies the join's required distribution (the plan shows
+    SortMergeJoin with no Exchange under it; pinned in
+    tests/test_plans.py). The result is row-identical to the plain
+    join, which is the oracle here.
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    # Idempotent across sessions: the in-memory catalog forgets tables
+    # on restart but their warehouse directories survive — drop both.
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for name in ("li_bucketed", "ord_bucketed"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    od = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    (
+        li.write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable("li_bucketed")
+    )
+    (
+        od.write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable("ord_bucketed")
+    )
+    j = spark.table("li_bucketed").hint("merge").join(
+        spark.table("ord_bucketed"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+    )

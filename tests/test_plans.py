@@ -135,6 +135,19 @@ def test_wordcount_partial_aggregation(spark):
     assert "partial_" in p, "word counts must combine map-side"
 
 
+def test_bucketed_join_has_no_exchange(spark):
+    """Bucketed scans must satisfy the join's distribution: the sort-
+    merge join runs with ZERO Exchange below it (the one organizing
+    shuffle was paid at write time; every later join on the key rides
+    free). Only the final groupBy on a different key may shuffle."""
+    df = _Q["join_bucketed_colocated"].fn(spark, SF)
+    p = plan(df, mode="simple")
+    join_part = p.split("SortMergeJoin")[-1]
+    assert "SortMergeJoin" in p
+    assert "Exchange" not in join_part, "bucketed join still shuffles"
+    assert p.count("Exchange") <= 1, "only the priority groupBy may shuffle"
+
+
 def test_correlated_subquery_decorrelated(spark):
     p = plan(_Q["sub_correlated"].fn(spark, SF), mode="simple")
     # Catalyst must rewrite to aggregate + join, not per-row subplans

@@ -420,3 +420,54 @@ def join_bucketed_colocated(spark, sf_dir):
         F.count(F.lit(1)).alias("n_items"),
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
     )
+
+
+@register(
+    "join_partition_pruned",
+    oracle="""
+        SELECT o_orderstatus, status_label, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+                   AS total_price
+        FROM orders JOIN (SELECT 'F' AS status, 'finished' AS status_label) d
+          ON o_orderstatus = d.status
+        GROUP BY o_orderstatus, status_label
+    """,
+    tags=("join", "partition-pruning"),
+)
+def join_partition_pruned(spark, sf_dir):
+    """Dynamic partition pruning: fact partitioned by o_orderstatus,
+    joined to a tiny dim — at runtime the scan reads ONLY the
+    partitions the dim's keys select (PartitionFilters gains a
+    dynamicpruning subquery; pinned in tests/test_plans.py). At 100 TB
+    this is the difference between scanning one date/status directory
+    and scanning the table."""
+    import os
+    import uuid
+
+    from opusdb_spark.sources import write_partitioned
+
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch"
+    )
+    out = os.path.join(scratch, f"dpp_orders_{uuid.uuid4().hex[:8]}")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    write_partitioned(orders, out, ["o_orderstatus"])
+    fact = spark.read.parquet(out)
+    # the selective filter on the dim side is what entitles the fact
+    # scan to a runtime dynamicpruning subquery on its partition column
+    dim = spark.createDataFrame(
+        [("F", "finished"), ("O", "open"), ("P", "pending")],
+        "status string, status_label string",
+    ).filter(F.col("status_label") == "finished")
+    return (
+        fact.join(F.broadcast(dim), fact.o_orderstatus == dim.status)
+        .groupBy("o_orderstatus", "status_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

@@ -148,6 +148,14 @@ def test_bucketed_join_has_no_exchange(spark):
     assert p.count("Exchange") <= 1, "only the priority groupBy may shuffle"
 
 
+def test_partitioned_join_uses_dynamic_pruning(spark):
+    """The fact scan must carry a dynamicpruning subquery on its
+    partition column — at scale, reading one status directory instead
+    of the table."""
+    p = plan(_Q["join_partition_pruned"].fn(spark, SF))
+    assert "dynamicpruning" in p, "DPP did not engage on the partition column"
+
+
 def test_correlated_subquery_decorrelated(spark):
     p = plan(_Q["sub_correlated"].fn(spark, SF), mode="simple")
     # Catalyst must rewrite to aggregate + join, not per-row subplans

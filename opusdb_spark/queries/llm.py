@@ -404,6 +404,32 @@ def llm_embedding_neardup(spark, sf_dir):
     )
 
 
+@register("llm_dedup_pipeline", oracle=None, tags=("llm", "dedup"))
+def llm_dedup_pipeline(spark, sf_dir):
+    """The full corpus-prep dedup pipeline in one query: exact dedup
+    (sha2 keep-min) → MinHash-LSH near-dup pairs on the survivors →
+    connected components → drop non-canonical members → per-language
+    surviving corpus stats. Every stage is the registered operator the
+    standalone queries use; this is the composition a 100 TB corpus
+    actually runs (rows-only: iterative clustering inside)."""
+    docs = table(spark, sf_dir, "documents")
+    exact_kept = dedup.exact_dedup_keep_min(docs).drop("text_hash")
+    pairs = dedup.minhash_lsh_dedup(exact_kept, jaccard_threshold=0.5)
+    comp = dedup.neardup_components(pairs)
+    non_canonical = comp.filter(F.col("doc_id") != F.col("component")).select(
+        "doc_id"
+    )
+    kept = exact_kept.join(non_canonical, "doc_id", "left_anti")
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_chars").alias("chars_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
 @register("multimodal_features", oracle=None, tags=("llm", "multimodal"))
 def multimodal_features(spark, sf_dir):
     """Binary media columns → mapInPandas feature extraction → per-kind

@@ -1,0 +1,121 @@
+"""Property-based tests (hypothesis): the custom operators vs tiny
+brute-force Python references on randomized inputs.
+
+The reference pinned its semantics with hand-built cases plus
+concurrency stress (SURVEY §5); here randomized histories and graphs
+cover the input space those hand cases can miss. Examples are kept
+small and few — each example runs real Spark jobs.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from opusdb_spark import mvcc
+from opusdb_spark.operators import dedup
+from opusdb_spark.operators.asof import asof_join
+
+SMALL = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+versions_strategy = st.lists(
+    st.tuples(
+        st.integers(1, 4),  # ref_id
+        st.integers(1, 30),  # write_point
+        st.integers(-100, 100),  # value
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+probes_strategy = st.lists(
+    st.tuples(st.integers(1, 5), st.integers(0, 35)),
+    min_size=1,
+    max_size=6,
+    unique=True,
+)
+
+
+@settings(**SMALL)
+@given(versions=versions_strategy, probes=probes_strategy)
+def test_asof_matches_bruteforce(spark, versions, probes):
+    """asof_join == 'newest version with wp ≤ rp, else null' — the
+    find-version rule (stm.clj:55-65) — for ANY history."""
+    vdf = spark.createDataFrame(
+        [(r, w, float(v)) for r, w, v in versions],
+        "ref_id long, write_point long, value double",
+    )
+    pdf = spark.createDataFrame(probes, "ref_id long, read_point long")
+    out = asof_join(
+        pdf, vdf, on="ref_id", left_time="read_point",
+        right_time="write_point", right_values=["value"],
+    )
+    got = {(r.ref_id, r.read_point): r.value for r in out.collect()}
+    assert len(got) == len(probes), "as-of join must stay 1:1 on probes"
+    for ref, rp in probes:
+        eligible = [(w, v) for r, w, v in versions if r == ref and w <= rp]
+        want = float(max(eligible)[1]) if eligible else None
+        assert got[(ref, rp)] == want
+
+
+@settings(**SMALL)
+@given(versions=versions_strategy, n=st.integers(1, 4))
+def test_retain_keeps_exactly_newest_n(spark, versions, n):
+    vdf = spark.createDataFrame(
+        [(r, w, float(v)) for r, w, v in versions],
+        "ref_id long, write_point long, value double",
+    )
+    kept = {(r.ref_id, r.write_point) for r in mvcc.retain(vdf, n).collect()}
+    by_key: dict[int, list[int]] = {}
+    for r, w, _ in versions:
+        by_key.setdefault(r, []).append(w)
+    want = {
+        (r, w) for r, ws in by_key.items() for w in sorted(ws, reverse=True)[:n]
+    }
+    assert kept == want
+
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(1, 10), st.integers(1, 10)).filter(lambda t: t[0] < t[1]),
+    min_size=1,
+    max_size=10,
+    unique=True,
+)
+
+
+@settings(**{**SMALL, "max_examples": 5})
+@given(edges=edges_strategy)
+def test_components_match_union_find(spark, edges):
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.doc_id: r.component for r in dedup.neardup_components(pairs).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in edges for n in e}
+    want_groups: dict[int, set[int]] = {}
+    for node in nodes:
+        want_groups.setdefault(find(node), set()).add(node)
+    got_groups: dict[int, set[int]] = {}
+    for node, comp in got.items():
+        got_groups.setdefault(comp, set()).add(node)
+    assert {frozenset(g) for g in got_groups.values()} == {
+        frozenset(g) for g in want_groups.values()
+    }
+    for comp, members in got_groups.items():
+        assert comp == min(members), "component label must be the min member"

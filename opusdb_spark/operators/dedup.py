@@ -393,7 +393,10 @@ def neardup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                     "label"
                 ),
             )
-            .localCheckpoint()
+            # lazy: the convergence check below both computes this
+            # round's labels AND materializes the checkpoint — one job
+            # per round instead of two
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:

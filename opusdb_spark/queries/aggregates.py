@@ -324,3 +324,26 @@ def agg_invariant(spark, sf_dir):
         dsum("o_totalprice", "total"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@register(
+    "agg_percentile_exact",
+    oracle="""
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.5) AS median_qty,
+               quantile_cont(l_extendedprice, 0.9) AS p90_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def agg_percentile_exact(spark, sf_dir):
+    """EXACT percentiles (linear interpolation — Spark `percentile` and
+    DuckDB `quantile_cont` agree bit-for-bit). The exact form needs the
+    group's values gathered per partition — fine for bounded group
+    counts; unbounded-cardinality profiling at 100 TB should use the
+    sketch-based `agg_percentile` (percentile_approx) instead."""
+    lt = table(spark, sf_dir, "lineitem")
+    return lt.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("median_qty"),
+        F.percentile("l_extendedprice", 0.9).alias("p90_price"),
+    )

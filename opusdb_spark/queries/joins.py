@@ -194,23 +194,41 @@ def join_anti(spark, sf_dir):
     tags=("join",),
 )
 def join_theta(spark, sf_dir):
-    """Non-equi (band) self-join: parts priced within ±1.0 of each other.
+    """Non-equi (band) self-join: parts priced within ±1.0 of each other,
+    executed as a banded EQUI-join.
 
-    Planned as broadcast-nested-loop here (part is small); at 100 TB the
-    scale path is banding: join on a coarse price-bucket equi-key first,
-    then apply the exact band predicate — turning O(n²) into an equi-join.
+    Banding turns the O(n²) inequality join into a hash join: bucket =
+    floor(price / band); one side explodes to buckets {b-1, b, b+1}, the
+    join key is the bucket, and the exact ±band predicate filters the
+    candidates. |x−y| ≤ band ⇒ buckets differ by ≤ 1, so no qualifying
+    pair is missed, and each pair meets in exactly one bucket — no
+    dedup needed. Shuffles scale with rows, never pairs; a plan test
+    pins the absence of a nested-loop join.
     """
-    p1 = table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
-    p2 = p1.select(
+    p1 = (
+        table(spark, sf_dir, "part")
+        .select("p_partkey", "p_retailprice")
+        .withColumn("bucket", F.floor("p_retailprice"))
+    )
+    p2 = table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("p2_partkey"),
         F.col("p_retailprice").alias("p2_price"),
     )
+    p2_banded = p2.select(
+        "p2_partkey",
+        "p2_price",
+        F.explode(
+            F.array(
+                F.floor("p2_price") - 1, F.floor("p2_price"), F.floor("p2_price") + 1
+            )
+        ).alias("bucket"),
+    )
     return (
-        p1.join(
-            F.broadcast(p2),
+        p1.join(p2_banded, "bucket")
+        .filter(
             (F.col("p2_price") >= F.col("p_retailprice") - 1.0)
             & (F.col("p2_price") <= F.col("p_retailprice") + 1.0)
-            & (F.col("p_partkey") != F.col("p2_partkey")),
+            & (F.col("p_partkey") != F.col("p2_partkey"))
         )
         .groupBy("p_partkey")
         .agg(F.count(F.lit(1)).alias("n_close"))

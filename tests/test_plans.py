@@ -135,6 +135,14 @@ def test_wordcount_partial_aggregation(spark):
     assert "partial_" in p, "word counts must combine map-side"
 
 
+def test_theta_join_is_banded_equi_join(spark):
+    """The ±band self-join must run as a bucket hash join, not a
+    nested loop over all pairs."""
+    p = plan(_Q["join_theta"].fn(spark, SF), mode="simple")
+    assert "NestedLoop" not in p
+    assert "CartesianProduct" not in p
+
+
 def test_bucketed_join_has_no_exchange(spark):
     """Bucketed scans must satisfy the join's distribution: the sort-
     merge join runs with ZERO Exchange below it (the one organizing

@@ -214,3 +214,11 @@ def stream_dedup_true(spark, sf_dir):
 def stream_stateful_true(spark, sf_dir):
     """TRUE streaming per-user totals via applyInPandasWithState (rows-only)."""
     return stream_jobs.stateful_running_totals(spark, sf_dir)
+
+
+@register("stream_join_true", oracle=None, tags=("streaming", "join"))
+def stream_join_true(spark, sf_dir):
+    """TRUE stream-stream interval join (purchases ⋈ same-user clicks in
+    the preceding hour) with dual watermarks bounding join state
+    (rows-only)."""
+    return stream_jobs.stream_stream_join(spark, sf_dir)

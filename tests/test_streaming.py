@@ -131,3 +131,40 @@ def test_foreachbatch_append_is_replayable(spark):
         .collect()
     }
     assert sunk == src
+
+
+def test_stream_stream_join_matches_batch_equivalent(spark):
+    """Single-replay stream-stream interval join must equal the batch
+    interval join (no state evicted before the only batch ends)."""
+    from opusdb_spark.streaming import jobs
+    from opusdb_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in jobs.stream_stream_join(spark, sf).collect()
+    }
+    ev = table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    want = {
+        (r.purchase_id, r.click_id)
+        for r in purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (
+                F.col("click_ts")
+                >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")
+            ),
+        ).collect()
+    }
+    assert got == want

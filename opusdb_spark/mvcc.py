@@ -103,6 +103,7 @@ def conservation(
     value: str = "value",
     version: str = "write_point",
     decimal: bool = False,
+    key: str = "ref_id",
 ) -> DataFrame:
     """Total `value` as of every write point — (write_point, total).
 
@@ -118,8 +119,7 @@ def conservation(
     running sum is a single-partition window over one row per write
     point; at extreme write-point counts use a two-level prefix sum.
     """
-    key_cols = [c for c in versions.columns if c not in (value, version)]
-    w_key = Window.partitionBy(*key_cols).orderBy(version)
+    w_key = Window.partitionBy(key).orderBy(version)
     delta = F.col(value) - F.coalesce(F.lag(value).over(w_key), F.lit(0))
     if decimal:
         delta = delta.cast("decimal(27,6)")

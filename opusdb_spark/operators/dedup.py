@@ -105,6 +105,12 @@ def minhash_signatures(
     shingle granularity: "word" n-grams (web-dedup standard) or "char"
     k-grams (robust for unsegmented scripts).
     """
+    # Wordless/empty docs are excluded up front: they would all share
+    # one degenerate signature, collide in every band, and the band
+    # self-join would emit O(m²) pairs for m empty docs — the exact
+    # blowup this module exists to avoid. Route empties through
+    # exact_dedup_keep_min instead.
+    docs = docs.filter(F.length(F.trim(F.col(text_col))) > 0)
     grams = (
         _word_gram_hash_array(text_col, k)
         if unit == "word"
@@ -168,8 +174,10 @@ def minhash_signatures_arrow(docs: DataFrame, text_col: str = "text") -> DataFra
     """(doc_id, sig) via the Arrow/numpy UDF — the default fast path.
     Same shape as minhash_signatures(); hash family differs (crc32 vs
     xxhash64 base) so signatures are not interchangeable between the
-    two implementations."""
-    return docs.select("doc_id", _make_sig_udf()(text_col).alias("sig"))
+    two implementations. Empty docs excluded (see minhash_signatures)."""
+    return docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        "doc_id", _make_sig_udf()(text_col).alias("sig")
+    )
 
 
 def lsh_candidate_pairs(sig_df: DataFrame) -> DataFrame:
@@ -260,6 +268,7 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     array fold per row (aggregate carrying 64 running counts) — zero
     shuffles, pure map-side work at any scale.
     """
+    docs = docs.filter(F.length(F.trim(F.col(text_col))) > 0)
     words = F.filter(F.split(F.col(text_col), " "), lambda w: F.length(w) > 0)
     hashes = F.transform(words, lambda w: F.xxhash64(w))
     plus_minus = F.transform(
@@ -353,7 +362,7 @@ def exact_dedup_keep_min(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def neardup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def neardup_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, component).
 
     The end-game of corpus dedup: near-dup PAIRS must become CLUSTERS
@@ -379,6 +388,7 @@ def neardup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     )
     edges = edges.localCheckpoint()
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -400,6 +410,15 @@ def neardup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         )
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # Unconverged labels would silently split one true cluster into
+        # several "canonical" keepers — wrong keep-lists with no signal.
+        # Fail loudly; callers with genuinely deep graphs raise max_iter.
+        raise RuntimeError(
+            f"neardup_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter)"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))

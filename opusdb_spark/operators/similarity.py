@@ -196,10 +196,17 @@ def ivf_centroids(
     assigned = emb.select(
         vec_col, _assign_udf(cents, 1)(vec_col)[0].alias("cell")
     )
+    # decimal-summed mean: double partial-sum order varies with
+    # partitioning, and the model must be identical however the input
+    # was split (the determinism the cache in queries/llm.py relies on)
     means = (
         assigned.select("cell", F.posexplode(vec_col).alias("dim", "xf"))
         .groupBy("cell", "dim")
-        .agg(F.avg(F.col("xf").cast("double")).alias("m"))
+        .agg(
+            (
+                F.sum(F.col("xf").cast("decimal(27,12)")) / F.count(F.lit(1))
+            ).cast("double").alias("m")
+        )
         .groupBy("cell")
         .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
         .collect()

@@ -34,17 +34,34 @@ def salted_join(
     key: str,
     n_salts: int = DEFAULT_SALTS,
     how: str = "inner",
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Equi-join robust to hot keys on the big side.
 
-    big gets salt = pmod(hash(whole row id-ish cols), S) — deterministic,
-    no rand() so results are reproducible and retries are safe; small is
-    exploded ×S. The join key becomes (key, salt): the shuffle spreads
-    each hot key over S partitions while total small-side volume grows
-    only ×S (bounded — use for dim-sized or mid-sized right sides).
+    big gets salt = pmod(hash(salt_cols), S) — deterministic, no rand()
+    so results are reproducible and retries are safe; small is exploded
+    ×S. The join key becomes (key, salt): the shuffle spreads each hot
+    key over S partitions while total small-side volume grows only ×S
+    (bounded — use for dim-sized or mid-sized right sides).
+
+    `salt_cols` should include a per-row-distinct column (an id); the
+    default hashes every column, which leaves fully-identical rows on
+    one salt — they are the same shuffle row either way, but a hot key
+    whose rows only differ in a column you dropped needs that column
+    here to actually spread.
+
+    Only join types that never null-extend the SMALL side are legal:
+    its salt replicas would each survive as a spurious null-extended
+    row under right/full joins.
     """
+    if how not in ("inner", "left", "left_semi", "left_anti", "semi", "anti"):
+        raise ValueError(
+            f"salted_join cannot preserve '{how}' semantics: the replicated "
+            "small side would emit one null-extended row per salt"
+        )
+    cols = salt_cols or big.columns
     big_salted = big.withColumn(
-        "_salt", F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+        "_salt", F.pmod(F.hash(*[F.col(c) for c in cols]), F.lit(n_salts))
     )
     small_salted = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
@@ -58,11 +75,13 @@ def two_phase_agg(
     key: str,
     aggs: list[tuple[str, str, str]],
     n_salts: int = DEFAULT_SALTS,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Aggregate with a salted pre-phase: (key, salt) partials → key
     finals. `aggs` is [(col, fn, alias)] with fn in sum/count/min/max
     (the decomposable aggregates — avg must be expressed as sum+count
-    by the caller, then divided).
+    by the caller, then divided). As with salted_join, pass a
+    per-row-distinct column in `salt_cols` so identical rows spread.
     """
     partial_exprs, final_exprs = [], []
     for col, fn, alias in aggs:
@@ -81,7 +100,8 @@ def two_phase_agg(
         else:
             raise ValueError(f"non-decomposable aggregate: {fn}")
     salted = df.withColumn(
-        "_salt", F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+        "_salt",
+        F.pmod(F.hash(*[F.col(c) for c in (salt_cols or df.columns)]), F.lit(n_salts)),
     )
     return (
         salted.groupBy(key, "_salt")

@@ -40,7 +40,10 @@ def n_shuffles(df: DataFrame) -> int:
 
 
 def has_all_pairs_join(df: DataFrame) -> bool:
-    """True if the plan contains a cartesian product — the O(n²) cliff
-    every bucketed operator in this repo is designed to avoid."""
+    """True if the plan contains an all-pairs join — CartesianProduct
+    or BroadcastNestedLoopJoin, the O(n²) cliff every bucketed operator
+    in this repo is designed to avoid. Note a BNLJ against a 1-row
+    side (e.g. attaching a scalar norm) is benign despite flagging
+    here — inspect explain_str() before acting on a True."""
     p = explain_str(df, "simple")
-    return "CartesianProduct" in p
+    return "CartesianProduct" in p or "BroadcastNestedLoopJoin" in p

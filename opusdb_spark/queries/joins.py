@@ -460,14 +460,10 @@ def join_partition_pruned(spark, sf_dir):
     this is the difference between scanning one date/status directory
     and scanning the table."""
     import os
-    import uuid
 
-    from opusdb_spark.sources import write_partitioned
+    from opusdb_spark.sources import scratch_sink, write_partitioned
 
-    scratch = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch"
-    )
-    out = os.path.join(scratch, f"dpp_orders_{uuid.uuid4().hex[:8]}")
+    out = scratch_sink(f"dpp_orders_{os.path.basename(os.path.normpath(sf_dir))}")
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderstatus"
     )

@@ -16,10 +16,10 @@ range-partitioned sort, which is exactly the semantics requested.
 from __future__ import annotations
 
 import os
-import uuid
 
 from pyspark.sql import functions as F
 
+from opusdb_spark.sources.formats import scratch_sink
 from opusdb_spark.registry import register
 from opusdb_spark.tables import table
 
@@ -95,7 +95,7 @@ def sink_append(spark, sf_dir):
     job-atomic (the Spark commit protocol replaces the reference's
     WAL-before-data ordering, buffer.clj:52-53).
     """
-    out = os.path.join(_SCRATCH, f"sink_append_{uuid.uuid4().hex[:8]}")
+    out = scratch_sink(f"sink_append_{os.path.basename(os.path.normpath(sf_dir))}")
     batch = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     batch.write.mode("append").parquet(out)
     batch.write.mode("append").parquet(out)
@@ -123,7 +123,7 @@ def sink_partitioned(spark, sf_dir):
     """
     from opusdb_spark.sources import write_partitioned
 
-    out = os.path.join(_SCRATCH, f"sink_part_{uuid.uuid4().hex[:8]}")
+    out = scratch_sink(f"sink_part_{os.path.basename(os.path.normpath(sf_dir))}")
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
     )
@@ -147,7 +147,7 @@ def source_csv_roundtrip(spark, sf_dir):
     oracle."""
     from opusdb_spark.sources import read_csv
 
-    out = os.path.join(_SCRATCH, f"src_csv_{uuid.uuid4().hex[:8]}")
+    out = scratch_sink(f"src_csv_{os.path.basename(os.path.normpath(sf_dir))}")
     nation = table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
@@ -166,7 +166,7 @@ def source_json_roundtrip(spark, sf_dir):
     """JSON-lines sink + schema-enforced JSON source round trip."""
     from opusdb_spark.sources import read_json
 
-    out = os.path.join(_SCRATCH, f"src_json_{uuid.uuid4().hex[:8]}")
+    out = scratch_sink(f"src_json_{os.path.basename(os.path.normpath(sf_dir))}")
     region = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
     region.write.mode("overwrite").json(out)
     return read_json(spark, out, "r_regionkey int, r_name string")

@@ -83,11 +83,13 @@ def join_salted_skew(spark, sf_dir):
     row-identical to the plain join (this oracle IS the plain join),
     but a key owning 10% of events spreads over S tasks instead of
     stalling one."""
-    events = table(spark, sf_dir, "events").select("user_id", "value")
+    events = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
     customer = table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
-    joined = skew.salted_join(events, customer, "user_id", n_salts=8)
+    joined = skew.salted_join(
+        events, customer, "user_id", n_salts=8, salt_cols=["event_id"]
+    )
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias(
@@ -112,10 +114,11 @@ def agg_salted_skew(spark, sf_dir):
         "dv", F.col("value").cast("decimal(27,6)")
     )
     out = skew.two_phase_agg(
-        ev.select("event_type", "dv"),
+        ev.select("event_id", "event_type", "dv"),
         "event_type",
         [("dv", "count", "n"), ("dv", "sum", "total_value")],
         n_salts=8,
+        salt_cols=["event_id"],
     )
     return out.select(
         "event_type", "n", F.col("total_value").cast("double").alias("total_value")

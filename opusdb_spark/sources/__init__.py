@@ -11,6 +11,7 @@ from opusdb_spark.sources.formats import (  # noqa: F401
     read_csv,
     read_json,
     read_parquet,
+    scratch_sink,
     write_partitioned,
 )
 from opusdb_spark.tables import table, register_views  # noqa: F401

@@ -10,8 +10,27 @@ filters on the partition column become partition-pruned scans
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
+
+_SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch"
+)
+
+
+def scratch_sink(name: str) -> str:
+    """Stable per-name scratch path, cleared before reuse.
+
+    Side-effecting queries write here; a STABLE name (not a uuid) plus
+    clear-on-entry keeps repeated runs byte-identical without leaking a
+    fresh directory per invocation."""
+    path = os.path.join(_SCRATCH, name)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    return path
 
 
 def read_parquet(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:

@@ -30,6 +30,7 @@ from pyspark.sql.types import (
 )
 
 from opusdb_spark.session import apply_runtime_confs
+from opusdb_spark.sources.formats import scratch_sink
 
 _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
 
@@ -87,7 +88,7 @@ def watermark_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events")
     )
     name = f"wm_{uuid.uuid4().hex[:8]}"
-    ckpt = os.path.join(_SCRATCH, f"ckpt_{name}")
+    ckpt = scratch_sink(f"ckpt_wm_{os.path.basename(os.path.normpath(sf_dir))}")
     q = (
         agg.writeStream.format("memory")
         .queryName(name)
@@ -104,8 +105,8 @@ def watermark_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch parquet append + read-back invariant counts."""
-    out = os.path.join(_SCRATCH, f"febatch_{uuid.uuid4().hex[:8]}")
-    ckpt = out + "_ckpt"
+    out = scratch_sink(f"febatch_{os.path.basename(os.path.normpath(sf_dir))}")
+    ckpt = scratch_sink(f"ckpt_febatch_{os.path.basename(os.path.normpath(sf_dir))}")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
@@ -137,7 +138,7 @@ def session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.session_window("ts", "30 minutes").alias("sw"), F.col("user_id")
     ).agg(F.count(F.lit(1)).alias("n_events"))
     name = f"sess_{uuid.uuid4().hex[:8]}"
-    ckpt = os.path.join(_SCRATCH, f"ckpt_{name}")
+    ckpt = scratch_sink(f"ckpt_sess_{os.path.basename(os.path.normpath(sf_dir))}")
     q = (
         agg.writeStream.format("memory")
         .queryName(name)
@@ -167,8 +168,12 @@ def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_to_memory_append(stream_df: DataFrame, name: str) -> DataFrame:
+    # name is uuid-unique (memory sink tables are session-scoped and
+    # cheap); the checkpoint dir is stable per job tag and cleared on
+    # entry so repeated runs replay from offset zero without leaking a
+    # directory per invocation.
     spark = stream_df.sparkSession
-    ckpt = os.path.join(_SCRATCH, f"ckpt_{name}")
+    ckpt = scratch_sink(f"ckpt_{name.split('_')[0]}")
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
@@ -218,7 +223,7 @@ def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     name = f"stateful_{uuid.uuid4().hex[:8]}"
-    ckpt = os.path.join(_SCRATCH, f"ckpt_{name}")
+    ckpt = scratch_sink(f"ckpt_stateful_{os.path.basename(os.path.normpath(sf_dir))}")
     q = (
         result.writeStream.format("memory")
         .queryName(name)

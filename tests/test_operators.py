@@ -183,6 +183,35 @@ def test_salted_join_row_identical_to_plain(spark):
     assert salted == plain
 
 
+def test_salted_join_rejects_small_side_outer(spark):
+    from opusdb_spark.operators import skew
+
+    big = spark.createDataFrame([(1, 1)], "k long, v long")
+    small = spark.createDataFrame([(1, "a")], "k long, tag string")
+    with pytest.raises(ValueError, match="null-extended"):
+        skew.salted_join(big, small, "k", 4, how="full")
+    with pytest.raises(ValueError):
+        skew.salted_join(big, small, "k", 4, how="right")
+
+
+def test_empty_docs_never_pair_in_fuzzy_dedup(spark):
+    """m empty docs must NOT produce m² degenerate near-dup pairs."""
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, ""), (4, "real text with actual words here")],
+        "doc_id long, text string",
+    )
+    assert dedup.minhash_lsh_dedup(docs).count() == 0
+    assert dedup.simhash_near_dups(docs).count() == 0
+
+
+def test_components_raise_when_diameter_exceeds_cap(spark):
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup.neardup_components(pairs, max_iter=2)
+
+
 def test_two_phase_agg_matches_plain(spark):
     from opusdb_spark.operators import skew
 

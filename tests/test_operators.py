@@ -353,7 +353,19 @@ def test_decode_rejects_real_codecs():
 # ------------------------------------------------------- determinism
 
 
-@pytest.mark.parametrize("name", ["agg_q1", "join_multiway", "win_latest_version", "llm_dedup_exact"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "agg_q1",
+        "join_multiway",
+        "win_latest_version",
+        "llm_dedup_exact",
+        "mvcc_conservation",
+        "join_salted_skew",
+        "agg_percentile_exact",
+        "join_theta",
+    ],
+)
 def test_determinism_under_repartition(name, spark):
     """The rebuild's analog of the reference's concurrency-stress tests
     (stm_test.clj:222-237): identical results regardless of parallelism."""

@@ -98,12 +98,34 @@ def append_versions(
     return versions.unionByName(stamped.select(*versions.columns))
 
 
+def read_own_writes(
+    versions: DataFrame,
+    pending: DataFrame,
+    key: str = "ref_id",
+    version: str = "write_point",
+) -> DataFrame:
+    """The in-transaction deref order: write-set first, then committed
+    history (reference stm.clj:169-171; pinned behavior
+    stm_test.clj:196-202).
+
+    `pending` carries this transaction's uncommitted (key, value...)
+    rows. The effective read state is latest-per-key where a pending
+    row SHADOWS every committed version of its key — other readers
+    (anyone holding only `versions`) still see the committed state,
+    because nothing here mutates or publishes.
+    """
+    nxt = versions.agg((F.coalesce(F.max(version), F.lit(0)) + 1).alias("_wp"))
+    stamped = pending.crossJoin(F.broadcast(nxt)).withColumnRenamed("_wp", version)
+    return latest(versions.unionByName(stamped.select(*versions.columns)), key, version)
+
+
 def conservation(
     versions: DataFrame,
     value: str = "value",
     version: str = "write_point",
     decimal: bool = False,
     key: str = "ref_id",
+    n_ranges: int = 64,
 ) -> DataFrame:
     """Total `value` as of every write point — (write_point, total).
 
@@ -115,18 +137,70 @@ def conservation(
     every snapshot's total in one pass.
 
     `decimal=True` runs the delta sums in decimal(27,6) so running
-    totals are exact and hash-match a SQL oracle. Note the final
-    running sum is a single-partition window over one row per write
-    point; at extreme write-point counts use a two-level prefix sum.
+    totals are exact and hash-match a SQL oracle (decimal addition is
+    associative, so the two-level decomposition below is bit-identical
+    to a sequential running sum).
+
+    The running sum is a TWO-LEVEL prefix sum, never a single-partition
+    window over all write points (which would serialize billions of
+    rows through one task at 100 TB):
+
+      1. write points are split into `n_ranges` contiguous ranges by
+         value (deterministic integer arithmetic — no sampling);
+      2. each range computes its local prefix sums in parallel
+         (window partitioned by range id);
+      3. the per-range totals — `n_ranges` rows, model-sized — get an
+         exclusive running sum (the only partition-less window, over
+         ≤ n_ranges rows) and are broadcast back as range offsets.
     """
     w_key = Window.partitionBy(key).orderBy(version)
     delta = F.col(value) - F.coalesce(F.lag(value).over(w_key), F.lit(0))
+    zero = F.lit(0)
     if decimal:
         delta = delta.cast("decimal(27,6)")
+        zero = zero.cast("decimal(38,6)")
     deltas = versions.withColumn("_delta", delta)
-    per_wp = deltas.groupBy(version).agg(F.sum("_delta").alias("_wp_delta"))
-    w_run = Window.orderBy(version).rowsBetween(Window.unboundedPreceding, 0)
-    total = F.sum("_wp_delta").over(w_run)
+    # lazy localCheckpoint: per_wp feeds both the range-bound stats and
+    # the main path — materialize once inside the first action instead
+    # of aggregating the versions table twice.
+    per_wp = (
+        deltas.groupBy(version)
+        .agg(F.sum("_delta").alias("_wp_delta"))
+        .localCheckpoint(eager=False)
+    )
+    # Contiguous ranges from pure integer arithmetic on the version
+    # value: deterministic under any partitioning, retry-safe (unlike
+    # spark_partition_id after a sampled repartitionByRange).
+    stats = per_wp.agg(
+        F.min(version).alias("_lo"),
+        (
+            F.ceil(
+                (F.max(version) - F.min(version) + 1)
+                / F.lit(n_ranges).cast("long")
+            )
+        ).alias("_width"),
+    )
+    grouped = per_wp.crossJoin(F.broadcast(stats)).withColumn(
+        "_grp", ((F.col(version) - F.col("_lo")) / F.col("_width")).cast("long")
+    )
+    w_local = (
+        Window.partitionBy("_grp")
+        .orderBy(version)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_local = grouped.select(
+        version, "_grp", "_wp_delta", F.sum("_wp_delta").over(w_local).alias("_local")
+    )
+    group_tot = grouped.groupBy("_grp").agg(F.sum("_wp_delta").alias("_g"))
+    w_prior = Window.orderBy("_grp").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # ≤ n_ranges rows: bounded, model-sized
+    offsets = group_tot.select(
+        "_grp", F.coalesce(F.sum("_g").over(w_prior), zero).alias("_off")
+    )
+    total = F.col("_off") + F.col("_local")
     if decimal:
         total = total.cast("double")
-    return per_wp.select(version, total.alias("total"))
+    return with_local.join(F.broadcast(offsets), "_grp").select(
+        version, total.alias("total")
+    )

@@ -42,8 +42,24 @@ def asof_join(
 
     Returns `left` columns + `right_values` (+ `asof_time`, the matched
     right_time). NULL right columns when no version qualifies.
+
+    Duplicate (on, right_time) build rows are resolved DETERMINISTICALLY:
+    the window ordering breaks the tie on the right_values themselves,
+    so the carried row is the lexicographically-last duplicate rather
+    than partition-sort luck.
     """
     lcols = left.columns
+    clash = set(right_values) & set(lcols)
+    if clash:
+        raise ValueError(
+            f"right_values {sorted(clash)} collide with left columns — "
+            "rename them on the right side before the as-of join"
+        )
+    if right_time in lcols and right_time != left_time:
+        raise ValueError(
+            f"right_time column '{right_time}' shadows a left column — "
+            "rename it on the right side before the as-of join"
+        )
     probe = left.withColumn("__is_probe", F.lit(1)).withColumn(
         "__t", F.col(left_time)
     )
@@ -62,10 +78,18 @@ def asof_join(
     unioned = probe.select(*lcols, right_time, *right_values, "__is_probe", "__t").unionByName(
         build.select(*lcols, right_time, *right_values, "__is_probe", "__t")
     )
-    # Build rows sort before probe rows at equal time, so `≤` is inclusive.
+    # Build rows sort before probe rows at equal time, so `≤` is
+    # inclusive; trailing right_values keys make duplicate (key, time)
+    # build rows resolve deterministically (probe rows all carry NULLs
+    # there, so their relative order — which is irrelevant to their own
+    # frames — is unaffected).
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("__t").asc(), F.col("__is_probe").asc())
+        .orderBy(
+            F.col("__t").asc(),
+            F.col("__is_probe").asc(),
+            *[F.col(c).asc_nulls_first() for c in right_values],
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(

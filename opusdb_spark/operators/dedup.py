@@ -236,7 +236,13 @@ def minhash_lsh_dedup(
     Catalyst-expression fold (no Python workers in the plan).
     """
     sig_fn = minhash_signatures_arrow if impl == "arrow" else minhash_signatures
-    sig = sig_fn(spread(docs)).cache()
+    # localCheckpoint, NOT cache(): sig is read 3× below (bands + both
+    # sides of the estimate join) so it must materialize once, but a
+    # cache() entry is pinned by the CacheManager for the session
+    # lifetime (each caller builds its own sig → unbounded leak across
+    # invocations). Lazy-localCheckpointed blocks are freed by the
+    # ContextCleaner once this DataFrame is garbage-collected.
+    sig = sig_fn(spread(docs)).localCheckpoint(eager=False)
     pairs = lsh_candidate_pairs(sig)
     a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))

@@ -6,7 +6,8 @@ Two paths:
     hash-match a SQL oracle bit-for-bit.
   - LSH-bucketed ANN — the 100 TB path: random-hyperplane signatures
     bucket the vectors; candidates come only from the probe's bucket
-    (+ multiprobe neighbors), turning全-scan scoring into a bucket scan.
+    (+ multiprobe neighbors), turning full-scan scoring into a bucket
+    scan.
 
 No driver-side loops: the probe vector stays a 1-row DataFrame that
 gets broadcast, never collected.

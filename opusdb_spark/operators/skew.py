@@ -78,14 +78,19 @@ def two_phase_agg(
     salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Aggregate with a salted pre-phase: (key, salt) partials → key
-    finals. `aggs` is [(col, fn, alias)] with fn in sum/count/min/max
-    (the decomposable aggregates — avg must be expressed as sum+count
-    by the caller, then divided). As with salted_join, pass a
+    finals. `aggs` is [(col, fn, alias)] with fn in sum/count/
+    count_nonnull/min/max (the decomposable aggregates — avg must be
+    expressed as sum+count by the caller, then divided). `count` is a
+    ROW count (COUNT(*) semantics, col ignored); `count_nonnull` is the
+    null-skipping COUNT(col). As with salted_join, pass a
     per-row-distinct column in `salt_cols` so identical rows spread.
     """
     partial_exprs, final_exprs = [], []
     for col, fn, alias in aggs:
         if fn == "count":
+            partial_exprs.append(F.count(F.lit(1)).alias(alias))
+            final_exprs.append(F.sum(alias).alias(alias))
+        elif fn == "count_nonnull":
             partial_exprs.append(F.count(col).alias(alias))
             final_exprs.append(F.sum(alias).alias(alias))
         elif fn == "sum":

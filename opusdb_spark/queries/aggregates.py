@@ -250,7 +250,7 @@ def agg_stats(spark, sf_dir):
     oracle=f"""
         SELECT l_linestatus,
                {sql_dsum("CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END", "returned_value")},
-               SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
                COUNT(*) AS n_total
         FROM lineitem
         GROUP BY l_linestatus
@@ -290,7 +290,8 @@ def agg_percentile(spark, sf_dir):
 @register(
     "agg_collect_sorted",
     oracle="""
-        SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS orderkeys
+        SELECT o_custkey,
+               array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS orderkeys
         FROM orders
         WHERE o_totalprice > 150000
         GROUP BY o_custkey
@@ -298,12 +299,21 @@ def agg_percentile(spark, sf_dir):
     tags=("agg",),
 )
 def agg_collect_sorted(spark, sf_dir):
-    """Per-group sorted list of order keys (deterministic via sort_array)."""
+    """Per-group sorted list of order keys (deterministic via sort_array).
+
+    The list is emitted as a comma-joined string: a harness that
+    canonicalizes rows via pandas sort/hash can't handle array cells,
+    and the string form carries identical information.
+    """
     o = table(spark, sf_dir, "orders")
     return (
         o.filter(F.col("o_totalprice") > 150000)
         .groupBy("o_custkey")
-        .agg(F.sort_array(F.collect_list("o_orderkey")).alias("orderkeys"))
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("o_orderkey"))).alias(
+                "orderkeys"
+            )
+        )
     )
 
 

@@ -13,6 +13,8 @@ sort-merge on the join key (one shuffle each side); skew handled by AQE.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from opusdb_spark.exactness import dsum, sql_dsum
@@ -382,6 +384,47 @@ def join_interval(spark, sf_dir):
     )
 
 
+# Bucketed layouts prepared this session, keyed by (applicationId,
+# sf_dir): the in-memory catalog forgets tables on session restart
+# (and their stale warehouse dirs must be cleared before saveAsTable),
+# so reuse is scoped to the live SparkContext.
+_BUCKETED_READY: dict[tuple[str, str], tuple[str, str]] = {}
+
+
+def _ensure_bucketed_tables(spark, sf_dir):
+    import hashlib
+    import shutil
+    from urllib.parse import urlparse
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    if key in _BUCKETED_READY:
+        return _BUCKETED_READY[key]
+    tag = hashlib.md5(key[1].encode()).hexdigest()[:8]
+    li_name, ord_name = f"li_bucketed_{tag}", f"ord_bucketed_{tag}"
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for name in (li_name, ord_name):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    od = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    (
+        li.write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable(li_name)
+    )
+    (
+        od.write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable(ord_name)
+    )
+    _BUCKETED_READY[key] = (li_name, ord_name)
+    return li_name, ord_name
+
+
 @register(
     "join_bucketed_colocated",
     oracle="""
@@ -403,35 +446,15 @@ def join_bucketed_colocated(spark, sf_dir):
     SortMergeJoin with no Exchange under it; pinned in
     tests/test_plans.py). The result is row-identical to the plain
     join, which is the oracle here.
+
+    Ingest/query split: the bucketed tables are written ONCE per
+    (session, corpus) — repeated invocations (driver sweep + plan tests
+    + bench warmup) reuse them instead of paying a fact-table rewrite
+    per query, which would be unrunnable at 100 TB.
     """
-    import shutil
-    from urllib.parse import urlparse
-
-    # Idempotent across sessions: the in-memory catalog forgets tables
-    # on restart but their warehouse directories survive — drop both.
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    for name in ("li_bucketed", "ord_bucketed"):
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
-
-    li = table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice", "l_discount"
-    )
-    od = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    (
-        li.write.bucketBy(8, "l_orderkey")
-        .sortBy("l_orderkey")
-        .mode("overwrite")
-        .saveAsTable("li_bucketed")
-    )
-    (
-        od.write.bucketBy(8, "o_orderkey")
-        .sortBy("o_orderkey")
-        .mode("overwrite")
-        .saveAsTable("ord_bucketed")
-    )
-    j = spark.table("li_bucketed").hint("merge").join(
-        spark.table("ord_bucketed"),
+    li_name, ord_name = _ensure_bucketed_tables(spark, sf_dir)
+    j = spark.table(li_name).hint("merge").join(
+        spark.table(ord_name),
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
     return j.groupBy("o_orderpriority").agg(
@@ -458,16 +481,31 @@ def join_partition_pruned(spark, sf_dir):
     partitions the dim's keys select (PartitionFilters gains a
     dynamicpruning subquery; pinned in tests/test_plans.py). At 100 TB
     this is the difference between scanning one date/status directory
-    and scanning the table."""
-    import os
+    and scanning the table.
 
-    from opusdb_spark.sources import scratch_sink, write_partitioned
+    The partitioned copy is materialized ONCE (fingerprint-guarded) —
+    the ingest/query split; only the pruned read happens per query."""
+    import hashlib
 
-    out = scratch_sink(f"dpp_orders_{os.path.basename(os.path.normpath(sf_dir))}")
+    from opusdb_spark.sources import (
+        ensure_written,
+        scratch_path,
+        stat_fingerprint,
+        write_partitioned,
+    )
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = scratch_path(
+        f"dpp_orders_{os.path.basename(os.path.normpath(sf_dir))}_{tag}"
+    )
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderstatus"
     )
-    write_partitioned(orders, out, ["o_orderstatus"])
+    ensure_written(
+        out,
+        stat_fingerprint(f"{sf_dir}/orders.parquet", layout="by_status"),
+        lambda p: write_partitioned(orders, p, ["o_orderstatus"]),
+    )
     fact = spark.read.parquet(out)
     # the selective filter on the dim side is what entitles the fact
     # scan to a runtime dynamicpruning subquery on its partition column

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from opusdb_spark.operators import dedup, similarity
+from opusdb_spark.operators import ann_index, dedup, similarity
 from opusdb_spark.operators import text as T
 from opusdb_spark.registry import register
 from opusdb_spark.tables import table
@@ -164,31 +164,39 @@ def llm_similarity_topk(spark, sf_dir):
     return similarity.cosine_topk(emb, probe_id=0, k=10)
 
 
+def _ann_index(spark, sf_dir) -> str:
+    """Build-once persisted ANN index for this corpus (idempotent: a
+    marker fingerprint skips the build when the source is unchanged) —
+    the ingest/query split a production vector store has."""
+    emb = table(spark, sf_dir, "embeddings")
+    return ann_index.ensure_index(
+        spark,
+        emb,
+        ann_index.index_dir_for(sf_dir),
+        ann_index.source_fingerprint(sf_dir),
+    )
+
+
 @register("llm_simsearch_lsh", oracle=None, tags=("llm", "similarity"))
 def llm_simsearch_lsh(spark, sf_dir):
-    """ANN top-10 via random-hyperplane LSH buckets + multiprobe — the
-    100 TB path where brute force is off the table (rows-only)."""
-    emb = table(spark, sf_dir, "embeddings")
-    return similarity.lsh_topk(emb, probe_id=0, k=10)
-
-
-# IVF models are trained once per corpus and reused across probes —
-# the index-build cost amortizes over every query against it, exactly
-# as a production ANN index does. Keyed by sf_dir; deterministic
-# training means a cached model is identical to a fresh one.
-_IVF_MODELS: dict = {}
+    """ANN top-10 via random-hyperplane LSH buckets over the PERSISTED
+    index: the probe reads only its L bucket partitions (literal
+    PartitionFilters — pinned in tests/test_plans.py), never the corpus
+    (rows-only)."""
+    idx = _ann_index(spark, sf_dir)
+    vec = ann_index.fetch_vector(spark, idx, probe_id=0)
+    return ann_index.lsh_probe(spark, idx, vec, k=10, exclude_id=0)
 
 
 @register("llm_simsearch_ivf", oracle=None, tags=("llm", "similarity"))
 def llm_simsearch_ivf(spark, sf_dir):
-    """ANN top-10 via an IVF coarse quantizer (deterministic k-means,
-    one Lloyd step): score only the probe's n_probe nearest cells. At
-    100 TB the assignment is written partitioned by cell so probes are
-    partition-pruned parquet reads (rows-only)."""
-    emb = table(spark, sf_dir, "embeddings")
-    if sf_dir not in _IVF_MODELS:
-        _IVF_MODELS[sf_dir] = similarity.ivf_centroids(emb)
-    return similarity.ivf_topk(emb, probe_id=0, k=10, centroids=_IVF_MODELS[sf_dir])
+    """ANN top-10 via the PERSISTED IVF index (deterministic k-means
+    quantizer trained at build time): the probe's n_probe nearest cells
+    are literal partition predicates — a partition-pruned parquet read,
+    not a corpus re-assignment (rows-only)."""
+    idx = _ann_index(spark, sf_dir)
+    vec = ann_index.fetch_vector(spark, idx, probe_id=0)
+    return ann_index.ivf_probe(spark, idx, vec, k=10, exclude_id=0)
 
 
 @register("llm_dedup_cluster", oracle=None, tags=("llm", "dedup"))
@@ -215,7 +223,7 @@ def llm_dedup_cluster(spark, sf_dir):
     "llm_text_stats",
     oracle="""
         SELECT lang, COUNT(*) AS n_docs,
-               SUM(n_chars) AS total_chars,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
                CAST(SUM(len(list_filter(string_split(text, ' '), w -> len(w) > 0))) AS DOUBLE)
                    / COUNT(*) AS avg_words
@@ -323,10 +331,10 @@ def llm_quality_score(spark, sf_dir):
     "llm_token_count",
     oracle=r"""
         SELECT lang,
-               SUM(len(list_filter(string_split(text, ' '), w -> len(w) > 0)))
-                   AS ws_tokens,
-               SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
-                   AS bpe_ish_tokens
+               CAST(SUM(len(list_filter(string_split(text, ' '), w -> len(w) > 0)))
+                   AS BIGINT) AS ws_tokens,
+               CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
+                   AS BIGINT) AS bpe_ish_tokens
         FROM documents GROUP BY lang
     """,
     tags=("llm", "text"),

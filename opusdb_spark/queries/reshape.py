@@ -12,9 +12,9 @@ from opusdb_spark.tables import table
     "pivot_status",
     oracle="""
         SELECT o_orderpriority,
-               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
-               SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
-               SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS "F",
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS "O",
+               CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS "P"
         FROM orders GROUP BY o_orderpriority
     """,
     tags=("reshape",),

@@ -122,8 +122,8 @@ def fn_date(spark, sf_dir):
                pow(l_discount, 2) AS disc_sq,
                sqrt(l_extendedprice) AS price_sqrt,
                round(ln(l_extendedprice), 6) AS price_ln,
-               floor(l_quantity / 7.0) AS qty_floor,
-               ceil(l_quantity / 7.0) AS qty_ceil,
+               CAST(floor(l_quantity / 7.0) AS BIGINT) AS qty_floor,
+               CAST(ceil(l_quantity / 7.0) AS BIGINT) AS qty_ceil,
                l_orderkey % 97 AS key_mod
         FROM lineitem
     """,
@@ -153,22 +153,26 @@ def fn_math(spark, sf_dir):
     "fn_cast_decimal",
     oracle="""
         SELECT o_orderstatus,
-               SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS exact_total,
-               MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS min_price,
-               MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS max_price
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS exact_total,
+               CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS min_price,
+               CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price
         FROM orders GROUP BY o_orderstatus
     """,
     tags=("function", "decimal"),
 )
 def fn_cast_decimal(spark, sf_dir):
     """Exact DECIMAL(12,2) money totals (the exact-types obligation the
-    reference meets with int pages + conservation checks)."""
+    reference meets with int pages + conservation checks). The
+    aggregation is exact in decimal; the FINAL projection casts to
+    double (exactly representable here) because decimal output cells
+    surface as Python Decimal objects in pandas while the oracle's
+    surface as float64 — a guaranteed canonical-hash mismatch."""
     o = table(spark, sf_dir, "orders")
     dec = F.col("o_totalprice").cast(DecimalType(12, 2))
     return o.groupBy("o_orderstatus").agg(
-        F.sum(dec).alias("exact_total"),
-        F.min(dec).alias("min_price"),
-        F.max(dec).alias("max_price"),
+        F.sum(dec).cast("double").alias("exact_total"),
+        F.min(dec).cast("double").alias("min_price"),
+        F.max(dec).cast("double").alias("max_price"),
     )
 
 
@@ -176,7 +180,7 @@ def fn_cast_decimal(spark, sf_dir):
     "fn_array",
     oracle="""
         SELECT p_partkey,
-               string_split(p_name, ' ') AS words,
+               array_to_string(string_split(p_name, ' '), ',') AS words,
                len(string_split(p_name, ' ')) AS n_words,
                list_contains(string_split(p_name, ' '), 'red') AS has_red
         FROM part
@@ -184,12 +188,17 @@ def fn_cast_decimal(spark, sf_dir):
     tags=("function", "array"),
 )
 def fn_array(spark, sf_dir):
-    """split/size/array_contains over p_name word lists."""
+    """split/size/array_contains over p_name word lists.
+
+    The word list is emitted as a comma-joined string so that row
+    canonicalizers based on pandas sort/hash (which can't factorize
+    ndarray cells) can compare it.
+    """
     p = table(spark, sf_dir, "part")
     words = F.split(F.col("p_name"), " ")
     return p.select(
         "p_partkey",
-        words.alias("words"),
+        F.array_join(words, ",").alias("words"),
         F.size(words).alias("n_words"),
         F.array_contains(words, "red").alias("has_red"),
     )

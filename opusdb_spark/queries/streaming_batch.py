@@ -80,7 +80,7 @@ def stream_sliding(spark, sf_dir):
     "stream_session",
     oracle="""
         WITH marked AS (
-            SELECT user_id, ts,
+            SELECT user_id, ts, event_id,
                    CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w)
                              > 1800000000
                           OR LAG(ts) OVER w IS NULL
@@ -89,10 +89,10 @@ def stream_sliding(spark, sf_dir):
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), sessions AS (
             SELECT user_id, ts,
-                   SUM(new_session) OVER (PARTITION BY user_id
-                       ORDER BY ts
+                   CAST(SUM(new_session) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS session_id
+                       AS BIGINT) AS session_id
             FROM marked
         )
         SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -109,7 +109,7 @@ def stream_session(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w_cum = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(

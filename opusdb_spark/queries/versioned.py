@@ -68,6 +68,111 @@ def mvcc_conservation(spark, sf_dir):
     return mvcc.conservation(_versions(spark, sf_dir), decimal=True)
 
 
+@register("mvcc_txn_rollback", oracle=None, tags=("mvcc", "write-path"))
+def mvcc_txn_rollback(spark, sf_dir):
+    """Atomic multi-update batch + abort, on the REAL write path
+    (reference: abort rolls back the whole write-set, stm.clj:103-106;
+    pinned behavior stm_test.clj:48-60).
+
+    A committed batch appends all its rows in one Spark job (the output
+    committer publishes all-or-nothing); an aborting batch — here a
+    task that raises mid-write — publishes NOTHING. The query commits
+    batch 1, attempts a failing batch 2, and returns per-write-point
+    row counts from the sink: write points {base, base+1} present,
+    the aborted batch absent (rows-only: side-effecting)."""
+    from opusdb_spark.sources import scratch_sink
+
+    out = scratch_sink("txn_rollback_log")
+    base = (
+        table(spark, sf_dir, "events")
+        .select(
+            F.col("user_id").alias("ref_id"),
+            F.col("event_id").alias("write_point"),
+            "value",
+        )
+        .filter(F.col("ref_id") < 20)
+        .filter(F.col("write_point") <= 200)
+    )
+    base.write.mode("overwrite").parquet(out)
+    committed = spark.read.parquet(out)
+
+    updates1 = committed.groupBy("ref_id").agg(
+        (F.max("value") + 10.0).alias("value")
+    )
+    batch1 = mvcc.append_versions(committed, updates1)
+    new_rows1 = batch1.join(committed, ["ref_id", "write_point"], "left_anti")
+    new_rows1.write.mode("append").parquet(out)
+
+    # batch 2 aborts mid-write: one task raises, the committer
+    # discards every staged file — the whole write-set rolls back.
+    updates2 = updates1.withColumn(
+        "value",
+        F.when(
+            F.col("ref_id") >= 0, F.expr("raise_error('txn abort')").cast("double")
+        ).otherwise(F.col("value")),
+    )
+    batch2 = mvcc.append_versions(spark.read.parquet(out), updates2)
+    new_rows2 = batch2.join(
+        spark.read.parquet(out), ["ref_id", "write_point"], "left_anti"
+    )
+    try:
+        new_rows2.write.mode("append").parquet(out)
+        raise AssertionError("aborting batch unexpectedly committed")
+    except Exception:
+        pass  # the abort IS the expected path
+
+    return (
+        spark.read.parquet(out)
+        .groupBy("write_point")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("write_point") > 200)  # just the batch write points
+        .orderBy("write_point")
+    )
+
+
+@register("sink_reopen_append", oracle=None, tags=("sink", "write-path"))
+def sink_reopen_append(spark, sf_dir):
+    """Reopen-and-continue appending (reference: make-log-mgr reopens
+    the last block and continues, log_mgr.clj:68-86; pinned behavior
+    log_mgr_test.clj:153-163).
+
+    Writer #1 appends blocks 0-1 and is discarded; a FRESH writer
+    derives the next block id by reading the sink (the reopen scan)
+    and appends block 2. Read-back shows all three blocks contiguous
+    (rows-only: side-effecting)."""
+    from opusdb_spark.sources import scratch_sink
+
+    out = scratch_sink("reopen_log")
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .filter(F.col("event_id") <= 300)
+    )
+    for block in (0, 1):  # writer #1
+        (
+            ev.filter(F.col("event_id") % 2 == block)
+            .withColumn("block_id", F.lit(block))
+            .write.mode("append")
+            .parquet(out)
+        )
+    # "reopen": a fresh writer learns where the log ends by reading it
+    next_block = (
+        spark.read.parquet(out).agg(F.max("block_id")).first()[0] + 1
+    )
+    (
+        ev.filter(F.col("event_id") <= 100)
+        .withColumn("block_id", F.lit(next_block))
+        .write.mode("append")
+        .parquet(out)
+    )
+    return (
+        spark.read.parquet(out)
+        .groupBy("block_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("block_id")
+    )
+
+
 @register(
     "join_salted_skew",
     oracle="""

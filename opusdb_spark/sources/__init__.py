@@ -8,10 +8,13 @@ opusdb_spark/streaming/jobs.py.
 """
 
 from opusdb_spark.sources.formats import (  # noqa: F401
+    ensure_written,
     read_csv,
     read_json,
     read_parquet,
+    scratch_path,
     scratch_sink,
+    stat_fingerprint,
     write_partitioned,
 )
 from opusdb_spark.tables import table, register_views  # noqa: F401

@@ -33,6 +33,47 @@ def scratch_sink(name: str) -> str:
     return path
 
 
+def scratch_path(name: str) -> str:
+    """Stable scratch path that is NOT cleared — for ingest-once
+    layouts (partitioned/bucketed copies, indexes) guarded by
+    `ensure_written`."""
+    path = os.path.join(_SCRATCH, name)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    return path
+
+
+def ensure_written(path: str, fingerprint: dict, write_fn) -> str:
+    """Idempotent materialization: run `write_fn(path)` only when the
+    stored fingerprint differs. This is the ingest/query split — a
+    100 TB layout is organized ONCE at ingest, never inside a query —
+    so repeated query invocations don't pay a table rewrite.
+    """
+    import json
+
+    marker = os.path.join(path, "_fingerprint.json")
+    if os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                if json.load(f) == fingerprint:
+                    return path
+        except (json.JSONDecodeError, OSError):
+            pass
+    shutil.rmtree(path, ignore_errors=True)
+    write_fn(path)
+    with open(marker, "w") as f:
+        json.dump(fingerprint, f)
+    return path
+
+
+def stat_fingerprint(*files: str, **extra) -> dict:
+    """Stat-based source fingerprint for ensure_written markers."""
+    fp = dict(extra)
+    for p in files:
+        st = os.stat(p)
+        fp[os.path.abspath(p)] = [st.st_mtime_ns, st.st_size]
+    return fp
+
+
 def read_parquet(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
     reader = spark.read
     if schema is not None:

@@ -64,8 +64,16 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     os.makedirs(link_dir, exist_ok=True)
     link = os.path.join(link_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+    target = f"{sf_dir}/events.parquet"
+    # lexists (not exists): a dangling link must be replaced, not
+    # mistaken for absent; and two sf_dirs sharing a basename must not
+    # silently reuse each other's link.
+    if os.path.lexists(link):
+        if not os.path.islink(link) or os.readlink(link) != target:
+            os.unlink(link)
+            os.symlink(target, link)
+    else:
+        os.symlink(target, link)
     raw = (
         spark.readStream.schema(_EVENTS_RAW_SCHEMA)
         .format("parquet")
@@ -157,17 +165,25 @@ def session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming dropDuplicates(event_id) within the watermark."""
+    """Streaming dropDuplicates(event_id) within the watermark.
+
+    Output is ~the whole stream, so it goes to a parquet sink (scale
+    shape: no driver-side materialization), then is read back for the
+    rows-only check.
+    """
     ev = (
         _events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
         .dropDuplicates(["event_id"])
         .select("event_id", "user_id", "event_type", "value")
     )
-    return _run_to_memory_append(ev, f"dedup_{uuid.uuid4().hex[:8]}")
+    return _run_to_parquet_append(ev, "dedup_true")
 
 
 def _run_to_memory_append(stream_df: DataFrame, name: str) -> DataFrame:
+    # Memory sink: ONLY for bounded outputs (windowed aggregates). For
+    # unbounded outputs use _run_to_parquet_append — a memory sink
+    # materializes the whole result in the driver.
     # name is uuid-unique (memory sink tables are session-scoped and
     # cheap); the checkpoint dir is stable per job tag and cleared on
     # entry so repeated runs replay from offset zero without leaking a
@@ -184,6 +200,26 @@ def _run_to_memory_append(stream_df: DataFrame, name: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def _run_to_parquet_append(stream_df: DataFrame, tag: str) -> DataFrame:
+    """Scale-true sink for unbounded streaming output: append to a
+    parquet directory (executor-side writes, exactly-once via the sink
+    log) and read the directory back for verification. Stable tag +
+    clear-on-entry keeps repeated runs deterministic."""
+    spark = stream_df.sparkSession
+    out = scratch_sink(f"sink_{tag}")
+    ckpt = scratch_sink(f"ckpt_{tag}")
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(stream_df.schema).parquet(out)
 
 
 def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -271,4 +307,4 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("click_ts") <= F.col("purchase_ts"))
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
     ).select("purchase_id", "p_user", "purchase_ts", "click_id", "click_ts", "value")
-    return _run_to_memory_append(joined, f"ssj_{uuid.uuid4().hex[:8]}")
+    return _run_to_parquet_append(joined, "ssj_true")

@@ -55,6 +55,77 @@ class ParityResult:
     detail: str
 
 
+def _canon_kind(s: pd.Series) -> str:
+    """Dtype *kind* as the driver's canonicalizer would see it.
+
+    The driver hashes canonicalized values without unifying numeric
+    dtypes, so int64 `967` vs float64 `967.0` is a hash MISMATCH even
+    though the values are numerically equal (r01 `agg_conditional`).
+    This classifier feeds the strictness check that makes the local
+    gate predict that behavior.
+    """
+    k = s.dtype.kind
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "ts"
+    if k == "O":
+        sample = s.dropna()
+        if not len(sample):
+            return "empty"
+        v = sample.iloc[0]
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, Decimal):
+            return "decimal"
+        if isinstance(v, (int, np.integer)):
+            # pandas coerces nullable int columns to float64 (NaN) on
+            # BOTH driver paths (toPandas / duckdb .df()); replicate.
+            return "float" if s.isna().any() else "int"
+        if isinstance(v, (float, np.floating)):
+            return "float"
+        if type(v).__name__ in ("date", "datetime", "Timestamp"):
+            return "ts"
+        return "other"
+    return k
+
+
+def _driver_unhashable(s: pd.Series) -> bool:
+    """True if the column holds cells pandas can't factorize/hash —
+    the driver's row sort dies on these (r01 `agg_collect_sorted`:
+    `unhashable type: numpy.ndarray`)."""
+    if s.dtype != object:
+        return False
+    return any(
+        isinstance(v, (list, np.ndarray, dict, set))
+        for v in s.dropna().head(100)
+    )
+
+
+def _strictness_errors(a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
+    """Driver-grade checks run BEFORE the lenient value comparison."""
+    errs = []
+    for c in a.columns:
+        if _driver_unhashable(a[c]):
+            errs.append(f"{c}: spark side has unhashable cells (array/map)")
+        if _driver_unhashable(b[c]):
+            errs.append(f"{c}: oracle side has unhashable cells (array/map)")
+        ka, kb = _canon_kind(a[c]), _canon_kind(b[c])
+        if "empty" in (ka, kb) or ka == kb:
+            continue
+        numericish = {"int", "float", "decimal", "bool"}
+        if ka in numericish and kb in numericish:
+            errs.append(
+                f"{c}: dtype-kind mismatch {ka} (spark) vs {kb} (oracle) — "
+                "driver hash would differ; align with explicit casts"
+            )
+    return errs
+
+
 def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, rtol=1e-9) -> ParityResult:
     a, b = _normalize(spark_pdf), _normalize(duck_pdf)
     if len(a) != len(b):
@@ -63,6 +134,10 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, rtol=1e-9) -> Parit
         return ParityResult(
             False, False, f"columns {list(a.columns)} vs {list(b.columns)}"
         )
+    strict = _strictness_errors(spark_pdf[sorted(spark_pdf.columns)],
+                                duck_pdf[sorted(duck_pdf.columns)])
+    if strict:
+        return ParityResult(False, False, "; ".join(strict))
     a, b = _sort_rows(a), _sort_rows(b)
     exact = True
     for c in a.columns:

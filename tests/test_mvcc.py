@@ -90,3 +90,70 @@ def test_snapshot_matches_conservation_total(spark):
             r.write_point: r.total for r in mvcc.conservation(history).collect()
         }[rp]
         assert direct == via_deltas
+
+
+def test_read_your_own_writes_ordering(spark):
+    """In-txn deref order: write-set -> read-set -> history
+    (stm.clj:169-171; stm_test.clj:196-202). The writing txn sees its
+    pending value; a reader holding only the committed versions does
+    not."""
+    versions = spark.createDataFrame(
+        [(1, 1, 100.0), (1, 2, 110.0), (2, 1, 50.0)],
+        "ref_id long, write_point long, value double",
+    )
+    pending = spark.createDataFrame([(1, 999.0)], "ref_id long, value double")
+    own = {r["ref_id"]: r["value"] for r in mvcc.read_own_writes(versions, pending).collect()}
+    other = {r["ref_id"]: r["value"] for r in mvcc.latest(versions).collect()}
+    assert own == {1: 999.0, 2: 50.0}      # write-set shadows history
+    assert other == {1: 110.0, 2: 50.0}    # committed state untouched
+
+
+def test_abort_rolls_back_whole_write_set(spark, tmp_path):
+    """Abort discards the entire write-set (stm.clj:103-106;
+    stm_test.clj:48-60): a batch whose job fails mid-write publishes
+    NOTHING — Spark's output commit protocol is the rollback."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "versions")
+    base = spark.createDataFrame(
+        [(1, 1, 100.0), (2, 1, 50.0)],
+        "ref_id long, write_point long, value double",
+    )
+    base.write.mode("overwrite").parquet(out)
+
+    poisoned = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 2, 2.0)],
+        "ref_id long, write_point long, value double",
+    ).withColumn("value", F.expr("raise_error('abort')").cast("double"))
+    try:
+        poisoned.write.mode("append").parquet(out)
+        raise AssertionError("poisoned batch unexpectedly committed")
+    except AssertionError:
+        raise
+    except Exception:
+        pass
+    readback = spark.read.parquet(out)
+    assert readback.count() == 2
+    assert readback.agg(F.max("write_point")).first()[0] == 1
+
+
+def test_log_reopen_continues_append(spark, tmp_path):
+    """Reopen continues the log where it ended (log_mgr.clj:68-86;
+    log_mgr_test.clj:153-163): a fresh writer derives the next block
+    id from the sink and its append lands after the existing blocks."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "log")
+    rows = spark.range(10).select(F.col("id").alias("event_id"))
+    rows.withColumn("block_id", F.lit(0)).write.mode("append").parquet(out)
+    # discard the writer; "reopen" = read the sink to find the end
+    nxt = spark.read.parquet(out).agg(F.max("block_id")).first()[0] + 1
+    rows.withColumn("block_id", F.lit(nxt)).write.mode("append").parquet(out)
+    got = dict(
+        (r["block_id"], r["n"])
+        for r in spark.read.parquet(out)
+        .groupBy("block_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert got == {0: 10, 1: 10}

@@ -117,12 +117,14 @@ def test_simhash_dedup_never_all_pairs(spark):
     assert "NestedLoop" not in p
 
 
-def test_lsh_similarity_candidates_are_equi_join(spark):
-    # The only non-equi join allowed is the broadcast of the 1-row
-    # probe-norm scalar; bucket candidate generation must hash-join.
+def test_lsh_similarity_candidates_need_no_join(spark):
+    # With the persisted index, candidate generation is a partition-
+    # pruned scan of the probe's buckets — no join of any kind in the
+    # probe plan (the pre-index shape needed a bucket equi-join; the
+    # pruning itself is pinned in test_ann_probes_are_partition_pruned).
     p = plan(_Q["llm_simsearch_lsh"].fn(spark, SF), mode="simple")
     assert "CartesianProduct" not in p
-    assert "BroadcastHashJoin [table_id" in p, "bucket join must be an equi-join"
+    assert "Join" not in p, "probe path should be a pruned scan, not a join"
 
 
 def test_exact_dedup_single_shuffle(spark):
@@ -169,3 +171,71 @@ def test_correlated_subquery_decorrelated(spark):
     # Catalyst must rewrite to aggregate + join, not per-row subplans
     assert "Join" in p
     assert "Subquery" not in p or "SubqueryExec" not in p
+
+
+def test_ann_probes_are_partition_pruned(spark):
+    """Persisted-ANN probes must read ONLY the probe's bucket/cell
+    partitions: the index scan carries literal PartitionFilters on
+    (table_id, bucket) / cell. At 100 TB this is the difference between
+    touching L directories and re-hashing the corpus per query."""
+    import re
+
+    from opusdb_spark.operators import ann_index
+    from opusdb_spark.tables import table as _t
+
+    sf = SF
+    idx = ann_index.ensure_index(
+        spark,
+        _t(spark, sf, "embeddings"),
+        ann_index.index_dir_for(sf),
+        ann_index.source_fingerprint(sf),
+    )
+    vec = ann_index.fetch_vector(spark, idx, 0)
+
+    p_lsh = plan(ann_index.lsh_probe(spark, idx, vec, 10, exclude_id=0))
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", p_lsh.replace("\n", " "))
+    assert m and "table_id" in m.group(1) and "bucket" in m.group(1), (
+        "LSH probe scan is not partition-pruned"
+    )
+
+    p_ivf = plan(ann_index.ivf_probe(spark, idx, vec, 10, exclude_id=0))
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", p_ivf.replace("\n", " "))
+    assert m and "cell" in m.group(1), "IVF probe scan is not partition-pruned"
+
+
+def test_ann_probe_vector_fetch_pushes_id_filter(spark):
+    """The by-id probe fetch must push the id equality into the scan
+    (min/max row-group pruning on the sorted store)."""
+    import os
+
+    from opusdb_spark.operators import ann_index
+    from pyspark.sql import functions as _F
+
+    idx = ann_index.index_dir_for(SF)
+    df = (
+        spark.read.parquet(os.path.join(idx, "by_id"))
+        .filter(_F.col("vec_id") == 0)
+    )
+    p = plan(df)
+    assert "PushedFilters:" in p and "EqualTo(vec_id,0)" in p.replace("\n", " ")
+
+
+def test_conservation_has_no_global_row_window(spark):
+    """The conservation running sum must be a two-level prefix sum:
+    every window ordered over write points carries a partition column
+    (per-key deltas, per-range local prefixes). The only partition-less
+    window allowed is the range-offset one, which orders by _grp over
+    <= n_ranges aggregated rows (model-sized) — a partition-less window
+    ordered by the raw write_point would serialize every write point
+    through one task at scale."""
+    import re
+
+    df = _Q["mvcc_conservation"].fn(spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    bad = [
+        m
+        for m in re.finditer(r"windowspecdefinition\((\w+)#\d+L? ASC", p)
+        if m.group(1) == "write_point"
+    ]
+    assert not bad, "found a partition-less window ordered over all write points"
+    assert "windowspecdefinition(_grp" in p, "per-range local prefix window missing"

@@ -224,8 +224,35 @@ def lsh_candidate_pairs(sig_df: DataFrame) -> DataFrame:
     )
 
 
+def minhash_signatures_stored(
+    spark,
+    docs: DataFrame,
+    store_path: str,
+    fingerprint: dict,
+    impl: str = "arrow",
+) -> DataFrame:
+    """Signatures as an INGEST artifact: computed once per corpus,
+    persisted to parquet, and shared by every dedup query against it
+    (fuzzy pairs, clustering, the end-to-end pipeline). At 100 TB
+    signatures are a column written at ingest — recomputing ~100 bytes
+    of minhashes per document for each of N dedup passes is pure waste.
+    Fingerprint-guarded like the ANN index: unchanged source → reuse."""
+    from opusdb_spark.sources.formats import ensure_written
+
+    sig_fn = minhash_signatures_arrow if impl == "arrow" else minhash_signatures
+    ensure_written(
+        store_path,
+        {**fingerprint, "impl": impl, "n_minhash": N_MINHASH},
+        lambda p: sig_fn(spread(docs)).write.mode("overwrite").parquet(p),
+    )
+    return spark.read.parquet(store_path)
+
+
 def minhash_lsh_dedup(
-    docs: DataFrame, jaccard_threshold: float = 0.5, impl: str = "arrow"
+    docs: DataFrame,
+    jaccard_threshold: float = 0.5,
+    impl: str = "arrow",
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs with estimated Jaccard ≥ threshold.
 
@@ -233,16 +260,19 @@ def minhash_lsh_dedup(
     (fraction of agreeing minhashes) filters false positives. Returns
     (doc_a, doc_b, est_jaccard). impl="arrow" (default) computes
     signatures with the numpy pandas-UDF; impl="expr" uses the pure
-    Catalyst-expression fold (no Python workers in the plan).
+    Catalyst-expression fold (no Python workers in the plan). Pass
+    `sig` (e.g. from minhash_signatures_stored) to reuse precomputed
+    signatures — the production shape.
     """
-    sig_fn = minhash_signatures_arrow if impl == "arrow" else minhash_signatures
-    # localCheckpoint, NOT cache(): sig is read 3× below (bands + both
-    # sides of the estimate join) so it must materialize once, but a
-    # cache() entry is pinned by the CacheManager for the session
-    # lifetime (each caller builds its own sig → unbounded leak across
-    # invocations). Lazy-localCheckpointed blocks are freed by the
-    # ContextCleaner once this DataFrame is garbage-collected.
-    sig = sig_fn(spread(docs)).localCheckpoint(eager=False)
+    if sig is None:
+        sig_fn = minhash_signatures_arrow if impl == "arrow" else minhash_signatures
+        # localCheckpoint, NOT cache(): sig is read 3× below (bands +
+        # both sides of the estimate join) so it must materialize once,
+        # but a cache() entry is pinned by the CacheManager for the
+        # session lifetime (each caller builds its own sig → unbounded
+        # leak across invocations). Lazy-localCheckpointed blocks are
+        # freed by the ContextCleaner once this DataFrame is GC'd.
+        sig = sig_fn(spread(docs)).localCheckpoint(eager=False)
     pairs = lsh_candidate_pairs(sig)
     a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))

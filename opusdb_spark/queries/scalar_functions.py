@@ -222,21 +222,37 @@ def fn_array_explode(spark, sf_dir):
 
 @register(
     "fn_map",
-    oracle=None,  # rows-only: map render/ordering differs across engines
+    oracle="""
+        SELECT event_id,
+               'type=' || event_type || ';user=' || CAST(user_id AS VARCHAR)
+                   AS props_rendered,
+               event_type AS type_val,
+               user_id AS user_val
+        FROM events
+    """,
     tags=("function", "map"),
 )
 def fn_map(spark, sf_dir):
     """str_to_map over a derived "k1:v1,k2:v2" properties string, then
     typed key extraction — the dynamic-schema escape hatch (the
-    reference's refs are schemaless, stm.clj holds any value)."""
+    reference's refs are schemaless, stm.clj holds any value). The map
+    itself is rendered to a canonical sorted "k=v;…" string so the
+    result is hashable and oracle-comparable (map cells are not)."""
     ev = table(spark, sf_dir, "events")
     props_kv = F.concat(
         F.lit("type:"), F.col("event_type"), F.lit(",user:"), F.col("user_id")
     )
     m = F.str_to_map(props_kv, F.lit(","), F.lit(":"))
+    rendered = F.array_join(
+        F.transform(
+            F.array_sort(F.map_entries(m)),
+            lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+        ),
+        ";",
+    )
     return ev.select(
         "event_id",
-        m.alias("props_map"),
+        rendered.alias("props_rendered"),
         m.getItem("type").alias("type_val"),
         m.getItem("user").cast("long").alias("user_val"),
     )

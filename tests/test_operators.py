@@ -381,3 +381,33 @@ def test_determinism_under_repartition(name, spark):
             spark.conf.set("spark.sql.shuffle.partitions", "8")
 
     assert run(2) == run(16)
+
+
+def test_minhash_signature_store_is_ingest_once(spark, tmp_path):
+    """The persisted signature store must be written exactly once per
+    source fingerprint: a second call with the same fingerprint reads
+    the existing parquet instead of recomputing (the ingest/query
+    split the dedup family relies on)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from opusdb_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "pack my box with five dozen liquor jugs")],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "sigs")
+    fp = {"src": "unit", "v": 1}
+    s1 = dedup.minhash_signatures_stored(spark, docs, store, fp)
+    assert s1.count() == 2
+    marker = os.path.join(store, "_fingerprint.json")
+    mtime1 = os.path.getmtime(marker)
+    s2 = dedup.minhash_signatures_stored(spark, docs, store, fp)
+    assert os.path.getmtime(marker) == mtime1, "store rewritten on reuse"
+    assert s2.count() == 2
+    # changed fingerprint -> rebuild
+    dedup.minhash_signatures_stored(spark, docs, store, {"src": "unit", "v": 2})
+    assert os.path.getmtime(marker) != mtime1

@@ -75,6 +75,7 @@ def source_fingerprint(sf_dir: str) -> dict:
         "n_tables": N_TABLES,
         "bits_per_table": BITS_PER_TABLE,
         "n_cells": N_CELLS,
+        "layout": 2,  # v2 adds sigs/; bump forces rebuild of v1 indexes
     }
 
 
@@ -134,6 +135,22 @@ def ensure_index(
         lsh.write.mode("overwrite")
         .partitionBy("table_id", "bucket")
         .parquet(os.path.join(index_dir, "lsh"))
+    )
+
+    # sigs: (id → table_id, bucket), range-partitioned + sorted by id.
+    # A probe's bucket list is then a stat-pruned lookup of L tiny rows
+    # — NOT a re-evaluation of the signature expressions, whose
+    # interpreted higher-order-function tree costs ~2s per execution
+    # regardless of row count. Signatures are an ingest artifact; the
+    # probe path only reads. (Derived from the already-written lsh/
+    # table so the expensive expressions run exactly once.)
+    (
+        spark.read.parquet(os.path.join(index_dir, "lsh"))
+        .select(id_col, "table_id", "bucket")
+        .repartitionByRange(F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_dir, "sigs"))
     )
 
     # ivf: train the coarse quantizer, persist the model, partition the
@@ -210,6 +227,23 @@ def _probe_buckets(
     return [(t, int(row[f"b{t}"])) for t in range(N_TABLES)]
 
 
+def stored_buckets(
+    spark: SparkSession, index_dir: str, probe_id: int, id_col: str = "vec_id"
+) -> list[tuple[int, int]]:
+    """The probe's L (table_id, bucket) pairs from the persisted sigs/
+    store — a stat-pruned read of L rows. The production lookup path
+    for in-corpus probes; out-of-corpus vectors fall back to
+    _probe_buckets (one signature evaluation)."""
+    rows = (
+        spark.read.parquet(os.path.join(index_dir, "sigs"))
+        .filter(F.col(id_col) == probe_id)
+        .collect()
+    )
+    if not rows:
+        raise KeyError(f"probe id {probe_id} not in index {index_dir}")
+    return [(int(r["table_id"]), int(r["bucket"])) for r in rows]
+
+
 def lsh_probe(
     spark: SparkSession,
     index_dir: str,
@@ -218,11 +252,17 @@ def lsh_probe(
     exclude_id: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_id: int | None = None,
 ) -> DataFrame:
     """ANN top-k from the persisted LSH index: literal (table_id, bucket)
     predicates → the scan lists only the probe's L bucket directories
-    (PartitionFilters; everything else is never read)."""
-    buckets = _probe_buckets(spark, probe_vec)
+    (PartitionFilters; everything else is never read). Pass `probe_id`
+    for an in-corpus probe to read its buckets from the sigs/ store
+    instead of re-evaluating the signature expressions."""
+    if probe_id is not None:
+        buckets = stored_buckets(spark, index_dir, probe_id, id_col)
+    else:
+        buckets = _probe_buckets(spark, probe_vec)
     cond = None
     for t, b in buckets:
         c = (F.col("table_id") == t) & (F.col("bucket") == b)

@@ -338,15 +338,86 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def _make_simhash_udf():
+    """Arrow-batched SimHash UDF: numpy computes the 64 bit-sums per doc
+    as one (words × 64) matrix op. Same rationale as _make_sig_udf —
+    the expression-fold variant's 64-way when-chain evaluates
+    interpreted per element and its tree adds ~2s fixed cost per
+    execution. crc32 over two salts yields a deterministic 64-bit word
+    hash (never Python's salted builtin hash)."""
+    from zlib import crc32
+
+    _POS = np.arange(64, dtype=np.uint64)
+
+    @F.pandas_udf("long")
+    def sh_udf(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for j, t in enumerate(texts):
+            words = [w for w in (t or "").split(" ") if w]
+            if not words:
+                continue
+            h = np.fromiter(
+                (
+                    (crc32(b"\x01" + w) << 32) | crc32(b"\x02" + w)
+                    for w in (w.encode() for w in words)
+                ),
+                dtype=np.uint64,
+            )
+            bits = ((h[:, None] >> _POS) & np.uint64(1)).astype(np.int64)
+            pos = (bits * 2 - 1).sum(axis=0) > 0
+            fp = int(np.bitwise_or.reduce(pos.astype(np.uint64) << _POS))
+            # two's-complement fold into Spark's signed long
+            out[j] = fp - (1 << 64) if fp >= (1 << 63) else fp
+        return pd.Series(out)
+
+    return sh_udf
+
+
+def simhash_fingerprints_arrow(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash) via the Arrow/numpy UDF — the default fast
+    path. Same shape as simhash_fingerprints(); hash family differs
+    (crc32×2 vs xxhash64) so fingerprints are not interchangeable
+    between the two implementations. Empty docs excluded (degenerate
+    fingerprint 0 would collide in every block — same O(m²) blowup the
+    MinHash path guards against)."""
+    return docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        "doc_id", _make_simhash_udf()(text_col).alias("simhash")
+    )
+
+
+def simhash_fingerprints_stored(
+    spark,
+    docs: DataFrame,
+    store_path: str,
+    fingerprint: dict,
+    impl: str = "arrow",
+) -> DataFrame:
+    """SimHash fingerprints as an INGEST artifact (see
+    minhash_signatures_stored — same ingest-once/query-many contract)."""
+    from opusdb_spark.sources.formats import ensure_written
+
+    fp_fn = simhash_fingerprints_arrow if impl == "arrow" else simhash_fingerprints
+    ensure_written(
+        store_path,
+        {**fingerprint, "impl": impl, "bits": 64},
+        lambda p: fp_fn(spread(docs)).write.mode("overwrite").parquet(p),
+    )
+    return spark.read.parquet(store_path)
+
+
+def simhash_near_dups(
+    docs: DataFrame, max_hamming: int = 3, fp: DataFrame | None = None
+) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
     Candidate generation: split the 64-bit fingerprint into 4 16-bit
     blocks; by pigeonhole, any pair within distance 3 agrees on ≥1 block,
     so the self-join key is (block_id, block_value) — bucket-local, no
-    all-pairs scan.
+    all-pairs scan. Pass `fp` (e.g. from simhash_fingerprints_stored)
+    to reuse ingest-time fingerprints — the production shape.
     """
-    fp = simhash_fingerprints(spread(docs))
+    if fp is None:
+        fp = simhash_fingerprints(spread(docs))
     blocks = fp.select(
         "doc_id",
         "simhash",

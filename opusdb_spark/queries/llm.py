@@ -60,6 +60,24 @@ def _minhash_sigs(spark, sf_dir):
     )
 
 
+def _simhash_fps(spark, sf_dir):
+    """Ingest-once SimHash fingerprint store for this corpus (same
+    contract as _minhash_sigs)."""
+    import hashlib
+    import os
+
+    from opusdb_spark.sources.formats import scratch_path, stat_fingerprint
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return dedup.simhash_fingerprints_stored(
+        spark,
+        table(spark, sf_dir, "documents"),
+        scratch_path(f"simhash_fps_{base}_{tag}"),
+        stat_fingerprint(f"{sf_dir}/documents.parquet"),
+    )
+
+
 @register("llm_dedup_fuzzy", oracle=None, tags=("llm", "dedup"))
 def llm_dedup_fuzzy(spark, sf_dir):
     """Near-dup pairs via MinHash+LSH over word 3-gram shingles
@@ -75,9 +93,12 @@ def llm_dedup_fuzzy(spark, sf_dir):
 @register("llm_dedup_simhash", oracle=None, tags=("llm", "dedup"))
 def llm_dedup_simhash(spark, sf_dir):
     """Near-dup pairs via 64-bit SimHash, Hamming ≤ 3, pigeonhole-block
-    candidate generation (rows-only)."""
+    candidate generation; fingerprints come from the persisted ingest
+    store (rows-only)."""
     docs = table(spark, sf_dir, "documents")
-    return dedup.simhash_near_dups(docs, max_hamming=3).orderBy("doc_a", "doc_b")
+    return dedup.simhash_near_dups(
+        docs, max_hamming=3, fp=_simhash_fps(spark, sf_dir)
+    ).orderBy("doc_a", "doc_b")
 
 
 @register(
@@ -205,7 +226,7 @@ def llm_simsearch_lsh(spark, sf_dir):
     (rows-only)."""
     idx = _ann_index(spark, sf_dir)
     vec = ann_index.fetch_vector(spark, idx, probe_id=0)
-    return ann_index.lsh_probe(spark, idx, vec, k=10, exclude_id=0)
+    return ann_index.lsh_probe(spark, idx, vec, k=10, exclude_id=0, probe_id=0)
 
 
 @register("llm_simsearch_ivf", oracle=None, tags=("llm", "similarity"))
@@ -390,9 +411,16 @@ def llm_fingerprint(spark, sf_dir):
 @register("llm_embedding_neardup", oracle=None, tags=("llm", "dedup"))
 def llm_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (cos ≥ 0.95) among LSH-bucket
-    candidates — the embedding-space dedup pass (rows-only)."""
-    emb = table(spark, sf_dir, "embeddings")
-    bucketed = similarity._bucketed(emb, "embedding")
+    candidates — the embedding-space dedup pass (rows-only). Buckets
+    come from the PERSISTED ANN index (ingest-once), not a per-query
+    re-bucketing of the corpus: at 100 TB the signature expressions run
+    exactly once, at ingest."""
+    import os
+
+    idx = _ann_index(spark, sf_dir)
+    bucketed = spark.read.parquet(os.path.join(idx, "lsh")).select(
+        "vec_id", "embedding", "table_id", "bucket"
+    )
     a = bucketed.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("e_a"),

@@ -168,6 +168,26 @@ def test_simhash_deterministic_across_partitioning(spark):
     assert a == b
 
 
+def test_simhash_arrow_near_dups_and_determinism(spark):
+    """The Arrow/numpy fingerprint path must behave like a SimHash:
+    identical text → identical fingerprint, one-word edit → within
+    Hamming 3, unrelated text never pairs; and fingerprints must be
+    partition-independent (crc32, not Python's salted hash)."""
+    docs = _docs_fixture(spark)
+    a = {r.doc_id: r.simhash for r in dedup.simhash_fingerprints_arrow(docs.repartition(1)).collect()}
+    b = {r.doc_id: r.simhash for r in dedup.simhash_fingerprints_arrow(docs.repartition(7)).collect()}
+    assert a == b
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_near_dups(
+            docs, max_hamming=3, fp=dedup.simhash_fingerprints_arrow(docs)
+        ).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) in pairs
+    assert not any(4 in p for p in pairs)
+
+
 # ----------------------------------------------------------------- skew
 
 
@@ -260,6 +280,32 @@ def test_lsh_topk_recall_on_real_embeddings(spark):
     approx = [r.vec_id for r in similarity.lsh_topk(emb, 0, 10).collect()]
     assert exact[0] == approx[0], "top-1 must survive LSH bucketing"
     assert len(set(exact) & set(approx)) >= 5, "recall@10 collapsed"
+
+
+def test_stored_probe_buckets_match_signature_expressions(spark):
+    """The sigs/ store lookup (the production probe path) must return
+    exactly the buckets the signature expressions compute — and the two
+    lsh_probe paths must therefore return identical top-k rows."""
+    from opusdb_spark.operators import ann_index
+    from opusdb_spark.tables import table
+
+    emb = table(spark, SF, "embeddings")
+    idx = ann_index.ensure_index(
+        spark, emb, ann_index.index_dir_for(SF), ann_index.source_fingerprint(SF)
+    )
+    vec = ann_index.fetch_vector(spark, idx, 0)
+    stored = sorted(ann_index.stored_buckets(spark, idx, 0))
+    computed = sorted(ann_index._probe_buckets(spark, vec))
+    assert stored == computed
+    via_store = [
+        (r.vec_id, r.cosine)
+        for r in ann_index.lsh_probe(spark, idx, vec, 10, exclude_id=0, probe_id=0).collect()
+    ]
+    via_expr = [
+        (r.vec_id, r.cosine)
+        for r in ann_index.lsh_probe(spark, idx, vec, 10, exclude_id=0).collect()
+    ]
+    assert via_store == via_expr
 
 
 def test_ivf_topk_recall_on_real_embeddings(spark):

@@ -1,0 +1,439 @@
+"""Training-data pipeline operators beyond dedup/similarity: PII
+scrubbing, repetition filtering, deterministic train/val/test splits,
+stratified domain mixing, composed quality filtering, sequence packing,
+deterministic shuffle-into-shards, time-series gap fill, histograms,
+and an ORC source roundtrip.
+
+Cross-engine determinism notes:
+- Pseudo-randomness is md5-bucket based (`_hash_bucket_sql`): both
+  engines compute the identical 0..255 bucket from the same key+salt,
+  so sampling/splits are reproducible anywhere (never rand()).
+- Double sums go through exactness.dsum / sql_dsum; DuckDB integer
+  SUMs are cast to BIGINT (HUGEINT otherwise).
+- Regexes stay in the Java∩RE2 common dialect (no lookaround, no \\b).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from opusdb_spark.exactness import dsum, sql_dsum
+from opusdb_spark.operators import packing
+from opusdb_spark.operators import text as T
+from opusdb_spark.registry import register
+from opusdb_spark.sources.formats import scratch_sink
+from opusdb_spark.tables import table
+
+
+def _hash_bucket_sql(key_sql: str, salt: str) -> str:
+    """0..255 bucket from md5(salt || key) — same SQL evaluates
+    identically in Spark and DuckDB (md5/substr/instr agree), giving a
+    deterministic uniform hash both engines reproduce bit-for-bit.
+    Used for splits and sampling instead of rand()."""
+    h = f"md5(concat('{salt}', CAST({key_sql} AS STRING)))"
+    c1 = f"(instr('0123456789abcdef', substr({h}, 1, 1)) - 1)"
+    c2 = f"(instr('0123456789abcdef', substr({h}, 2, 1)) - 1)"
+    return f"({c1} * 16 + {c2})"
+
+
+# --------------------------------------------------------------- PII
+# Documents are synthetic and PII-free, so the query plants one email
+# and one phone per doc deterministically, then scrubs them — the
+# operator under test is the scrub, and the oracle checks counts and
+# the sha256 of the scrubbed text per doc.
+_PII_TEXT = (
+    "concat(text, ' contact user', CAST(doc_id AS STRING), "
+    "'@mail.example.com or call 555-', "
+    "lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))"
+)
+_EMAIL_RE = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+_PHONE_RE = "555-[0-9]{4}"
+
+
+@register(
+    "llm_pii_scrub",
+    oracle=f"""
+        WITH seeded AS (SELECT doc_id, {_PII_TEXT} AS t FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+               sha256(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                     '{_PHONE_RE}', '<PHONE>', 'g')) AS clean_hash
+        FROM seeded
+    """,
+    tags=("llm", "pipeline"),
+)
+def llm_pii_scrub(spark, sf_dir):
+    """Regex PII redaction (emails, phone numbers) with per-doc match
+    counts — pure Catalyst regexp_replace/extract_all, zero Python in
+    the hot path. The scrubbed text is returned as its sha256 so the
+    oracle value-checks full content compactly."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.expr(_PII_TEXT)
+    clean = F.regexp_replace(
+        F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(_EMAIL_RE), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(_PHONE_RE), 0)).cast("long").alias("n_phones"),
+        F.sha2(clean, 256).alias("clean_hash"),
+    )
+
+
+# -------------------------------------------------------- repetition
+_DISTINCT_RATIO = (
+    "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)"
+    " / len(string_split(text, ' '))"
+)
+
+
+@register(
+    "llm_repetition_filter",
+    oracle=f"""
+        WITH r AS (SELECT lang, {_DISTINCT_RATIO} AS ratio FROM documents)
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN ratio < 0.6 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_repetitive,
+               {sql_dsum("ratio", "sum_ratio")}
+        FROM r GROUP BY lang
+    """,
+    tags=("llm", "pipeline"),
+)
+def llm_repetition_filter(spark, sf_dir):
+    """Within-doc repetition screen: distinct-word ratio per doc (the
+    cheap proxy for boilerplate/spam — near-1 means varied text, low
+    means repeated phrases), flagged below 0.6, aggregated per lang.
+    Ratio arithmetic is identical IEEE division in both engines."""
+    docs = table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    ratio = F.size(F.array_distinct(w)).cast("double") / F.size(w)
+    return (
+        docs.select("lang", ratio.alias("ratio"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("ratio") < 0.6, 1).otherwise(0))
+            .cast("long")
+            .alias("n_repetitive"),
+            dsum("ratio", "sum_ratio"),
+        )
+    )
+
+
+# ------------------------------------------------------------- split
+_SPLIT_BUCKET = _hash_bucket_sql("doc_id", "split:")
+_SPLIT_CASE = (
+    f"CASE WHEN {_SPLIT_BUCKET} < 205 THEN 'train' "
+    f"WHEN {_SPLIT_BUCKET} < 231 THEN 'val' ELSE 'test' END"
+)
+
+
+@register(
+    "llm_train_val_split",
+    oracle=f"""
+        SELECT {_SPLIT_CASE} AS split, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY 1, 2
+    """,
+    tags=("llm", "pipeline"),
+)
+def llm_train_val_split(spark, sf_dir):
+    """Deterministic ~80/10/10 train/val/test split by hash bucket of
+    doc_id (never rand(): assignment must be stable across runs,
+    engines, and partitionings so a doc can never leak between splits).
+    Returns the split × lang composition."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.expr(_SPLIT_CASE).alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+# -------------------------------------------------------- domain mix
+_MIX_WEIGHTS = {"en": 128, "de": 204, "es": 64, "fr": 25, "zh": 256}  # /256
+_MIX_BUCKET = _hash_bucket_sql("doc_id", "mix:")
+_MIX_KEEP = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(_MIX_WEIGHTS.items()))
+    + f" ELSE 0 END > {_MIX_BUCKET}"
+)
+
+
+@register(
+    "llm_domain_mix",
+    oracle=f"""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_source,
+               CAST(SUM(CASE WHEN {_MIX_KEEP} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               CAST(SUM(CASE WHEN {_MIX_KEEP} THEN n_chars ELSE 0 END) AS BIGINT)
+                   AS kept_chars
+        FROM documents GROUP BY lang
+    """,
+    tags=("llm", "pipeline"),
+)
+def llm_domain_mix(spark, sf_dir):
+    """Stratified down-sampling to target domain proportions (the
+    data-mixing step of corpus prep): per-language keep rates applied
+    via the deterministic hash bucket — reproducible sampling, no
+    rand(), no shuffle beyond the final aggregation."""
+    docs = table(spark, sf_dir, "documents")
+    keep = F.expr(_MIX_KEEP)
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_source"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(keep, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("kept_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------- quality filter
+_PUNCT_RATIO_SQL = (
+    "CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)"
+    " / greatest(len(text), 1)"
+)
+
+
+@register(
+    "llm_quality_filter_pipeline",
+    oracle=f"""
+        WITH scored AS (
+            SELECT lang, source, n_chars,
+                   len(string_split(text, ' ')) AS n_words,
+                   {_PUNCT_RATIO_SQL} AS punct_ratio,
+                   {_DISTINCT_RATIO} AS distinct_ratio
+            FROM documents
+        )
+        SELECT lang, source,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               CAST(SUM(n_words) AS BIGINT) AS total_words,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM scored
+        WHERE n_words >= 20 AND punct_ratio < 0.05 AND distinct_ratio > 0.55
+        GROUP BY lang, source
+    """,
+    tags=("llm", "pipeline"),
+)
+def llm_quality_filter_pipeline(spark, sf_dir):
+    """Composed quality gate — min length AND low punctuation noise AND
+    non-repetitive — then the kept-corpus composition by (lang, source).
+    The standard multi-signal document filter, all Catalyst expressions
+    (filters evaluate inside the scan stage; only the final group-by
+    shuffles)."""
+    docs = table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n_words = F.size(w)
+    punct = F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", "")).cast(
+        "double"
+    ) / F.greatest(F.length("text"), F.lit(1))
+    distinct_ratio = F.size(F.array_distinct(w)).cast("double") / F.size(w)
+    return (
+        docs.select(
+            "lang",
+            "source",
+            "n_chars",
+            n_words.alias("n_words"),
+            punct.alias("punct_ratio"),
+            distinct_ratio.alias("distinct_ratio"),
+        )
+        .filter(
+            (F.col("n_words") >= 20)
+            & (F.col("punct_ratio") < 0.05)
+            & (F.col("distinct_ratio") > 0.55)
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+# ------------------------------------------------------ seq packing
+PACK_CAPACITY = 256
+
+
+@register("llm_seq_pack", oracle=None, tags=("llm", "pipeline"))
+def llm_seq_pack(spark, sf_dir):
+    """Greedy sequence packing: docs (in doc_id order, whitespace token
+    counts) packed per language into ≤256-token training sequences
+    (rows-only: the greedy scan is inherently sequential per shard, not
+    SQL-expressible; reference packing pinned in tests). Returns
+    per-sequence (lang, seq_id, n_docs, n_tokens, fill fraction)."""
+    docs = table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", T.n_words(F.col("text")).alias("n_tokens")
+    )
+    packed = packing.pack_sequences(docs, PACK_CAPACITY)
+    return (
+        packed.groupBy("lang", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            "seq_id",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_tokens").cast("double") / PACK_CAPACITY).alias("fill"),
+        )
+        .orderBy("lang", "seq_id")
+    )
+
+
+# -------------------------------------------------- shuffle + shard
+N_SHARDS = 8
+_SHUF_KEY = "md5(concat('shuffle:', CAST(doc_id AS STRING)))"
+_SHUF_BUCKET = _hash_bucket_sql("doc_id", "shuffle:")
+
+
+@register(
+    "llm_shuffle_shard",
+    oracle=f"""
+        SELECT doc_id,
+               CAST({_SHUF_BUCKET} % {N_SHARDS} AS INT) AS shard,
+               CAST(ROW_NUMBER() OVER (
+                    PARTITION BY {_SHUF_BUCKET} % {N_SHARDS}
+                    ORDER BY {_SHUF_KEY}, doc_id) AS BIGINT) AS pos
+        FROM documents
+    """,
+    tags=("llm", "pipeline"),
+)
+def llm_shuffle_shard(spark, sf_dir):
+    """Deterministic global shuffle into N shards: shard by hash bucket,
+    order within shard by an independent md5 sort key — the exact
+    write-shuffled-shards step before training. Distributed windows
+    only (partitionBy shard — never a global single-partition
+    ROW_NUMBER, which would serialize the corpus through one task)."""
+    docs = table(spark, sf_dir, "documents")
+    shard = (F.expr(_SHUF_BUCKET) % N_SHARDS).cast("int")
+    w = Window.partitionBy("shard").orderBy(F.expr(_SHUF_KEY), F.col("doc_id"))
+    return docs.select("doc_id", shard.alias("shard")).withColumn(
+        "pos", F.row_number().over(w).cast("long")
+    )
+
+
+# ---------------------------------------------------- time series
+@register(
+    "ts_gapfill",
+    oracle=f"""
+        WITH pm AS (
+            SELECT date_trunc('minute', ts) AS minute,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   {sql_dsum("value", "sum_value")}
+            FROM events WHERE event_type = 'click' GROUP BY 1
+        ),
+        bounds AS (
+            SELECT date_trunc('minute', MIN(ts)) AS lo,
+                   date_trunc('minute', MAX(ts)) AS hi
+            FROM events WHERE event_type = 'click'
+        ),
+        spine AS (
+            SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS minute
+            FROM bounds
+        )
+        SELECT s.minute,
+               COALESCE(pm.n_events, 0) AS n_events,
+               COALESCE(pm.sum_value, CAST(0 AS DOUBLE)) AS sum_value
+        FROM spine s LEFT JOIN pm ON s.minute = pm.minute
+    """,
+    tags=("timeseries",),
+)
+def ts_gapfill(spark, sf_dir):
+    """Per-minute resample of click events with gap fill: a generated
+    minute spine (sequence + explode over the observed bounds — tiny,
+    one row per minute of span) left-joins the aggregated series and
+    fills missing minutes with zero. The standard densify step before
+    windowed/FFT-style analysis; the spine side is broadcast-sized at
+    any corpus scale (minutes of span, not rows of data)."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    per_min = ev.groupBy(F.date_trunc("minute", "ts").alias("minute")).agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value")
+    )
+    spine = (
+        ev.agg(
+            F.date_trunc("minute", F.min("ts")).alias("lo"),
+            F.date_trunc("minute", F.max("ts")).alias("hi"),
+        )
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 MINUTE"))
+            ).alias("minute")
+        )
+    )
+    return spine.join(per_min, "minute", "left").select(
+        "minute",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+    )
+
+
+# ------------------------------------------------------- histogram
+@register(
+    "hist_values",
+    oracle=f"""
+        SELECT CAST(FLOOR(value / CAST(50 AS DOUBLE)) AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_dsum("value", "sum_value")}
+        FROM events GROUP BY 1
+    """,
+    tags=("agg", "histogram"),
+)
+def hist_values(spark, sf_dir):
+    """Fixed-width histogram of events.value (bin = floor(value/50)) —
+    one map-side bin projection + one aggregation shuffle; the
+    distribution profile every pipeline computes before outlier
+    clipping."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.floor(F.col("value") / F.lit(50.0)).cast("long").alias("bin"),
+            "value",
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+    )
+
+
+# ------------------------------------------------------- ORC source
+@register(
+    "source_orc_roundtrip",
+    oracle="""
+        SELECT n_regionkey,
+               CAST(COUNT(*) AS BIGINT) AS n_nations,
+               MIN(n_name) AS first_nation
+        FROM nation GROUP BY n_regionkey
+    """,
+    tags=("source",),
+)
+def source_orc_roundtrip(spark, sf_dir):
+    """ORC write + read-back (Spark-native columnar format besides
+    parquet): nation → ORC → aggregate. Values must survive the format
+    roundtrip exactly; the oracle reads the original table."""
+    out = scratch_sink(
+        f"orc_nation_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    table(spark, sf_dir, "nation").write.mode("overwrite").orc(out)
+    return (
+        spark.read.orc(out)
+        .groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.min("n_name").alias("first_nation"),
+        )
+    )

@@ -34,6 +34,7 @@ _QUERY_MODULES = [
     "opusdb_spark.queries.streaming_batch",
     "opusdb_spark.queries.udfs",
     "opusdb_spark.queries.llm",
+    "opusdb_spark.queries.pipeline",
 ]
 
 

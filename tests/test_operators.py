@@ -282,6 +282,46 @@ def test_lsh_topk_recall_on_real_embeddings(spark):
     assert len(set(exact) & set(approx)) >= 5, "recall@10 collapsed"
 
 
+def test_pack_sequences_matches_reference_and_respects_capacity(spark):
+    """Greedy packing: distributed applyInPandas result must equal the
+    sequential reference per group; no sequence exceeds capacity unless
+    it is a single oversized doc."""
+    from opusdb_spark.operators import packing
+
+    rows = [
+        ("en", 1, 100), ("en", 2, 100), ("en", 3, 100),  # 100+100 | 100
+        ("en", 4, 300),                                   # oversized → own seq
+        ("en", 5, 50),
+        ("de", 1, 256), ("de", 2, 1),                     # exact fit | next
+    ]
+    docs = spark.createDataFrame(rows, "lang string, doc_id long, n_tokens long")
+    got = {
+        (r.lang, r.doc_id): r.seq_id
+        for r in packing.pack_sequences(docs, 256).collect()
+    }
+    assert got == {
+        ("en", 1): 0, ("en", 2): 0, ("en", 3): 1,
+        ("en", 4): 2, ("en", 5): 3,
+        ("de", 1): 0, ("de", 2): 1,
+    }
+    assert packing.pack_greedy([100, 100, 100, 300, 50], 256) == [0, 0, 1, 2, 3]
+    # capacity invariant on the real corpus path
+    from opusdb_spark.tables import table
+    from opusdb_spark.operators import text as T
+    from pyspark.sql import functions as F
+
+    corpus = table(spark, SF, "documents").select(
+        "lang", "doc_id", T.n_words(F.col("text")).alias("n_tokens")
+    )
+    seqs = (
+        packing.pack_sequences(corpus, 256)
+        .groupBy("lang", "seq_id")
+        .agg(F.sum("n_tokens").alias("tot"), F.count(F.lit(1)).alias("n"))
+    )
+    bad = seqs.filter((F.col("tot") > 256) & (F.col("n") > 1)).count()
+    assert bad == 0, "multi-doc sequence exceeded capacity"
+
+
 def test_stored_probe_buckets_match_signature_expressions(spark):
     """The sigs/ store lookup (the production probe path) must return
     exactly the buckets the signature expressions compute — and the two
@@ -410,6 +450,10 @@ def test_decode_rejects_real_codecs():
         "join_salted_skew",
         "agg_percentile_exact",
         "join_theta",
+        "llm_train_val_split",
+        "llm_shuffle_shard",
+        "llm_seq_pack",
+        "ts_gapfill",
     ],
 )
 def test_determinism_under_repartition(name, spark):

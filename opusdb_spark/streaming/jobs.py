@@ -27,26 +27,52 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 from opusdb_spark.session import apply_runtime_confs
-from opusdb_spark.sources.formats import scratch_sink
+from opusdb_spark.sources.formats import (
+    ensure_written,
+    scratch_path,
+    scratch_sink,
+    stat_fingerprint,
+)
 
 _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
 
-# Raw parquet schema (ts as int64 nanos — see tables.py).
-_EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_source_shape(sf_dir: str) -> tuple[StructType, str]:
+    """(stream schema, ts select-expr) matched to the parquet's actual
+    ts physical type.
 
-_TS_EXPR = "timestamp_micros(ts div 1000) AS ts"
+    The generator has shipped events.ts both as TIMESTAMP(NANOS)
+    (which Spark only reads as int64 under `nanosAsLong`) and as
+    TIMESTAMP(MICROS) (a native timestamp). An explicit LongType schema
+    over a MICROS column silently yields micros-as-int64, so the
+    conversion must be chosen from the file's metadata, exactly like
+    the batch loader's dtype guard (tables.py:46)."""
+    import pyarrow.parquet as pq
+
+    ts_type = str(
+        pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    )
+    if ts_type.startswith("timestamp"):
+        ts_field, ts_expr = TimestampType(), "ts"
+    else:  # int64 nanoseconds
+        ts_field, ts_expr = (
+            LongType(),
+            "timestamp_micros(ts div 1000) AS ts",
+        )
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_field),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    return schema, ts_expr
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -74,24 +100,84 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.symlink(target, link)
     else:
         os.symlink(target, link)
+    schema, ts_expr = _events_source_shape(sf_dir)
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .load(link_dir)
     )
     return raw.selectExpr(
-        "event_id", _TS_EXPR, "user_id", "event_type", "value", "props"
+        "event_id", ts_expr, "user_id", "event_type", "value", "props"
+    )
+
+
+def _events_split_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    """Ingest-once ts-range split of events.parquet into `n_files`
+    parquet files with staggered mtimes.
+
+    Why: a single-file replay is ONE micro-batch, and in append mode a
+    watermarked aggregation only emits a window when a LATER batch's
+    watermark passes its end — so one batch emits nothing. Splitting the
+    log into ts-ordered files and streaming with maxFilesPerTrigger=1
+    gives a genuine multi-batch arrival order (the shape of a real
+    incoming stream / WAL segment roll, log_mgr.clj:16-33), so the
+    watermark advances and closed windows flush. mtimes are staggered in
+    ts order because the file source orders files by modification time.
+    """
+    src = f"{sf_dir}/events.parquet"
+    path = scratch_path(
+        f"stream_events_split_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+
+    schema, ts_expr = _events_source_shape(sf_dir)
+
+    def write(p: str) -> None:
+        raw = spark.read.schema(schema).parquet(src)
+        raw.repartitionByRange(n_files, "ts").write.mode("overwrite").parquet(p)
+        parts = sorted(
+            f for f in os.listdir(p) if f.startswith("part-")
+        )
+        base = os.stat(p).st_mtime
+        for i, fname in enumerate(parts):
+            fp = os.path.join(p, fname)
+            os.utime(fp, (base + i, base + i))
+
+    return ensure_written(
+        path, stat_fingerprint(src, n=n_files, ts_expr=ts_expr), write
+    )
+
+
+def _events_stream_batched(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> DataFrame:
+    """events as a MULTI-BATCH stream (one file-per-trigger over the
+    ts-range split) — required by append-mode watermark semantics."""
+    apply_runtime_confs(spark)
+    split = _events_split_dir(spark, sf_dir, n_files)
+    schema, ts_expr = _events_source_shape(sf_dir)
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(split)
+    )
+    return raw.selectExpr(
+        "event_id", ts_expr, "user_id", "event_type", "value", "props"
     )
 
 
 def watermark_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-min watermark + 1-hour tumbling counts (stream_watermark_late).
 
-    With availableNow over a single replay the watermark admits all rows;
-    the semantics under late data are exercised in tests/test_streaming.py
-    with a two-batch replay where stragglers get dropped.
+    Replays events as FOUR ts-ordered micro-batches so the watermark
+    advances between batches and append mode emits every window the
+    final watermark has closed (a single-batch replay emits nothing —
+    no later batch ever passes a window end). Windows in the last
+    batch's tail stay open by design; the late-straggler drop semantics
+    are exercised in tests/test_streaming.py with an out-of-order
+    two-batch replay.
     """
-    ev = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    ev = _events_stream_batched(spark, sf_dir).withWatermark("ts", "10 minutes")
     agg = ev.groupBy(F.window("ts", "1 hour").alias("w")).agg(
         F.count(F.lit(1)).alias("n_events")
     )
@@ -140,8 +226,12 @@ def foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native session_window (30-min gap) aggregation, streaming."""
-    ev = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    """Native session_window (30-min gap) aggregation, streaming.
+
+    Multi-batch replay for the same reason as watermark_tumbling:
+    append-mode session windows only emit once a later batch's
+    watermark closes them."""
+    ev = _events_stream_batched(spark, sf_dir).withWatermark("ts", "10 minutes")
     agg = ev.groupBy(
         F.session_window("ts", "30 minutes").alias("sw"), F.col("user_id")
     ).agg(F.count(F.lit(1)).alias("n_events"))

@@ -149,18 +149,19 @@ def conservation(
          value (deterministic integer arithmetic — no sampling);
       2. each range computes its local prefix sums in parallel
          (window partitioned by range id);
-      3. the per-range totals — `n_ranges` rows, model-sized — get an
-         exclusive running sum (the only partition-less window, over
-         ≤ n_ranges rows) and are broadcast back as range offsets.
+      3. the per-range totals — `n_ranges` rows, model-sized — come to
+         the driver for an exact exclusive prefix sum and return as a
+         literal map of range offsets (the same model-sized-collect
+         rule the IVF centroids follow; no unbounded driver state).
     """
+    from decimal import Decimal
+
     w_key = Window.partitionBy(key).orderBy(version)
     delta = F.col(value) - F.coalesce(F.lag(value).over(w_key), F.lit(0))
-    zero = F.lit(0)
     if decimal:
         delta = delta.cast("decimal(27,6)")
-        zero = zero.cast("decimal(38,6)")
     deltas = versions.withColumn("_delta", delta)
-    # lazy localCheckpoint: per_wp feeds both the range-bound stats and
+    # lazy localCheckpoint: per_wp feeds both the range-offset pass and
     # the main path — materialize once inside the first action instead
     # of aggregating the versions table twice.
     per_wp = (
@@ -170,37 +171,38 @@ def conservation(
     )
     # Contiguous ranges from pure integer arithmetic on the version
     # value: deterministic under any partitioning, retry-safe (unlike
-    # spark_partition_id after a sampled repartitionByRange).
-    stats = per_wp.agg(
-        F.min(version).alias("_lo"),
-        (
-            F.ceil(
-                (F.max(version) - F.min(version) + 1)
-                / F.lit(n_ranges).cast("long")
-            )
-        ).alias("_width"),
+    # spark_partition_id after a sampled repartitionByRange). This
+    # first action also materializes the per_wp checkpoint, so the two
+    # later jobs reuse it instead of re-running the key-window pass.
+    lo, hi = per_wp.agg(F.min(version), F.max(version)).first()
+    if lo is None:
+        return per_wp.select(version, F.lit(None).cast("double").alias("total"))
+    width = max(1, -(-(hi - lo + 1) // n_ranges))
+    grp = ((F.col(version) - F.lit(lo)) / F.lit(width)).cast("long")
+    grouped = per_wp.withColumn("_grp", grp)
+    # Per-range totals are MODEL-SIZED (≤ n_ranges rows) — like the IVF
+    # centroids, they come to the driver, get an exact exclusive prefix
+    # sum there (Python ints/Decimals — no float drift), and go back as
+    # literals. That replaces a broadcast-join + partition-less window
+    # with a map lookup, and the only cross-range data movement is
+    # n_ranges scalars.
+    g_rows = sorted(
+        grouped.groupBy("_grp").agg(F.sum("_wp_delta").alias("_g")).collect()
     )
-    grouped = per_wp.crossJoin(F.broadcast(stats)).withColumn(
-        "_grp", ((F.col(version) - F.col("_lo")) / F.col("_width")).cast("long")
+    acc = Decimal(0) if decimal else 0
+    off_literals = []
+    for g, tot in g_rows:
+        off_literals.append((g, acc))
+        acc += tot
+    off_map = F.create_map(
+        *[x for g, o in off_literals for x in (F.lit(g), F.lit(o))]
     )
     w_local = (
         Window.partitionBy("_grp")
         .orderBy(version)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    with_local = grouped.select(
-        version, "_grp", "_wp_delta", F.sum("_wp_delta").over(w_local).alias("_local")
-    )
-    group_tot = grouped.groupBy("_grp").agg(F.sum("_wp_delta").alias("_g"))
-    w_prior = Window.orderBy("_grp").rowsBetween(
-        Window.unboundedPreceding, -1
-    )  # ≤ n_ranges rows: bounded, model-sized
-    offsets = group_tot.select(
-        "_grp", F.coalesce(F.sum("_g").over(w_prior), zero).alias("_off")
-    )
-    total = F.col("_off") + F.col("_local")
+    total = off_map[F.col("_grp")] + F.sum("_wp_delta").over(w_local)
     if decimal:
         total = total.cast("double")
-    return with_local.join(F.broadcast(offsets), "_grp").select(
-        version, total.alias("total")
-    )
+    return grouped.select(version, total.alias("total"))

@@ -119,6 +119,39 @@ def read_own_writes(
     return latest(versions.unionByName(stamped.select(*versions.columns)), key, version)
 
 
+def merge(
+    versions: DataFrame,
+    changes: DataFrame,
+    key: str = "ref_id",
+    version: str = "write_point",
+) -> DataFrame:
+    """MERGE a change-set as ONE committed write point (upsert+delete).
+
+    `changes` carries (key, value..., _op) with _op in ('upsert',
+    'delete'). Upserts append a new version of the key (insert if the
+    key is new); deletes append a TOMBSTONE version (all non-key/value
+    columns null, _deleted=true). Mirrors the reference's
+    ref-set/alter/ensure batch committed under one WRITE_POINT bump
+    (stm.clj:42-43, 103-122): the whole change-set shares one write
+    point and lands atomically (single Spark job commit).
+
+    Returns the new versions DataFrame with a `_deleted` flag column.
+    Read the post-merge state with `latest(...).filter(~_deleted)`;
+    older snapshots still see the pre-merge values — deletes are
+    versions, not in-place erasure, exactly like the history vector.
+    """
+    if "_deleted" not in versions.columns:
+        versions = versions.withColumn("_deleted", F.lit(False))
+    nxt = versions.agg((F.coalesce(F.max(version), F.lit(0)) + 1).alias("_wp"))
+    stamped = (
+        changes.withColumn("_deleted", F.col("_op") == "delete")
+        .drop("_op")
+        .crossJoin(F.broadcast(nxt))
+        .withColumnRenamed("_wp", version)
+    )
+    return versions.unionByName(stamped.select(*versions.columns))
+
+
 def conservation(
     versions: DataFrame,
     value: str = "value",

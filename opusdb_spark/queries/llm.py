@@ -524,3 +524,120 @@ def multimodal_resize(spark, sf_dir):
         )
         .orderBy("media_id")
     )
+
+
+@register(
+    "llm_bm25_topk",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, w
+            FROM documents, LATERAL (SELECT UNNEST(string_split(text, ' ')) AS w)
+            WHERE w <> ''
+        ),
+        doclen AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+            FROM toks GROUP BY doc_id
+        ),
+        stats AS (
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+                   CAST((SELECT SUM(dl) FROM doclen) AS DOUBLE)
+                       / (SELECT COUNT(*) FROM documents) AS avgdl
+        ),
+        terms AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS c,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM toks GROUP BY w ORDER BY c DESC, w LIMIT 3
+        ),
+        tf AS (
+            SELECT t.doc_id, t.w, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks t JOIN terms q ON t.w = q.w
+            GROUP BY t.doc_id, t.w
+        ),
+        contrib AS (
+            SELECT tf.doc_id,
+                   round(
+                       ln(1 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)),
+                   6) AS c
+            FROM tf
+            JOIN terms q ON tf.w = q.w
+            JOIN doclen dl ON dl.doc_id = tf.doc_id
+            CROSS JOIN stats s
+        )
+        SELECT doc_id, CAST(SUM(CAST(c AS DECIMAL(27,6))) AS DOUBLE) AS bm25
+        FROM contrib GROUP BY doc_id
+        ORDER BY SUM(CAST(c AS DECIMAL(27,6))) DESC, doc_id LIMIT 20
+    """,
+    tags=("llm", "ranking"),
+)
+def llm_bm25_topk(spark, sf_dir):
+    """BM25 (k1=1.2, b=0.75) top-20 docs for the corpus's 3 most
+    frequent terms — the inverted-index ranking pass of a retrieval /
+    data-curation pipeline, expressed as pure Catalyst joins+aggs.
+
+    Scale shape: tokens are exploded once and aggregated map-side; the
+    query-term list (LIMIT 3 via TakeOrdered) is model-sized and
+    broadcast, so per-doc tf is computed only for matching terms. No
+    all-pairs work, no Python. Cross-engine exactness: per-term
+    contributions are rounded to 6 dp (JVM vs libm `ln` differs by
+    1 ulp), then decimal-summed per doc; ranking uses the exact decimal
+    sum with doc_id tie-break, so the top-20 set is deterministic in
+    both engines.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_df = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tot_df = doclen.agg(F.sum("dl").alias("_tot"))
+    stats = (
+        n_df.crossJoin(tot_df)
+        .select(
+            "n_docs",
+            (F.col("_tot").cast("double") / F.col("n_docs")).alias("avgdl"),
+        )
+    )
+    terms = (
+        toks.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("c").desc(), F.col("w"))
+        .limit(3)
+    )
+    tf = (
+        toks.join(F.broadcast(terms.select("w")), "w")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    contrib = (
+        tf.join(F.broadcast(terms), "w")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    F.lit(1)
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+                ),
+                6,
+            ).alias("c"),
+        )
+    )
+    dec = F.sum(F.col("c").cast("decimal(27,6)"))
+    return (
+        contrib.groupBy("doc_id")
+        .agg(dec.cast("double").alias("bm25"), dec.alias("_rank"))
+        .orderBy(F.col("_rank").desc(), F.col("doc_id"))
+        .limit(20)
+        .drop("_rank")
+    )

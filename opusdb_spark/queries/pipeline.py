@@ -437,3 +437,73 @@ def source_orc_roundtrip(spark, sf_dir):
             F.min("n_name").alias("first_nation"),
         )
     )
+
+
+# ----------------------------------------------- decontamination
+@register(
+    "llm_decontaminate",
+    oracle="""
+        WITH grams AS (
+            SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                       string_split(text, ' ')[i] || ' ' ||
+                       string_split(text, ' ')[i+1] || ' ' ||
+                       string_split(text, ' ')[i+2] AS g
+                FROM documents,
+                     LATERAL (SELECT UNNEST(range(1, GREATEST(len(string_split(text,' ')) - 2, 0) + 1)) AS i)
+            )
+        ),
+        bench AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 = 0),
+        train AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 <> 0)
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_grams,
+               CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_bench_docs
+        FROM train t JOIN bench b ON t.g = b.g
+        GROUP BY t.doc_id
+    """,
+    tags=("llm", "pipeline", "decontamination"),
+)
+def llm_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training docs sharing any word
+    3-gram with the held-out benchmark slice (doc_id % 97 = 0 — the
+    deterministic stand-in for an eval set).
+
+    Candidates come ONLY from a shared-gram equi-join — never an
+    all-pairs text comparison — and the benchmark side of the join is
+    the small one (~1% of the corpus), so at 100 TB it broadcasts or
+    hash-joins on the gram key while the training side streams. The
+    kept corpus is train MINUS these doc_ids (an anti-join the caller
+    composes, as llm_dedup_pipeline does for dedup keep-lists).
+    """
+    docs = table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size(w) - 3, F.lit(0))),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(w, i + 1),
+                        F.element_at(w, i + 2),
+                        F.element_at(w, i + 3),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .filter(F.size(F.split(F.col("g"), " ")) == 3)
+        .distinct()
+    )
+    bench = grams.filter(F.col("doc_id") % 97 == 0).withColumnRenamed(
+        "doc_id", "bench_doc"
+    )
+    train = grams.filter(F.col("doc_id") % 97 != 0)
+    return (
+        train.join(bench, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_grams"),
+            F.countDistinct("bench_doc").alias("n_bench_docs"),
+        )
+    )

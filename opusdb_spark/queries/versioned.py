@@ -228,3 +228,71 @@ def agg_salted_skew(spark, sf_dir):
     return out.select(
         "event_type", "n", F.col("total_value").cast("double").alias("total_value")
     )
+
+
+@register(
+    "mvcc_merge_upsert",
+    oracle="""
+        WITH latest AS (
+            SELECT ref_id, wp, value FROM (
+                SELECT user_id AS ref_id, event_id AS wp, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY event_id DESC) AS rn
+                FROM events) WHERE rn = 1
+        ),
+        changes AS (
+            SELECT ref_id, value * 2 AS value, 'upsert' AS op
+            FROM latest WHERE ref_id % 5 = 0
+            UNION ALL
+            SELECT ref_id, CAST(NULL AS DOUBLE), 'delete'
+            FROM latest WHERE ref_id % 11 = 0 AND ref_id % 5 <> 0
+            UNION ALL
+            SELECT ref_id + 1000000, 1.5, 'upsert'
+            FROM latest WHERE ref_id % 7 = 0
+        )
+        SELECT COALESCE(c.ref_id, l.ref_id) AS ref_id,
+               CASE WHEN c.ref_id IS NOT NULL
+                    THEN (SELECT MAX(event_id) FROM events) + 1
+                    ELSE l.wp END AS write_point,
+               CASE WHEN c.ref_id IS NOT NULL
+                    THEN c.value ELSE l.value END AS value
+        FROM latest l FULL JOIN changes c ON l.ref_id = c.ref_id
+        WHERE COALESCE(c.op, 'keep') <> 'delete'
+    """,
+    tags=("mvcc", "write-path"),
+)
+def mvcc_merge_upsert(spark, sf_dir):
+    """MERGE a mixed change-set (update / delete / insert) as one
+    committed write point, then read the post-merge state.
+
+    Updates double the value of refs % 5 = 0; refs % 11 = 0 (and not
+    updated) get tombstoned; refs % 7 = 0 spawn a NEW key at
+    ref_id + 1000000. All land under ONE write point — the reference's
+    whole-write-set commit (stm.clj:42-43, 103-122) — and deletes are
+    tombstone versions, so earlier snapshots still see the old values.
+    The oracle states the same merge as a FULL JOIN over the latest
+    snapshot.
+    """
+    versions = _versions(spark, sf_dir)
+    cur = mvcc.latest(versions)
+    ups = cur.filter(F.col("ref_id") % 5 == 0).select(
+        "ref_id", (F.col("value") * 2).alias("value"), F.lit("upsert").alias("_op")
+    )
+    dels = cur.filter(
+        (F.col("ref_id") % 11 == 0) & (F.col("ref_id") % 5 != 0)
+    ).select(
+        "ref_id",
+        F.lit(None).cast("double").alias("value"),
+        F.lit("delete").alias("_op"),
+    )
+    ins = cur.filter(F.col("ref_id") % 7 == 0).select(
+        (F.col("ref_id") + 1000000).alias("ref_id"),
+        F.lit(1.5).alias("value"),
+        F.lit("upsert").alias("_op"),
+    )
+    merged = mvcc.merge(versions, ups.unionByName(dels).unionByName(ins))
+    return (
+        mvcc.latest(merged)
+        .filter(~F.col("_deleted"))
+        .select("ref_id", "write_point", "value")
+    )

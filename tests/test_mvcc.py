@@ -157,3 +157,36 @@ def test_log_reopen_continues_append(spark, tmp_path):
         .collect()
     )
     assert got == {0: 10, 1: 10}
+
+
+def test_merge_upsert_delete_insert_one_write_point(spark):
+    """MERGE semantics (stm.clj:42-43, 103-122): one write point for
+    the whole change-set; deletes are tombstones, so PRE-merge
+    snapshots still see the old values."""
+    changes = spark.createDataFrame(
+        [
+            (1, 999.0, "upsert"),   # update existing
+            (2, None, "delete"),    # tombstone existing
+            (3, 50.0, "upsert"),    # insert new key
+        ],
+        "ref_id long, value double, _op string",
+    )
+    merged = mvcc.merge(_versions(spark), changes)
+    # all changes share ONE write point = max(30) + 1
+    wps = {
+        r.write_point
+        for r in merged.filter(F.col("write_point") > 30).collect()
+    }
+    assert wps == {31}
+    post = {
+        r.ref_id: r.value
+        for r in mvcc.latest(merged).filter(~F.col("_deleted")).collect()
+    }
+    assert post == {1: 999.0, 3: 50.0}, "2 deleted, 1 updated, 3 inserted"
+    pre = {
+        r.ref_id: r.value
+        for r in mvcc.latest(
+            merged.filter(F.col("write_point") <= 30)
+        ).collect()
+    }
+    assert pre == {1: 300.0, 2: 150.0}, "old snapshot unaffected by merge"

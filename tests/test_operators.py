@@ -454,6 +454,9 @@ def test_decode_rejects_real_codecs():
         "llm_shuffle_shard",
         "llm_seq_pack",
         "ts_gapfill",
+        "llm_decontaminate",
+        "llm_bm25_topk",
+        "mvcc_merge_upsert",
     ],
 )
 def test_determinism_under_repartition(name, spark):
@@ -501,3 +504,18 @@ def test_minhash_signature_store_is_ingest_once(spark, tmp_path):
     # changed fingerprint -> rebuild
     dedup.minhash_signatures_stored(spark, docs, store, {"src": "unit", "v": 2})
     assert os.path.getmtime(marker) != mtime1
+
+
+def test_decontaminate_never_flags_benchmark_docs(spark):
+    out = registry()["llm_decontaminate"].fn(spark, SF).collect()
+    assert len(out) > 0
+    assert all(r.doc_id % 97 != 0 for r in out), "benchmark slice must not appear"
+    assert all(r.n_shared_grams >= r.n_bench_docs >= 1 for r in out)
+
+
+def test_bm25_ranked_and_bounded(spark):
+    rows = registry()["llm_bm25_topk"].fn(spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    scores = [r.bm25 for r in rows]
+    assert scores == sorted(scores, reverse=True), "descending by score"
+    assert all(s > 0 for s in scores)

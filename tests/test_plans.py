@@ -239,3 +239,22 @@ def test_conservation_has_no_global_row_window(spark):
     ]
     assert not bad, "found a partition-less window ordered over all write points"
     assert "windowspecdefinition(_grp" in p, "per-range local prefix window missing"
+
+
+def test_bm25_broadcasts_terms_no_cartesian(spark):
+    """BM25's query-term list is model-sized: it must broadcast into
+    the tf computation, and the only nested-loop join allowed is the
+    1-row stats attach — never a data×data cartesian."""
+    p = plan(_Q["llm_bm25_topk"].fn(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p, "top-20 must be TakeOrdered, not global sort"
+
+
+def test_decontaminate_is_gram_equi_join(spark):
+    """Decontamination candidates come from a shared-gram equi-join —
+    any nested-loop/cartesian here is the all-pairs scan that cannot
+    run at 100 TB."""
+    p = plan(_Q["llm_decontaminate"].fn(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

@@ -248,6 +248,35 @@ def minhash_signatures_stored(
     return spark.read.parquet(store_path)
 
 
+def minhash_pairs_stored(
+    spark,
+    docs: DataFrame,
+    store_path: str,
+    fingerprint: dict,
+    jaccard_threshold: float = 0.5,
+    sig: DataFrame | None = None,
+) -> DataFrame:
+    """The near-dup PAIR GRAPH as an INGEST artifact.
+
+    The LSH band join + signature-estimate pass is corpus-shaped work;
+    every downstream consumer (pair listing, clustering, the dedup
+    pipeline's keep-list) needs the same graph, so it is materialized
+    once per (corpus, threshold) and fingerprint-guarded like the
+    signature store and the ANN index. At 100 TB re-deriving the pair
+    graph per query would repeat the single most expensive dedup
+    shuffle; here it becomes one parquet read."""
+    from opusdb_spark.sources.formats import ensure_written
+
+    ensure_written(
+        store_path,
+        {**fingerprint, "threshold": jaccard_threshold, "n_minhash": N_MINHASH},
+        lambda p: minhash_lsh_dedup(docs, jaccard_threshold, sig=sig)
+        .write.mode("overwrite")
+        .parquet(p),
+    )
+    return spark.read.parquet(store_path)
+
+
 def minhash_lsh_dedup(
     docs: DataFrame,
     jaccard_threshold: float = 0.5,
@@ -494,27 +523,30 @@ def neardup_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
         .localCheckpoint()
     )
     edges = edges.localCheckpoint()
-    prev_sum = None
-    converged = False
-    for _ in range(max_iter):
+    def propagate(lbl: DataFrame) -> DataFrame:
         neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
+            edges.join(lbl, edges.dst == lbl.node)
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
-                    "label"
-                ),
-            )
-            # lazy: the convergence check below both computes this
-            # round's labels AND materializes the checkpoint — one job
-            # per round instead of two
-            .localCheckpoint(eager=False)
+        return lbl.join(
+            neighbor_min, lbl.node == neighbor_min.src, "left"
+        ).select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
+                "label"
+            ),
         )
+
+    prev_sum = None
+    converged = False
+    for _ in range(max_iter):
+        # TWO propagation steps per scheduled job: each action (the
+        # convergence aggregate below) costs a fixed scheduling round
+        # trip, so composing two hops before acting halves the job
+        # count for the same propagation depth. The lazy checkpoint
+        # both computes the round's labels and materializes them.
+        labels = propagate(propagate(labels)).localCheckpoint(eager=False)
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
             converged = True

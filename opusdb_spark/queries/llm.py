@@ -78,16 +78,34 @@ def _simhash_fps(spark, sf_dir):
     )
 
 
+def _minhash_pairs(spark, sf_dir, threshold: float = 0.5):
+    """Ingest-once near-dup PAIR GRAPH for this corpus (band join +
+    estimate run once per (corpus, threshold); fuzzy listing,
+    clustering, and the pipeline all read the same parquet)."""
+    import hashlib
+    import os
+
+    from opusdb_spark.sources.formats import scratch_path, stat_fingerprint
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return dedup.minhash_pairs_stored(
+        spark,
+        table(spark, sf_dir, "documents"),
+        scratch_path(f"minhash_pairs_{base}_{tag}"),
+        stat_fingerprint(f"{sf_dir}/documents.parquet"),
+        jaccard_threshold=threshold,
+        sig=_minhash_sigs(spark, sf_dir),
+    )
+
+
 @register("llm_dedup_fuzzy", oracle=None, tags=("llm", "dedup"))
 def llm_dedup_fuzzy(spark, sf_dir):
     """Near-dup pairs via MinHash+LSH over word 3-gram shingles
     (rows-only: signature estimation is engine-specific). Band-bucket
-    joins only — no all-pairs comparison; signatures come from the
+    joins only — no all-pairs comparison; the pair graph comes from the
     persisted ingest store (operators/dedup.py)."""
-    docs = table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_dedup(
-        docs, jaccard_threshold=0.5, sig=_minhash_sigs(spark, sf_dir)
-    ).orderBy("doc_a", "doc_b")
+    return _minhash_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 @register("llm_dedup_simhash", oracle=None, tags=("llm", "dedup"))
@@ -247,10 +265,7 @@ def llm_dedup_cluster(spark, sf_dir):
     group), then per-component size + canonical keeper. The step that
     turns pairwise dedup into an actual keep-list (rows-only:
     iterative, not SQL-expressible)."""
-    docs = table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_dedup(
-        docs, jaccard_threshold=0.5, sig=_minhash_sigs(spark, sf_dir)
-    )
+    pairs = _minhash_pairs(spark, sf_dir)
     comp = dedup.neardup_components(pairs)
     return (
         comp.groupBy("component")
@@ -472,14 +487,15 @@ def llm_dedup_pipeline(spark, sf_dir):
     actually runs (rows-only: iterative clustering inside)."""
     docs = table(spark, sf_dir, "documents")
     exact_kept = dedup.exact_dedup_keep_min(docs).drop("text_hash")
-    # signatures are per-doc (independent of the rest of the corpus),
-    # so the ingest store restricted to the exact-dedup survivors is
-    # identical to recomputing over them
-    surviving_sigs = _minhash_sigs(spark, sf_dir).join(
-        exact_kept.select("doc_id"), "doc_id", "left_semi"
-    )
-    pairs = dedup.minhash_lsh_dedup(
-        exact_kept, jaccard_threshold=0.5, sig=surviving_sigs
+    # the pair graph is per-pair (independent of the rest of the
+    # corpus), so the ingest store restricted to pairs whose BOTH
+    # endpoints survive exact dedup is identical to re-running LSH over
+    # the survivors
+    kept_ids = exact_kept.select("doc_id")
+    pairs = (
+        _minhash_pairs(spark, sf_dir)
+        .join(kept_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
+        .join(kept_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
     )
     comp = dedup.neardup_components(pairs)
     non_canonical = comp.filter(F.col("doc_id") != F.col("component")).select(

@@ -357,3 +357,48 @@ def agg_percentile_exact(spark, sf_dir):
         F.percentile("l_quantity", 0.5).alias("median_qty"),
         F.percentile("l_extendedprice", 0.9).alias("p90_price"),
     )
+
+
+@register(
+    "agg_incremental_merge",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value,
+               MIN(value) AS min_value, MAX(value) AS max_value
+        FROM events GROUP BY event_type
+    """,
+    tags=("agg", "incremental"),
+)
+def agg_incremental_merge(spark, sf_dir):
+    """Materialized-view maintenance: per-type aggregates maintained by
+    MERGING pre-aggregated partials instead of rescanning history.
+
+    The stream is split into two arrival batches (event_id parity);
+    each batch is aggregated INDEPENDENTLY to decomposable partials
+    (count / decimal sum / min / max), and the maintained view is the
+    second-level merge of the partial rows. At 100 TB this is how a
+    continuous aggregate absorbs a new partition: merge its partial,
+    never re-aggregate the base table. The oracle aggregates the base
+    table directly — merged partials must be indistinguishable from a
+    full recompute (decimal sums make the merge order-independent).
+    """
+    ev = table(spark, sf_dir, "events")
+
+    def partial(batch):
+        return batch.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(27,6)")).alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+
+    partials = partial(ev.filter(F.col("event_id") % 2 == 0)).unionByName(
+        partial(ev.filter(F.col("event_id") % 2 == 1))
+    )
+    return partials.groupBy("event_type").agg(
+        F.sum("n").alias("n_events"),
+        F.sum("s").cast("double").alias("total_value"),
+        F.min("mn").alias("min_value"),
+        F.max("mx").alias("max_value"),
+    )

@@ -657,3 +657,43 @@ def llm_bm25_topk(spark, sf_dir):
         .limit(20)
         .drop("_rank")
     )
+
+
+@register(
+    "emb_label_centroids",
+    oracle="""
+        SELECT label, i AS dim,
+               round(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(27,12)))
+                          AS DOUBLE) / COUNT(*), 6) AS centroid
+        FROM embeddings, LATERAL (SELECT UNNEST(range(1, 65)) AS i)
+        GROUP BY label, i
+    """,
+    tags=("llm", "embedding"),
+)
+def emb_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids as (label, dim, centroid) rows —
+    the class-prototype computation behind clustering diagnostics and
+    centroid-based filtering. posexplode + keyed partial aggregation:
+    at 100 TB each executor pre-sums its local vectors per (label, dim)
+    before one shuffle of 64×n_labels partials. Component sums are
+    decimal (order-independent); the one residual cross-engine hazard
+    is a float whose exact decimal expansion lands on a half-way point
+    of the decimal(27,12) cast, where Spark (HALF_UP) and DuckDB
+    disagree by ~1e-14 — so centroids are reported on a 6-dp grid,
+    which both engines reach identically. Rows, not array columns, so
+    results stay hashable for the driver's canonicalizer."""
+    emb = table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("i0", "x")
+    ).select(
+        "label",
+        (F.col("i0") + 1).alias("dim"),
+        F.col("x").cast("double").alias("x"),
+    )
+    return flat.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(F.col("x").cast("decimal(27,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("centroid")
+    )

@@ -507,3 +507,191 @@ def llm_decontaminate(spark, sf_dir):
             F.countDistinct("bench_doc").alias("n_bench_docs"),
         )
     )
+
+
+# ------------------------------------------- vocab / sampling / outliers
+@register(
+    "llm_vocab_topk",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, w
+            FROM documents, LATERAL (SELECT UNNEST(string_split(text, ' ')) AS w)
+            WHERE w <> ''
+        )
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM toks GROUP BY w
+        ORDER BY n_occurrences DESC, w LIMIT 50
+    """,
+    tags=("llm", "vocab"),
+)
+def llm_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary heavy hitters: top-50 words by occurrence with
+    document frequency — the seed step of vocab/tokenizer construction.
+    Map-side partial aggregation over exploded tokens, then TakeOrdered
+    for the global top-k (no full sort); deterministic (count, word)
+    tie-break."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    return (
+        toks.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("w"))
+        .limit(50)
+    )
+
+
+@register(
+    "llm_sample_per_group",
+    oracle="""
+        SELECT lang, doc_id, n_chars FROM (
+            SELECT lang, doc_id, n_chars,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rn
+            FROM documents
+        ) WHERE rn <= 3
+    """,
+    tags=("llm", "sampling"),
+)
+def llm_sample_per_group(spark, sf_dir):
+    """Deterministic uniform k=3 sample per language: rank docs inside
+    each group by md5(doc_id) — a reproducible stand-in for random
+    order that both engines (and any rerun) compute identically, so
+    eval subsets are stable across runs and engines. The per-group
+    row_number is a group-limit window (no global sort); at 100 TB this
+    is the standard 'inspect k docs per slice' pass."""
+    docs = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("lang", "doc_id", "n_chars", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@register(
+    "events_zscore_outliers",
+    oracle="""
+        WITH s AS (
+            SELECT event_type,
+                   CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS s1,
+                   CAST(SUM(CAST(value * value AS DECIMAL(27,12))) AS DOUBLE) AS s2,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type
+        ),
+        st AS (
+            SELECT event_type, s1 / n AS mu,
+                   SQRT((s2 - s1 * s1 / n) / (n - 1)) AS sd
+            FROM s
+        )
+        SELECT e.event_id, e.event_type, e.value,
+               round((e.value - st.mu) / st.sd, 6) AS z
+        FROM events e JOIN st USING (event_type)
+        WHERE ABS((e.value - st.mu) / st.sd) > 3
+    """,
+    tags=("quality", "outlier"),
+)
+def events_zscore_outliers(spark, sf_dir):
+    """Per-type z-score outliers (|z| > 3): the quality-control pass
+    that drops corrupt numeric records before training aggregation.
+
+    Mean/std derive from ORDER-INDEPENDENT decimal sums (s1, s2), cast
+    to double once — so mu/sd are bit-identical in both engines and the
+    |z| > 3 boundary decides identically. The stats side is a tiny
+    per-type aggregate that broadcasts; events stream through one scan.
+    """
+    ev = table(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("s1"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(27,12)"))
+        .cast("double")
+        .alias("s2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    st = s.select(
+        "event_type",
+        (F.col("s1") / F.col("n")).alias("mu"),
+        F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("sd"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        ev.join(F.broadcast(st), "event_type")
+        .filter(F.abs(z) > 3)
+        .select("event_id", "event_type", "value", F.round(z, 6).alias("z"))
+    )
+
+
+@register(
+    "llm_bigram_lm",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, i,
+                   string_split(text, ' ')[i] AS w1,
+                   string_split(text, ' ')[i+1] AS w2
+            FROM documents,
+                 LATERAL (SELECT UNNEST(range(1, GREATEST(len(string_split(text,' ')) - 1, 0) + 1)) AS i)
+            WHERE string_split(text, ' ')[i] <> ''
+              AND string_split(text, ' ')[i+1] <> ''
+        ),
+        big AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM toks GROUP BY w1, w2
+        ),
+        uni AS (
+            SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM big GROUP BY w1
+        )
+        SELECT b.w1, b.w2, b.c12,
+               CAST(b.c12 AS DOUBLE) / u.c1 AS p_cond
+        FROM big b JOIN uni u ON b.w1 = u.w1
+        ORDER BY b.c12 DESC, b.w1, b.w2 LIMIT 20
+    """,
+    tags=("llm", "lm"),
+)
+def llm_bigram_lm(spark, sf_dir):
+    """Corpus bigram statistics: top-20 bigrams with conditional
+    probability P(w2|w1) = c(w1,w2)/c(w1) — the n-gram language-model
+    table that powers perplexity-style quality filters. Bigram counts
+    aggregate map-side off one exploded pass; the unigram denominator
+    re-aggregates the (much smaller) bigram table rather than
+    rescanning tokens. Integer-ratio doubles are bit-identical
+    cross-engine; (count, w1, w2) tie-break pins the top-20."""
+    docs = table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    prs = docs.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(w) - 2, F.lit(0))),
+                lambda i: F.struct(
+                    F.element_at(w, i + 1).alias("w1"),
+                    F.element_at(w, i + 2).alias("w2"),
+                ),
+            )
+        ).alias("pr")
+    ).select("pr.w1", "pr.w2").filter((F.col("w1") != "") & (F.col("w2") != ""))
+    big = prs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    return (
+        big.join(uni, "w1")
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            (F.col("c12").cast("double") / F.col("c1")).alias("p_cond"),
+        )
+        .orderBy(F.col("c12").desc(), "w1", "w2")
+        .limit(20)
+    )

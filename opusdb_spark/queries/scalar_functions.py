@@ -303,3 +303,34 @@ def fn_null(spark, sf_dir):
         .otherwise("absent")
         .alias("nvl2_shape"),
     )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+        SELECT event_id,
+               event_id & 255 AS low_byte,
+               event_id | 4096 AS with_flag,
+               xor(event_id, 1365) AS toggled,
+               event_id << 2 AS shl2,
+               event_id >> 3 AS shr3,
+               CAST(bit_count(event_id) AS INTEGER) AS popcount
+        FROM events
+    """,
+    tags=("function", "bitwise"),
+)
+def fn_bitwise(spark, sf_dir):
+    """Bitwise AND/OR/XOR, shifts, popcount — pure integer ops,
+    bit-identical across engines (the flag/mask arithmetic every
+    fingerprint and bucket scheme builds on)."""
+    ev = table(spark, sf_dir, "events")
+    e = F.col("event_id")
+    return ev.select(
+        "event_id",
+        e.bitwiseAND(F.lit(255)).alias("low_byte"),
+        e.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        e.bitwiseXOR(F.lit(1365)).alias("toggled"),
+        F.shiftleft(e, 2).alias("shl2"),
+        F.shiftright(e, 3).alias("shr3"),
+        F.bit_count(e).alias("popcount"),
+    )

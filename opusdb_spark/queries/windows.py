@@ -304,3 +304,31 @@ def win_history_cap(spark, sf_dir):
             F.max("ts").alias("newest_kept"),
         )
     )
+
+
+@register(
+    "win_cume_percent",
+    oracle="""
+        SELECT event_id, event_type, value,
+               cume_dist() OVER (PARTITION BY event_type ORDER BY value, event_id)
+                   AS cume,
+               percent_rank() OVER (PARTITION BY event_type ORDER BY value, event_id)
+                   AS prank
+        FROM events
+    """,
+    tags=("window",),
+)
+def win_cume_percent(spark, sf_dir):
+    """cume_dist / percent_rank per event type: both are exact integer
+    ratios (k/n on identical operands), so doubles match bit-for-bit.
+    The (value, event_id) ordering is total, making ranks deterministic
+    under any partitioning."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.cume_dist().over(w).alias("cume"),
+        F.percent_rank().over(w).alias("prank"),
+    )

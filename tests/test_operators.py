@@ -457,6 +457,14 @@ def test_decode_rejects_real_codecs():
         "llm_decontaminate",
         "llm_bm25_topk",
         "mvcc_merge_upsert",
+        "llm_vocab_topk",
+        "llm_sample_per_group",
+        "events_zscore_outliers",
+        "emb_label_centroids",
+        "agg_incremental_merge",
+        "win_cume_percent",
+        "fn_bitwise",
+        "llm_bigram_lm",
     ],
 )
 def test_determinism_under_repartition(name, spark):

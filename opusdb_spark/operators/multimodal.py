@@ -2,11 +2,14 @@
 columns with typed metadata, processed by Arrow-batched mapInPandas.
 
 The Spark-side machinery — schemas, partition-size control, UDF
-signatures, batch shapes — is real and tested; the codec itself is
-stubbed behind `decode_image` (the image/audio libraries are not in
-this container) with a deterministic fake so the pipeline shape can be
-verified end-to-end. Swap `_fake_decode` for a real PIL/ffmpeg call to
-productionize; nothing else changes.
+signatures, batch shapes — is real and tested. Decoding is REAL for
+uncompressed Netpbm images (PGM P5 grayscale / PPM P6 RGB — parsed and
+encoded in pure numpy, no external libraries): the synthetic media
+table carries genuine PGM/PPM bytes, features come from the actual
+decoded pixel planes, and resize is a genuine area (mean-pool)
+downsample. Compressed codecs (PNG/JPEG magic) raise a documented
+NotImplementedError — those libraries are not in this container; swap
+in PIL/ffmpeg at that single dispatch point to extend coverage.
 
 At 100 TB: binaries ride in parquet binary columns (or pointers to
 object storage); mapInPandas processes them in Arrow batches sized by
@@ -67,7 +70,16 @@ def synthesize_media(spark, n: int = 256) -> DataFrame:
                 rng = np.random.RandomState(int(i) % (2**31))
                 kind = ["image", "audio", "video"][int(i) % 3]
                 w, h = 16 + int(i) % 32, 16 + (int(i) // 2) % 32
-                blob = rng.bytes(w * h)
+                if kind == "image":  # real grayscale PGM bytes
+                    blob = encode_pgm(
+                        rng.randint(0, 256, (h, w)).astype(np.uint8)
+                    )
+                elif kind == "video":  # real RGB PPM (first frame)
+                    blob = encode_ppm(
+                        rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+                    )
+                else:  # audio: raw headerless byte plane
+                    blob = rng.bytes(w * h)
                 rows.append((int(i), kind, blob, w, h, 1 + int(i) % 8))
             yield pd.DataFrame(
                 rows,
@@ -90,21 +102,70 @@ def synthesize_media(spark, n: int = 256) -> DataFrame:
 
 
 def _fake_decode(blob: bytes, width: int, height: int) -> np.ndarray:
-    """STUB decoder. Real pipelines put PIL.Image.open / soundfile /
-    pyav here; this deterministic fake reinterprets the blob as a
-    uint8 luma plane so downstream math is testable."""
+    """Fallback for raw (headerless) byte planes — e.g. the synthetic
+    audio blobs, reinterpreted as a uint8 intensity plane so the same
+    downstream math applies."""
     arr = np.frombuffer(blob, dtype=np.uint8)
     return arr[: width * height].reshape(height, width)
 
 
+def encode_pgm(plane: np.ndarray) -> bytes:
+    """Encode an HxW uint8 plane as a binary PGM (P5) image."""
+    h, w = plane.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + plane.astype(np.uint8).tobytes()
+
+
+def encode_ppm(rgb: np.ndarray) -> bytes:
+    """Encode an HxWx3 uint8 array as a binary PPM (P6) image."""
+    h, w, _ = rgb.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + rgb.astype(np.uint8).tobytes()
+
+
+def _parse_netpbm(blob: bytes) -> np.ndarray:
+    """Parse binary PGM (P5) / PPM (P6) into an HxW luma plane.
+
+    Header = magic, width, height, maxval as whitespace-separated
+    tokens with '#' comments, then one raster byte per sample. PPM RGB
+    collapses to luma with fixed-point ITU-R 601 integer weights —
+    deterministic on every platform."""
+    pos = 2  # past magic
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        while pos < len(blob) and blob[pos : pos + 1].isspace():
+            pos += 1
+        if blob[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(blob) and blob[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(blob) and not blob[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(blob[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit Netpbm rasters supported")
+    if blob[:2] == b"P5":
+        return np.frombuffer(blob, np.uint8, w * h, pos).reshape(h, w)
+    rgb = np.frombuffer(blob, np.uint8, w * h * 3, pos).reshape(h, w, 3)
+    r, g, b = (rgb[..., i].astype(np.uint32) for i in range(3))
+    return ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+
+
 def decode_image(blob: bytes, width: int, height: int) -> np.ndarray:
-    """Decode an image blob to HxW luma. NotImplemented for real codecs
-    in this container — tests run through the deterministic fake."""
+    """Decode an image blob to an HxW uint8 luma plane.
+
+    REAL decode for Netpbm (PGM P5 / PPM P6). Compressed codecs
+    (PNG/JPEG) raise NotImplementedError — their libraries are not in
+    this container; this dispatch point is where PIL/pillow plugs in.
+    Headerless blobs fall back to the raw-plane interpretation."""
     if blob[:4] in (b"\x89PNG", b"\xff\xd8\xff\xe0"):
         raise NotImplementedError(
-            "real image codecs unavailable in this environment; "
+            "compressed image codecs unavailable in this environment; "
             "swap in PIL/pillow here"
         )
+    if blob[:2] in (b"P5", b"P6"):
+        return _parse_netpbm(blob)
     return _fake_decode(blob, width, height)
 
 
@@ -132,21 +193,37 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(feats, schema=FEATURE_SCHEMA)
 
 
+def area_resize(plane: np.ndarray, target: int) -> np.ndarray:
+    """REAL area (mean-pool) downsample to ~target×target: crop to a
+    multiple of the pool size, then average each pool block. Pure
+    numpy, deterministic; the standard thumbnailing kernel."""
+    h, w = plane.shape
+    ph, pw = max(1, h // target), max(1, w // target)
+    th, tw = h // ph, w // pw
+    cropped = plane[: th * ph, : tw * pw]
+    return (
+        cropped.reshape(th, ph, tw, pw)
+        .mean(axis=(1, 3))
+        .astype(np.uint8)
+    )
+
+
 def resize_plan(media: DataFrame, target: int = 8) -> DataFrame:
-    """Resize/frame-sample plumbing: emits (media_id, frame_id, thumb)
-    rows — one per sampled frame — showing the 1→N explode shape a real
-    video pipeline uses. Thumbnail payloads are downsampled fakes."""
+    """Resize/frame-sample: emits (media_id, frame_id, thumb) rows —
+    one per sampled frame — the 1→N explode shape a real video pipeline
+    uses. Thumbnails are genuine area-downsampled PGM images of the
+    decoded plane."""
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, frames, thumbs = [], [], []
             for _, row in pdf.iterrows():
                 plane = decode_image(row["content"], row["width"], row["height"])
-                small = plane[:: max(1, plane.shape[0] // target), :: max(1, plane.shape[1] // target)]
+                small = encode_pgm(area_resize(plane, target))
                 for f in range(int(row["n_frames"])):
                     ids.append(int(row["media_id"]))
                     frames.append(f)
-                    thumbs.append(small.tobytes())
+                    thumbs.append(small)
             yield pd.DataFrame(
                 {"media_id": ids, "frame_id": frames, "thumb": thumbs}
             )

@@ -527,3 +527,28 @@ def test_bm25_ranked_and_bounded(spark):
     scores = [r.bm25 for r in rows]
     assert scores == sorted(scores, reverse=True), "descending by score"
     assert all(s > 0 for s in scores)
+
+
+def test_netpbm_codec_roundtrip():
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    plane = rng.randint(0, 256, (13, 21)).astype(np.uint8)
+    assert (multimodal._parse_netpbm(multimodal.encode_pgm(plane)) == plane).all()
+    rgb = rng.randint(0, 256, (9, 5, 3)).astype(np.uint8)
+    luma = multimodal._parse_netpbm(multimodal.encode_ppm(rgb))
+    r, g, b = (rgb[..., i].astype(np.uint32) for i in range(3))
+    assert (luma == ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)).all()
+    # comments + arbitrary whitespace in the header must parse
+    wonky = b"P5\n# a comment\n 21\t13 #x\n255\n" + plane.tobytes()
+    assert (multimodal._parse_netpbm(wonky) == plane).all()
+
+
+def test_area_resize_mean_pools():
+    import numpy as np
+
+    plane = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    small = multimodal.area_resize(plane, 4)
+    assert small.shape == (4, 4)
+    assert small[0, 0] == int(plane[:2, :2].mean())
+    assert small[3, 3] == int(plane[6:, 6:].mean())

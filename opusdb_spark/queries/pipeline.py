@@ -695,3 +695,137 @@ def llm_bigram_lm(spark, sf_dir):
         .orderBy(F.col("c12").desc(), "w1", "w2")
         .limit(20)
     )
+
+
+# ------------------------------------------------- data-quality gates
+@register(
+    "dq_constraints",
+    oracle="""
+        SELECT 'orders_null_custkey' AS check_name,
+               CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+                   AS n_violations
+        FROM orders
+        UNION ALL
+        SELECT 'orders_orphan_custkey',
+               CAST(COUNT(*) AS BIGINT)
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey IS NULL
+        UNION ALL
+        SELECT 'orders_dup_orderkey',
+               CAST(COUNT(*) AS BIGINT)
+        FROM (SELECT o_orderkey FROM orders
+              GROUP BY o_orderkey HAVING COUNT(*) > 1)
+        UNION ALL
+        SELECT 'lineitem_negative_qty',
+               CAST(COUNT(*) FILTER (WHERE l_quantity < 0) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem_discount_range',
+               CAST(COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 1)
+                    AS BIGINT)
+        FROM lineitem
+    """,
+    tags=("quality", "constraints"),
+)
+def dq_constraints(spark, sf_dir):
+    """Data-quality constraint sweep: null keys, referential orphans
+    (orders→customer anti join), primary-key duplicates, domain checks
+    (negative quantity, discount outside [0,1]) — one violation count
+    per named check.
+
+    Each check is a scan-local aggregate or one equi-join; the orphan
+    check is the only shuffle and is exactly the anti-join shape. This
+    is the admission gate a 100 TB ingest runs before data reaches
+    training aggregation."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    lt = table(spark, sf_dir, "lineitem")
+
+    def one(name, df):
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).alias("n_violations"),
+        )
+
+    null_ck = o.agg(
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("n_violations")
+    ).select(F.lit("orders_null_custkey").alias("check_name"), "n_violations")
+    orphan = one(
+        "orders_orphan_custkey",
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti"),
+    )
+    dups = one(
+        "orders_dup_orderkey",
+        o.groupBy("o_orderkey").count().filter(F.col("count") > 1),
+    )
+    neg = lt.agg(
+        F.count(F.when(F.col("l_quantity") < 0, 1)).alias("n_violations")
+    ).select(F.lit("lineitem_negative_qty").alias("check_name"), "n_violations")
+    disc = lt.agg(
+        F.count(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
+        ).alias("n_violations")
+    ).select(
+        F.lit("lineitem_discount_range").alias("check_name"), "n_violations"
+    )
+    return (
+        null_ck.unionByName(orphan)
+        .unionByName(dups)
+        .unionByName(neg)
+        .unionByName(disc)
+    )
+
+
+@register(
+    "profile_columns",
+    oracle="""
+        SELECT 'l_quantity' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(l_quantity) AS BIGINT) AS n_nonnull,
+               CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+               MIN(l_quantity) AS min_v, MAX(l_quantity) AS max_v
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(l_extendedprice) AS BIGINT),
+               CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+               MIN(l_extendedprice), MAX(l_extendedprice)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(l_discount) AS BIGINT),
+               CAST(COUNT(DISTINCT l_discount) AS BIGINT),
+               MIN(l_discount), MAX(l_discount)
+        FROM lineitem
+    """,
+    tags=("quality", "profiling"),
+)
+def profile_columns(spark, sf_dir):
+    """Column profiling: rows / non-null / exact distinct / min / max
+    per numeric column as one row per column — the table-stats pass
+    behind ingestion monitoring and CBO-style planning. Each column's
+    profile is an independent aggregate over the same scan; Catalyst
+    shares the scan across the union branches, and distinct counts are
+    exact (the approximate path is agg_approx_distinct)."""
+    lt = table(spark, sf_dir, "lineitem")
+
+    def prof(colname):
+        return lt.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(colname).alias("n_nonnull"),
+            F.countDistinct(colname).alias("n_distinct"),
+            F.min(colname).alias("min_v"),
+            F.max(colname).alias("max_v"),
+        ).select(
+            F.lit(colname).alias("col"),
+            "n_rows",
+            "n_nonnull",
+            "n_distinct",
+            "min_v",
+            "max_v",
+        )
+
+    return (
+        prof("l_quantity")
+        .unionByName(prof("l_extendedprice"))
+        .unionByName(prof("l_discount"))
+    )

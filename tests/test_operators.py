@@ -465,6 +465,8 @@ def test_decode_rejects_real_codecs():
         "win_cume_percent",
         "fn_bitwise",
         "llm_bigram_lm",
+        "dq_constraints",
+        "profile_columns",
     ],
 )
 def test_determinism_under_repartition(name, spark):

@@ -523,3 +523,79 @@ def join_partition_pruned(spark, sf_dir):
             .alias("total_price"),
         )
     )
+
+
+@register(
+    "agg_bucketed_noshuffle",
+    oracle="""
+        SELECT l_orderkey,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+                   AS sum_price
+        FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) >= 6
+    """,
+    tags=("agg", "bucketed"),
+)
+def agg_bucketed_noshuffle(spark, sf_dir):
+    """Exchange-free aggregation on the bucketed layout: groupBy the
+    bucket key of the ingest-time bucketed lineitem table satisfies the
+    aggregation's required distribution from the SCAN — no Exchange in
+    the plan (pinned in tests/test_plans.py). The same one-time
+    organizing shuffle that makes the bucketed join co-located makes
+    every keyed aggregation shuffle-free; at 100 TB that is the
+    standard reason to bucket a fact table by its hottest key."""
+    li_name, _ = _ensure_bucketed_tables(spark, sf_dir)
+    return (
+        spark.table(li_name)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice", "sum_price"),
+        )
+        .filter(F.col("n_items") >= 6)
+    )
+
+
+@register(
+    "join_bloom_pruned",
+    oracle="""
+        SELECT s.s_suppkey, s.s_name,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+                   AS total_price
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE s.s_nationkey = 3
+        GROUP BY s.s_suppkey, s.s_name
+    """,
+    tags=("join", "bloom"),
+)
+def join_bloom_pruned(spark, sf_dir):
+    """Selective-dim fact join with runtime Bloom-filter pruning
+    enabled: the optimizer injects a bloom filter built from the
+    filtered supplier side into the lineitem scan, discarding
+    non-matching fact rows BEFORE the join (and before the shuffle, in
+    the shuffle-join case). At 100 TB a 4%-selective dim filter means
+    ~96% of the fact scan's output never reaches the join exchange —
+    the same row-group-level win as DPP, but driven by values instead
+    of partition directories."""
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "50MB"
+    )
+    # Default application-side threshold is 10GB — right for a real
+    # cluster, but it suppresses injection on sf test data; at this
+    # query's 100 TB target the fact side clears it on its own.
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 3)
+    return (
+        li.join(s.hint("shuffle_hash"), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice", "total_price"),
+        )
+    )

@@ -467,6 +467,8 @@ def test_decode_rejects_real_codecs():
         "llm_bigram_lm",
         "dq_constraints",
         "profile_columns",
+        "agg_bucketed_noshuffle",
+        "join_bloom_pruned",
     ],
 )
 def test_determinism_under_repartition(name, spark):

@@ -258,3 +258,26 @@ def test_decontaminate_is_gram_equi_join(spark):
     p = plan(_Q["llm_decontaminate"].fn(spark, SF))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_bucketed_agg_has_no_exchange(spark):
+    """groupBy on the bucket key must be satisfied by the bucketed scan
+    itself — any Exchange means the ingest-time organizing shuffle is
+    being paid again per query."""
+    p = plan(_Q["agg_bucketed_noshuffle"].fn(spark, SF))
+    assert "Exchange" not in p, "bucketed aggregation re-shuffled"
+
+
+def test_bloom_filter_injected_when_fact_cannot_broadcast(spark):
+    """join_bloom_pruned's 100 TB contract: with the dim too selective
+    to broadcast (forced here via autoBroadcastJoinThreshold=-1, which
+    is simply true at scale), the optimizer must inject a runtime bloom
+    filter from the filtered dim into the fact scan side."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = _Q["join_bloom_pruned"].fn(spark, SF)
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt, "no runtime bloom filter injected"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -45,8 +45,9 @@ from opusdb_spark.operators.similarity import (
     N_PROBE,
     N_TABLES,
     _assign_udf,
-    _table_signature,
     ivf_centroids,
+    lsh_buckets_np,
+    lsh_signatures_arrow,
 )
 
 _SCRATCH = os.path.join(
@@ -75,7 +76,7 @@ def source_fingerprint(sf_dir: str) -> dict:
         "n_tables": N_TABLES,
         "bits_per_table": BITS_PER_TABLE,
         "n_cells": N_CELLS,
-        "layout": 2,  # v2 adds sigs/; bump forces rebuild of v1 indexes
+        "layout": 3,  # v3: numpy-plane LSH family; bump forces rebuild
     }
 
 
@@ -116,23 +117,22 @@ def ensure_index(
     )
 
     # lsh: one row per (vector, hash table), partitioned by bucket.
+    # Bucket ids come from the Arrow/numpy signature kernel (one matmul
+    # per batch) — the corpus-wide build never evaluates the
+    # interpreted HOF expression tree.
     lsh = base.select(
         id_col,
         vec_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("table_id"),
-                        _table_signature(vec_col, t).alias("bucket"),
-                    )
-                    for t in range(N_TABLES)
-                ]
-            )
-        ).alias("tb"),
-    ).select(id_col, vec_col, "tb.table_id", "tb.bucket")
+        F.posexplode(lsh_signatures_arrow(vec_col)).alias(
+            "table_id", "bucket"
+        ),
+    )
     (
-        lsh.write.mode("overwrite")
+        # cluster by the partition key first: otherwise every write
+        # task emits a file into every (table_id, bucket) directory —
+        # L×2^b × n_tasks tiny files and the matching filesystem ops.
+        lsh.repartition(F.col("table_id"), F.col("bucket"))
+        .write.mode("overwrite")
         .partitionBy("table_id", "bucket")
         .parquet(os.path.join(index_dir, "lsh"))
     )
@@ -217,14 +217,11 @@ def _score_against(vec_col: str, probe_vec: list[float]):
 def _probe_buckets(
     spark: SparkSession, probe_vec: list[float]
 ) -> list[tuple[int, int]]:
-    """The probe's L (table_id, bucket) pairs, computed with the SAME
-    Spark expressions as the index build (1-row job, model-sized
-    collect)."""
-    df = spark.createDataFrame([(probe_vec,)], "v array<double>")
-    row = df.select(
-        *[_table_signature("v", t).alias(f"b{t}") for t in range(N_TABLES)]
-    ).first()
-    return [(t, int(row[f"b{t}"])) for t in range(N_TABLES)]
+    """The probe's L (table_id, bucket) pairs from the SAME numpy plane
+    model the build used — pure driver-side arithmetic on one vector
+    (no Spark job at all for an out-of-corpus probe)."""
+    B = lsh_buckets_np(np.asarray([probe_vec], dtype=np.float64))[0]
+    return [(t, int(B[t])) for t in range(N_TABLES)]
 
 
 def stored_buckets(

@@ -91,3 +91,23 @@ def cte_query(spark, sf_dir):
     exact revenue — equality on identical doubles is safe)."""
     register_views(spark, sf_dir)
     return spark.sql(_CTE_QUERY)
+
+
+_SUB_LATERAL = """
+    SELECT o_orderkey, o_totalprice, mx.max_item_price
+    FROM orders,
+         LATERAL (SELECT MAX(l_extendedprice) AS max_item_price
+                  FROM lineitem WHERE l_orderkey = o_orderkey) AS mx
+    WHERE mx.max_item_price IS NOT NULL
+"""
+
+
+@register("sub_lateral", oracle=_SUB_LATERAL, tags=("subquery", "lateral"))
+def sub_lateral(spark, sf_dir):
+    """LATERAL correlated subquery in FROM: per-order max item price,
+    restricted to orders with items (the engines disagree on whether an
+    aggregate lateral keeps empty groups, so the query pins the
+    common INNER semantics). Catalyst decorrelates to an aggregate +
+    join on l_orderkey: one shuffle, never a per-row rescan."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SUB_LATERAL)

@@ -177,3 +177,100 @@ def udtf_explode(spark, sf_dir):
             F.sequence(F.lit(1), (F.col("o_orderkey") % 3 + 1).cast("int"))
         ).alias("slot"),
     )
+
+
+@register(
+    "udtf_python_api",
+    oracle="""
+        SELECT doc_id, w AS word, CAST(i - 1 AS INTEGER) AS idx
+        FROM (
+            SELECT doc_id, string_split(text, ' ')[i] AS w, i
+            FROM documents,
+                 LATERAL (SELECT UNNEST(range(1, len(string_split(text, ' ')) + 1)) AS i)
+            WHERE lang = 'de'
+        )
+        WHERE w <> ''
+    """,
+    tags=("udtf", "python-api"),
+)
+def udtf_python_api(spark, sf_dir):
+    """Spark's native Python UDTF API (@udtf class, registered and
+    invoked via LATERAL in SQL): one (word, idx) row per token — the
+    table-function extension point itself, distinct from the
+    explode/grouped-map emulations. Arrow-batched; per-row fan-out is
+    bounded by document length."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, idx: int")
+    class SplitWords:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, w in enumerate(text.split(" ")):
+                if w:
+                    yield w, i
+
+    spark.udtf.register("opusdb_split_words", SplitWords)
+    from opusdb_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT doc_id, s.word, s.idx
+        FROM documents, LATERAL opusdb_split_words(text) AS s
+        WHERE lang = 'de'
+        """
+    )
+
+
+@register(
+    "udf_cogrouped",
+    oracle="""
+        SELECT o.o_orderkey,
+               CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_items,
+               round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+                     / o.o_totalprice, 6) AS price_ratio
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_totalprice
+    """,
+    tags=("udf", "cogroup"),
+)
+def udf_cogrouped(spark, sf_dir):
+    """Cogrouped applyInPandas: orders and lineitem cogrouped per
+    orderkey, reconciled in one pandas function — the two-sided custom
+    transform the single-table grouped-map can't express.
+
+    Determinism: the lineitem price sum uses math.fsum (correctly
+    rounded regardless of row arrival order), which equals the oracle's
+    exact-decimal sum because prices carry 2 decimals. Scale shape: one
+    co-partitioning shuffle per side, then pure Arrow-batched map work
+    per key group."""
+    import math
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    lt = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+
+    def reconcile(key, orders_pdf, items_pdf):
+        if not len(orders_pdf) or not len(items_pdf):
+            return pd.DataFrame(
+                columns=["o_orderkey", "n_items", "price_ratio"]
+            )
+        total = math.fsum(items_pdf["l_extendedprice"])
+        return pd.DataFrame(
+            {
+                "o_orderkey": [int(key[0])],
+                "n_items": [len(items_pdf)],
+                "price_ratio": [
+                    round(total / float(orders_pdf["o_totalprice"].iloc[0]), 6)
+                ],
+            }
+        )
+
+    return (
+        o.groupBy("o_orderkey")
+        .cogroup(lt.groupBy("l_orderkey"))
+        .applyInPandas(
+            reconcile,
+            "o_orderkey long, n_items long, price_ratio double",
+        )
+    )

@@ -469,6 +469,9 @@ def test_decode_rejects_real_codecs():
         "profile_columns",
         "agg_bucketed_noshuffle",
         "join_bloom_pruned",
+        "udtf_python_api",
+        "udf_cogrouped",
+        "sub_lateral",
     ],
 )
 def test_determinism_under_repartition(name, spark):

@@ -398,3 +398,12 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
     ).select("purchase_id", "p_user", "purchase_ts", "click_id", "click_ts", "value")
     return _run_to_parquet_append(joined, "ssj_true")
+
+
+# NOTE: the newer transformWithStateInPandas API (typed ValueState /
+# timers / TTL, Spark 4) was evaluated here but its driver-side state
+# server needs a working google.protobuf, which this container lacks
+# (ImportError: cannot import name 'descriptor'); installs are not
+# permitted. Arbitrary-state coverage therefore stays on
+# applyInPandasWithState (stateful_running_totals above), which speaks
+# the classic Arrow protocol and runs everywhere.

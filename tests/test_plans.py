@@ -281,3 +281,24 @@ def test_bloom_filter_injected_when_fact_cannot_broadcast(spark):
         assert "might_contain" in opt, "no runtime bloom filter injected"
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_zscore_stats_side_broadcasts(spark):
+    """The per-type stats aggregate is tiny and must broadcast into the
+    events scan side — a shuffle join here would move the fact table
+    for a 5-row stats attach."""
+    p = plan(_Q["events_zscore_outliers"].fn(spark, SF))
+    assert "BroadcastHashJoin" in p
+
+
+def test_vocab_topk_is_take_ordered(spark):
+    p = plan(_Q["llm_vocab_topk"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in p, "global top-50 must not full-sort"
+
+
+def test_lateral_subquery_decorrelates(spark):
+    """The LATERAL aggregate must decorrelate to one agg+join — a
+    correlated re-scan per order row cannot run at scale."""
+    p = plan(_Q["sub_lateral"].fn(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

@@ -119,3 +119,61 @@ def test_components_match_union_find(spark, edges):
     }
     for comp, members in got_groups.items():
         assert comp == min(members), "component label must be the min member"
+
+
+changes_strategy = st.lists(
+    st.tuples(
+        st.integers(1, 6),  # ref_id (may or may not exist)
+        st.integers(-50, 50),  # new value
+        st.sampled_from(["upsert", "delete"]),
+    ),
+    min_size=1,
+    max_size=6,
+    unique_by=lambda t: t[0],  # one change per key per batch
+)
+
+
+@settings(**SMALL)
+@given(versions=versions_strategy, changes=changes_strategy)
+def test_merge_matches_dict_semantics(spark, versions, changes):
+    """mvcc.merge == dict-apply of the change-set over latest state,
+    for ANY history and ANY mixed change batch; pre-merge snapshots are
+    untouched (stm.clj:42-43, 103-122)."""
+    from pyspark.sql import functions as F
+
+    vdf = spark.createDataFrame(
+        [(r, w, float(v)) for r, w, v in versions],
+        "ref_id long, write_point long, value double",
+    )
+    cdf = spark.createDataFrame(
+        [(r, float(v) if op == "upsert" else None, op) for r, v, op in changes],
+        "ref_id long, value double, _op string",
+    )
+    merged = mvcc.merge(vdf, cdf)
+
+    # reference: latest per key, then apply the batch as a dict
+    latest: dict[int, float] = {}
+    for r, w, v in sorted(versions, key=lambda t: t[1]):
+        latest[r] = float(v)
+    expected = dict(latest)
+    for r, v, op in changes:
+        if op == "delete":
+            expected.pop(r, None)
+        else:
+            expected[r] = float(v)
+
+    got = {
+        r.ref_id: r.value
+        for r in mvcc.latest(merged).filter(~F.col("_deleted")).collect()
+    }
+    assert got == expected
+
+    # old snapshot (≤ max original wp) unaffected
+    max_wp = max(w for _, w, _ in versions)
+    pre = {
+        r.ref_id: r.value
+        for r in mvcc.latest(
+            merged.filter(F.col("write_point") <= max_wp)
+        ).collect()
+    }
+    assert pre == latest

@@ -829,3 +829,54 @@ def profile_columns(spark, sf_dir):
         .unionByName(prof("l_extendedprice"))
         .unionByName(prof("l_discount"))
     )
+
+
+@register(
+    "ts_ohlc",
+    oracle="""
+        WITH ranked AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour_start, value,
+                   ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                      ORDER BY ts, event_id) AS rn_open,
+                   ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rn_close
+            FROM events
+        )
+        SELECT event_type, hour_start,
+               MIN(CASE WHEN rn_open = 1 THEN value END) AS open,
+               MAX(value) AS high, MIN(value) AS low,
+               MIN(CASE WHEN rn_close = 1 THEN value END) AS close,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM ranked GROUP BY event_type, hour_start
+    """,
+    tags=("timeseries", "ohlc"),
+)
+def ts_ohlc(spark, sf_dir):
+    """Hourly OHLC (open/high/low/close) bars per event type — the
+    canonical time-series downsample. Open/close are picked by a TOTAL
+    ordering (ts, event_id), so ties cannot make the result depend on
+    partitioning; high/low/count are plain decomposable aggregates.
+    One window + one groupBy on the same (type, hour) key: the window's
+    shuffle partitioning is reused by the aggregation."""
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    hour = F.date_trunc("hour", F.col("ts"))
+    wo = W.partitionBy("event_type", hour).orderBy("ts", "event_id")
+    wc = W.partitionBy("event_type", hour).orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = ev.select(
+        "event_type",
+        hour.alias("hour_start"),
+        "value",
+        F.row_number().over(wo).alias("rn_open"),
+        F.row_number().over(wc).alias("rn_close"),
+    )
+    return ranked.groupBy("event_type", "hour_start").agg(
+        F.min(F.when(F.col("rn_open") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.min(F.when(F.col("rn_close") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -296,3 +296,38 @@ def mvcc_merge_upsert(spark, sf_dir):
         .filter(~F.col("_deleted"))
         .select("ref_id", "write_point", "value")
     )
+
+
+@register(
+    "scd2_history",
+    oracle="""
+        SELECT user_id AS ref_id, event_id AS version_from, value,
+               LEAD(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+                   AS version_to,
+               CASE WHEN LEAD(event_id) OVER (PARTITION BY user_id
+                                              ORDER BY event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_current
+        FROM events
+    """,
+    tags=("mvcc", "scd2"),
+)
+def scd2_history(spark, sf_dir):
+    """Type-2 slowly-changing-dimension view of the version history:
+    each version becomes a half-open validity interval
+    [version_from, version_to) with an is_current flag — the warehouse
+    rendering of the reference's history vector (newest-last,
+    stm.clj:153-158), where 'current' is deref and any read-point falls
+    into exactly one interval (find-version, stm.clj:55-65). One window
+    over partitionBy(key): a single hash shuffle at any scale."""
+    v = _versions(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("ref_id").orderBy("write_point")
+    nxt = F.lead("write_point").over(w)
+    return v.select(
+        "ref_id",
+        F.col("write_point").alias("version_from"),
+        "value",
+        nxt.alias("version_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )

@@ -472,6 +472,8 @@ def test_decode_rejects_real_codecs():
         "udtf_python_api",
         "udf_cogrouped",
         "sub_lateral",
+        "scd2_history",
+        "ts_ohlc",
     ],
 )
 def test_determinism_under_repartition(name, spark):

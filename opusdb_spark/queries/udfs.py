@@ -237,38 +237,53 @@ def udtf_python_api(spark, sf_dir):
 )
 def udf_cogrouped(spark, sf_dir):
     """Cogrouped applyInPandas: orders and lineitem cogrouped per
-    orderkey, reconciled in one pandas function — the two-sided custom
-    transform the single-table grouped-map can't express.
+    KEY BUCKET (orderkey % 64) and reconciled vectorized inside one
+    pandas function — the two-sided custom transform the single-table
+    grouped-map can't express.
 
-    Determinism: the lineitem price sum uses math.fsum (correctly
-    rounded regardless of row arrival order), which equals the oracle's
-    exact-decimal sum because prices carry 2 decimals. Scale shape: one
-    co-partitioning shuffle per side, then pure Arrow-batched map work
-    per key group."""
+    Cogrouping on the raw orderkey would invoke Python once per order
+    (thousands of single-row calls — measured 28s at sf0.01); bucketing
+    gives 64 substantial groups and pandas-vectorized work inside each,
+    which is the shape a real cogroup job uses. Determinism: per-order
+    price sums use math.fsum (correctly rounded regardless of row
+    arrival order), equal to the oracle's exact-decimal sum since
+    prices carry 2 decimals."""
     import math
 
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    lt = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("_b", F.col("o_orderkey") % 64)
+    )
+    lt = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice")
+        .withColumn("_b", F.col("l_orderkey") % 64)
+    )
 
     def reconcile(key, orders_pdf, items_pdf):
         if not len(orders_pdf) or not len(items_pdf):
-            return pd.DataFrame(
-                columns=["o_orderkey", "n_items", "price_ratio"]
-            )
-        total = math.fsum(items_pdf["l_extendedprice"])
+            return pd.DataFrame(columns=["o_orderkey", "n_items", "price_ratio"])
+        per_order = items_pdf.groupby("l_orderkey")["l_extendedprice"].agg(
+            [("total", lambda s: math.fsum(s)), ("n_items", "size")]
+        )
+        m = orders_pdf.merge(
+            per_order, left_on="o_orderkey", right_index=True, how="inner"
+        )
         return pd.DataFrame(
             {
-                "o_orderkey": [int(key[0])],
-                "n_items": [len(items_pdf)],
+                "o_orderkey": m["o_orderkey"].astype("int64"),
+                "n_items": m["n_items"].astype("int64"),
                 "price_ratio": [
-                    round(total / float(orders_pdf["o_totalprice"].iloc[0]), 6)
+                    round(t / p, 6)
+                    for t, p in zip(m["total"], m["o_totalprice"])
                 ],
             }
         )
 
     return (
-        o.groupBy("o_orderkey")
-        .cogroup(lt.groupBy("l_orderkey"))
+        o.groupBy("_b")
+        .cogroup(lt.groupBy("_b"))
         .applyInPandas(
             reconcile,
             "o_orderkey long, n_items long, price_ratio double",

@@ -697,3 +697,108 @@ def emb_label_centroids(spark, sf_dir):
             6,
         ).alias("centroid")
     )
+
+
+@register(
+    "llm_dedup_editdist",
+    oracle="""
+        WITH grams AS (
+            SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                       string_split(text, ' ')[i] || ' ' ||
+                       string_split(text, ' ')[i+1] || ' ' ||
+                       string_split(text, ' ')[i+2] AS g
+                FROM documents,
+                     LATERAL (SELECT UNNEST(range(1, GREATEST(len(string_split(text,' ')) - 2, 0) + 1)) AS i)
+            )
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+            FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+        cand AS (
+            SELECT doc_a, doc_b FROM pairs
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+        )
+        SELECT c.doc_a, c.doc_b,
+               CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+               round(1.0 - levenshtein(da.text, db.text)
+                         / GREATEST(len(da.text), len(db.text), 1), 6) AS sim
+        FROM cand c
+        JOIN documents da ON da.doc_id = c.doc_a
+        JOIN documents db ON db.doc_id = c.doc_b
+        WHERE 1.0 - levenshtein(da.text, db.text)
+                  / GREATEST(len(da.text), len(db.text), 1) >= 0.6
+    """,
+    tags=("llm", "dedup"),
+)
+def llm_dedup_editdist(spark, sf_dir):
+    """Edit-distance VERIFICATION of near-dup candidates — the final
+    precision pass of a dedup pipeline: candidates come from the
+    shared-3-gram equi-join FILTERED to gram-Jaccard >= 0.5 (never
+    all-pairs, and never the long tail of incidental gram collisions),
+    then exact Levenshtein similarity 1 - d/max_len >= 0.6 confirms
+    them. Levenshtein is O(len^2) per pair, which is exactly why it
+    only runs on the already-likely candidates; both engines implement
+    the same classic DP, so distances match exactly."""
+    docs = table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size(w) - 3, F.lit(0))),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(w, i + 1),
+                        F.element_at(w, i + 2),
+                        F.element_at(w, i + 3),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .filter(F.size(F.split(F.col("g"), " ")) == 3)
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.select(F.col("doc_id").alias("doc_a"), "g")
+    b = grams.select(F.col("doc_id").alias("doc_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    )
+    cand = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    dist = F.levenshtein("text_a", "text_b")
+    sim = 1.0 - dist / F.greatest(
+        F.length("text_a"), F.length("text_b"), F.lit(1)
+    )
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            dist.cast("long").alias("edit_dist"),
+            F.round(sim, 6).alias("sim"),
+        )
+        .filter(sim >= 0.6)
+    )

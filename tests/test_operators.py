@@ -474,6 +474,7 @@ def test_decode_rejects_real_codecs():
         "sub_lateral",
         "scd2_history",
         "ts_ohlc",
+        "llm_dedup_editdist",
     ],
 )
 def test_determinism_under_repartition(name, spark):

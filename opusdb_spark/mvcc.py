@@ -35,6 +35,14 @@ from pyspark.sql import functions as F
 
 MAX_HISTORY = 16  # reference stm.clj:10
 
+# conservation(): clock spans at or under this run the running sum as a
+# plain single-partition window (one task sorting ≤4M narrow rows —
+# ~64MB, a normal shuffle-partition's worth of work); above it the
+# two-level range decomposition engages. The bound is on the CLOCK SPAN
+# (hi-lo+1 ≥ distinct write points), known from metadata, so the choice
+# is deterministic and costs no action.
+_SINGLE_SORT_MAX_VERSIONS = 1 << 22
+
 
 def latest(
     versions: DataFrame, key: str = "ref_id", version: str = "write_point"
@@ -128,12 +136,19 @@ def merge(
     """MERGE a change-set as ONE committed write point (upsert+delete).
 
     `changes` carries (key, value..., _op) with _op in ('upsert',
-    'delete'). Upserts append a new version of the key (insert if the
-    key is new); deletes append a TOMBSTONE version (all non-key/value
-    columns null, _deleted=true). Mirrors the reference's
-    ref-set/alter/ensure batch committed under one WRITE_POINT bump
-    (stm.clj:42-43, 103-122): the whole change-set shares one write
-    point and lands atomically (single Spark job commit).
+    'delete') and MUST supply every non-key column of `versions`
+    (deletes pass NULLs for them — merge stamps `_deleted`, it does not
+    null the payload itself; a changes frame missing a versions column
+    makes the final select raise). `changes` must also carry AT MOST
+    ONE row per key: the whole batch shares one write point (the single
+    WRITE_POINT bump per committing transaction, stm.clj:42-43), so two
+    changes for one key would create tied versions and `latest()` would
+    pick between them nondeterministically — exactly the in-txn
+    last-write-wins collapse the reference performs in its write-set
+    map (stm.clj:180-191, one buffered value per ref) that callers must
+    apply BEFORE merging. Mirrors ref-set/alter/ensure committed under
+    one bump (stm.clj:42-43, 103-122): the change-set lands atomically
+    (single Spark job commit).
 
     Returns the new versions DataFrame with a `_deleted` flag column.
     Read the post-merge state with `latest(...).filter(~_deleted)`;
@@ -159,6 +174,7 @@ def conservation(
     decimal: bool = False,
     key: str = "ref_id",
     n_ranges: int = 64,
+    bounds: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Total `value` as of every write point — (write_point, total).
 
@@ -174,68 +190,106 @@ def conservation(
     associative, so the two-level decomposition below is bit-identical
     to a sequential running sum).
 
-    The running sum is a TWO-LEVEL prefix sum, never a single-partition
-    window over all write points (which would serialize billions of
-    rows through one task at 100 TB):
+    The physical shape ADAPTS on the clock span (hi-lo+1, an upper
+    bound on distinct write points), exactly like AQE coalescing a
+    small aggregate: spans ≤ _SINGLE_SORT_MAX_VERSIONS run the running
+    sum as one ordinary window sort in a single task; larger spans use
+    a TWO-LEVEL prefix sum so billions of write points never serialize
+    through one task:
 
       1. write points are split into `n_ranges` contiguous ranges by
          value (deterministic integer arithmetic — no sampling);
       2. each range computes its local prefix sums in parallel
          (window partitioned by range id);
-      3. the per-range totals — `n_ranges` rows, model-sized — come to
-         the driver for an exact exclusive prefix sum and return as a
-         literal map of range offsets (the same model-sized-collect
-         rule the IVF centroids follow; no unbounded driver state).
-    """
-    from decimal import Decimal
+      3. the per-range totals — `n_ranges` rows, MODEL-SIZED — get an
+         exact exclusive prefix sum in a single-partition window (64
+         rows through one task is the same model-sized exception the
+         IVF centroids use) and broadcast-join back as range offsets.
 
+    With `bounds` supplied the whole computation is ONE lazy DataFrame
+    on either path: zero internal actions, zero driver round trips —
+    the caller's own action is the only cluster barrier. On the
+    two-level path the offsets branch re-derives the per-range totals
+    through the same declarative pipeline (Spark has no cross-branch
+    CSE without a materialization barrier); at cluster scale persist
+    `per_wp` to trade storage for that second pass — kept
+    recompute-based here so the plan stays barrier-free.
+
+    `bounds=(lo, hi)` is the version-clock range and comes from
+    METADATA, not a data pass: the reference keeps WRITE_POINT as an
+    AtomicLong (stm.clj:12) — the clock's high-water mark is known at
+    commit time — and columnar storage keeps min/max per file footer /
+    manifest. Bucketing needs only ROUGH bounds — `floor((v-lo)/width)`
+    is monotone and contiguous in v for any lo and width>0, so loose
+    bounds cost nothing but a few empty ranges. Without bounds a
+    min/max pre-pass runs (one extra action).
+    """
     w_key = Window.partitionBy(key).orderBy(version)
     delta = F.col(value) - F.coalesce(F.lag(value).over(w_key), F.lit(0))
     if decimal:
         delta = delta.cast("decimal(27,6)")
     deltas = versions.withColumn("_delta", delta)
-    # lazy localCheckpoint: per_wp feeds both the range-offset pass and
-    # the main path — materialize once inside the first action instead
-    # of aggregating the versions table twice.
-    per_wp = (
-        deltas.groupBy(version)
-        .agg(F.sum("_delta").alias("_wp_delta"))
-        .localCheckpoint(eager=False)
-    )
-    # Contiguous ranges from pure integer arithmetic on the version
-    # value: deterministic under any partitioning, retry-safe (unlike
-    # spark_partition_id after a sampled repartitionByRange). This
-    # first action also materializes the per_wp checkpoint, so the two
-    # later jobs reuse it instead of re-running the key-window pass.
-    lo, hi = per_wp.agg(F.min(version), F.max(version)).first()
-    if lo is None:
-        return per_wp.select(version, F.lit(None).cast("double").alias("total"))
-    width = max(1, -(-(hi - lo + 1) // n_ranges))
+    per_wp = deltas.groupBy(version).agg(F.sum("_delta").alias("_wp_delta"))
+    if bounds is not None:
+        lo, hi = bounds
+    else:
+        # Fallback bounds pass. Contiguous ranges from pure integer
+        # arithmetic on the version value: deterministic under any
+        # partitioning, retry-safe (unlike spark_partition_id after a
+        # sampled repartitionByRange).
+        lo, hi = per_wp.agg(F.min(version), F.max(version)).first()
+        if lo is None:
+            return per_wp.select(
+                version, F.lit(None).cast("double").alias("total")
+            )
+    span = hi - lo + 1
+    if span <= _SINGLE_SORT_MAX_VERSIONS or n_ranges <= 1:
+        # The clock span fits ONE task's sort (distinct write points
+        # ≤ span), so the running sum is a plain single-partition
+        # window — the same call AQE makes when it coalesces a tiny
+        # aggregate to one partition. The decomposition below only
+        # pays off past this threshold; under it, it's three extra
+        # exchanges for nothing.
+        w_all = (
+            Window.orderBy(version)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        total = F.sum("_wp_delta").over(w_all)
+        if decimal:
+            total = total.cast("double")
+        return per_wp.select(version, total.alias("total"))
+    width = max(1, -(-span // n_ranges))
     grp = ((F.col(version) - F.lit(lo)) / F.lit(width)).cast("long")
     grouped = per_wp.withColumn("_grp", grp)
-    # Per-range totals are MODEL-SIZED (≤ n_ranges rows) — like the IVF
-    # centroids, they come to the driver, get an exact exclusive prefix
-    # sum there (Python ints/Decimals — no float drift), and go back as
-    # literals. That replaces a broadcast-join + partition-less window
-    # with a map lookup, and the only cross-range data movement is
-    # n_ranges scalars.
-    g_rows = sorted(
-        grouped.groupBy("_grp").agg(F.sum("_wp_delta").alias("_g")).collect()
+    # Exclusive prefix sum over the ≤ n_ranges per-range totals. The
+    # partition-less window is deliberate and safe: its input is the
+    # RANGE AGGREGATE (model-sized by construction), never the version
+    # data — the r1 scale-killer was this window over ALL write points.
+    # Offsets stay in the engine (no driver collect, no literal-decimal
+    # headroom trap: the window's sum type is decimal(37,6), 31
+    # integral digits, same headroom class as the value column).
+    w_off = Window.orderBy("_grp").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    acc = Decimal(0) if decimal else 0
-    off_literals = []
-    for g, tot in g_rows:
-        off_literals.append((g, acc))
-        acc += tot
-    off_map = F.create_map(
-        *[x for g, o in off_literals for x in (F.lit(g), F.lit(o))]
+    zero = (
+        F.lit("0").cast("decimal(37,6)") if decimal else F.lit(0.0)
+    )
+    offsets = (
+        grouped.groupBy("_grp")
+        .agg(F.sum("_wp_delta").alias("_rtot"))
+        .select(
+            "_grp",
+            F.coalesce(F.sum("_rtot").over(w_off), zero).alias("_off"),
+        )
     )
     w_local = (
         Window.partitionBy("_grp")
         .orderBy(version)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    total = off_map[F.col("_grp")] + F.sum("_wp_delta").over(w_local)
+    total = F.col("_off") + F.sum("_wp_delta").over(w_local)
     if decimal:
         total = total.cast("double")
-    return grouped.select(version, total.alias("total"))
+    return grouped.join(F.broadcast(offsets), "_grp").select(
+        version, total.alias("total")
+    )

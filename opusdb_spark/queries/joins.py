@@ -577,18 +577,16 @@ def join_bloom_pruned(spark, sf_dir):
     the shuffle-join case). At 100 TB a 4%-selective dim filter means
     ~96% of the fact scan's output never reaches the join exchange —
     the same row-group-level win as DPP, but driven by values instead
-    of partition directories."""
-    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-    spark.conf.set(
-        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "50MB"
-    )
-    # Default application-side threshold is 10GB — right for a real
-    # cluster, but it suppresses injection on sf test data; at this
-    # query's 100 TB target the fact side clears it on its own.
-    spark.conf.set(
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-        "0",
-    )
+    of partition directories.
+
+    Deliberately NO conf mutation here: bloom injection is on by
+    default and the default size thresholds (creation 10MB /
+    application 10GB) are the right gates at the 100 TB target — the
+    sf-test fact side is simply too small to clear them, so the
+    injection itself is pinned under test-scale thresholds in
+    tests/test_plans.py via a SCOPED conf block (a query that leaves
+    optimizer confs set would change every later plan in the shared
+    session)."""
     li = table(spark, sf_dir, "lineitem")
     s = table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 3)
     return (

@@ -247,7 +247,10 @@ def udf_cogrouped(spark, sf_dir):
     which is the shape a real cogroup job uses. Determinism: per-order
     price sums use math.fsum (correctly rounded regardless of row
     arrival order), equal to the oracle's exact-decimal sum since
-    prices carry 2 decimals."""
+    prices carry 2 decimals. The 6-dp rounding happens ENGINE-side via
+    F.round (HALF_UP, matching DuckDB round's half-away-from-zero for
+    positive ratios) — Python's round() is banker's rounding and would
+    diverge from the oracle on exact halfway points (ADVICE r2)."""
     import math
 
     o = (
@@ -274,10 +277,7 @@ def udf_cogrouped(spark, sf_dir):
             {
                 "o_orderkey": m["o_orderkey"].astype("int64"),
                 "n_items": m["n_items"].astype("int64"),
-                "price_ratio": [
-                    round(t / p, 6)
-                    for t, p in zip(m["total"], m["o_totalprice"])
-                ],
+                "price_ratio": m["total"] / m["o_totalprice"],
             }
         )
 
@@ -288,4 +288,5 @@ def udf_cogrouped(spark, sf_dir):
             reconcile,
             "o_orderkey long, n_items long, price_ratio double",
         )
+        .withColumn("price_ratio", F.round("price_ratio", 6))
     )

@@ -25,6 +25,32 @@ def _versions(spark, sf_dir):
     )
 
 
+def _write_point_bounds(sf_dir) -> tuple[int, int] | None:
+    """(lo, hi) of the write-point clock from parquet FOOTER statistics —
+    a driver-side metadata read, not a Spark job. This is the honest
+    100 TB shape: the reference keeps WRITE_POINT as an AtomicLong
+    (stm.clj:12), so the clock's range is commit-time metadata; in a
+    lakehouse the same numbers live in file footers / table-format
+    manifests. Returns None when statistics are absent (caller falls
+    back to a bounds pre-pass)."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        ci = names.index("event_id")
+        los, his = [], []
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(ci).statistics
+            if st is None or not st.has_min_max:
+                return None
+            los.append(st.min)
+            his.append(st.max)
+        return (min(los), max(his)) if los else None
+    except Exception:
+        return None
+
+
 @register(
     "mvcc_snapshot_read",
     oracle="""
@@ -64,8 +90,15 @@ def mvcc_conservation(spark, sf_dir):
     """Total value as of EVERY write point in one pass (delta + running
     sum — no per-snapshot rescan): the bank invariant query
     (benchmark/bank.clj:41-44) generalized to a full balance history.
-    Decimal-summed so the running totals hash-match the oracle."""
-    return mvcc.conservation(_versions(spark, sf_dir), decimal=True)
+    Decimal-summed so the running totals hash-match the oracle.
+    Write-point bounds ride in from parquet footer metadata so the
+    whole query is TWO actions: the model-sized range collect + the
+    caller's own action."""
+    return mvcc.conservation(
+        _versions(spark, sf_dir),
+        decimal=True,
+        bounds=_write_point_bounds(sf_dir),
+    )
 
 
 @register("mvcc_txn_rollback", oracle=None, tags=("mvcc", "write-path"))

@@ -34,6 +34,36 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def scoped_confs(spark: SparkSession, confs: dict[str, str]):
+    """Set session confs for the duration of a block, then restore the
+    previous values (unset keys are restored with `unset`). Queries must
+    never leave conf mutations behind — a leaked optimizer conf changes
+    every later plan in the shared session (order-dependent plan shapes
+    and bench timings)."""
+    old: dict[str, str | None] = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield spark
+    finally:
+        for k, prev in old.items():
+            if prev is None:
+                try:
+                    spark.conf.unset(k)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(k, prev)
+
+
 def get_spark(
     app_name: str = "opusdb-spark",
     master: str | None = None,

@@ -55,9 +55,19 @@ def _events_source_shape(sf_dir: str) -> tuple[StructType, str]:
     ts_type = str(
         pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
     )
-    if ts_type.startswith("timestamp"):
+    if ts_type.startswith("timestamp[ns"):
+        # TIMESTAMP(NANOS), tz or not: under `nanosAsLong=true`
+        # (session.py) Spark reads the column as BIGINT nanos, so the
+        # stream schema must say LongType and convert — declaring
+        # TimestampType here would fail the read outright.
+        ts_field, ts_expr = (
+            LongType(),
+            "timestamp_micros(ts div 1000) AS ts",
+        )
+    elif ts_type.startswith("timestamp"):
+        # MICROS/MILLIS: a native Spark timestamp; pass through.
         ts_field, ts_expr = TimestampType(), "ts"
-    else:  # int64 nanoseconds
+    else:  # unannotated int64 — generator ships raw nanos
         ts_field, ts_expr = (
             LongType(),
             "timestamp_micros(ts div 1000) AS ts",

@@ -75,6 +75,32 @@ def test_conservation_invariant_on_transfers(spark):
     assert totals == {1: 300.0, 2: 300.0, 3: 300.0}
 
 
+def test_conservation_two_level_path_is_exact(spark, monkeypatch):
+    """The two-level range decomposition (the >4M-version scale path)
+    must be bit-identical to the single-sort path — forced here by
+    shrinking the adaptive threshold, with bounds supplied as metadata
+    and multi-key write points (two refs committing at one wp)."""
+    from opusdb_spark import mvcc as M
+
+    monkeypatch.setattr(M, "_SINGLE_SORT_MAX_VERSIONS", 1)
+    history = spark.createDataFrame(
+        [
+            (1, 1, 100.0), (2, 1, 100.0), (3, 1, 100.0),
+            (1, 2, 70.0), (2, 2, 130.0),
+            (2, 3, 80.0), (3, 3, 150.0),
+            (1, 7, 170.0), (3, 7, 50.0),
+        ],
+        "ref_id long, write_point long, value double",
+    )
+    totals = {
+        r.write_point: r.total
+        for r in mvcc.conservation(
+            history, bounds=(1, 7), n_ranges=3
+        ).collect()
+    }
+    assert totals == {1: 300.0, 2: 300.0, 3: 300.0, 7: 300.0}
+
+
 def test_snapshot_matches_conservation_total(spark):
     """Cross-check: summing a snapshot directly equals the running-total
     formulation at the same write point."""

@@ -220,16 +220,21 @@ def test_ann_probe_vector_fetch_pushes_id_filter(spark):
     assert "PushedFilters:" in p and "EqualTo(vec_id,0)" in p.replace("\n", " ")
 
 
-def test_conservation_has_no_global_row_window(spark):
-    """The conservation running sum must be a two-level prefix sum:
-    every window ordered over write points carries a partition column
-    (per-key deltas, per-range local prefixes). The only partition-less
-    window allowed is the range-offset one, which orders by _grp over
-    <= n_ranges aggregated rows (model-sized) — a partition-less window
-    ordered by the raw write_point would serialize every write point
-    through one task at scale."""
+def test_conservation_has_no_global_row_window(spark, monkeypatch):
+    """Past the adaptive single-sort threshold the conservation running
+    sum must be a two-level prefix sum: every window ordered over write
+    points carries a partition column (per-key deltas, per-range local
+    prefixes). The only partition-less window allowed is the
+    range-offset one, which orders by _grp over <= n_ranges aggregated
+    rows (model-sized) — a partition-less window ordered by the raw
+    write_point would serialize every write point through one task at
+    scale. The threshold is shrunk here to force the scale path on sf
+    data; the default path at small spans is pinned below."""
     import re
 
+    from opusdb_spark import mvcc as M
+
+    monkeypatch.setattr(M, "_SINGLE_SORT_MAX_VERSIONS", 1)
     df = _Q["mvcc_conservation"].fn(spark, SF)
     p = df._jdf.queryExecution().executedPlan().toString()
     bad = [
@@ -239,6 +244,17 @@ def test_conservation_has_no_global_row_window(spark):
     ]
     assert not bad, "found a partition-less window ordered over all write points"
     assert "windowspecdefinition(_grp" in p, "per-range local prefix window missing"
+
+
+def test_conservation_small_span_takes_single_sort_path(spark):
+    """Under the threshold (the sf test data) the adaptive choice is the
+    plain single-task running sum — no range machinery, no internal
+    actions, one lazy plan: the same call AQE makes when it coalesces a
+    tiny aggregate to one partition."""
+    df = _Q["mvcc_conservation"].fn(spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "_grp" not in p, "range decomposition engaged below threshold"
+    assert "windowspecdefinition(write_point" in p
 
 
 def test_bm25_broadcasts_terms_no_cartesian(spark):
@@ -271,16 +287,26 @@ def test_bucketed_agg_has_no_exchange(spark):
 def test_bloom_filter_injected_when_fact_cannot_broadcast(spark):
     """join_bloom_pruned's 100 TB contract: with the dim too selective
     to broadcast (forced here via autoBroadcastJoinThreshold=-1, which
-    is simply true at scale), the optimizer must inject a runtime bloom
-    filter from the filtered dim into the fact scan side."""
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
+    is simply true at scale) and the bloom size gates scaled down to
+    sf-test data (at 100 TB the fact side clears the default 10GB gate
+    on its own), the optimizer must inject a runtime bloom filter from
+    the filtered dim into the fact scan side. All confs are SCOPED —
+    the query itself mutates nothing (ADVICE r2)."""
+    from opusdb_spark.session import scoped_confs
+
+    with scoped_confs(
+        spark,
+        {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "50MB",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold": "0",
+        },
+    ):
         df = _Q["join_bloom_pruned"].fn(spark, SF)
         opt = df._jdf.queryExecution().optimizedPlan().toString()
         assert "might_contain" in opt, "no runtime bloom filter injected"
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_zscore_stats_side_broadcasts(spark):

@@ -168,3 +168,63 @@ def test_stream_stream_join_matches_batch_equivalent(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_nanos_annotated_events_stream_roundtrips(spark, tmp_path):
+    """TIMESTAMP(NANOS) events must stream through the int64-nanos
+    conversion path: under `nanosAsLong=true` (session.py) Spark reads a
+    NANOS column as BIGINT, so the stream schema must declare LongType
+    and convert — declaring TimestampType fails the read (the r1
+    testdata shipped exactly this shape)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opusdb_spark.streaming.jobs import (
+        _events_source_shape,
+        _events_stream_batched,
+    )
+
+    sf_dir = str(tmp_path / "sfnanos")
+    os.makedirs(sf_dir)
+    base_us = 1_600_000_000_000_000  # 2020-09-13T12:26:40 UTC
+    n = 8
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(1, n + 1), pa.int64()),
+            "ts": pa.array(
+                [(base_us + i * 60_000_000) * 1000 for i in range(n)],
+                pa.timestamp("ns"),
+            ),
+            "user_id": pa.array([i % 3 for i in range(n)], pa.int64()),
+            "event_type": pa.array(["click"] * n),
+            "value": pa.array([float(i) for i in range(n)], pa.float64()),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(tbl, f"{sf_dir}/events.parquet")
+    assert (
+        str(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type)
+        == "timestamp[ns]"
+    )
+    schema, ts_expr = _events_source_shape(sf_dir)
+    assert "timestamp_micros" in ts_expr, "nanos must take the int64 path"
+
+    stream = _events_stream_batched(spark, sf_dir, n_files=2)
+    name = f"nanos_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table(name).orderBy("event_id").collect()
+    assert len(got) == n
+    want = [
+        dt.datetime(2020, 9, 13, 12, 26, 40) + dt.timedelta(minutes=i)
+        for i in range(n)
+    ]
+    assert [r.ts for r in got] == want

@@ -503,61 +503,119 @@ def neardup_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
 
     The end-game of corpus dedup: near-dup PAIRS must become CLUSTERS
     before you can pick one canonical doc per group (A~B, B~C must not
-    keep both A and C). Iterative min-label propagation: every node
-    starts as its own label; each round takes the min label over its
-    neighborhood; converges in O(component diameter) rounds — near-dup
-    clusters are shallow, so a handful. Each round is one join + one
-    groupBy (shuffles on node id, never materializing components in
-    driver memory); lineage is cut per round with localCheckpoint so
-    plans stay flat at scale. The label sum is monotone non-increasing
-    and stable exactly at convergence — that is the stopping test.
+    keep both A and C). Alternating LARGE-STAR / SMALL-STAR (the
+    standard web-graph MapReduce CC — Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): each round hooks
+    every node's neighborhood onto its minimum member, so tree heights
+    fall geometrically and ANY graph converges in O(log n) rounds —
+    the min-label propagation this replaces needed O(diameter) rounds,
+    a scale-killer on chain-shaped dup clusters. Each star step is one
+    aggregation + one join keyed on node id (shuffles scale with the
+    edge count, components never touch driver memory); lineage is cut
+    per round with a lazy localCheckpoint, and the fixpoint test (edge
+    multiset unchanged across a full round) is one count+hash action
+    per round — ~log₂(n) cluster barriers total.
+
+    Returns (doc_id, component) where component = min doc_id in the
+    cluster (the canonical keeper).
     """
-    half = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    edges = half.unionByName(
-        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
-    )
-    edges = edges.localCheckpoint()
-    def propagate(lbl: DataFrame) -> DataFrame:
-        neighbor_min = (
-            edges.join(lbl, edges.dst == lbl.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nmin"))
+    # Big→small orientation (u > v) is the small-star invariant; both
+    # star steps preserve it.
+    edges = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
         )
-        return lbl.join(
-            neighbor_min, lbl.node == neighbor_min.src, "left"
-        ).select(
-            "node",
-            F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
-                "label"
-            ),
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # Connect every strictly-larger neighbor of u to
+        # m = min(N(u) ∪ {u}).
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
         )
 
-    prev_sum = None
+    def small_star(e: DataFrame) -> DataFrame:
+        # Per node u over its smaller neighbors Γ(u): connect every
+        # member of Γ(u) ∪ {u} except the minimum m to m.
+        mins = e.groupBy("u").agg(F.min("v").alias("m"))
+        part1 = (
+            e.join(mins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        part2 = mins.select("u", F.col("m").alias("v"))
+        return part1.unionByName(part2).distinct()
+
+    prev_sig = None
     converged = False
     for _ in range(max_iter):
-        # TWO propagation steps per scheduled job: each action (the
-        # convergence aggregate below) costs a fixed scheduling round
-        # trip, so composing two hops before acting halves the job
-        # count for the same propagation depth. The lazy checkpoint
-        # both computes the round's labels and materializes them.
-        labels = propagate(propagate(labels)).localCheckpoint(eager=False)
-        cur_sum = labels.agg(F.sum("label")).first()[0]
-        if cur_sum == prev_sum:
+        edges = small_star(large_star(edges)).localCheckpoint(eager=False)
+        # Edge-set signature: count + order-independent hash sums.
+        # Equal signatures across a round ⇒ fixpoint ⇒ the graph is a
+        # star forest (every edge points at its component minimum).
+        # decimal(38,0) sums: exact and overflow-proof (a long sum of
+        # xxhash64 values overflows under ANSI mode).
+        sig = tuple(
+            edges.agg(
+                F.count(F.lit(1)),
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                F.sum(F.col("u").cast("decimal(38,0)")),
+                F.sum(F.col("v").cast("decimal(38,0)")),
+            ).first()
+        )
+        if sig == prev_sig:
             converged = True
             break
-        prev_sum = cur_sum
+        prev_sig = sig
     if not converged:
-        # Unconverged labels would silently split one true cluster into
+        # Unconverged stars would silently split one true cluster into
         # several "canonical" keepers — wrong keep-lists with no signal.
-        # Fail loudly; callers with genuinely deep graphs raise max_iter.
+        # Fail loudly; log₂(n) rounds means max_iter=50 covers any
+        # realistic graph, so reaching here signals a bug, not data.
         raise RuntimeError(
             f"neardup_components did not converge in {max_iter} rounds "
-            "(component diameter exceeds max_iter)"
+            "(fixpoint not reached)"
         )
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+    roots = edges.select(F.col("v").alias("doc_id")).distinct()
+    return edges.select(
+        F.col("u").alias("doc_id"), F.col("v").alias("component")
+    ).unionByName(
+        roots.select("doc_id", F.col("doc_id").alias("component"))
+    ).distinct()
+
+
+def components_stored(
+    spark,
+    pairs: DataFrame,
+    store_path: str,
+    fingerprint: dict,
+) -> DataFrame:
+    """Connected COMPONENTS as an INGEST artifact next to the pair
+    graph (same ensure_written contract as the signature store and the
+    pair store, minhash_pairs_stored). Components are corpus-shaped
+    exactly like the pairs — every consumer (cluster listing, keep-list
+    derivation, the dedup pipeline) needs the same partition of the
+    same graph — so the O(log n) star rounds run once per (corpus,
+    threshold) at ingest and every query against them is a parquet
+    read + groupBy, with zero iterative jobs at query time."""
+    from opusdb_spark.sources.formats import ensure_written
+
+    ensure_written(
+        store_path,
+        {**fingerprint, "algo": "large-small-star"},
+        lambda p: neardup_components(pairs).write.mode("overwrite").parquet(p),
+    )
+    return spark.read.parquet(store_path)

@@ -99,6 +99,28 @@ def _minhash_pairs(spark, sf_dir, threshold: float = 0.5):
     )
 
 
+def _minhash_components(spark, sf_dir, threshold: float = 0.5):
+    """Ingest-once CONNECTED COMPONENTS over the near-dup pair graph
+    (same contract as _minhash_pairs — the components are as
+    corpus-shaped as the pairs, so the O(log n) star rounds run at
+    ingest and cluster queries are a parquet read + groupBy)."""
+    import hashlib
+    import os
+
+    from opusdb_spark.sources.formats import scratch_path, stat_fingerprint
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return dedup.components_stored(
+        spark,
+        _minhash_pairs(spark, sf_dir, threshold),
+        scratch_path(f"minhash_components_{base}_{tag}"),
+        stat_fingerprint(
+            f"{sf_dir}/documents.parquet", threshold=threshold
+        ),
+    )
+
+
 @register("llm_dedup_fuzzy", oracle=None, tags=("llm", "dedup"))
 def llm_dedup_fuzzy(spark, sf_dir):
     """Near-dup pairs via MinHash+LSH over word 3-gram shingles
@@ -261,12 +283,14 @@ def llm_simsearch_ivf(spark, sf_dir):
 @register("llm_dedup_cluster", oracle=None, tags=("llm", "dedup"))
 def llm_dedup_cluster(spark, sf_dir):
     """Near-dup CLUSTERS: connected components over the MinHash-LSH pair
-    graph (iterative min-label propagation — A~B, B~C collapse into one
-    group), then per-component size + canonical keeper. The step that
-    turns pairwise dedup into an actual keep-list (rows-only:
-    iterative, not SQL-expressible)."""
-    pairs = _minhash_pairs(spark, sf_dir)
-    comp = dedup.neardup_components(pairs)
+    graph (A~B, B~C collapse into one group), then per-component size +
+    canonical keeper. The step that turns pairwise dedup into an actual
+    keep-list (rows-only: iterative, not SQL-expressible). The
+    components come from the PERSISTED ingest store
+    (operators/dedup.py:components_stored — large-star/small-star CC,
+    O(log n) rounds, run once per corpus): at query time this is a
+    parquet read + one groupBy, no iterative jobs."""
+    comp = _minhash_components(spark, sf_dir)
     return (
         comp.groupBy("component")
         .agg(

@@ -224,12 +224,15 @@ def test_empty_docs_never_pair_in_fuzzy_dedup(spark):
     assert dedup.simhash_near_dups(docs).count() == 0
 
 
-def test_components_raise_when_diameter_exceeds_cap(spark):
+def test_components_raise_when_rounds_exceed_cap(spark):
+    """max_iter=1 cannot reach a fixpoint on a long chain (even the
+    O(log n) star rounds need several): must fail loudly, never return
+    split clusters."""
     pairs = spark.createDataFrame(
-        [(i, i + 1) for i in range(1, 8)], "doc_a long, doc_b long"
+        [(i, i + 1) for i in range(1, 64)], "doc_a long, doc_b long"
     )
     with pytest.raises(RuntimeError, match="converge"):
-        dedup.neardup_components(pairs, max_iter=2)
+        dedup.neardup_components(pairs, max_iter=1)
 
 
 def test_two_phase_agg_matches_plain(spark):

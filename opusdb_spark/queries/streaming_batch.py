@@ -198,6 +198,15 @@ def stream_foreachbatch_sink(spark, sf_dir):
     return stream_jobs.foreachbatch_sink(spark, sf_dir)
 
 
+@register("stream_commit_ledger", oracle=None, tags=("streaming", "lifecycle"))
+def stream_commit_ledger(spark, sf_dir):
+    """TRUE streaming run with an injected mid-commit failure: per-batch
+    attempt/commit/rollback ledger pinning commit-fires-once /
+    rollback-fires-per-retry (events.clj:8-27, stm_test.clj:285-543;
+    rows-only: side-effecting)."""
+    return stream_jobs.commit_ledger(spark, sf_dir)
+
+
 @register("stream_session_true", oracle=None, tags=("streaming", "session"))
 def stream_session_true(spark, sf_dir):
     """TRUE streaming session_window aggregation (rows-only)."""

@@ -101,6 +101,169 @@ def mvcc_conservation(spark, sf_dir):
     )
 
 
+@register(
+    "mvcc_snapshot_stale",
+    oracle="""
+        WITH rp AS (
+            SELECT (MAX(event_id) * 3) // 4 AS rp FROM events
+        ),
+        born AS (
+            SELECT user_id AS ref_id, MIN(event_id) AS first_wp
+            FROM events GROUP BY user_id
+        ),
+        retained AS (
+            SELECT user_id AS ref_id, event_id FROM (
+                SELECT user_id, event_id,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY event_id DESC) AS rn
+                FROM events) WHERE rn <= 16
+        ),
+        ret_b AS (
+            SELECT ref_id, MIN(event_id) AS oldest_retained
+            FROM retained GROUP BY ref_id
+        ),
+        probe AS (
+            SELECT DISTINCT user_id AS ref_id FROM events
+            UNION
+            SELECT DISTINCT user_id + 1000000 FROM events
+            WHERE user_id % 10 = 0
+        )
+        SELECT p.ref_id, b.first_wp, r.oldest_retained,
+               CASE WHEN r.oldest_retained <= rp.rp THEN 'visible'
+                    WHEN b.first_wp <= rp.rp THEN 'stale'
+                    ELSE 'absent' END AS read_status
+        FROM probe p
+        LEFT JOIN ret_b r ON p.ref_id = r.ref_id
+        LEFT JOIN born b ON p.ref_id = b.ref_id
+        CROSS JOIN rp
+    """,
+    tags=("mvcc",),
+)
+def mvcc_snapshot_stale(spark, sf_dir):
+    """Too-old-read-point classification after history truncation.
+
+    The reference FAILS a read whose read-point predates the oldest
+    retained version: find-version returns nil and the transaction
+    retries at a newer read point (stm.clj:172-174, retry pinned at
+    stm_test.clj:156-174) — a ref born after the read point produces
+    the SAME nil, so the reference cannot tell "GC'd" from "not yet
+    created". With the full history in the lake this engine CAN:
+    for every probe ref (all live refs plus a 10% phantom set that
+    never existed) at read-point = 3/4 of the clock's high-water mark,
+
+      - 'visible': the retain(16) history still holds a version ≤ rp —
+        the normal find-version hit (stm.clj:55-65);
+      - 'stale':   versions ≤ rp existed but MAX_HISTORY truncation
+        (stm.clj:42-53) dropped them — the reference's nil→retry case;
+      - 'absent':  no version ≤ rp ever existed (born later, or a
+        phantom ref the reference would reject as unknown).
+
+    The read point derives lazily from max(write_point) (the clock's
+    AtomicLong high-water mark, stm.clj:12) — broadcast scalar, no
+    driver action; everything else is two groupBys on ref_id and
+    broadcast-joined model-sized bounds."""
+    full = _versions(spark, sf_dir)
+    rp = full.agg(F.expr("max(write_point) * 3 div 4").alias("_rp"))
+    born = full.groupBy("ref_id").agg(F.min("write_point").alias("first_wp"))
+    ret_b = (
+        mvcc.retain(full, mvcc.MAX_HISTORY)
+        .groupBy("ref_id")
+        .agg(F.min("write_point").alias("oldest_retained"))
+    )
+    probe = (
+        full.select("ref_id")
+        .unionByName(
+            full.filter(F.col("ref_id") % 10 == 0).select(
+                (F.col("ref_id") + 1000000).alias("ref_id")
+            )
+        )
+        .distinct()
+    )
+    status = (
+        F.when(F.col("oldest_retained") <= F.col("_rp"), "visible")
+        .when(F.col("first_wp") <= F.col("_rp"), "stale")
+        .otherwise("absent")
+    )
+    return (
+        probe.join(ret_b, "ref_id", "left")
+        .join(born, "ref_id", "left")
+        .crossJoin(F.broadcast(rp))
+        .select("ref_id", "first_wp", "oldest_retained", status.alias("read_status"))
+    )
+
+
+@register(
+    "mvcc_conflict_detect",
+    oracle="""
+        WITH clock AS (
+            SELECT MAX(event_id) // 2 AS rp,
+                   MAX(event_id) // 2 + MAX(event_id) // 64 AS cp
+            FROM events
+        ),
+        readset AS (
+            SELECT DISTINCT user_id AS ref_id FROM events
+            WHERE user_id % 3 = 0
+        )
+        SELECT r.ref_id,
+               COUNT(e.event_id) AS n_intervening,
+               MIN(e.event_id) AS first_intervening_wp,
+               CASE WHEN COUNT(e.event_id) = 0
+                    THEN 'commit' ELSE 'retry' END AS verdict
+        FROM readset r
+        CROSS JOIN clock c
+        LEFT JOIN events e
+          ON e.user_id = r.ref_id
+         AND e.event_id > c.rp AND e.event_id <= c.cp
+        GROUP BY r.ref_id
+    """,
+    tags=("mvcc",),
+)
+def mvcc_conflict_detect(spark, sf_dir):
+    """Commit-time read-consistency validation (OCC conflict check).
+
+    The reference's `ensure` path re-checks, at commit, that every ref
+    the transaction READ is still at the version it read — any
+    intervening committed write means the read is inconsistent and the
+    transaction retries (ensure-read-consistency, stm.clj:37-40; retry
+    pinned at stm_test.clj:221-253). The analytic analog over the
+    versions table: for a transaction with read-point = half the
+    clock's high-water mark and read-set = refs with ref_id % 3 = 0,
+    count per ref the versions committed between the read point and
+    the commit point (a 1/64-clock-span transaction lifetime). Zero →
+    'commit' (validation passes); otherwise 'retry', with the first
+    intervening write point as the witness.
+
+    Shape at scale: the read-set is a distinct-project of the keys
+    (one shuffle), the validation itself one equi-join on the key with
+    the write-point predicate pushed into it — no window, no all-pairs.
+    The read point derives lazily from max(write_point) (AtomicLong
+    clock, stm.clj:12) and broadcasts as a one-row scalar."""
+    full = _versions(spark, sf_dir)
+    clock = full.agg(
+        F.expr("max(write_point) div 2").alias("_rp"),
+        F.expr("max(write_point) div 2 + max(write_point) div 64").alias("_cp"),
+    )
+    readset = (
+        full.filter(F.col("ref_id") % 3 == 0).select("ref_id").distinct()
+    )
+    intervening = (
+        full.crossJoin(F.broadcast(clock))
+        .filter(
+            (F.col("write_point") > F.col("_rp"))
+            & (F.col("write_point") <= F.col("_cp"))
+        )
+        .select("ref_id", "write_point")
+    )
+    joined = readset.join(intervening, "ref_id", "left")
+    return joined.groupBy("ref_id").agg(
+        F.count("write_point").alias("n_intervening"),
+        F.min("write_point").alias("first_intervening_wp"),
+        F.when(F.count("write_point") == 0, "commit")
+        .otherwise("retry")
+        .alias("verdict"),
+    )
+
+
 @register("mvcc_txn_rollback", oracle=None, tags=("mvcc", "write-path"))
 def mvcc_txn_rollback(spark, sf_dir):
     """Atomic multi-update batch + abort, on the REAL write path

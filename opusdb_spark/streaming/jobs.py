@@ -235,6 +235,73 @@ def foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def commit_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-batch attempt/commit/rollback ledger — the lifecycle-hook
+    contract as DATA (reference events.clj:8-27; pinned behavior
+    stm_test.clj:285-543: the commit hook fires ONCE per committed
+    transaction, the rollback hook fires once PER failed attempt).
+
+    The events log replays as four micro-batches; the foreachBatch
+    commit hook counts every invocation (attempt), injects ONE
+    mid-commit failure on batch 1's first attempt (rollback — nothing
+    published, the output committer discards the batch), and lets the
+    checkpoint-driven restart redeliver the same batch id (the retry).
+    The returned ledger pins the reference's counts: the failed batch
+    shows attempts=2 / rollbacks=1 / commits=1, every other batch
+    1 / 0 / 1 — and the sink holds each event exactly once, because a
+    rolled-back attempt publishes nothing (stm.clj:103-106).
+    """
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = scratch_sink(f"ledger_sink_{tag}")
+    ckpt = scratch_sink(f"ckpt_ledger_{tag}")
+    attempts: dict[int, int] = {}
+    commits: dict[int, int] = {}
+    rollbacks: dict[int, int] = {}
+    injected = {"done": False}
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        attempts[batch_id] = attempts.get(batch_id, 0) + 1
+        try:
+            if batch_id == 1 and not injected["done"]:
+                injected["done"] = True
+                raise RuntimeError("injected mid-commit failure")
+            (
+                batch_df.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(out)
+            )
+            commits[batch_id] = commits.get(batch_id, 0) + 1
+        except Exception:
+            rollbacks[batch_id] = rollbacks.get(batch_id, 0) + 1
+            raise
+
+    ev = _events_stream_batched(spark, sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    for _attempt in (1, 2):
+        q = (
+            ev.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+            break  # clean finish — no (further) retry needed
+        except Exception:
+            # The failed attempt killed the run; restarting from the
+            # SAME checkpoint redelivers the uncommitted batch id —
+            # that restart IS the reference's transaction retry.
+            continue
+    rows = [
+        (b, attempts.get(b, 0), commits.get(b, 0), rollbacks.get(b, 0))
+        for b in sorted(attempts)
+    ]
+    return spark.createDataFrame(
+        rows, "batch_id long, n_attempts long, n_commits long, n_rollbacks long"
+    )
+
+
 def session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window (30-min gap) aggregation, streaming.
 

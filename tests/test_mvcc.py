@@ -216,3 +216,85 @@ def test_merge_upsert_delete_insert_one_write_point(spark):
         ).collect()
     }
     assert pre == {1: 300.0, 2: 150.0}, "old snapshot unaffected by merge"
+
+
+def test_snapshot_stale_distinguishes_gc_from_absent(spark):
+    """Too-old read point (stm.clj:172-174): the reference returns nil
+    both for a GC'd history and a never-created ref; the lake engine
+    names the difference. Pins, against an independently computed read
+    point over the raw events table:
+      - phantom refs (never existed) are 'absent'
+      - every ref whose retain(16) history reaches the read point is
+        'visible' (find-version hit, stm.clj:55-65)
+      - every 'stale' ref DID have a version <= rp in the full history
+        (so the reference's nil is a truncation artifact, not absence)
+      - all three classes occur."""
+    from opusdb_spark.queries.versioned import mvcc_snapshot_stale
+    from tests.conftest import SF_SMALL
+
+    got = {r.ref_id: r for r in mvcc_snapshot_stale(spark, SF_SMALL).collect()}
+    ev = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .select(
+            F.col("user_id").alias("ref_id"),
+            F.col("event_id").alias("write_point"),
+        )
+    )
+    rp = ev.agg(F.expr("max(write_point) * 3 div 4")).first()[0]
+    first_wp = {
+        r.ref_id: r.fw
+        for r in ev.groupBy("ref_id").agg(F.min("write_point").alias("fw")).collect()
+    }
+    oldest_kept = {
+        r.ref_id: r.ok
+        for r in mvcc.retain(ev, 16)
+        .groupBy("ref_id")
+        .agg(F.min("write_point").alias("ok"))
+        .collect()
+    }
+    statuses = set()
+    for ref_id, row in got.items():
+        statuses.add(row.read_status)
+        if ref_id >= 1000000:
+            assert row.read_status == "absent", ref_id
+            continue
+        if oldest_kept[ref_id] <= rp:
+            assert row.read_status == "visible", ref_id
+        elif first_wp[ref_id] <= rp:
+            # reference: nil -> retry; engine: provably GC'd
+            assert row.read_status == "stale", ref_id
+        else:
+            assert row.read_status == "absent", ref_id
+    assert statuses == {"visible", "stale", "absent"}
+
+
+def test_conflict_detect_flags_only_intervening_writes(spark):
+    """ensure-read-consistency (stm.clj:37-40): a ref written between
+    the read point and the commit point fails validation (retry); a ref
+    whose last write predates the read point — or lands after the
+    commit point, i.e. by a LATER transaction — passes (commit)."""
+    from opusdb_spark.queries.versioned import mvcc_conflict_detect
+    from tests.conftest import SF_SMALL
+
+    got = {r.ref_id: r for r in mvcc_conflict_detect(spark, SF_SMALL).collect()}
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
+        F.col("user_id").alias("ref_id"), F.col("event_id").alias("wp")
+    )
+    hi = ev.agg(F.max("wp")).first()[0]
+    rp, cp = hi // 2, hi // 2 + hi // 64
+    windowed = {
+        r.ref_id: (r.n, r.first)
+        for r in ev.filter((F.col("wp") > rp) & (F.col("wp") <= cp))
+        .groupBy("ref_id")
+        .agg(F.count("wp").alias("n"), F.min("wp").alias("first"))
+        .collect()
+    }
+    assert got  # read-set non-empty
+    for ref_id, row in got.items():
+        assert ref_id % 3 == 0
+        n, first = windowed.get(ref_id, (0, None))
+        assert row.n_intervening == n
+        assert row.first_intervening_wp == first
+        assert row.verdict == ("retry" if n else "commit")
+    verdicts = {r.verdict for r in got.values()}
+    assert verdicts == {"commit", "retry"}

@@ -228,3 +228,29 @@ def test_nanos_annotated_events_stream_roundtrips(spark, tmp_path):
         for i in range(n)
     ]
     assert [r.ts for r in got] == want
+
+
+def test_commit_ledger_commit_once_rollback_per_retry(spark):
+    """Lifecycle-hook counts (events.clj:8-27; stm_test.clj:285-543):
+    the commit hook fires ONCE per committed batch even when an attempt
+    failed first; the rollback hook fires once PER failed attempt; and
+    a rolled-back attempt publishes nothing, so the sink holds every
+    event exactly once (abort discards the write-set, stm.clj:103-106).
+    """
+    from opusdb_spark.streaming import jobs
+    from tests.conftest import SF_SMALL
+
+    ledger = {r.batch_id: r for r in jobs.commit_ledger(spark, SF_SMALL).collect()}
+    assert len(ledger) >= 2  # multi-batch replay
+    assert all(r.n_commits == 1 for r in ledger.values())
+    failed = [r for r in ledger.values() if r.n_rollbacks]
+    assert len(failed) == 1 and failed[0].batch_id == 1
+    assert failed[0].n_attempts == 2 and failed[0].n_rollbacks == 1
+    assert all(
+        r.n_attempts == 1 for r in ledger.values() if r.batch_id != 1
+    )
+    tag = os.path.basename(os.path.normpath(SF_SMALL))
+    sink = spark.read.parquet(os.path.join(_SCRATCH, f"ledger_sink_{tag}"))
+    n_events = spark.read.parquet(f"{SF_SMALL}/events.parquet").count()
+    assert sink.count() == n_events
+    assert sink.select("event_id").distinct().count() == n_events

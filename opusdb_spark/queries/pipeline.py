@@ -880,3 +880,144 @@ def ts_ohlc(spark, sf_dir):
         F.min(F.when(F.col("rn_close") == 1, F.col("value"))).alias("close"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# -------------------------------------------------- chunking
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+@register(
+    "llm_chunk_split",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        st AS (
+            SELECT doc_id, t,
+                   UNNEST(generate_series(1, GREATEST(len(t), 1),
+                                          {CHUNK_STRIDE})) AS s
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST((s - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+               CAST(LEAST(s + {CHUNK_SIZE - 1}, len(t)) - s + 1
+                    AS BIGINT) AS n_tokens,
+               array_to_string(
+                   t[s:LEAST(s + {CHUNK_SIZE - 1}, len(t))], ' '
+               ) AS chunk_text
+        FROM st
+    """,
+    tags=("llm", "chunking"),
+)
+def llm_chunk_split(spark, sf_dir):
+    """Fixed-size overlapping token chunks — the context-window split
+    every pretraining pipeline runs before packing: documents become
+    64-token chunks on a 48-token stride (16-token overlap), each
+    tagged (doc_id, chunk_id, n_tokens). Pure array algebra on the
+    token vector (split → sequence of starts → explode → slice): one
+    narrow projection, no shuffle, no UDF — at 100 TB this pipelines
+    inside the scan stage and parallelizes per input split."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("t"), F.lit(1)), F.lit(CHUNK_STRIDE)
+    )
+    ex = docs.select("doc_id", "t", F.explode(starts).alias("s"))
+    chunk = F.slice("t", F.col("s"), CHUNK_SIZE)
+    return ex.select(
+        "doc_id",
+        F.expr(f"(s - 1) div {CHUNK_STRIDE}").cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+# -------------------------------------------------- LM quality scoring
+@register(
+    "llm_perplexity_score",
+    oracle="""
+        WITH pairs AS (
+            SELECT doc_id,
+                   string_split(text, ' ')[i] AS w1,
+                   string_split(text, ' ')[i+1] AS w2
+            FROM documents,
+                 LATERAL (SELECT UNNEST(range(1,
+                     GREATEST(len(string_split(text, ' ')) - 1, 0) + 1)) AS i)
+            WHERE string_split(text, ' ')[i] <> ''
+              AND string_split(text, ' ')[i+1] <> ''
+        ),
+        big AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM pairs GROUP BY w1, w2
+        ),
+        uni AS (
+            SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM big GROUP BY w1
+        ),
+        lm AS (
+            SELECT b.w1, b.w2,
+                   log2(CAST(b.c12 AS DOUBLE) / u.c1) AS lp
+            FROM big b JOIN uni u ON b.w1 = u.w1
+        ),
+        docbi AS (
+            SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+            FROM pairs GROUP BY doc_id, w1, w2
+        )
+        SELECT d.doc_id,
+               CAST(SUM(d.n) AS BIGINT) AS n_bigrams,
+               ROUND(-CAST(SUM(CAST(d.n * l.lp AS DECIMAL(27,6)))
+                           AS DOUBLE) / SUM(d.n), 6) AS xent_bits
+        FROM docbi d JOIN lm l ON d.w1 = l.w1 AND d.w2 = l.w2
+        GROUP BY d.doc_id
+    """,
+    tags=("llm", "lm", "quality"),
+)
+def llm_perplexity_score(spark, sf_dir):
+    """Per-document bigram cross-entropy under a corpus-trained bigram
+    LM — the CCNet-style perplexity quality signal: low bits ≈ fluent /
+    repetitive, high bits ≈ unusual text. The LM is the same
+    conditional-probability table llm_bigram_lm exposes; scoring is a
+    doc-bigram × LM equi-join (no windows, no UDF), with each term
+    quantized to decimal(27,6) before the sum so the engine-side total
+    is order-independent and hash-matches the oracle (log2's 1-ulp
+    engine drift collapses under the quantization — the same contract
+    fn_math pins for ln, scalar_functions.py:143-145). At 100 TB the
+    LM table is corpus-vocabulary-shaped (≪ corpus) and the join
+    shuffles on (w1, w2) — or broadcasts, for a capped vocabulary."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    n = F.greatest(F.size("t") - 1, F.lit(0))
+    pairs = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("t", 1, n).alias("w1"),
+                    F.slice(F.col("t"), 2, n).alias("w2"),
+                )
+            ).alias("pr"),
+        )
+        .select("doc_id", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    lm = big.join(uni, "w1").select(
+        "w1", "w2", F.log2(F.col("c12").cast("double") / F.col("c1")).alias("lp")
+    )
+    docbi = pairs.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        docbi.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_bigrams"),
+            F.round(
+                -F.sum((F.col("n") * F.col("lp")).cast("decimal(27,6)"))
+                .cast("double")
+                / F.sum("n"),
+                6,
+            ).alias("xent_bits"),
+        )
+    )

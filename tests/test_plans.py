@@ -328,3 +328,25 @@ def test_lateral_subquery_decorrelates(spark):
     p = plan(_Q["sub_lateral"].fn(spark, SF))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_chunk_split_is_shuffle_free(spark):
+    """Chunking is scan-stage array algebra: split → explode(sequence)
+    → slice, with zero Exchange — at scale it pipelines inside the
+    parquet scan, one task per input split."""
+    from opusdb_spark.queries.pipeline import llm_chunk_split
+
+    p = plan(llm_chunk_split(spark, SF))
+    assert "Exchange" not in p, "chunking must not shuffle"
+    assert "Generate" in p  # the explode over chunk starts
+
+
+def test_perplexity_score_joins_on_bigram_not_all_pairs(spark):
+    """LM scoring is equi-joins + hash aggregates only: no window, no
+    cartesian, no Python UDF in the plan."""
+    from opusdb_spark.queries.pipeline import llm_perplexity_score
+
+    p = plan(llm_perplexity_score(spark, SF))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert "Window" not in p
+    assert "PythonUDF" not in p.replace("ArrowEvalPython", "")

@@ -70,17 +70,26 @@ def synthesize_media(spark, n: int = 256) -> DataFrame:
                 rng = np.random.RandomState(int(i) % (2**31))
                 kind = ["image", "audio", "video"][int(i) % 3]
                 w, h = 16 + int(i) % 32, 16 + (int(i) // 2) % 32
+                n_frames = 1 + int(i) % 8
                 if kind == "image":  # real grayscale PGM bytes
                     blob = encode_pgm(
                         rng.randint(0, 256, (h, w)).astype(np.uint8)
                     )
-                elif kind == "video":  # real RGB PPM (first frame)
-                    blob = encode_ppm(
-                        rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+                elif kind == "video":
+                    # REAL multi-frame raw video: n_frames complete PPM
+                    # (P6) images back to back — each frame carries its
+                    # own header, so the container is self-delimiting
+                    # and a reader walks it frame by frame (the
+                    # headerless-y4m shape, no codec needed).
+                    blob = b"".join(
+                        encode_ppm(
+                            rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+                        )
+                        for _ in range(n_frames)
                     )
                 else:  # audio: raw headerless byte plane
                     blob = rng.bytes(w * h)
-                rows.append((int(i), kind, blob, w, h, 1 + int(i) % 8))
+                rows.append((int(i), kind, blob, w, h, n_frames))
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -121,14 +130,17 @@ def encode_ppm(rgb: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + rgb.astype(np.uint8).tobytes()
 
 
-def _parse_netpbm(blob: bytes) -> np.ndarray:
-    """Parse binary PGM (P5) / PPM (P6) into an HxW luma plane.
+def _parse_netpbm_at(blob: bytes, start_pos: int = 0) -> tuple[np.ndarray, int]:
+    """Parse one binary PGM (P5) / PPM (P6) image starting at
+    `start_pos`; returns (HxW luma plane, position past this image).
 
     Header = magic, width, height, maxval as whitespace-separated
     tokens with '#' comments, then one raster byte per sample. PPM RGB
     collapses to luma with fixed-point ITU-R 601 integer weights —
-    deterministic on every platform."""
-    pos = 2  # past magic
+    deterministic on every platform. The end position makes
+    concatenated frames walkable (parse_frames)."""
+    magic = blob[start_pos : start_pos + 2]
+    pos = start_pos + 2  # past magic
     tokens: list[int] = []
     while len(tokens) < 3:
         while pos < len(blob) and blob[pos : pos + 1].isspace():
@@ -145,11 +157,29 @@ def _parse_netpbm(blob: bytes) -> np.ndarray:
     w, h, maxval = tokens
     if maxval != 255:
         raise NotImplementedError("only 8-bit Netpbm rasters supported")
-    if blob[:2] == b"P5":
-        return np.frombuffer(blob, np.uint8, w * h, pos).reshape(h, w)
+    if magic == b"P5":
+        return np.frombuffer(blob, np.uint8, w * h, pos).reshape(h, w), pos + w * h
     rgb = np.frombuffer(blob, np.uint8, w * h * 3, pos).reshape(h, w, 3)
     r, g, b = (rgb[..., i].astype(np.uint32) for i in range(3))
-    return ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+    luma = ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+    return luma, pos + w * h * 3
+
+
+def _parse_netpbm(blob: bytes) -> np.ndarray:
+    """First (or only) Netpbm image in `blob` as an HxW luma plane."""
+    return _parse_netpbm_at(blob, 0)[0]
+
+
+def parse_frames(blob: bytes) -> list[np.ndarray]:
+    """Walk a concatenated-Netpbm raw video: every complete P5/P6 image
+    in sequence becomes one luma frame. Self-delimiting (each frame
+    carries its header), so no out-of-band frame index is needed."""
+    frames: list[np.ndarray] = []
+    pos = 0
+    while pos < len(blob) and blob[pos : pos + 2] in (b"P5", b"P6"):
+        plane, pos = _parse_netpbm_at(blob, pos)
+        frames.append(plane)
+    return frames
 
 
 def decode_image(blob: bytes, width: int, height: int) -> np.ndarray:
@@ -208,22 +238,37 @@ def area_resize(plane: np.ndarray, target: int) -> np.ndarray:
     )
 
 
+def _media_planes(row) -> list[np.ndarray]:
+    """All decodable frames of one media row: every embedded Netpbm
+    frame for concatenated-frame video, else the single decoded plane.
+    A row whose n_frames exceeds the embedded frames repeats the last
+    plane (frame-hold), so fan-out stays metadata-driven."""
+    blob = row["content"]
+    if blob[:2] in (b"P5", b"P6"):
+        planes = parse_frames(blob)
+    else:
+        planes = [decode_image(blob, row["width"], row["height"])]
+    want = max(int(row["n_frames"]), 1)
+    if len(planes) < want:
+        planes = planes + [planes[-1]] * (want - len(planes))
+    return planes[:want]
+
+
 def resize_plan(media: DataFrame, target: int = 8) -> DataFrame:
-    """Resize/frame-sample: emits (media_id, frame_id, thumb) rows —
-    one per sampled frame — the 1→N explode shape a real video pipeline
-    uses. Thumbnails are genuine area-downsampled PGM images of the
-    decoded plane."""
+    """Resize every frame: emits (media_id, frame_id, thumb) rows — one
+    per frame, the 1→N explode shape a real video pipeline uses. Each
+    thumbnail is a genuine area-downsampled PGM of THAT frame's decoded
+    plane (concatenated-Netpbm video decodes per frame; single-plane
+    media holds its one plane)."""
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, frames, thumbs = [], [], []
             for _, row in pdf.iterrows():
-                plane = decode_image(row["content"], row["width"], row["height"])
-                small = encode_pgm(area_resize(plane, target))
-                for f in range(int(row["n_frames"])):
+                for f, plane in enumerate(_media_planes(row)):
                     ids.append(int(row["media_id"]))
                     frames.append(f)
-                    thumbs.append(small)
+                    thumbs.append(encode_pgm(area_resize(plane, target)))
             yield pd.DataFrame(
                 {"media_id": ids, "frame_id": frames, "thumb": thumbs}
             )
@@ -236,6 +281,45 @@ def resize_plan(media: DataFrame, target: int = 8) -> DataFrame:
         ]
     )
     return media.mapInPandas(resize, schema=schema)
+
+
+def sample_frames(media: DataFrame, stride: int = 2, target: int = 8) -> DataFrame:
+    """Frame sampling: keep every `stride`-th frame (0, stride, 2·stride,
+    …) of each media row, emitting per-sampled-frame luma stats and an
+    area-downsampled thumbnail — the decode → subsample → featurize
+    shape of a video training pipeline. mapInPandas, Arrow-batched,
+    shuffle-free: at 100 TB each executor decodes only its own blobs
+    and output size is input_frames / stride."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [],
+                "kind": [],
+                "frame_id": [],
+                "mean_luma": [],
+                "thumb": [],
+            }
+            for _, row in pdf.iterrows():
+                planes = _media_planes(row)
+                for f in range(0, len(planes), stride):
+                    out["media_id"].append(int(row["media_id"]))
+                    out["kind"].append(row["kind"])
+                    out["frame_id"].append(f)
+                    out["mean_luma"].append(float(planes[f].mean()))
+                    out["thumb"].append(encode_pgm(area_resize(planes[f], target)))
+            yield pd.DataFrame(out)
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("kind", StringType()),
+            StructField("frame_id", IntegerType()),
+            StructField("mean_luma", DoubleType()),
+            StructField("thumb", BinaryType()),
+        ]
+    )
+    return media.mapInPandas(sample, schema=schema)
 
 
 def media_summary(media: DataFrame) -> DataFrame:

@@ -566,6 +566,31 @@ def multimodal_resize(spark, sf_dir):
     )
 
 
+@register("multimodal_frame_sample", oracle=None, tags=("llm", "multimodal"))
+def multimodal_frame_sample(spark, sf_dir):
+    """Video frame sampling: decode concatenated-Netpbm raw video, keep
+    every 2nd frame, per-frame luma + thumbnail; per-media rollup of
+    sampled-frame count and decimal-summed luma (rows-only: binary
+    media is synthesized, operators/multimodal.py)."""
+    from pyspark.sql import functions as _F
+
+    from opusdb_spark.operators import multimodal
+
+    media = multimodal.synthesize_media(spark, n=64)
+    sampled = multimodal.sample_frames(media, stride=2)
+    return (
+        sampled.groupBy("media_id", "kind")
+        .agg(
+            _F.count(_F.lit(1)).alias("n_sampled"),
+            _F.sum(_F.col("mean_luma").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("sum_luma"),
+            _F.sum(_F.length("thumb")).alias("thumb_bytes"),
+        )
+        .orderBy("media_id")
+    )
+
+
 @register(
     "llm_bm25_topk",
     oracle="""

@@ -565,3 +565,47 @@ def test_area_resize_mean_pools():
     assert small.shape == (4, 4)
     assert small[0, 0] == int(plane[:2, :2].mean())
     assert small[3, 3] == int(plane[6:, 6:].mean())
+
+
+def test_video_frames_roundtrip_and_are_distinct():
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    planes = [rng.randint(0, 256, (6, 5)).astype(np.uint8) for _ in range(3)]
+    blob = b"".join(multimodal.encode_pgm(p) for p in planes)
+    back = multimodal.parse_frames(blob)
+    assert len(back) == 3
+    assert all((a == b).all() for a, b in zip(planes, back))
+    assert not (back[0] == back[1]).all()  # frames genuinely differ
+
+
+def test_frame_sample_keeps_every_stride_th_frame(spark):
+    media = multimodal.synthesize_media(spark, n=24)
+    sampled = multimodal.sample_frames(media, stride=2)
+    per = {
+        r.media_id: r.n
+        for r in sampled.groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # ceil(n_frames / stride) sampled frames per media row
+    assert per == {i: (1 + i % 8 + 1) // 2 for i in range(24)}
+    # video rows decode per-frame: sampled frames have distinct lumas
+    vid = [
+        r
+        for r in sampled.collect()
+        if r.kind == "video" and r.media_id % 3 == 2
+    ]
+    by_media: dict[int, set] = {}
+    for r in vid:
+        by_media.setdefault(r.media_id, set()).add(r.mean_luma)
+    multi = [m for m, lumas in by_media.items() if len(lumas) > 1]
+    assert multi, "multi-frame videos must yield differing per-frame lumas"
+
+
+def test_resize_thumbs_differ_across_video_frames(spark):
+    media = multimodal.synthesize_media(spark, n=16)
+    thumbs = multimodal.resize_plan(media)
+    rows = [r for r in thumbs.collect() if r.media_id == 14]  # video, 7 frames
+    assert len(rows) == 1 + 14 % 8
+    assert len({bytes(r.thumb) for r in rows}) > 1, "per-frame thumbs"

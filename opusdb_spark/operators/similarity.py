@@ -297,3 +297,48 @@ def ivf_topk(
         "cell"
     )
     return cosine_topk(candidates, probe_id, k, id_col, vec_col)
+
+
+def cosine_topk_batch(
+    emb: DataFrame,
+    probe_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for a MODEL-SIZED probe set in ONE corpus
+    pass: the flattened probe components (|probes| × dim rows)
+    broadcast against the corpus, scores aggregate per (probe, vector),
+    and a per-probe group-limit window takes each top-k — the ground
+    truth an ANN recall evaluation compares against. Same exact-decimal
+    dot products as cosine_topk, so scores are order-independent."""
+    from pyspark.sql import Window
+
+    flat = _flat(emb, id_col, vec_col)
+    probe = flat.filter(F.col(id_col).isin(list(probe_ids))).select(
+        F.col(id_col).alias("probe_id"), "i", F.col("x").alias("p")
+    )
+    pnorm = probe.groupBy("probe_id").agg(
+        F.sum((F.col("p") * F.col("p")).cast(DEC12)).cast("double").alias("np")
+    )
+    scored = (
+        flat.join(F.broadcast(probe), "i")
+        .filter(F.col(id_col) != F.col("probe_id"))
+        .groupBy("probe_id", id_col)
+        .agg(
+            F.sum((F.col("x") * F.col("p")).cast(DEC12)).cast("double").alias("dot"),
+            F.sum((F.col("x") * F.col("x")).cast(DEC12)).cast("double").alias("nx"),
+        )
+        .join(F.broadcast(pnorm), "probe_id")
+        .select(
+            "probe_id",
+            id_col,
+            (F.col("dot") / F.sqrt(F.col("nx") * F.col("np"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -280,6 +280,55 @@ def llm_simsearch_ivf(spark, sf_dir):
     return ann_index.ivf_probe(spark, idx, vec, k=10, exclude_id=0)
 
 
+@register("llm_ann_recall_eval", oracle=None, tags=("llm", "similarity", "qa"))
+def llm_ann_recall_eval(spark, sf_dir):
+    """Recall@10 of the IVF ANN path against exact brute force — the QA
+    query every approximate index needs before it gates a training-data
+    pipeline. Ground truth comes from ONE corpus pass (batched
+    broadcast-probe cosine, similarity.cosine_topk_batch); the IVF side
+    is the same partition-pruned probe llm_simsearch_ivf serves. The
+    probe set is model-sized (4 ids), so the per-probe vector fetches
+    are single-row stat-pruned reads, and the unioned IVF plans execute
+    as one job. Evaluated at two n_probe levels so the accuracy/cost
+    knob's effect is part of the output — recall must be monotone in
+    cells probed (rows-only: the index is not SQL-expressible)."""
+    probes = [0, 1, 2, 3]
+    emb = table(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_topk_batch(emb, probes, k=10)
+    idx = _ann_index(spark, sf_dir)
+    approx = None
+    vecs = {pid: ann_index.fetch_vector(spark, idx, probe_id=pid) for pid in probes}
+    for n_probe in (similarity.N_PROBE, 2 * similarity.N_PROBE):
+        for pid in probes:
+            a = ann_index.ivf_probe(
+                spark, idx, vecs[pid], k=10, n_probe=n_probe, exclude_id=pid
+            ).select(
+                F.lit(pid).alias("probe_id"),
+                F.lit(n_probe).alias("n_probe"),
+                "vec_id",
+                F.lit(1).alias("_hit"),
+            )
+            approx = a if approx is None else approx.unionByName(a)
+    levels = approx.select("n_probe").distinct()
+    return (
+        exact.crossJoin(F.broadcast(levels))
+        .join(approx, ["probe_id", "n_probe", "vec_id"], "left")
+        .groupBy("probe_id", "n_probe")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),
+        )
+        .select(
+            "probe_id",
+            "n_probe",
+            "k",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("k"), 4).alias("recall"),
+        )
+        .orderBy("probe_id", "n_probe")
+    )
+
+
 @register("llm_dedup_cluster", oracle=None, tags=("llm", "dedup"))
 def llm_dedup_cluster(spark, sf_dir):
     """Near-dup CLUSTERS: connected components over the MinHash-LSH pair

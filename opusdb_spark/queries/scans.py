@@ -170,3 +170,41 @@ def source_json_roundtrip(spark, sf_dir):
     region = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
     region.write.mode("overwrite").json(out)
     return read_json(spark, out, "r_regionkey int, r_name string")
+
+
+@register(
+    "scan_schema_evolution",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               CAST(NULL AS VARCHAR) AS o_orderstatus
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 2 = 1
+    """,
+    tags=("scan", "schema-evolution"),
+)
+def scan_schema_evolution(spark, sf_dir):
+    """Schema evolution across parquet file generations: generation 1
+    lacks a column that generation 2 added; a mergeSchema read
+    reconciles both into one table with NULLs where the old files have
+    no column — the additive-evolution contract every long-lived
+    lakehouse table relies on (the reference sidesteps this by being
+    schemaless — typed columns make it this engine's concern). The
+    merged footer union happens at planning; data files are read
+    exactly once."""
+    out = scratch_sink(f"evo_{os.path.basename(os.path.normpath(sf_dir))}")
+    orders = table(spark, sf_dir, "orders")
+    gen1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    gen2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    gen1.write.mode("append").parquet(out)
+    gen2.write.mode("append").parquet(out)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(out)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    )

@@ -609,3 +609,44 @@ def test_resize_thumbs_differ_across_video_frames(spark):
     rows = [r for r in thumbs.collect() if r.media_id == 14]  # video, 7 frames
     assert len(rows) == 1 + 14 % 8
     assert len({bytes(r.thumb) for r in rows}) > 1, "per-frame thumbs"
+
+
+def test_cosine_topk_batch_matches_single_probe(spark):
+    from opusdb_spark.tables import table
+
+    emb = table(spark, SF, "embeddings")
+    batch = similarity.cosine_topk_batch(emb, [0, 3], k=5)
+    got = {
+        pid: [(r.vec_id, r.cosine) for r in sorted(rows, key=lambda x: (-x.cosine, x.vec_id))]
+        for pid, rows in (
+            (0, [r for r in batch.collect() if r.probe_id == 0]),
+            (3, [r for r in batch.collect() if r.probe_id == 3]),
+        )
+    }
+    for pid in (0, 3):
+        single = [
+            (r.vec_id, r.cosine)
+            for r in similarity.cosine_topk(emb, pid, 5).collect()
+        ]
+        assert got[pid] == single, f"batch/single disagree for probe {pid}"
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """Probing ALL cells makes IVF exhaustive: its top-k must equal the
+    brute-force ground truth exactly — pins that the persisted index
+    partitions the corpus without loss or duplication."""
+    from opusdb_spark.operators import ann_index
+    from opusdb_spark.tables import table
+
+    emb = table(spark, SF, "embeddings")
+    idx = ann_index.ensure_index(
+        spark, emb, ann_index.index_dir_for(SF), ann_index.source_fingerprint(SF)
+    )
+    vec = ann_index.fetch_vector(spark, idx, 0)
+    full = ann_index.ivf_probe(
+        spark, idx, vec, k=10, n_probe=similarity.N_CELLS, exclude_id=0
+    )
+    exact = similarity.cosine_topk(emb, 0, 10)
+    assert [r.vec_id for r in full.collect()] == [
+        r.vec_id for r in exact.collect()
+    ]

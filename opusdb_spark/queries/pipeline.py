@@ -1021,3 +1021,158 @@ def llm_perplexity_score(spark, sf_dir):
             ).alias("xent_bits"),
         )
     )
+
+
+# -------------------------------------------------- event-sequence analytics
+@register(
+    "events_funnel",
+    oracle="""
+        WITH s1 AS (
+            SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, MIN(e.ts) AS t2
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.t1
+              AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+            GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, MIN(e.ts) AS t3
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+              AND e.ts <= s2.t2 + INTERVAL 24 HOUR
+            GROUP BY e.user_id
+        ),
+        depth AS (
+            SELECT u.user_id,
+                   CASE WHEN s3.user_id IS NOT NULL THEN 3
+                        WHEN s2.user_id IS NOT NULL THEN 2
+                        WHEN s1.user_id IS NOT NULL THEN 1
+                        ELSE 0 END AS funnel_depth
+            FROM (SELECT DISTINCT user_id FROM events) u
+            LEFT JOIN s1 ON u.user_id = s1.user_id
+            LEFT JOIN s2 ON u.user_id = s2.user_id
+            LEFT JOIN s3 ON u.user_id = s3.user_id
+        )
+        SELECT funnel_depth, COUNT(*) AS n_users
+        FROM depth GROUP BY funnel_depth
+    """,
+    tags=("events", "funnel"),
+)
+def events_funnel(spark, sf_dir):
+    """Ordered-sequence funnel (view → click → purchase, each next
+    stage within 24 h of the previous): per user the earliest view, the
+    earliest qualifying click after it, the earliest qualifying
+    purchase after that — funnel depth is how many stages completed in
+    order within the window, histogrammed over all users (the
+    windowFunnel shape of event-analytics engines). Each stage is one
+    filtered-aggregate plus an equi-join on user_id — N stages = N
+    hash-partitioned passes, no per-user sorting, no UDF, and every
+    stage's input shrinks to users still in the funnel."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 24 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 24 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    users = ev.select("user_id").distinct()
+    depth = (
+        users.join(s1.select("user_id", F.lit(1).alias("_d1")), "user_id", "left")
+        .join(s2.select("user_id", F.lit(1).alias("_d2")), "user_id", "left")
+        .join(s3.select("user_id", F.lit(1).alias("_d3")), "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("_d3").isNotNull(), 3)
+            .when(F.col("_d2").isNotNull(), 2)
+            .when(F.col("_d1").isNotNull(), 1)
+            .otherwise(0)
+            .alias("funnel_depth"),
+        )
+    )
+    return depth.groupBy("funnel_depth").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@register(
+    "events_retention",
+    oracle="""
+        WITH first_day AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ),
+        cohort_size AS (
+            SELECT cohort_day, COUNT(*) AS n_cohort
+            FROM first_day GROUP BY cohort_day
+        )
+        SELECT f.cohort_day,
+               CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT)
+                   AS day_offset,
+               COUNT(DISTINCT a.user_id) AS n_active,
+               ANY_VALUE(c.n_cohort) AS n_cohort,
+               ROUND(CAST(COUNT(DISTINCT a.user_id) AS DOUBLE)
+                     / ANY_VALUE(c.n_cohort), 4) AS retention
+        FROM first_day f
+        JOIN activity a ON f.user_id = a.user_id
+        JOIN cohort_size c ON f.cohort_day = c.cohort_day
+        WHERE date_diff('day', f.cohort_day, a.day) BETWEEN 0 AND 7
+        GROUP BY f.cohort_day, date_diff('day', f.cohort_day, a.day)
+    """,
+    tags=("events", "retention"),
+)
+def events_retention(spark, sf_dir):
+    """Cohort retention: users cohorted by first-activity day; for day
+    offsets 0-7, the fraction of each cohort active that day — the
+    standard retention triangle. Two aggregates (first day per user,
+    distinct active days) plus one equi-join on user_id; cohort sizes
+    broadcast back. All shuffles are on user_id or the model-sized
+    (cohort_day, offset) key."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first_day = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = ev.distinct()
+    cohort_size = first_day.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    off = F.datediff(F.col("day"), F.col("cohort_day"))
+    return (
+        first_day.join(activity, "user_id")
+        .filter((off >= 0) & (off <= 7))
+        .select("cohort_day", off.cast("long").alias("day_offset"), "user_id")
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .join(F.broadcast(cohort_size), "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "n_active",
+            "n_cohort",
+            F.round(
+                F.col("n_active").cast("double") / F.col("n_cohort"), 4
+            ).alias("retention"),
+        )
+    )

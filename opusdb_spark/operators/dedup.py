@@ -180,14 +180,11 @@ def minhash_signatures_arrow(docs: DataFrame, text_col: str = "text") -> DataFra
     )
 
 
-def lsh_candidate_pairs(sig_df: DataFrame) -> DataFrame:
-    """Band the signatures and self-join per band bucket → candidate pairs.
-
-    Docs agreeing on all rows of ≥1 band collide. The join key is
-    (band_id, band_hash): shuffles scale with data, never pairs.
-    """
+def _bands(sig_df: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_hash): the N_BANDS per-band hashes of each
+    signature — the LSH bucket keys every candidate join runs on."""
     rows_per_band = N_MINHASH // N_BANDS
-    bands = sig_df.select(
+    return sig_df.select(
         "doc_id",
         F.explode(
             F.array(
@@ -208,6 +205,15 @@ def lsh_candidate_pairs(sig_df: DataFrame) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_hash")
+
+
+def lsh_candidate_pairs(sig_df: DataFrame) -> DataFrame:
+    """Band the signatures and self-join per band bucket → candidate pairs.
+
+    Docs agreeing on all rows of ≥1 band collide. The join key is
+    (band_id, band_hash): shuffles scale with data, never pairs.
+    """
+    bands = _bands(sig_df)
     left = bands.alias("a")
     right = bands.alias("b")
     return (
@@ -275,6 +281,56 @@ def minhash_pairs_stored(
         .parquet(p),
     )
     return spark.read.parquet(store_path)
+
+
+def lsh_incremental_pairs(
+    new_sigs: DataFrame,
+    base_sigs: DataFrame,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dups of an ARRIVING batch against an EXISTING corpus —
+    the incremental-ingest dedup path: a daily batch is checked against
+    the persisted signature store without re-banding the corpus against
+    itself. The asymmetric band join keys on (band_id, band_hash)
+    exactly like the batch path, so shuffle volume is
+    O(batch + matching buckets), never corpus², and the corpus side is
+    the UNCHANGED ingest artifact. Returns
+    (new_doc, dup_of, est_jaccard) for estimated Jaccard ≥ threshold.
+    """
+    nb = _bands(new_sigs).alias("n")
+    bb = _bands(base_sigs).alias("e")
+    cands = (
+        nb.join(
+            bb,
+            (F.col("n.band_id") == F.col("e.band_id"))
+            & (F.col("n.band_hash") == F.col("e.band_hash")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_doc"),
+            F.col("e.doc_id").alias("dup_of"),
+        )
+        .distinct()
+    )
+    a = new_sigs.select(F.col("doc_id").alias("new_doc"), F.col("sig").alias("sig_a"))
+    b = base_sigs.select(F.col("doc_id").alias("dup_of"), F.col("sig").alias("sig_b"))
+    est = (
+        cands.join(a, "new_doc")
+        .join(b, "dup_of")
+        .select(
+            "new_doc",
+            "dup_of",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda eq: eq,
+                    )
+                )
+                / F.lit(N_MINHASH)
+            ).alias("est_jaccard"),
+        )
+    )
+    return est.filter(F.col("est_jaccard") >= jaccard_threshold)
 
 
 def minhash_lsh_dedup(

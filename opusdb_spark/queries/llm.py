@@ -130,6 +130,23 @@ def llm_dedup_fuzzy(spark, sf_dir):
     return _minhash_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
+@register("llm_dedup_incremental", oracle=None, tags=("llm", "dedup", "incremental"))
+def llm_dedup_incremental(spark, sf_dir):
+    """Incremental-ingest dedup: the arriving batch (doc_id % 10 = 0,
+    a deterministic 10% 'daily delivery') is near-dup-checked against
+    the EXISTING corpus via the persisted signature store — no corpus
+    re-banding, no batch self-join; shuffle volume scales with the
+    batch (operators/dedup.py:lsh_incremental_pairs). The production
+    loop every continuously-ingesting training pipeline runs
+    (rows-only: signature estimation is engine-specific)."""
+    sigs = _minhash_sigs(spark, sf_dir)
+    batch = sigs.filter(F.col("doc_id") % 10 == 0)
+    base = sigs.filter(F.col("doc_id") % 10 != 0)
+    return dedup.lsh_incremental_pairs(batch, base, 0.5).orderBy(
+        "new_doc", "dup_of"
+    )
+
+
 @register("llm_dedup_simhash", oracle=None, tags=("llm", "dedup"))
 def llm_dedup_simhash(spark, sf_dir):
     """Near-dup pairs via 64-bit SimHash, Hamming ≤ 3, pigeonhole-block

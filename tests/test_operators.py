@@ -650,3 +650,28 @@ def test_ivf_full_probe_equals_brute_force(spark):
     assert [r.vec_id for r in full.collect()] == [
         r.vec_id for r in exact.collect()
     ]
+
+
+def test_incremental_pairs_match_batch_pairs_cross_subset(spark):
+    """The incremental path must find exactly the batch-vs-corpus edges
+    the full batch dedup finds: restricting the full pair graph to
+    (batch, base) cross pairs equals lsh_incremental_pairs output."""
+    from opusdb_spark.tables import table
+
+    docs = table(spark, SF, "documents")
+    sigs = dedup.minhash_signatures_arrow(dedup.spread(docs))
+    sigs = sigs.localCheckpoint(eager=False)
+    batch = sigs.filter(F.col("doc_id") % 10 == 0)
+    base = sigs.filter(F.col("doc_id") % 10 != 0)
+    inc = {
+        (r.new_doc, r.dup_of, round(r.est_jaccard, 9))
+        for r in dedup.lsh_incremental_pairs(batch, base, 0.5).collect()
+    }
+    full = dedup.minhash_lsh_dedup(docs, 0.5, sig=sigs).collect()
+    expect = set()
+    for r in full:
+        for new, old in ((r.doc_a, r.doc_b), (r.doc_b, r.doc_a)):
+            if new % 10 == 0 and old % 10 != 0:
+                expect.add((new, old, round(r.est_jaccard, 9)))
+    assert inc == expect
+    assert expect, "fixture must contain cross batch/base near-dups"

@@ -402,3 +402,47 @@ def agg_incremental_merge(spark, sf_dir):
         F.min("mn").alias("min_value"),
         F.max("mx").alias("max_value"),
     )
+
+
+@register("agg_hll_partial_merge", oracle=None, tags=("agg", "sketch"))
+def agg_hll_partial_merge(spark, sf_dir):
+    """Mergeable distinct-count SKETCHES — the pre-aggregation contract
+    at 100 TB: per-(event_type, day) HLL sketches are built where the
+    data lives (map-side, one pass), then per-type daily sketches merge
+    losslessly into the monthly estimate WITHOUT touching rows again —
+    the union of partials is bit-identical to sketching the whole
+    partition in one pass (pinned in tests). Ships the estimate next to
+    the exact distinct so the error is visible data (rows-only: sketch
+    bytes are engine-specific)."""
+    from pyspark.sql import functions as F
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.count_distinct("user_id").alias("n_exact_day"),
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+                "n_users_est"
+            ),
+            F.sum("n_exact_day").alias("sum_daily_exact"),
+        )
+        .join(
+            ev.groupBy("event_type").agg(
+                F.count_distinct("user_id").alias("n_users_exact")
+            ),
+            "event_type",
+        )
+        .select(
+            "event_type",
+            "n_users_est",
+            "n_users_exact",
+            (F.col("n_users_est") - F.col("n_users_exact")).alias("est_error"),
+            "sum_daily_exact",
+        )
+        .orderBy("event_type")
+    )

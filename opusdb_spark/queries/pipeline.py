@@ -1176,3 +1176,56 @@ def events_retention(spark, sf_dir):
             ).alias("retention"),
         )
     )
+
+
+# -------------------------------------------------- web-corpus cleaning
+# Documents are synthetic plain text, so the query plants deterministic
+# markup around each doc (tags + entities keyed on doc_id), then strips
+# it — the operator under test is the strip, and the oracle checks the
+# sha256 of the cleaned text plus the removed-tag count. Regexes stay
+# in the Java∩RE2 common dialect ('<[^>]+>' — no lookaround).
+_HTML_TEXT = (
+    "concat('<html><body data-id=\"', CAST(doc_id AS STRING), "
+    "'\"><p>', text, '</p><br/>&amp;&nbsp;<a href=\"/d/', "
+    "CAST(doc_id AS STRING), '\">next</a></body></html>')"
+)
+_TAG_RE = "<[^>]+>"
+
+
+@register(
+    "llm_html_strip",
+    oracle=f"""
+        WITH seeded AS (SELECT doc_id, {_HTML_TEXT} AS h FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(h, '{_TAG_RE}')) AS BIGINT)
+                   AS n_tags,
+               sha256(replace(replace(
+                   regexp_replace(h, '{_TAG_RE}', '', 'g'),
+                   '&amp;', '&'), '&nbsp;', ' ')) AS clean_sha
+        FROM seeded
+    """,
+    tags=("llm", "cleaning"),
+)
+def llm_html_strip(spark, sf_dir):
+    """Web-corpus markup removal: strip every HTML tag and decode the
+    common entities — the first cleaning pass over scraped training
+    text. Pure regexp_replace/replace projection (whole-stage codegen,
+    no UDF, no shuffle); the oracle re-derives the identical cleaned
+    text and hashes it, so the check is content-exact. The tag regex
+    is the Java∩RE2 subset both engines parse identically."""
+    docs = table(spark, sf_dir, "documents")
+    seeded = docs.select("doc_id", F.expr(_HTML_TEXT).alias("h"))
+    cleaned = F.replace(
+        F.replace(
+            F.regexp_replace("h", _TAG_RE, ""), F.lit("&amp;"), F.lit("&")
+        ),
+        F.lit("&nbsp;"),
+        F.lit(" "),
+    )
+    return seeded.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("h", F.lit(_TAG_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_tags"),
+        F.sha2(cleaned, 256).alias("clean_sha"),
+    )

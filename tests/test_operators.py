@@ -675,3 +675,29 @@ def test_incremental_pairs_match_batch_pairs_cross_subset(spark):
                 expect.add((new, old, round(r.est_jaccard, 9)))
     assert inc == expect
     assert expect, "fixture must contain cross batch/base near-dups"
+
+
+def test_hll_union_of_partials_equals_single_sketch(spark):
+    """HLL merge is lossless: unioning per-day sketches estimates the
+    same value as one sketch over all rows — the property that makes
+    ingest-time pre-aggregation safe at any re-merge granularity."""
+    from opusdb_spark.tables import table
+
+    ev = table(spark, SF, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    merged = {
+        r.event_type: r.est
+        for r in ev.groupBy("event_type", "day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()
+    }
+    direct = {
+        r.event_type: r.est
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    assert merged == direct

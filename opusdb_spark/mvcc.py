@@ -69,6 +69,55 @@ def snapshot(
     return latest(versions.filter(F.col(version) <= read_point), key, version)
 
 
+def snapshot_diff(
+    versions: DataFrame,
+    old_point,
+    new_point,
+    key: str = "ref_id",
+    version: str = "write_point",
+    value: str = "value",
+) -> DataFrame:
+    """Time-travel diff: what changed between the snapshots at
+    `old_point` and `new_point` (old < new). Each key visible at
+    `new_point` is classified 'insert' (born after `old_point`) or
+    'update' (newer version superseded the old snapshot's); unchanged
+    keys are dropped. The reference answers this by dereffing the same
+    ref at two read points against the shared history vector
+    (find-version, stm.clj:55-65); here BOTH snapshots come out of ONE
+    scan + ONE shuffle — a single groupBy computes max(version ≤ old)
+    and max(version ≤ new) per key via ordered-struct max, instead of
+    two window passes + a join. At 100 TB that halves the shuffle and
+    avoids materializing either snapshot.
+    """
+    both = versions.filter(F.col(version) <= new_point).groupBy(key).agg(
+        F.max(
+            F.when(
+                F.col(version) <= old_point,
+                F.struct(F.col(version).alias("wp"), F.col(value).alias("v")),
+            )
+        ).alias("_old"),
+        F.max(
+            F.struct(F.col(version).alias("wp"), F.col(value).alias("v"))
+        ).alias("_new"),
+    )
+    return (
+        both.filter(
+            F.col("_old").isNull()
+            | (F.col("_old.wp") != F.col("_new.wp"))
+        )
+        .select(
+            key,
+            F.when(F.col("_old").isNull(), F.lit("insert"))
+            .otherwise(F.lit("update"))
+            .alias("op"),
+            F.col("_old.wp").alias("old_wp"),
+            F.col("_new.wp").alias("new_wp"),
+            F.col("_old.v").alias("old_value"),
+            F.col("_new.v").alias("new_value"),
+        )
+    )
+
+
 def retain(
     versions: DataFrame,
     n: int = MAX_HISTORY,

@@ -41,6 +41,64 @@ def llm_dedup_exact(spark, sf_dir):
     )
 
 
+@register(
+    "llm_dedup_keep_best",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, source, n_chars,
+                   md5(lower(trim(text))) AS norm_hash
+            FROM documents
+        ),
+        r AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY norm_hash
+                                         ORDER BY n_chars DESC, doc_id) AS rn
+            FROM d
+        ),
+        g AS (
+            SELECT norm_hash, COUNT(*) AS n_copies,
+                   COUNT(DISTINCT source) AS n_sources
+            FROM d GROUP BY norm_hash
+        )
+        SELECT g.norm_hash, r.doc_id AS keep_doc_id, g.n_copies, g.n_sources
+        FROM g JOIN r ON r.norm_hash = g.norm_hash AND r.rn = 1
+    """,
+    tags=("llm", "dedup"),
+)
+def llm_dedup_keep_best(spark, sf_dir):
+    """Exact dedup with a REPRESENTATIVE-SELECTION policy: cluster on a
+    normalized text key (lower+trim — catches case/padding variants the
+    raw sha2 pass treats as distinct), keep the longest member, tie →
+    min doc_id. One hash-groupBy shuffle; the deterministic keep rule is
+    an ordered-struct min (no second window pass), which is how a
+    100 TB pipeline picks canonical docs without re-sorting clusters."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.md5(F.lower(F.trim(F.col("text")))).alias("norm_hash"),
+        )
+        .groupBy("norm_hash")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("n_chars")).alias("neg_len"),
+                    F.col("doc_id").alias("doc_id"),
+                )
+            ).alias("_keep"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .select(
+            "norm_hash",
+            F.col("_keep.doc_id").alias("keep_doc_id"),
+            "n_copies",
+            "n_sources",
+        )
+    )
+
+
 def _minhash_sigs(spark, sf_dir):
     """Ingest-once MinHash signature store for this corpus, shared by
     every dedup query (fuzzy pairs / clustering / pipeline) — the
@@ -557,13 +615,25 @@ def llm_embedding_neardup(spark, sf_dir):
             lambda acc, v: acc + v,
         )
     )
-    return (
+    pairs = (
         a.join(b, ["table_id", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", (dot / (na * nb)).alias("cosine"))
-        .filter(F.col("cosine") >= 0.95)
         .distinct()
-        .orderBy("id_a", "id_b")
+    )
+    # Threshold-sweep summary instead of the raw pair listing: the
+    # synthetic corpus has no true embedding near-dups (max cosine
+    # ~0.49), so a bare `cosine >= 0.95` listing is always empty —
+    # correct but zero-evidence. The sweep reports the candidate count
+    # and how many pairs survive each threshold, so the result is
+    # non-empty and pins the whole cosine pipeline deterministically.
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_candidate_pairs"),
+        F.max("cosine").alias("max_cosine"),
+        F.sum(F.when(F.col("cosine") >= 0.95, 1).otherwise(0)).alias("n_ge_095"),
+        F.sum(F.when(F.col("cosine") >= 0.80, 1).otherwise(0)).alias("n_ge_080"),
+        F.sum(F.when(F.col("cosine") >= 0.60, 1).otherwise(0)).alias("n_ge_060"),
+        F.sum(F.when(F.col("cosine") >= 0.40, 1).otherwise(0)).alias("n_ge_040"),
     )
 
 

@@ -20,7 +20,7 @@ import os
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from opusdb_spark.exactness import dsum, sql_dsum
+from opusdb_spark.exactness import davg, dsum, sql_davg, sql_dsum
 from opusdb_spark.operators import packing
 from opusdb_spark.operators import text as T
 from opusdb_spark.registry import register
@@ -1228,4 +1228,248 @@ def llm_html_strip(spark, sf_dir):
         .cast("long")
         .alias("n_tags"),
         F.sha2(cleaned, 256).alias("clean_sha"),
+    )
+
+
+# ------------------------------------------- quality rule filters
+@register(
+    "llm_gopher_rules",
+    oracle="""
+        WITH d AS (
+            SELECT lang,
+                   len(list_filter(string_split(text, ' '),
+                       w -> len(w) > 0)) AS wc,
+                   list_aggregate(list_transform(
+                       list_filter(string_split(text, ' '), w -> len(w) > 0),
+                       w -> len(w)), 'sum') AS total_wlen,
+                   len(list_filter(string_split(text, ' '),
+                       w -> regexp_matches(w, '[a-z]'))) AS alpha_wc
+            FROM documents
+        ),
+        r AS (
+            SELECT lang,
+                   (wc < 50 OR wc > 100000) AS fail_wc,
+                   (CAST(total_wlen AS DOUBLE) / wc < 3.0
+                    OR CAST(total_wlen AS DOUBLE) / wc > 10.0) AS fail_wlen,
+                   (CAST(alpha_wc AS DOUBLE) / wc < 0.8) AS fail_alpha
+            FROM d
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN fail_wc THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_fail_wc,
+               CAST(SUM(CASE WHEN fail_wlen THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_fail_wlen,
+               CAST(SUM(CASE WHEN fail_alpha THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_fail_alpha,
+               CAST(SUM(CASE WHEN NOT (fail_wc OR fail_wlen OR fail_alpha)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        FROM r GROUP BY lang
+    """,
+    tags=("llm", "quality"),
+)
+def llm_gopher_rules(spark, sf_dir):
+    """Gopher-style quality RULESET with per-rule fail accounting: word
+    count in [50, 100000], mean word length in [3, 10], >=80% of words
+    containing a letter (Rae et al. 2021, table A1 — the public rule
+    set every web-corpus pipeline starts from). All three signals are
+    array expressions over one split (whole-stage codegen, zero UDF,
+    one agg shuffle); per-lang counts show which rule bites, which is
+    what you tune before burning a 100 TB filter pass."""
+    docs = table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+    d = docs.select(
+        "lang",
+        F.size(words).alias("wc"),
+        F.aggregate(
+            F.transform(words, F.length), F.lit(0), lambda acc, v: acc + v
+        ).alias("total_wlen"),
+        F.size(F.filter(words, lambda w: w.rlike("[a-z]"))).alias("alpha_wc"),
+    )
+    r = d.select(
+        "lang",
+        ((F.col("wc") < 50) | (F.col("wc") > 100000)).alias("fail_wc"),
+        (
+            (F.col("total_wlen").cast("double") / F.col("wc") < 3.0)
+            | (F.col("total_wlen").cast("double") / F.col("wc") > 10.0)
+        ).alias("fail_wlen"),
+        (F.col("alpha_wc").cast("double") / F.col("wc") < 0.8).alias(
+            "fail_alpha"
+        ),
+    )
+    return r.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("fail_wc"), 1).otherwise(0)).alias("n_fail_wc"),
+        F.sum(F.when(F.col("fail_wlen"), 1).otherwise(0)).alias("n_fail_wlen"),
+        F.sum(F.when(F.col("fail_alpha"), 1).otherwise(0)).alias(
+            "n_fail_alpha"
+        ),
+        F.sum(
+            F.when(
+                ~(F.col("fail_wc") | F.col("fail_wlen") | F.col("fail_alpha")),
+                1,
+            ).otherwise(0)
+        ).alias("n_pass"),
+    )
+
+
+# ---------------------------------------- time-series interpolation
+@register(
+    "ts_interpolate",
+    oracle=f"""
+        WITH pm AS (
+            SELECT date_trunc('minute', ts) AS minute,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   {sql_davg("value", "v")}
+            FROM events WHERE event_type = 'error' GROUP BY 1
+        ),
+        bounds AS (
+            SELECT date_trunc('minute', MIN(ts)) AS lo,
+                   date_trunc('minute', MAX(ts)) AS hi
+            FROM events WHERE event_type = 'error'
+        ),
+        spine AS (
+            SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS minute
+            FROM bounds
+        ),
+        j AS (
+            SELECT s.minute, pm.n_events, pm.v
+            FROM spine s LEFT JOIN pm ON s.minute = pm.minute
+        ),
+        f AS (
+            SELECT minute, n_events, v,
+                   last_value(v IGNORE NULLS) OVER (
+                       ORDER BY minute
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                   last_value(CASE WHEN v IS NOT NULL THEN minute END
+                              IGNORE NULLS) OVER (
+                       ORDER BY minute
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+                   first_value(v IGNORE NULLS) OVER (
+                       ORDER BY minute
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                   first_value(CASE WHEN v IS NOT NULL THEN minute END
+                               IGNORE NULLS) OVER (
+                       ORDER BY minute
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+            FROM j
+        )
+        SELECT minute,
+               COALESCE(n_events, 0) AS n_events,
+               (n_events IS NOT NULL) AS observed,
+               CASE WHEN v IS NOT NULL THEN v
+                    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                        pv + (nv - pv)
+                        * (CAST(CAST(epoch(minute) AS BIGINT)
+                                - CAST(epoch(pt) AS BIGINT) AS DOUBLE)
+                           / CAST(CAST(epoch(nt) AS BIGINT)
+                                  - CAST(epoch(pt) AS BIGINT) AS DOUBLE))
+                    WHEN pv IS NOT NULL THEN pv
+                    ELSE nv END AS v_interp
+        FROM f
+    """,
+    tags=("timeseries",),
+)
+def ts_interpolate(spark, sf_dir):
+    """Linear interpolation over the gap-filled per-minute 'error'
+    series: minutes with no observation get prev + (next-prev) *
+    elapsed-fraction; flat extrapolation at the edges. The neighbor
+    lookups are IGNORE-NULLS running first/last over the spine — the
+    spine is minutes-of-span sized (metadata-scale: one row per minute
+    of history, NOT one per event), so the unpartitioned ordered window
+    is a deliberate model-sized sort, the same trade ts_gapfill's spine
+    join makes. Avg rides through decimal so both engines interpolate
+    bit-identical doubles."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    per_min = ev.groupBy(F.date_trunc("minute", "ts").alias("minute")).agg(
+        F.count(F.lit(1)).alias("n_events"), davg("value", "v")
+    )
+    spine = ev.agg(
+        F.date_trunc("minute", F.min("ts")).alias("lo"),
+        F.date_trunc("minute", F.max("ts")).alias("hi"),
+    ).select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 MINUTE"))).alias(
+            "minute"
+        )
+    )
+    j = spine.join(per_min, "minute", "left")
+    w_prev = Window.orderBy("minute").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_next = Window.orderBy("minute").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    known_min = F.when(F.col("v").isNotNull(), F.col("minute"))
+    f = j.select(
+        "minute",
+        "n_events",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(known_min, ignorenulls=True).over(w_prev).alias("pt"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(known_min, ignorenulls=True).over(w_next).alias("nt"),
+    )
+    frac = (
+        (F.unix_timestamp("minute") - F.unix_timestamp("pt")).cast("double")
+        / (F.unix_timestamp("nt") - F.unix_timestamp("pt")).cast("double")
+    )
+    return f.select(
+        "minute",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.col("n_events").isNotNull().alias("observed"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv") + (F.col("nv") - F.col("pv")) * frac,
+        )
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv"))
+        .alias("v_interp"),
+    )
+
+
+# --------------------------------------------- touch attribution
+@register(
+    "events_attribution",
+    oracle=f"""
+        WITH t AS (
+            SELECT event_type, value,
+                   last_value(CASE WHEN event_type IN ('view', 'click')
+                                   THEN event_type END IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS touch_type
+            FROM events
+        )
+        SELECT COALESCE(touch_type, 'none') AS touch_type,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               {sql_dsum("value", "revenue")}
+        FROM t WHERE event_type = 'purchase'
+        GROUP BY 1
+    """,
+    tags=("events", "analytics"),
+)
+def events_attribution(spark, sf_dir):
+    """Last-touch marketing attribution: each purchase is credited to
+    the user's most recent prior view/click (or 'none' for cold
+    conversions). One per-user ordered window (partitioned shuffle —
+    scales with users, no global sort), IGNORE-NULLS last over a
+    1-PRECEDING frame, then a 5-row aggregate. (ts, event_id) ordering
+    makes the credited touch deterministic under timestamp ties."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    touch = F.last(
+        F.when(F.col("event_type").isin("view", "click"), F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.select("event_type", "value", touch.alias("touch_type"))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch_type", F.lit("none")).alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            dsum("value", "revenue"),
+        )
     )

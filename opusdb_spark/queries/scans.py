@@ -208,3 +208,122 @@ def scan_schema_evolution(spark, sf_dir):
         .parquet(out)
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
     )
+
+
+@register(
+    "sink_compact_small_files",
+    oracle=None,  # rows-only: filesystem side-effect + file accounting
+    tags=("sink", "maintenance"),
+)
+def sink_compact_small_files(spark, sf_dir):
+    """Small-file compaction — the table-maintenance pass every
+    streaming/append sink needs: a fragmented write (64 tiny files)
+    is rewritten into size-targeted files and the row count proven
+    conserved. The rewrite sizes itself from the fragmented layout's
+    own on-disk bytes (driver-side listing — metadata, not a job):
+    ceil(bytes / 32MB target) output files via coalesce (no shuffle;
+    compaction is a read-and-rewrite, never a repartition). At 100 TB
+    this is the job that keeps scan task counts O(data/128MB) instead
+    of O(append count) and footers out of the driver's way."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    frag = scratch_sink(f"compact_in_{base}")
+    compacted = scratch_sink(f"compact_out_{base}")
+    events = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    events.repartition(64).write.mode("overwrite").parquet(frag)
+
+    def _layout(path):
+        files = [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ]
+        return len(files), sum(os.path.getsize(f) for f in files)
+
+    n_in, bytes_in = _layout(frag)
+    target = 32 * 1024 * 1024
+    n_out_target = max(1, -(-bytes_in // target))
+    spark.read.parquet(frag).coalesce(n_out_target).write.mode(
+        "overwrite"
+    ).parquet(compacted)
+    n_out, bytes_out = _layout(compacted)
+    rows_in = spark.read.parquet(frag).count()
+    rows_out = spark.read.parquet(compacted).count()
+    return spark.createDataFrame(
+        [
+            (
+                int(n_in),
+                int(n_out),
+                int(rows_in),
+                int(rows_out),
+                bool(rows_in == rows_out and n_out < n_in),
+            )
+        ],
+        "n_files_before int, n_files_after int, rows_before long, "
+        "rows_after long, compacted boolean",
+    )
+
+
+@register(
+    "sink_clustered_write",
+    oracle=None,  # rows-only: filesystem side-effect + stats accounting
+    tags=("sink", "clustering"),
+)
+def sink_clustered_write(spark, sf_dir):
+    """Range-clustered write + min/max-stat pruning proof. lineitem is
+    written repartitionByRange(8, l_shipdate) + sortWithinPartitions —
+    the sort-based clustering (a 1-D z-order) that gives every parquet
+    file a tight, disjoint l_shipdate min/max band. The result reports,
+    from FOOTER stats alone (driver metadata read, no job), how many
+    files a one-month predicate may touch vs the unclustered layout
+    where every file spans the full date range: files_skipped is the
+    fraction of the table a clustered scan never opens. At 100 TB this
+    ordering decides whether a date-bounded query reads 1/84th of the
+    files or all of them."""
+    import pyarrow.parquet as pq
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    out = scratch_sink(f"clustered_{base}")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_quantity", "l_extendedprice"
+    )
+    li.repartitionByRange(8, "l_shipdate").sortWithinPartitions(
+        "l_shipdate"
+    ).write.mode("overwrite").parquet(out)
+
+    from datetime import datetime
+
+    lo, hi = datetime(1996, 6, 1), datetime(1996, 6, 30, 23, 59, 59)
+    n_files, n_overlap = 0, 0
+    for f in sorted(os.listdir(out)):
+        if not f.endswith(".parquet"):
+            continue
+        n_files += 1
+        md = pq.ParquetFile(os.path.join(out, f)).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        ci = names.index("l_shipdate")
+        mins, maxs = [], []
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(ci).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        if min(mins) <= hi and max(maxs) >= lo:
+            n_overlap += 1
+    rows_back = (
+        spark.read.parquet(out)
+        .filter(F.col("l_shipdate").between(F.lit(lo), F.lit(hi)))
+        .count()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(n_files),
+                int(n_overlap),
+                int(n_files - n_overlap),
+                int(rows_back),
+            )
+        ],
+        "n_files int, n_files_overlapping int, n_files_skipped int, "
+        "rows_in_month long",
+    )

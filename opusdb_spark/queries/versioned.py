@@ -102,6 +102,44 @@ def mvcc_conservation(spark, sf_dir):
 
 
 @register(
+    "mvcc_time_travel_diff",
+    oracle="""
+        WITH v AS (
+            SELECT user_id AS ref_id, event_id AS write_point, value
+            FROM events WHERE event_id <= 7000
+        ),
+        a AS (
+            SELECT ref_id, write_point, value FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY ref_id
+                                             ORDER BY write_point DESC) AS rn
+                FROM v WHERE write_point <= 3000) WHERE rn = 1
+        ),
+        b AS (
+            SELECT ref_id, write_point, value FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY ref_id
+                                             ORDER BY write_point DESC) AS rn
+                FROM v) WHERE rn = 1
+        )
+        SELECT b.ref_id,
+               CASE WHEN a.ref_id IS NULL THEN 'insert'
+                    ELSE 'update' END AS op,
+               a.write_point AS old_wp, b.write_point AS new_wp,
+               a.value AS old_value, b.value AS new_value
+        FROM b LEFT JOIN a ON a.ref_id = b.ref_id
+        WHERE a.ref_id IS NULL OR a.write_point <> b.write_point
+    """,
+    tags=("mvcc",),
+)
+def mvcc_time_travel_diff(spark, sf_dir):
+    """What changed between read-points 3000 and 7000: per-ref
+    insert/update classification with old/new version + value. Derefs
+    the same refs at two read points (find-version, stm.clj:55-65) —
+    but both snapshots fall out of ONE scan + ONE groupBy
+    (mvcc.snapshot_diff), not two window passes joined."""
+    return mvcc.snapshot_diff(_versions(spark, sf_dir), 3000, 7000)
+
+
+@register(
     "mvcc_snapshot_stale",
     oracle="""
         WITH rp AS (

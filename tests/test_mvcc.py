@@ -298,3 +298,57 @@ def test_conflict_detect_flags_only_intervening_writes(spark):
         assert row.verdict == ("retry" if n else "commit")
     verdicts = {r.verdict for r in got.values()}
     assert verdicts == {"commit", "retry"}
+
+
+def test_snapshot_diff_classifies_insert_update_unchanged(spark):
+    # history: ref 1 updated between rp 15→30, ref 2 born after 15 (insert),
+    # ref 3 unchanged across the span (dropped from the diff)
+    v = spark.createDataFrame(
+        [
+            (1, 10, 100.0), (1, 25, 250.0),  # update
+            (2, 20, 150.0),                   # insert (born at wp 20 > 15)
+            (3, 5, 50.0),                     # unchanged
+            (4, 40, 999.0),                   # after new_point: invisible
+        ],
+        "ref_id long, write_point long, value double",
+    )
+    got = {
+        r.ref_id: (r.op, r.old_wp, r.new_wp, r.old_value, r.new_value)
+        for r in mvcc.snapshot_diff(v, 15, 30).collect()
+    }
+    assert got == {
+        1: ("update", 10, 25, 100.0, 250.0),
+        2: ("insert", None, 20, None, 150.0),
+    }, "unchanged ref 3 dropped; ref 4 (born after new_point) invisible"
+
+
+def test_snapshot_diff_matches_two_snapshot_join(spark):
+    # the one-scan groupBy formulation must equal the naive
+    # snapshot(old) ⟗ snapshot(new) construction on a random-ish history
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (rng.randrange(20), wp, float(rng.randrange(1000)))
+        for wp in range(1, 200)
+    ]
+    v = spark.createDataFrame(
+        rows, "ref_id long, write_point long, value double"
+    )
+    old_p, new_p = 60, 150
+    a = mvcc.snapshot(v, old_p).withColumnRenamed("write_point", "old_wp")
+    b = mvcc.snapshot(v, new_p).withColumnRenamed("write_point", "new_wp")
+    naive = (
+        b.join(
+            a.select("ref_id", "old_wp", F.col("value").alias("old_value")),
+            "ref_id",
+            "left",
+        )
+        .filter(F.col("old_wp").isNull() | (F.col("old_wp") != F.col("new_wp")))
+        .select("ref_id", "old_wp", "new_wp", "old_value",
+                F.col("value").alias("new_value"))
+    )
+    fast = mvcc.snapshot_diff(v, old_p, new_p).drop("op")
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, naive.select(*fast.columns).collect())
+    )

@@ -701,3 +701,110 @@ def test_hll_union_of_partials_equals_single_sketch(spark):
         .collect()
     }
     assert merged == direct
+
+
+# ------------------------------------------- round-3 query semantics
+
+
+def test_keep_best_prefers_longest_then_min_doc_id(spark):
+    reg = registry()
+    # norm key collapses case/padding; longest member wins, tie → min id
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello World  ", "a", 13),
+            (2, "hello world", "b", 11),   # same norm key, shorter
+            (3, "  HELLO WORLD", "c", 13),  # ties doc 1 on n_chars → id 1... 
+            (4, "unique", "a", 6),
+        ],
+        "doc_id long, text string, lang string, source string",
+    ).withColumnRenamed("lang", "source2")
+    # build the exact shape the query reads (doc_id,text,lang,source,n_chars)
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello World", "en", "a", 11),
+            (2, "hello world", "en", "b", 11),
+            (3, "  hello world  ", "en", "c", 15),
+            (4, "unique", "en", "a", 6),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        docs.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r.keep_doc_id: (r.n_copies, r.n_sources)
+            for r in reg["llm_dedup_keep_best"].fn(spark, d).collect()
+        }
+    # doc 3 has n_chars=15 (longest raw) but same norm key → wins the cluster
+    assert out == {3: (3, 3), 4: (1, 1)}
+
+
+def test_interpolate_linear_between_observations(spark):
+    reg = registry()
+    import tempfile, os
+    from datetime import datetime
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 0, 30), 7, "error", 10.0, "{}"),
+            (2, datetime(2024, 1, 1, 0, 3, 10), 7, "error", 40.0, "{}"),
+            (3, datetime(2024, 1, 1, 0, 1, 5), 7, "click", 999.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        rows = {
+            r.minute.minute: (r.n_events, r.observed, r.v_interp)
+            for r in reg["ts_interpolate"].fn(spark, d).collect()
+        }
+    assert rows[0] == (1, True, 10.0)
+    assert rows[3] == (1, True, 40.0)
+    # minutes 1 and 2 interpolate linearly along the 3-minute gap
+    assert rows[1] == (0, False, 20.0)
+    assert rows[2] == (0, False, 30.0)
+
+
+def test_attribution_last_touch_and_cold_start(spark):
+    reg = registry()
+    import tempfile, os
+    from datetime import datetime
+    t0 = datetime(2024, 1, 1)
+    mk = lambda i, m, u, et, v: (i, datetime(2024, 1, 1, 0, m), u, et, v, "{}")
+    ev = spark.createDataFrame(
+        [
+            mk(1, 0, 1, "view", 0.0),
+            mk(2, 1, 1, "click", 0.0),
+            mk(3, 2, 1, "purchase", 30.0),   # credited to click (last touch)
+            mk(4, 0, 2, "purchase", 20.0),   # cold conversion → none
+            mk(5, 1, 2, "view", 0.0),
+            mk(6, 2, 2, "purchase", 5.0),    # credited to view
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        got = {
+            r.touch_type: (r.n_purchases, r.revenue)
+            for r in reg["events_attribution"].fn(spark, d).collect()
+        }
+    assert got == {"click": (1, 30.0), "none": (1, 20.0), "view": (1, 5.0)}
+
+
+def test_compaction_conserves_rows_and_reduces_files(spark):
+    reg = registry()
+    row = reg["sink_compact_small_files"].fn(spark, SF).collect()[0]
+    assert row.compacted
+    assert row.rows_before == row.rows_after
+    assert row.n_files_after < row.n_files_before
+
+
+def test_clustered_write_skips_most_files(spark):
+    reg = registry()
+    row = reg["sink_clustered_write"].fn(spark, SF).collect()[0]
+    # 8 range partitions over ~7 years of shipdates: a 1-month predicate
+    # must overlap at most 2 of the 8 clustered files
+    assert row.n_files == 8
+    assert row.n_files_overlapping <= 2
+    assert row.rows_in_month > 0

@@ -342,3 +342,112 @@ def cosine_topk_batch(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def _assign_sqd_udf(centroids: np.ndarray):
+    """Arrow UDF: per vector, (nearest centroid id, squared Euclidean
+    distance to it). Ties → lowest centroid id (np.argmin contract),
+    so assignments are deterministic."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    c = centroids.astype(np.float64)
+
+    @pandas_udf(
+        StructType(
+            [
+                StructField("cell", IntegerType()),
+                StructField("sqd", DoubleType()),
+            ]
+        )
+    )
+    def assign(vecs: pd.Series) -> pd.DataFrame:
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        # ||x-c||² = ||x||² - 2x·c + ||c||², argmin over cells
+        d2 = (
+            (X * X).sum(axis=1, keepdims=True)
+            - 2.0 * X @ c.T
+            + (c * c).sum(axis=1)
+        )
+        cell = np.argmin(d2, axis=1)
+        sqd = d2[np.arange(len(X)), cell]
+        # clamp the FP-cancellation negatives of exact-match vectors
+        return pd.DataFrame(
+            {"cell": cell.astype(np.int32), "sqd": np.maximum(sqd, 0.0)}
+        )
+
+    return assign
+
+
+def kmeans_inertia(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, float, int]]:
+    """Classic Lloyd k-means for `iters` iterations, returning the
+    model-sized convergence trace [(iteration, inertia, n_moved_cells)].
+    Per iteration ONE distributed pass: assign (Arrow UDF, centroids
+    broadcast in the closure) → posexplode → a single groupBy(cell,dim)
+    that carries BOTH the per-dim decimal mean and the per-cell decimal
+    inertia share (inertia rides on the dim==1 rows, so no second
+    aggregation/action). Everything collected is O(k × dim) — the model
+    — never data. Squared-Euclidean + mean update makes inertia
+    provably non-increasing, which the tests pin."""
+    seeds = (
+        emb.select(id_col, vec_col)
+        .orderBy(
+            F.pmod(F.hash(F.col(id_col)), F.lit(997)).asc(),
+            F.col(id_col).asc(),
+        )
+        .limit(k)
+        .collect()
+    )
+    cents = np.array([list(r[1]) for r in seeds], dtype=np.float64)
+    trace: list[tuple[int, float, int]] = []
+    for it in range(iters):
+        assigned = emb.select(
+            vec_col, _assign_sqd_udf(cents)(vec_col).alias("a")
+        ).select(F.col("a.cell").alias("cell"), F.col("a.sqd").alias("sqd"), vec_col)
+        flat = assigned.select(
+            "cell", "sqd", F.posexplode(vec_col).alias("dim0", "x")
+        )
+        rows = (
+            flat.groupBy("cell", "dim0")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(27,12)"))
+                    / F.count(F.lit(1))
+                )
+                .cast("double")
+                .alias("m"),
+                F.sum(
+                    F.when(F.col("dim0") == 0, F.col("sqd"))
+                    .otherwise(0.0)
+                    .cast("decimal(27,12)")
+                )
+                .cast("double")
+                .alias("inertia_part"),
+            )
+            .collect()
+        )
+        inertia = sum(r["inertia_part"] for r in rows)
+        new_cents = cents.copy()
+        for r in rows:
+            new_cents[r["cell"], r["dim0"]] = r["m"]
+        n_moved = int(
+            sum(
+                1
+                for c in range(k)
+                if not np.array_equal(new_cents[c], cents[c])
+            )
+        )
+        trace.append((it, float(inertia), n_moved))
+        cents = new_cents
+    return trace

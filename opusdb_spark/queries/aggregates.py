@@ -446,3 +446,51 @@ def agg_hll_partial_merge(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+        WITH c AS (
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM orders GROUP BY 1, 2
+        ),
+        r AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                          ORDER BY cnt DESC, o_orderpriority) AS rn
+            FROM c
+        )
+        SELECT o_orderstatus, o_orderpriority AS mode_priority,
+               cnt AS n_mode
+        FROM r WHERE rn = 1
+    """,
+    tags=("agg",),
+)
+def agg_mode(spark, sf_dir):
+    """Statistical MODE per group (most frequent o_orderpriority per
+    status; tie → lexicographically smallest, so the answer is
+    deterministic). Two keyed aggregations — counts, then an
+    ordered-struct min over the counts — both map-side-combined; no
+    window, no sort of the raw rows. The standard way to pick a
+    per-group argmax at 100 TB without shuffling values twice."""
+    orders = table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        counts.groupBy("o_orderstatus")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("neg_cnt"),
+                    F.col("o_orderpriority").alias("p"),
+                )
+            ).alias("_m")
+        )
+        .select(
+            "o_orderstatus",
+            F.col("_m.p").alias("mode_priority"),
+            (-F.col("_m.neg_cnt")).alias("n_mode"),
+        )
+    )

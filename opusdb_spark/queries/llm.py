@@ -88,7 +88,11 @@ def llm_dedup_keep_best(spark, sf_dir):
                 )
             ).alias("_keep"),
             F.count(F.lit(1)).alias("n_copies"),
-            F.countDistinct("source").alias("n_sources"),
+            # size(collect_set) not countDistinct: count-distinct would
+            # plan a second expand+exchange phase; the set stays one
+            # cluster-of-duplicates wide (bounded), so this keeps the
+            # whole query at exactly one shuffle
+            F.size(F.collect_set("source")).cast("bigint").alias("n_sources"),
         )
         .select(
             "norm_hash",
@@ -986,4 +990,24 @@ def llm_dedup_editdist(spark, sf_dir):
             F.round(sim, 6).alias("sim"),
         )
         .filter(sim >= 0.6)
+    )
+
+
+@register("emb_kmeans", oracle=None, tags=("llm", "embedding"))
+def emb_kmeans(spark, sf_dir):
+    """Iterative k-means over the embedding corpus (k=8, 5 Lloyd
+    iterations) returning the convergence trace (iteration, inertia,
+    centroids moved). The canonical iterative algorithm a training-data
+    engine must run well: per iteration exactly ONE distributed pass
+    (assign + per-dim means + inertia in a single groupBy — see
+    similarity.kmeans_inertia), with only the O(k×dim) model crossing
+    the driver. Deterministic: hash-ordered seeding, argmin tie→lowest
+    cell, decimal-summed means; inertia is provably non-increasing
+    (pinned in tests)."""
+    trace = similarity.kmeans_inertia(
+        table(spark, sf_dir, "embeddings"), k=8, iters=5
+    )
+    return spark.createDataFrame(
+        [(it, round(inertia, 6), moved) for it, inertia, moved in trace],
+        "iteration int, inertia double, n_moved_cells int",
     )

@@ -290,3 +290,29 @@ def udf_cogrouped(spark, sf_dir):
         )
         .withColumn("price_ratio", F.round("price_ratio", 6))
     )
+
+
+@register("udaf_ewma", oracle=None, tags=("udf", "timeseries"))
+def udaf_ewma(spark, sf_dir):
+    """Per-type EWMA (alpha=0.1, adjust=False) over the event stream —
+    the inherently-sequential recurrence SQL windows can't express
+    (each output depends on the previous output, not a fixed frame).
+    applyInPandas per event_type: Arrow-batched, state stays inside the
+    group's pandas frame, shuffle ∝ groups. The per-group sort is the
+    operator's real cost at 100 TB — same shape as any keyed window.
+    Rounded to 6dp so results are stable across Arrow batch splits."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        out = pdf[["event_id", "event_type"]].copy()
+        out["ewma"] = (
+            pdf["value"].ewm(alpha=0.1, adjust=False).mean().round(6)
+        )
+        return out
+
+    return ev.groupBy("event_type").applyInPandas(
+        ewma, "event_id long, event_type string, ewma double"
+    )

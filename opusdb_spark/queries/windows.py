@@ -332,3 +332,40 @@ def win_cume_percent(spark, sf_dir):
         F.cume_dist().over(w).alias("cume"),
         F.percent_rank().over(w).alias("prank"),
     )
+
+
+@register(
+    "win_rolling_median",
+    oracle="""
+        SELECT event_id,
+               median(value) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 15 PRECEDING AND 15 FOLLOWING) AS med
+        FROM events
+    """,
+    tags=("window",),
+)
+def win_rolling_median(spark, sf_dir):
+    """EXACT rolling median (31-row centered frame per event_type) —
+    the robust smoother quantile-approx windows can't replace when the
+    contract is exact. Spark has no median window function; the frame
+    is collected per row (31 doubles — bounded, executor-local),
+    sorted, and the middle element (odd count) or the mean of the two
+    middles (even count, matching DuckDB's double interpolation) is
+    picked by position. One keyed window shuffle; frame size is the
+    knob that keeps per-row state O(31) regardless of table size."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-15, 15)
+    )
+    arr = F.sort_array(F.collect_list(F.col("value")).over(w))
+    k = F.size(arr)
+    lo = (k / 2).cast("int")  # k even: lower middle (1-based)
+    med = F.when(
+        k % 2 == 1, F.element_at(arr, ((k + 1) / 2).cast("int"))
+    ).otherwise(
+        (F.element_at(arr, lo) + F.element_at(arr, lo + 1)) / 2.0
+    )
+    return ev.select("event_id", med.alias("med"))

@@ -808,3 +808,34 @@ def test_clustered_write_skips_most_files(spark):
     assert row.n_files == 8
     assert row.n_files_overlapping <= 2
     assert row.rows_in_month > 0
+
+
+def test_kmeans_inertia_monotone_nonincreasing(spark):
+    reg = registry()
+    rows = sorted(
+        reg["emb_kmeans"].fn(spark, SF).collect(), key=lambda r: r.iteration
+    )
+    assert len(rows) == 5
+    inert = [r.inertia for r in rows]
+    assert all(b <= a + 1e-9 for a, b in zip(inert, inert[1:])), (
+        f"Lloyd inertia must never increase: {inert}"
+    )
+    assert rows[0].n_moved_cells > 0, "first iteration must move centroids"
+
+
+def test_ewma_matches_pandas_reference(spark):
+    reg = registry()
+    got = {
+        r.event_id: r.ewma
+        for r in reg["udaf_ewma"].fn(spark, SF).collect()
+    }
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")[
+        ["event_id", "ts", "event_type", "value"]
+    ]
+    for _, g in ev.groupby("event_type"):
+        g = g.sort_values(["ts", "event_id"])
+        ref = g["value"].ewm(alpha=0.1, adjust=False).mean().round(6)
+        for eid, want in zip(g["event_id"], ref):
+            assert got[eid] == want

@@ -350,3 +350,45 @@ def test_perplexity_score_joins_on_bigram_not_all_pairs(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
     assert "Window" not in p
     assert "PythonUDF" not in p.replace("ArrowEvalPython", "")
+
+
+def _n_exchange_nodes(p: str) -> int:
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange", p, re.M))
+
+
+def test_gopher_rules_pure_codegen_single_shuffle(spark):
+    # quality rules are array expressions, never Python: one agg shuffle
+    p = plan(_Q["llm_gopher_rules"].fn(spark, SF))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert _n_exchange_nodes(p) <= 1, "one agg exchange expected"
+
+
+def test_attribution_single_window_shuffle(spark):
+    # per-user window shuffle + the 5-row agg exchange, nothing else
+    p = plan(_Q["events_attribution"].fn(spark, SF))
+    assert "Window" in p
+    assert _n_exchange_nodes(p) <= 2
+
+
+def test_time_travel_diff_single_aggregate_no_join(spark):
+    # both snapshots from ONE groupBy: no Join operator, one shuffle
+    p = plan(_Q["mvcc_time_travel_diff"].fn(spark, SF))
+    assert "Join" not in p, "diff must not join two snapshot builds"
+    assert _n_exchange_nodes(p) == 1
+    assert "LessThanOrEqual(event_id,7000)" in p.replace("\n", " "), (
+        "new-point bound must reach the parquet scan"
+    )
+
+
+def test_mode_two_level_agg_no_window(spark):
+    p = plan(_Q["agg_mode"].fn(spark, SF))
+    assert "Window" not in p, "mode must not window the raw rows"
+    assert "BatchEvalPython" not in p
+
+
+def test_keep_best_single_shuffle_no_window(spark):
+    p = plan(_Q["llm_dedup_keep_best"].fn(spark, SF))
+    assert "Window" not in p, "keep rule must ride the groupBy, not a window"
+    assert _n_exchange_nodes(p) <= 1

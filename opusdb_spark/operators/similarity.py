@@ -33,6 +33,25 @@ def _flat(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
+def _dec_fold(products: F.Column) -> F.Column:
+    """Exact left-fold decimal sum of an array of doubles, as double.
+
+    Decimal addition is associative and exact, so the fold equals the
+    order-independent SUM(CAST(.. AS DECIMAL)) the SQL oracle computes
+    — per-element cast first, identical rounding to the grouped-sum
+    formulation this replaces."""
+    # accumulator is (37,12), NOT (38,12): a (38,12)+(27,12) add hits
+    # the 38-precision cap and Spark sheds a scale digit (result
+    # (38,11)), silently rounding EVERY step at 1e-11; (37,12)+(27,12)
+    # yields (38,12) at full scale, and the cast back to (37,12) is an
+    # identity for any sum below 1e25
+    return F.aggregate(
+        products,
+        F.lit("0").cast("decimal(37,12)"),
+        lambda acc, v: (acc + v.cast(DEC12)).cast("decimal(37,12)"),
+    ).cast("double")
+
+
 def cosine_topk(
     emb: DataFrame,
     probe_id: int,
@@ -42,32 +61,37 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact cosine top-k neighbors of `probe_id` (excluded from results).
 
-    Dot products and norms are exact decimal sums over per-component
-    double products → deterministic under any partitioning (and equal to
-    the DuckDB oracle's identical formulation).
-    """
-    flat = _flat(emb, id_col, vec_col)
-    probe = flat.filter(F.col(id_col) == probe_id).select(
-        "i", F.col("x").alias("p")
+    Shuffle-free formulation: the probe's single row is broadcast and
+    every candidate row computes dot/norms with per-row array folds
+    over zip_with — scan + 1-row broadcast + TakeOrderedAndProject. No
+    posexplode 64× row blow-up, no groupBy shuffle, no driver collect;
+    at 100 TB the scoring pass is embarrassingly parallel and the only
+    cross-node traffic is the one-row broadcast plus each partition's
+    local top-k. Dot products and norms are exact decimal sums over
+    per-component double products → deterministic under any
+    partitioning (and equal to the DuckDB oracle's formulation)."""
+    probe = emb.filter(F.col(id_col) == probe_id).select(
+        F.col(vec_col).alias("_pvec")
     )
-    probe_norm = probe.agg(
-        F.sum((F.col("p") * F.col("p")).cast(DEC12)).cast("double").alias("np")
+    scored = emb.filter(F.col(id_col) != probe_id).crossJoin(
+        F.broadcast(probe)
     )
-    scored = (
-        flat.filter(F.col(id_col) != probe_id)
-        .join(F.broadcast(probe), "i")
-        .groupBy(id_col)
-        .agg(
-            F.sum((F.col("x") * F.col("p")).cast(DEC12)).cast("double").alias("dot"),
-            F.sum((F.col("x") * F.col("x")).cast(DEC12)).cast("double").alias("nx"),
-        )
-        .crossJoin(F.broadcast(probe_norm))
-        .select(
-            id_col,
-            (F.col("dot") / F.sqrt(F.col("nx") * F.col("np"))).alias("cosine"),
+    dot = _dec_fold(
+        F.zip_with(
+            vec_col, "_pvec", lambda a, b: a.cast("double") * b.cast("double")
         )
     )
-    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+    nx = _dec_fold(
+        F.transform(vec_col, lambda a: a.cast("double") * a.cast("double"))
+    )
+    np_ = _dec_fold(
+        F.transform("_pvec", lambda b: b.cast("double") * b.cast("double"))
+    )
+    return (
+        scored.select(id_col, (dot / F.sqrt(nx * np_)).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
 
 
 # OR-amplified random-hyperplane LSH: L independent tables of b bits.

@@ -1473,3 +1473,23 @@ def events_attribution(spark, sf_dir):
             dsum("value", "revenue"),
         )
     )
+
+
+# ------------------------------------------------ BPE tokenizer train
+@register("llm_bpe_train", oracle=None, tags=("llm", "tokenizer"))
+def llm_bpe_train(spark, sf_dir):
+    """BPE tokenizer training (8 merges) over the document corpus —
+    Sennrich et al. 2016, the public subword algorithm production
+    tokenizers descend from. One corpus pass builds the word-frequency
+    table; every merge iteration then runs on the vocabulary-sized
+    distinct-word table with only the arg-max pair (ONE row) crossing
+    the driver (operators/bpe.py). Rows-only: the merge loop is
+    iterative; the learned sequence is pinned against a pure-Python
+    reference implementation in tests."""
+    from opusdb_spark.operators import bpe
+
+    merges = bpe.bpe_train(table(spark, sf_dir, "documents"), n_merges=8)
+    return spark.createDataFrame(
+        merges,
+        "rank int, left string, right string, merged string, pair_freq long",
+    )

@@ -839,3 +839,42 @@ def test_ewma_matches_pandas_reference(spark):
         ref = g["value"].ewm(alpha=0.1, adjust=False).mean().round(6)
         for eid, want in zip(g["event_id"], ref):
             assert got[eid] == want
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """The distributed merge loop must learn the exact merge sequence a
+    textbook single-process BPE learns on the same word frequencies."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from opusdb_spark.operators import bpe
+    from opusdb_spark.tables import table as _t
+
+    got = bpe.bpe_train(_t(spark, SF, "documents"), n_merges=8)
+
+    texts = pd.read_parquet(f"{SF}/documents.parquet")["text"]
+    freq = Counter(w for t in texts for w in t.split(" ") if w)
+    vocab = {w: list(w) for w in freq}
+    want = []
+    for rank in range(8):
+        pairs = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += freq[w]
+        if not pairs:
+            break
+        # same tie-break as the engine: count desc, then (l, r) asc
+        (l, r), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rank, l, r, l + r, c))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    assert got == want

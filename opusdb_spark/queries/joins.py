@@ -597,3 +597,43 @@ def join_bloom_pruned(spark, sf_dir):
             dsum("l_extendedprice", "total_price"),
         )
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+        SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+               a.grp AS grp
+        FROM (SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                          ELSE o_orderkey % 5 END AS grp
+              FROM orders WHERE o_orderkey <= 200) a
+        JOIN (SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                          ELSE o_orderkey % 5 END AS grp
+              FROM orders WHERE o_orderkey <= 200) b
+          ON a.grp IS NOT DISTINCT FROM b.grp
+         AND a.o_orderkey < b.o_orderkey
+    """,
+    tags=("join", "null-safe"),
+)
+def join_null_safe(spark, sf_dir):
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of silently dropping — the semantics a
+    dedup-on-nullable-key pass needs. Still plans as a hash join on the
+    null-safe key (NULLs co-locate into one hash bucket), not a
+    cartesian filter; the o_orderkey bound keeps the NULL-group
+    quadratic blow-up fixture-sized."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    grp = F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+        F.col("o_orderkey") % 5
+    )
+    a = o.select(F.col("o_orderkey").alias("key_a"), grp.alias("grp"))
+    b = o.select(F.col("o_orderkey").alias("key_b"), grp.alias("grp_b"))
+    return (
+        a.join(
+            b,
+            a["grp"].eqNullSafe(b["grp_b"]) & (a["key_a"] < b["key_b"]),
+        )
+        .select("key_a", "key_b", "grp")
+    )

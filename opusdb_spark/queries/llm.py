@@ -500,14 +500,54 @@ def llm_wordcount(spark, sf_dir):
     )
 
 
+def _langid_oracle() -> str:
+    """DuckDB replica of predicted_lang (operators/text.py): per-lang
+    stopword-hit counts, argmax with the identical (hits desc, lang
+    asc) tie-break via struct list_sort, 'und' on zero hits. Generated
+    from the same STOPWORDS table the engine uses, so the two can
+    never drift apart silently."""
+    hit_cols = ",\n".join(
+        "  len(list_filter(ws, w -> w IN ({}))) AS h_{}".format(
+            ", ".join(f"'{w}'" for w in T.STOPWORDS[lang]), lang
+        )
+        for lang in sorted(T.STOPWORDS)
+    )
+    structs = ", ".join(
+        f"{{'nh': -h_{lang}, 'l': '{lang}'}}" for lang in sorted(T.STOPWORDS)
+    )
+    return f"""
+        WITH d AS (
+            SELECT lang,
+                   list_filter(string_split(lower(text), ' '),
+                               w -> len(w) > 0) AS ws
+            FROM documents
+        ),
+        h AS (
+            SELECT lang,
+        {hit_cols}
+            FROM d
+        ),
+        p AS (
+            SELECT lang, list_sort([{structs}])[1] AS best FROM h
+        )
+        SELECT lang,
+               CASE WHEN best.nh = 0 THEN 'und' ELSE best.l END AS pred_lang,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM p GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
 @register(
     "llm_langid",
-    oracle=None,  # rows-only: heuristic argmax is engine-specific
+    oracle=_langid_oracle(),
     tags=("llm", "text"),
 )
 def llm_langid(spark, sf_dir):
     """Stopword-hit language identification vs the labeled lang column:
-    per (actual, predicted) confusion counts (operators/text.py)."""
+    per (actual, predicted) confusion counts (operators/text.py). The
+    heuristic is pure deterministic expression algebra, so it carries a
+    full SQL oracle — the DuckDB side re-derives the same argmax from
+    the same stopword lists."""
     docs = table(spark, sf_dir, "documents")
     return (
         docs.select("lang", T.predicted_lang(F.col("text")).alias("pred_lang"))
@@ -517,14 +557,78 @@ def llm_langid(spark, sf_dir):
     )
 
 
+def _quality_oracle() -> str:
+    """DuckDB replica of quality_score (operators/text.py): identical
+    len/punct/word-shape/stopword terms and weights, same double op
+    order, langid argmax shared with _langid_oracle. Generated from
+    STOPWORDS so engine and oracle can't drift."""
+    hit_cols = ",\n".join(
+        "  len(list_filter(lws, w -> w IN ({}))) AS h_{}".format(
+            ", ".join(f"'{w}'" for w in T.STOPWORDS[lang]), lang
+        )
+        for lang in sorted(T.STOPWORDS)
+    )
+    structs = ", ".join(
+        f"{{'nh': -h_{lang}, 'l': '{lang}'}}" for lang in sorted(T.STOPWORDS)
+    )
+    return f"""
+        WITH d AS (
+            SELECT lang, text,
+                   list_filter(string_split(text, ' '),
+                               w -> len(w) > 0) AS ws,
+                   list_filter(string_split(lower(text), ' '),
+                               w -> len(w) > 0) AS lws
+            FROM documents
+        ),
+        h AS (
+            SELECT lang, text, ws,
+        {hit_cols}
+            FROM d
+        ),
+        t AS (
+            SELECT lang,
+                   least(len(text) / 200.0, 1.0) AS len_ok,
+                   1.0 - least(
+                       (len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                        / greatest(len(text), 1)) * 5.0, 1.0) AS punct_ok,
+                   COALESCE(list_aggregate(
+                       list_transform(ws, w -> len(w)), 'sum'), 0)
+                       / greatest(len(ws), 1) AS mwl,
+                   list_sort([{structs}])[1] AS best
+            FROM h
+        ),
+        q AS (
+            SELECT lang,
+                   len_ok * 0.3
+                   + punct_ok * 0.2
+                   + (CASE WHEN mwl >= 3 AND mwl <= 10
+                           THEN 1.0 ELSE 0.3 END) * 0.2
+                   + (CASE WHEN (CASE WHEN best.nh = 0 THEN 'und'
+                                      ELSE best.l END) = lang
+                           THEN 1.0 ELSE 0.5 END) * 0.3 AS q
+            FROM t
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CAST(q AS DECIMAL(27,6))) AS DOUBLE) AS sum_q,
+               CAST(SUM(CASE WHEN q >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_high,
+               CAST(SUM(CASE WHEN q < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_low
+        FROM q GROUP BY lang
+    """
+
+
 @register(
     "llm_quality_score",
-    oracle=None,  # rows-only: composite heuristic
+    oracle=_quality_oracle(),
     tags=("llm", "text"),
 )
 def llm_quality_score(spark, sf_dir):
     """Quality scoring from length/punct/word-shape/stopword signals;
-    returns per-lang mean score + histogram-ish buckets."""
+    returns per-lang mean score + histogram-ish buckets. Every term is
+    deterministic expression algebra, so the composite carries a full
+    SQL oracle that re-derives the identical doubles."""
     docs = table(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id", "lang", T.quality_score(F.col("text"), F.col("lang")).alias("q")

@@ -334,3 +334,37 @@ def fn_bitwise(spark, sf_dir):
         F.shiftright(e, 3).alias("shr3"),
         F.bit_count(e).alias("popcount"),
     )
+
+
+@register(
+    "fn_struct",
+    oracle="""
+        SELECT c_custkey,
+               ({'segment': c_mktsegment,
+                 'balance': c_acctbal}).segment AS seg_out,
+               ({'segment': c_mktsegment,
+                 'balance': c_acctbal}).balance AS bal_out,
+               len(({'segment': c_mktsegment,
+                     'balance': c_acctbal}).segment) AS seg_len
+        FROM customer
+    """,
+    tags=("function", "struct"),
+)
+def fn_struct(spark, sf_dir):
+    """Struct construction + field access — the nested-record surface
+    (named_struct / dot-path projection). Pure projection, zero
+    shuffle; Catalyst collapses the build-then-access round trip so
+    the fields never materialize twice. Output is the accessed
+    FIELDS (struct cells are not hashable by the driver canonicalizer
+    - same reason emb_label_centroids emits rows, not arrays)."""
+    c = table(spark, sf_dir, "customer")
+    profile = F.struct(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("balance"),
+    )
+    return c.select(
+        "c_custkey",
+        profile.getField("segment").alias("seg_out"),
+        profile.getField("balance").alias("bal_out"),
+        F.length(profile.getField("segment")).alias("seg_len"),
+    )

@@ -327,3 +327,90 @@ def sink_clustered_write(spark, sf_dir):
         "n_files int, n_files_overlapping int, n_files_skipped int, "
         "rows_in_month long",
     )
+
+
+@register(
+    "source_text_roundtrip",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct,
+               CAST(SUM(len(text)) AS BIGINT) AS total_chars
+        FROM documents
+    """,
+    tags=("source",),
+)
+def source_text_roundtrip(spark, sf_dir):
+    """Plain-text sink + line source: the corpus written one document
+    per line and read back with spark.read.text — the rawest ingestion
+    format a web-scale text pipeline starts from (documents carry no
+    newlines, so line == document). Verified content-exactly: the
+    read-back multiset must reproduce the parquet corpus's line count,
+    distinct count, and total characters."""
+    out = scratch_sink(f"src_text_{os.path.basename(os.path.normpath(sf_dir))}")
+    docs = table(spark, sf_dir, "documents").select("text")
+    docs.write.mode("overwrite").text(out)
+    back = spark.read.text(out).withColumnRenamed("value", "text")
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("text").alias("n_distinct"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+
+
+@register(
+    "source_binaryfile_ingest",
+    oracle=None,  # rows-only: filesystem side-effect + binary ingestion
+    tags=("source", "multimodal"),
+)
+def source_binaryfile_ingest(spark, sf_dir):
+    """Raw-file multimodal ingestion: media blobs land as individual
+    files (how image/audio corpora actually arrive), are ingested with
+    the binaryFile source (path, modificationTime, length, content) and
+    verified byte-exactly against the originals by content hash. At
+    100 TB this is the bridge from an object-store dump of media files
+    into parquet binary columns; pathGlobFilter prunes non-media files
+    at listing time, before any bytes are read."""
+    from opusdb_spark.operators import multimodal
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    blob_dir = scratch_sink(f"binfiles_{base}")
+    media = multimodal.synthesize_media(spark, n=64).select(
+        "media_id", "kind", F.col("content").alias("blob")
+    )
+    rows = media.collect()  # 64 small blobs — fixture materialization
+    os.makedirs(blob_dir, exist_ok=True)
+    for r in rows:
+        with open(os.path.join(blob_dir, f"media_{r.media_id:04d}.bin"), "wb") as f:
+            f.write(bytes(r.blob))
+    with open(os.path.join(blob_dir, "README.txt"), "w") as f:
+        f.write("not media; must be pruned by pathGlobFilter\n")
+    ingested = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(blob_dir)
+        .select(
+            F.regexp_extract(F.col("path"), r"media_(\d+)\.bin", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.length("content").alias("n_bytes"),
+            F.sha2("content", 256).alias("sha"),
+        )
+    )
+    orig = media.select(
+        "media_id",
+        F.length("blob").alias("o_bytes"),
+        F.sha2("blob", 256).alias("o_sha"),
+    )
+    return (
+        ingested.join(orig, "media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(
+                F.when(
+                    (F.col("sha") == F.col("o_sha"))
+                    & (F.col("n_bytes") == F.col("o_bytes")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_byte_exact"),
+        )
+    )

@@ -500,21 +500,30 @@ def llm_wordcount(spark, sf_dir):
     )
 
 
-def _langid_oracle() -> str:
-    """DuckDB replica of predicted_lang (operators/text.py): per-lang
-    stopword-hit counts, argmax with the identical (hits desc, lang
-    asc) tie-break via struct list_sort, 'und' on zero hits. Generated
-    from the same STOPWORDS table the engine uses, so the two can
-    never drift apart silently."""
+def _stopword_hits_sql(words_col: str) -> tuple[str, str]:
+    """Shared SQL fragments for the stopword-hit argmax both oracles
+    use: (per-lang hit-count columns over `words_col`, the struct list
+    whose ascending sort reproduces predicted_lang's (hits desc, lang
+    asc) tie-break). One generator so the two oracles can't drift."""
     hit_cols = ",\n".join(
-        "  len(list_filter(ws, w -> w IN ({}))) AS h_{}".format(
-            ", ".join(f"'{w}'" for w in T.STOPWORDS[lang]), lang
+        "  len(list_filter({}, w -> w IN ({}))) AS h_{}".format(
+            words_col, ", ".join(f"'{w}'" for w in T.STOPWORDS[lang]), lang
         )
         for lang in sorted(T.STOPWORDS)
     )
     structs = ", ".join(
         f"{{'nh': -h_{lang}, 'l': '{lang}'}}" for lang in sorted(T.STOPWORDS)
     )
+    return hit_cols, structs
+
+
+def _langid_oracle() -> str:
+    """DuckDB replica of predicted_lang (operators/text.py): per-lang
+    stopword-hit counts, argmax with the identical (hits desc, lang
+    asc) tie-break via struct list_sort, 'und' on zero hits. Generated
+    from the same STOPWORDS table the engine uses, so the two can
+    never drift apart silently."""
+    hit_cols, structs = _stopword_hits_sql("ws")
     return f"""
         WITH d AS (
             SELECT lang,
@@ -560,17 +569,9 @@ def llm_langid(spark, sf_dir):
 def _quality_oracle() -> str:
     """DuckDB replica of quality_score (operators/text.py): identical
     len/punct/word-shape/stopword terms and weights, same double op
-    order, langid argmax shared with _langid_oracle. Generated from
-    STOPWORDS so engine and oracle can't drift."""
-    hit_cols = ",\n".join(
-        "  len(list_filter(lws, w -> w IN ({}))) AS h_{}".format(
-            ", ".join(f"'{w}'" for w in T.STOPWORDS[lang]), lang
-        )
-        for lang in sorted(T.STOPWORDS)
-    )
-    structs = ", ".join(
-        f"{{'nh': -h_{lang}, 'l': '{lang}'}}" for lang in sorted(T.STOPWORDS)
-    )
+    order, langid argmax shared with _langid_oracle via
+    _stopword_hits_sql."""
+    hit_cols, structs = _stopword_hits_sql("lws")
     return f"""
         WITH d AS (
             SELECT lang, text,

@@ -1201,7 +1201,7 @@ _TAG_RE = "<[^>]+>"
                    AS n_tags,
                sha256(replace(replace(
                    regexp_replace(h, '{_TAG_RE}', '', 'g'),
-                   '&amp;', '&'), '&nbsp;', ' ')) AS clean_sha
+                   '&nbsp;', ' '), '&amp;', '&')) AS clean_sha
         FROM seeded
     """,
     tags=("llm", "cleaning"),
@@ -1215,12 +1215,15 @@ def llm_html_strip(spark, sf_dir):
     is the Java∩RE2 subset both engines parse identically."""
     docs = table(spark, sf_dir, "documents")
     seeded = docs.select("doc_id", F.expr(_HTML_TEXT).alias("h"))
+    # &amp; decodes LAST: decoding it first would turn an escaped
+    # '&amp;nbsp;' (visible text '&nbsp;') into a live entity the next
+    # replace wrongly consumes — the classic double-decoding bug
     cleaned = F.replace(
         F.replace(
-            F.regexp_replace("h", _TAG_RE, ""), F.lit("&amp;"), F.lit("&")
+            F.regexp_replace("h", _TAG_RE, ""), F.lit("&nbsp;"), F.lit(" ")
         ),
-        F.lit("&nbsp;"),
-        F.lit(" "),
+        F.lit("&amp;"),
+        F.lit("&"),
     )
     return seeded.select(
         "doc_id",
@@ -1243,7 +1246,7 @@ def llm_html_strip(spark, sf_dir):
                        list_filter(string_split(text, ' '), w -> len(w) > 0),
                        w -> len(w)), 'sum') AS total_wlen,
                    len(list_filter(string_split(text, ' '),
-                       w -> regexp_matches(w, '[a-z]'))) AS alpha_wc
+                       w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_wc
             FROM documents
         ),
         r AS (
@@ -1284,7 +1287,11 @@ def llm_gopher_rules(spark, sf_dir):
         F.aggregate(
             F.transform(words, F.length), F.lit(0), lambda acc, v: acc + v
         ).alias("total_wlen"),
-        F.size(F.filter(words, lambda w: w.rlike("[a-z]"))).alias("alpha_wc"),
+        # [A-Za-z], not [a-z]: all-caps words (acronyms, shouting) are
+        # still alphabetic — the cited rule is "contains a letter"
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).alias(
+            "alpha_wc"
+        ),
     )
     r = d.select(
         "lang",

@@ -401,16 +401,24 @@ def source_binaryfile_ingest(spark, sf_dir):
         F.length("blob").alias("o_bytes"),
         F.sha2("blob", 256).alias("o_sha"),
     )
-    return (
-        ingested.join(orig, "media_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_files"),
-            F.sum(
-                F.when(
-                    (F.col("sha") == F.col("o_sha"))
-                    & (F.col("n_bytes") == F.col("o_bytes")),
-                    1,
-                ).otherwise(0)
-            ).alias("n_byte_exact"),
-        )
+    # FULL OUTER join, not inner: an inner join would silently drop an
+    # unexpectedly-ingested file (NULL media_id — e.g. the README.txt
+    # canary if pathGlobFilter stopped pruning) or a missing blob, and
+    # the counts would look clean. n_ingested/n_matched make both
+    # failure modes visible.
+    return ingested.join(orig, "media_id", "full_outer").agg(
+        F.sum(F.when(F.col("sha").isNotNull(), 1).otherwise(0)).alias(
+            "n_ingested"
+        ),
+        F.sum(
+            F.when(F.col("sha").isNotNull() & F.col("o_sha").isNotNull(), 1)
+            .otherwise(0)
+        ).alias("n_matched"),
+        F.sum(
+            F.when(
+                (F.col("sha") == F.col("o_sha"))
+                & (F.col("n_bytes") == F.col("o_bytes")),
+                1,
+            ).otherwise(0)
+        ).alias("n_byte_exact"),
     )

@@ -278,7 +278,7 @@ def commit_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_stream_batched(spark, sf_dir).select(
         "event_id", "event_type", "value"
     )
-    for _attempt in (1, 2):
+    for attempt in (1, 2):
         q = (
             ev.writeStream.foreachBatch(write_batch)
             .option("checkpointLocation", ckpt)
@@ -291,8 +291,12 @@ def commit_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         except Exception:
             # The failed attempt killed the run; restarting from the
             # SAME checkpoint redelivers the uncommitted batch id —
-            # that restart IS the reference's transaction retry.
-            continue
+            # that restart IS the reference's transaction retry. A
+            # failure on the FINAL attempt is a genuine error: returning
+            # a ledger then would report lifecycle counts for a stream
+            # that never finished, so fail loudly instead.
+            if attempt == 2:
+                raise
     rows = [
         (b, attempts.get(b, 0), commits.get(b, 0), rollbacks.get(b, 0))
         for b in sorted(attempts)

@@ -177,3 +177,87 @@ def test_merge_matches_dict_semantics(spark, versions, changes):
         ).collect()
     }
     assert pre == latest
+
+
+@settings(**SMALL)
+@given(versions=versions_strategy, points=st.tuples(st.integers(0, 35), st.integers(0, 35)))
+def test_snapshot_diff_equals_brute_force(spark, versions, points):
+    """snapshot_diff's one-pass groupBy vs a dict-based reference on
+    randomized histories and arbitrary (old, new) read points."""
+    old_p, new_p = min(points), max(points)
+    df = spark.createDataFrame(
+        [(r, w, float(v)) for r, w, v in versions],
+        "ref_id long, write_point long, value double",
+    )
+    got = {
+        r.ref_id: (r.op, r.old_wp, r.new_wp, r.old_value, r.new_value)
+        for r in mvcc.snapshot_diff(df, old_p, new_p).collect()
+    }
+
+    def snap(rp):
+        best = {}
+        for r, w, v in versions:
+            if w <= rp and (r not in best or w > best[r][0]):
+                best[r] = (w, float(v))
+        return best
+
+    a, b = snap(old_p), snap(new_p)
+    want = {}
+    for r, (w_new, v_new) in b.items():
+        if r not in a:
+            want[r] = ("insert", None, w_new, None, v_new)
+        elif a[r][0] != w_new:
+            want[r] = ("update", a[r][0], w_new, a[r][1], v_new)
+    assert got == want
+
+
+@settings(**SMALL)
+@given(
+    obs=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(-50, 50)),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_interpolation_bounded_by_neighbors(spark, obs):
+    """ts_interpolate on a synthetic minute series: observed minutes
+    keep their exact value; every gap minute lies within [min, max] of
+    its two bracketing observations (linearity ⊂ boundedness)."""
+    from datetime import datetime, timedelta
+
+    from opusdb_spark.registry import registry
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i + 1, t0 + timedelta(minutes=m), 1, "error", float(v), "{}")
+        for i, (m, v) in enumerate(obs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        got = {
+            int((r.minute - t0).total_seconds() // 60): (
+                r.observed,
+                r.v_interp,
+            )
+            for r in registry()["ts_interpolate"].fn(spark, d).collect()
+        }
+    vals = dict(obs)
+    ms = sorted(vals)
+    for m, (observed, v) in got.items():
+        if m in vals:
+            assert observed and v == float(vals[m])
+        else:
+            prev = max((x for x in ms if x < m), default=None)
+            nxt = min((x for x in ms if x > m), default=None)
+            lo = min(vals[p] for p in (prev, nxt) if p is not None)
+            hi = max(vals[p] for p in (prev, nxt) if p is not None)
+            assert lo - 1e-9 <= v <= hi + 1e-9

@@ -220,6 +220,28 @@ def llm_dedup_simhash(spark, sf_dir):
     ).orderBy("doc_a", "doc_b")
 
 
+def _word3grams(docs):
+    """Distinct word-3-gram shingles per doc: (doc_id, g). Shared by the
+    exact-Jaccard dedup pass and the MinHash calibration eval."""
+    w = F.split(F.col("text"), " ")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size(w) - 3, F.lit(0))),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(w, i + 1), F.element_at(w, i + 2), F.element_at(w, i + 3)
+                    ),
+                )
+            ).alias("g"),
+        )
+        .filter(F.size(F.split(F.col("g"), " ")) == 3)
+        .distinct()
+    )
+
+
+
 @register(
     "llm_dedup_ngram_jaccard",
     oracle="""
@@ -253,22 +275,7 @@ def llm_dedup_ngram_jaccard(spark, sf_dir):
     shared-gram equi-join (never all-pairs); integer intersection /
     union arithmetic → exact SQL-oracle parity."""
     docs = table(spark, sf_dir, "documents")
-    w = F.split(F.col("text"), " ")
-    grams = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.greatest(F.size(w) - 3, F.lit(0))),
-                    lambda i: F.concat_ws(
-                        " ", F.element_at(w, i + 1), F.element_at(w, i + 2), F.element_at(w, i + 3)
-                    ),
-                )
-            ).alias("g"),
-        )
-        .filter(F.size(F.split(F.col("g"), " ")) == 3)
-        .distinct()
-    )
+    grams = _word3grams(docs)
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = grams.select(F.col("doc_id").alias("doc_a"), "g")
     b = grams.select(F.col("doc_id").alias("doc_b"), "g")
@@ -286,6 +293,82 @@ def llm_dedup_ngram_jaccard(spark, sf_dir):
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.8)
+    )
+
+
+@register("llm_minhash_calibration", oracle=None, tags=("llm", "dedup", "eval"))
+def llm_minhash_calibration(spark, sf_dir):
+    """MinHash estimator CALIBRATION: over the persisted candidate-pair
+    graph, compare the signature-estimated Jaccard to the exact 3-gram
+    Jaccard, bucketed by estimate decile — measured estimator accuracy,
+    the text-dedup counterpart of llm_ann_recall_eval. Exact grams are
+    computed ONLY for docs that appear in candidate pairs (left-semi
+    prune), so the eval cost scales with the candidate set, not the
+    corpus. Rows-only: the estimate side is engine-native MinHash."""
+    pairs = _minhash_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", "est_jaccard"
+    )
+    docs = table(spark, sf_dir, "documents")
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    grams = _word3grams(docs).join(cand_ids, "doc_id", "left_semi")
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.select(F.col("doc_id").alias("doc_a"), "g")
+    b = grams.select(F.col("doc_id").alias("doc_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    exact = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    )
+    scored = (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("inter", F.coalesce("inter", F.lit(0)))
+        .select(
+            "est_jaccard",
+            exact.alias("exact_jaccard"),
+        )
+    )
+    bucket = (F.floor(F.col("est_jaccard") * 10) / 10).alias("est_bucket")
+    return (
+        scored.groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum(F.col("est_jaccard").cast("decimal(27,6)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_est"),
+            F.round(
+                F.sum(F.col("exact_jaccard").cast("decimal(27,6)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_exact"),
+            F.round(
+                F.sum(
+                    F.abs(
+                        F.col("est_jaccard") - F.col("exact_jaccard")
+                    ).cast("decimal(27,6)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_abs_err"),
+        )
+        .orderBy("est_bucket")
     )
 
 

@@ -1500,3 +1500,64 @@ def llm_bpe_train(spark, sf_dir):
         merges,
         "rank int, left string, right string, merged string, pair_freq long",
     )
+
+
+# ------------------------------------------ robust (MAD) outliers
+@register(
+    "events_anomaly_mad",
+    oracle="""
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY event_type
+        ),
+        mad AS (
+            SELECT e.event_type,
+                   quantile_cont(ABS(e.value - m.med), 0.5) AS mad
+            FROM events e JOIN med m USING (event_type)
+            GROUP BY e.event_type
+        )
+        SELECT e.event_id, e.event_type, e.value,
+               round(0.6745 * (e.value - m.med) / d.mad, 6)
+                   AS robust_z
+        FROM events e
+        JOIN med m USING (event_type)
+        JOIN mad d USING (event_type)
+        WHERE ABS(0.6745 * (e.value - m.med) / d.mad) > 3.5
+    """,
+    tags=("quality", "outlier"),
+)
+def events_anomaly_mad(spark, sf_dir):
+    """Robust outlier detection via median absolute deviation (the
+    Iglewicz-Hoaglin modified z-score, |0.6745·(x−med)/MAD| > 3.5) —
+    the detector events_zscore_outliers' mean/stddev version breaks on:
+    heavy-tailed value distributions drag the mean toward the outliers
+    they hide. Two exact-percentile aggregations (per-type medians are
+    bounded-group exact percentiles, same contract as
+    agg_percentile_exact) and the per-type stats broadcast back onto
+    the event scan — at 100 TB the scan dominates, the medians are
+    per-group model-sized."""
+    ev = table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias(
+                "mad"
+            )
+        )
+    )
+    z = 0.6745 * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 6).alias("robust_z"),
+        )
+        .filter(F.abs(z) > 3.5)
+    )

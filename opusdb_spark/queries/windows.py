@@ -369,3 +369,65 @@ def win_rolling_median(spark, sf_dir):
         (F.element_at(arr, lo) + F.element_at(arr, lo + 1)) / 2.0
     )
     return ev.select("event_id", med.alias("med"))
+
+
+@register(
+    "win_streaks",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+            FROM events
+        ),
+        grp AS (
+            SELECT user_id, d,
+                   d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                               ORDER BY d) AS INTEGER) AS g
+            FROM days
+        ),
+        streaks AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len,
+                   MIN(d) AS streak_start
+            FROM grp GROUP BY user_id, g
+        )
+        SELECT user_id, len AS longest_streak, streak_start
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY len DESC, streak_start) AS rn
+              FROM streaks)
+        WHERE rn = 1
+    """,
+    tags=("window", "gaps-islands"),
+)
+def win_streaks(spark, sf_dir):
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands pattern: distinct activity days, day minus
+    per-user row_number is constant within a run, group on that
+    constant, take the longest (tie → earliest start). Two keyed
+    aggregations + one keyed window; nothing global. The engagement
+    metric every events warehouse ends up needing."""
+    ev = table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn(
+        "g", F.date_sub("d", F.row_number().over(w))
+    )
+    streaks = grp.groupBy("user_id", "g").agg(
+        F.count(F.lit(1)).alias("len"), F.min("d").alias("streak_start")
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("len")).alias("neg_len"),
+                    F.col("streak_start").alias("streak_start"),
+                )
+            ).alias("_b")
+        )
+        .select(
+            "user_id",
+            (-F.col("_b.neg_len")).alias("longest_streak"),
+            F.col("_b.streak_start").alias("streak_start"),
+        )
+    )

@@ -878,3 +878,19 @@ def test_bpe_train_matches_python_reference(spark):
                     i += 1
             vocab[w] = out
     assert got == want
+
+
+def test_minhash_calibration_covers_all_pairs(spark):
+    from opusdb_spark.queries import llm as L
+
+    reg = registry()
+    cal = reg["llm_minhash_calibration"].fn(spark, SF).collect()
+    n_pairs_total = sum(r.n_pairs for r in cal)
+    assert n_pairs_total == L._minhash_pairs(spark, SF).count(), (
+        "every candidate pair must land in exactly one estimate bucket"
+    )
+    for r in cal:
+        assert 0.0 <= r.mean_exact <= 1.0
+        assert r.mean_abs_err < 0.25, (
+            f"estimator error implausibly large in bucket {r.est_bucket}"
+        )

@@ -336,3 +336,62 @@ def media_summary(media: DataFrame) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+AUDIO_ENERGY_SCHEMA = (
+    "media_id long, n_samples long, n_windows long, "
+    "mean_rms double, max_rms double, n_silent long"
+)
+
+
+def audio_energy(
+    media: DataFrame, frame: int = 256, hop: int = 128, silence_rms: float = 64.0
+) -> DataFrame:
+    """Windowed RMS energy over raw-PCM audio blobs — the
+    voice-activity/energy-gating pass an ASR ingestion pipeline runs
+    before transcription. Each blob is interpreted as unsigned 8-bit
+    samples; frames of `frame` samples on a `hop` stride are reduced to
+    RMS via a vectorized stride trick (one numpy pass per blob, no
+    per-sample Python). mapInPandas, pure map, shuffle-free; rounds to
+    6dp so results are Arrow-batch-split stable."""
+
+    def energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                x = np.frombuffer(bytes(blob), dtype=np.uint8).astype(
+                    np.float64
+                ) - 128.0
+                if len(x) < frame:
+                    x = np.pad(x, (0, frame - len(x)))
+                n_win = 1 + (len(x) - frame) // hop
+                idx = (
+                    np.arange(frame)[None, :]
+                    + hop * np.arange(n_win)[:, None]
+                )
+                rms = np.sqrt((x[idx] ** 2).mean(axis=1))
+                rows.append(
+                    (
+                        int(mid),
+                        int(len(x)),
+                        int(n_win),
+                        round(float(rms.mean()), 6),
+                        round(float(rms.max()), 6),
+                        int((rms < silence_rms).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "n_samples",
+                    "n_windows",
+                    "mean_rms",
+                    "max_rms",
+                    "n_silent",
+                ],
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        energy, schema=AUDIO_ENERGY_SCHEMA
+    )

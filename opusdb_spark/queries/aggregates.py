@@ -494,3 +494,64 @@ def agg_mode(spark, sf_dir):
             (-F.col("_m.neg_cnt")).alias("n_mode"),
         )
     )
+
+
+@register(
+    "agg_skew_kurtosis",
+    oracle="""
+        WITH m AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS s1,
+                   CAST(SUM(CAST(value * value AS DECIMAL(27,6))) AS DOUBLE)
+                       AS s2,
+                   CAST(SUM(CAST(value * value * value AS DECIMAL(38,6)))
+                       AS DOUBLE) AS s3,
+                   CAST(SUM(CAST(value * value * value * value
+                       AS DECIMAL(38,6))) AS DOUBLE) AS s4
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type, n,
+               round((s3 / n - 3 * (s1 / n) * (s2 / n)
+                      + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                     / pow((s2 / n) - (s1 / n) * (s1 / n), 1.5), 6)
+                   AS skewness,
+               round((s4 / n - 4 * (s1 / n) * (s3 / n)
+                      + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                      - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                     / pow((s2 / n) - (s1 / n) * (s1 / n), 2) - 3, 6)
+                   AS excess_kurtosis
+        FROM m
+    """,
+    tags=("agg", "stats"),
+)
+def agg_skew_kurtosis(spark, sf_dir):
+    """Skewness + excess kurtosis from exact decimal power sums — the
+    3rd/4th-moment extension of agg_stats' moment method. Built-in
+    skewness/kurtosis stream doubles in partition order
+    (nondeterministic across engines and partitionings); deriving the
+    population moments from order-independent decimal sums makes both
+    statistics bit-reproducible at 6dp. One pass, one agg shuffle."""
+    ev = table(spark, sf_dir, "events")
+    v = F.col("value")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v.cast("decimal(27,6)")).cast("double").alias("s1"),
+        F.sum((v * v).cast("decimal(27,6)")).cast("double").alias("s2"),
+        F.sum((v * v * v).cast("decimal(38,6)")).cast("double").alias("s3"),
+        F.sum((v * v * v * v).cast("decimal(38,6)")).cast("double").alias("s4"),
+    )
+    n = F.col("n")
+    m1, m2 = F.col("s1") / n, F.col("s2") / n
+    m3, m4 = F.col("s3") / n, F.col("s4") / n
+    var = m2 - m1 * m1
+    skew = (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / F.pow(var, 1.5)
+    kurt = (
+        m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1
+    ) / F.pow(var, 2) - 3
+    return m.select(
+        "event_type",
+        "n",
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("excess_kurtosis"),
+    )

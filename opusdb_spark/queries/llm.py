@@ -1199,3 +1199,16 @@ def emb_kmeans(spark, sf_dir):
         [(it, round(inertia, 6), moved) for it, inertia, moved in trace],
         "iteration int, inertia double, n_moved_cells int",
     )
+
+
+@register("multimodal_audio_energy", oracle=None, tags=("llm", "multimodal"))
+def multimodal_audio_energy(spark, sf_dir):
+    """Audio modality featurization: windowed RMS energy + silence-frame
+    counts over raw-PCM blobs (operators/multimodal.py:audio_energy) —
+    the energy-gating pass before ASR transcription. Pure mapInPandas
+    map, pinned against a numpy reference in tests (rows-only: binary
+    media is synthesized)."""
+    from opusdb_spark.operators import multimodal
+
+    media = multimodal.synthesize_media(spark, n=256)
+    return multimodal.audio_energy(media).orderBy("media_id")

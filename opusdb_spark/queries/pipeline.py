@@ -1561,3 +1561,83 @@ def events_anomaly_mad(spark, sf_dir):
         )
         .filter(F.abs(z) > 3.5)
     )
+
+
+# ------------------------------------- temperature-weighted mixing
+@register(
+    "llm_temperature_mix",
+    oracle="""
+        WITH s AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY source
+        ),
+        g AS (
+            SELECT CAST(SUM(sqrt(CAST(n AS DOUBLE))) AS DOUBLE) AS tot_sw,
+                   CAST(SUM(n) AS BIGINT) AS total
+            FROM s
+        ),
+        t AS (
+            SELECT s.source, s.n,
+                   LEAST(CAST(FLOOR((g.total // 2)
+                         * (sqrt(CAST(s.n AS DOUBLE)) / g.tot_sw))
+                         AS BIGINT), s.n) AS target
+            FROM s CROSS JOIN g
+        ),
+        r AS (
+            SELECT source, doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(concat('tmix', CAST(doc_id AS STRING))))
+                       AS rn
+            FROM documents
+        )
+        SELECT t.source, t.n AS n_source, t.target,
+               CAST(SUM(CASE WHEN r.rn <= t.target THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_kept,
+               MIN(CASE WHEN r.rn <= t.target THEN r.doc_id END)
+                   AS first_kept
+        FROM r JOIN t ON r.source = t.source
+        GROUP BY t.source, t.n, t.target
+    """,
+    tags=("llm", "pipeline", "mixing"),
+)
+def llm_temperature_mix(spark, sf_dir):
+    """Temperature-weighted source mixing (α=0.5): sampling weights
+    n_i^α / Σ n_j^α up-weight small sources relative to proportional
+    sampling — the standard multilingual/multi-source rebalance (e.g.
+    the mixing rule in multilingual pretraining corpora). Per-source
+    targets come from ONE 2-value broadcast (Σ√n, Σn); selection is a
+    deterministic md5-ranked top-target per source, so both engines and
+    any partitioning pick the IDENTICAL documents (first_kept pins
+    membership, not just counts). α=0.5 → sqrt: bit-identical across
+    engines."""
+    docs = table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    g = s.agg(
+        F.sum(F.sqrt(F.col("n").cast("double"))).alias("tot_sw"),
+        F.sum("n").cast("bigint").alias("total"),
+    )
+    t = s.crossJoin(F.broadcast(g)).select(
+        "source",
+        "n",
+        F.least(
+            F.floor(
+                F.expr("total div 2")
+                * (F.sqrt(F.col("n").cast("double")) / F.col("tot_sw"))
+            ).cast("bigint"),
+            F.col("n"),
+        ).alias("target"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("tmix"), F.col("doc_id").cast("string")))
+    )
+    r = docs.select("source", "doc_id", F.row_number().over(w).alias("rn"))
+    kept = F.col("rn") <= F.col("target")
+    return (
+        r.join(t, "source")
+        .groupBy("source", F.col("n").alias("n_source"), "target")
+        .agg(
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.min(F.when(kept, F.col("doc_id"))).alias("first_kept"),
+        )
+    )

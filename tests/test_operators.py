@@ -894,3 +894,30 @@ def test_minhash_calibration_covers_all_pairs(spark):
         assert r.mean_abs_err < 0.25, (
             f"estimator error implausibly large in bucket {r.est_bucket}"
         )
+
+
+def test_audio_energy_matches_numpy_reference(spark):
+    import numpy as np
+
+    from opusdb_spark.operators import multimodal
+
+    media = multimodal.synthesize_media(spark, n=32)
+    got = {
+        r.media_id: (r.n_samples, r.n_windows, r.mean_rms, r.max_rms, r.n_silent)
+        for r in multimodal.audio_energy(media).collect()
+    }
+    rows = media.filter("kind = 'audio'").collect()
+    assert got and len(got) == len(rows)
+    for r in rows:
+        x = np.frombuffer(bytes(r.content), dtype=np.uint8).astype(np.float64) - 128.0
+        if len(x) < 256:
+            x = np.pad(x, (0, 256 - len(x)))
+        n_win = 1 + (len(x) - 256) // 128
+        rms = np.array([
+            np.sqrt((x[i * 128:i * 128 + 256] ** 2).mean()) for i in range(n_win)
+        ])
+        want = (
+            len(x), n_win, round(float(rms.mean()), 6),
+            round(float(rms.max()), 6), int((rms < 64.0).sum()),
+        )
+        assert got[r.media_id] == want

@@ -94,3 +94,48 @@ def bpe_train(
         merges.append((rank, left, right, left + right, w))
         vocab = vocab.withColumn("syms", _merge_udf(left, right)("syms"))
     return merges
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, str, int]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned merge sequence to the corpus: each word is
+    re-segmented by replaying the merges in rank order (the standard
+    encode step — merges are a total order, replay is deterministic).
+    The merge table is model-sized and ships in the UDF closure (the
+    broadcast-a-model shape, same as the IVF centroids); one Arrow pass
+    over the corpus, no shuffle. Returns (doc-identity columns,
+    n_words, n_tokens)."""
+    ranked = [(left, right) for _, left, right, _, _ in merges]
+
+    @pandas_udf("long")
+    def count_tokens(texts: pd.Series) -> pd.Series:
+        def encode_word(w):
+            syms = list(w)
+            for left, right in ranked:
+                out, i, n = [], 0, len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return len(syms)
+
+        return texts.map(
+            lambda t: sum(encode_word(w) for w in t.split(" ") if w)
+        )
+
+    other = [c for c in docs.columns if c != text_col]
+    words_n = F.size(
+        F.filter(F.split(F.col(text_col), " "), lambda w: F.length(w) > 0)
+    )
+    return docs.select(
+        *other,
+        words_n.alias("n_words"),
+        count_tokens(F.col(text_col)).alias("n_tokens"),
+    )

@@ -1641,3 +1641,167 @@ def llm_temperature_mix(spark, sf_dir):
             F.min(F.when(kept, F.col("doc_id"))).alias("first_kept"),
         )
     )
+
+
+# --------------------------------------------- co-purchase analysis
+@register(
+    "basket_copurchase_lift",
+    oracle="""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+            FROM lineitem
+        ),
+        n_orders AS (
+            SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n FROM items
+        ),
+        freq AS (
+            SELECT part, CAST(COUNT(*) AS BIGINT) AS n_part
+            FROM items GROUP BY part
+        ),
+        pairs AS (
+            SELECT a.part AS part_a, b.part AS part_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_both
+            FROM items a JOIN items b
+              ON a.okey = b.okey AND a.part < b.part
+            GROUP BY a.part, b.part
+        )
+        SELECT part_a, part_b, n_both,
+               round((CAST(n_both AS DOUBLE) * n.n)
+                     / (fa.n_part * fb.n_part), 6) AS lift
+        FROM pairs
+        JOIN freq fa ON fa.part = part_a
+        JOIN freq fb ON fb.part = part_b
+        CROSS JOIN n_orders n
+        WHERE n_both >= 2
+    """,
+    tags=("analytics", "basket"),
+)
+def basket_copurchase_lift(spark, sf_dir):
+    """Market-basket co-purchase analysis: part pairs bought in the
+    same order, scored by lift = P(a,b)/(P(a)·P(b)). The pair join is
+    keyed on the ORDER (baskets are small — TPC-H ~4 items/order — so
+    the per-order pair fan-out is bounded ~n²≈16, never corpus
+    quadratic); item frequencies broadcast back onto the pair counts.
+    The n_both >= 2 support floor is what keeps the result
+    recommendation-grade instead of noise."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    n_orders = items.agg(
+        F.countDistinct("okey").cast("bigint").alias("n")
+    )
+    freq = items.groupBy("part").agg(F.count(F.lit(1)).alias("n_part"))
+    a = items.select("okey", F.col("part").alias("part_a"))
+    b = items.select("okey", F.col("part").alias("part_b"))
+    pairs = (
+        a.join(b, "okey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 2)
+    )
+    fa = freq.select(F.col("part").alias("part_a"), F.col("n_part").alias("na"))
+    fb = freq.select(F.col("part").alias("part_b"), F.col("n_part").alias("nb"))
+    lift = (F.col("n_both").cast("double") * F.col("n")) / (
+        F.col("na") * F.col("nb")
+    )
+    return (
+        pairs.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a", "part_b", "n_both", F.round(lift, 6).alias("lift")
+        )
+    )
+
+
+@register("llm_bpe_apply", oracle=None, tags=("llm", "tokenizer"))
+def llm_bpe_apply(spark, sf_dir):
+    """BPE ENCODE: apply the corpus-trained merge sequence back to the
+    corpus and report per-lang token statistics — the train→apply loop
+    every tokenizer pipeline runs. The merge table (model-sized) rides
+    in the UDF closure; one Arrow pass, one agg shuffle. Compression =
+    chars per BPE token, the number a tokenizer is judged by
+    (rows-only: iterative trainer upstream; encode pinned against a
+    pure-Python reference in tests)."""
+    from opusdb_spark.operators import bpe
+
+    docs = table(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(docs, n_merges=8)
+    toks = bpe.bpe_apply(docs, merges)
+    return toks.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum(F.col("n_chars").cast("decimal(27,6)")).cast("double")
+            / F.sum("n_tokens"),
+            6,
+        ).alias("chars_per_token"),
+    )
+
+
+# ------------------------------------------------ RFM segmentation
+@register(
+    "events_rfm_segments",
+    oracle="""
+        WITH p AS (
+            SELECT user_id,
+                   MAX(ts) AS last_ts,
+                   CAST(COUNT(*) AS BIGINT) AS freq,
+                   CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+                       AS monetary
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id
+        ),
+        seg AS (
+            SELECT user_id, freq, monetary,
+                   NTILE(4) OVER (ORDER BY last_ts DESC, user_id) AS r_seg,
+                   NTILE(4) OVER (ORDER BY freq DESC, user_id) AS f_seg,
+                   NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS m_seg
+            FROM p
+        )
+        SELECT r_seg, f_seg, m_seg,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(CAST(monetary AS DECIMAL(27,6))) AS DOUBLE)
+                   AS segment_revenue
+        FROM seg GROUP BY 1, 2, 3
+    """,
+    tags=("analytics", "rfm"),
+)
+def events_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation: per-user recency/frequency/monetary
+    quartiles (ntile 4, (metric, user_id) total order so quartile
+    boundaries are deterministic), rolled up to segment sizes +
+    revenue. The per-user aggregate shuffles once on user_id; the three
+    ntiles run over the USERS table (already aggregate-sized, one row
+    per purchaser) — at 100 TB the raw-event scan dominates and the
+    quartile pass is a thin global sort of users only. Segmentation is
+    the canonical warehouse query this family was missing."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    p = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("freq"),
+        dsum("value", "monetary"),
+    )
+    seg = p.select(
+        "user_id",
+        "freq",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("last_ts"), F.asc("user_id")))
+        .alias("r_seg"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("freq"), F.asc("user_id")))
+        .alias("f_seg"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary"), F.asc("user_id")))
+        .alias("m_seg"),
+    )
+    return seg.groupBy("r_seg", "f_seg", "m_seg").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        dsum("monetary", "segment_revenue"),
+    )

@@ -921,3 +921,36 @@ def test_audio_energy_matches_numpy_reference(spark):
             round(float(rms.max()), 6), int((rms < 64.0).sum()),
         )
         assert got[r.media_id] == want
+
+
+def test_bpe_apply_matches_python_encode(spark):
+    from opusdb_spark.operators import bpe
+    from opusdb_spark.tables import table as _t
+
+    docs = _t(spark, SF, "documents")
+    merges = bpe.bpe_train(docs, n_merges=4)
+    got = {
+        r.doc_id: r.n_tokens
+        for r in bpe.bpe_apply(docs, merges).select("doc_id", "n_tokens").collect()
+    }
+    ranked = [(l, r) for _, l, r, _, _ in merges]
+    import pandas as pd
+
+    pdf = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "text"]]
+
+    def enc(w):
+        syms = list(w)
+        for l, r in ranked:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    for did, text in zip(pdf["doc_id"], pdf["text"]):
+        assert got[did] == sum(enc(w) for w in text.split(" ") if w)

@@ -32,6 +32,22 @@ _PAIRS_EXPR = (
 )
 
 
+def merge_pair(syms: list, left: str, right: str) -> list:
+    """One greedy left-to-right merge of the (left, right) pair in a
+    symbol sequence — the reference algorithm's replacement step, shared
+    by training (vocab update) and encoding (corpus apply)."""
+    joined = left + right
+    out, i, n = [], 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            out.append(joined)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
 def _merge_udf(left: str, right: str):
     """Arrow UDF applying one greedy left-to-right merge of the
     (left, right) pair inside each symbol array — the reference
@@ -39,20 +55,7 @@ def _merge_udf(left: str, right: str):
 
     @pandas_udf("array<string>")
     def merge(col: pd.Series) -> pd.Series:
-        joined = left + right
-
-        def m(a):
-            out, i, n = [], 0, len(a)
-            while i < n:
-                if i + 1 < n and a[i] == left and a[i + 1] == right:
-                    out.append(joined)
-                    i += 2
-                else:
-                    out.append(a[i])
-                    i += 1
-            return out
-
-        return col.apply(m)
+        return col.apply(lambda a: merge_pair(list(a), left, right))
 
     return merge
 
@@ -115,15 +118,7 @@ def bpe_apply(
         def encode_word(w):
             syms = list(w)
             for left, right in ranked:
-                out, i, n = [], 0, len(syms)
-                while i < n:
-                    if i + 1 < n and syms[i] == left and syms[i + 1] == right:
-                        out.append(left + right)
-                        i += 2
-                    else:
-                        out.append(syms[i])
-                        i += 1
-                syms = out
+                syms = merge_pair(syms, left, right)
             return len(syms)
 
         return texts.map(

@@ -244,7 +244,10 @@ def _media_planes(row) -> list[np.ndarray]:
     A row whose n_frames exceeds the embedded frames repeats the last
     plane (frame-hold), so fan-out stays metadata-driven."""
     blob = row["content"]
-    if blob[:2] in (b"P5", b"P6"):
+    # dispatch on the KIND column, not blob magic bytes: raw audio/PCM
+    # bytes are arbitrary and can start with 'P5'/'P6' by chance, which
+    # would send garbage into the Netpbm header parser
+    if row["kind"] in ("image", "video") and blob[:2] in (b"P5", b"P6"):
         planes = parse_frames(blob)
     else:
         planes = [decode_image(blob, row["width"], row["height"])]

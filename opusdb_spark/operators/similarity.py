@@ -87,8 +87,13 @@ def cosine_topk(
     np_ = _dec_fold(
         F.transform("_pvec", lambda b: b.cast("double") * b.cast("double"))
     )
+    # zero-norm vectors (failed encodes are often zero-filled in real
+    # embedding dumps) have no defined cosine: the conditional makes the
+    # division row-lazy (no ANSI 0/0 abort) and the NULLs are dropped
+    cosine = F.when((nx > 0) & (np_ > 0), dot / F.sqrt(nx * np_))
     return (
-        scored.select(id_col, (dot / F.sqrt(nx * np_)).alias("cosine"))
+        scored.select(id_col, cosine.alias("cosine"))
+        .filter(F.col("cosine").isNotNull())
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
@@ -357,8 +362,14 @@ def cosine_topk_batch(
         .select(
             "probe_id",
             id_col,
-            (F.col("dot") / F.sqrt(F.col("nx") * F.col("np"))).alias("cosine"),
+            # same zero-norm guard as cosine_topk: row-lazy conditional
+            # division, NULL (dropped) where cosine is undefined
+            F.when(
+                (F.col("nx") > 0) & (F.col("np") > 0),
+                F.col("dot") / F.sqrt(F.col("nx") * F.col("np")),
+            ).alias("cosine"),
         )
+        .filter(F.col("cosine").isNotNull())
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc(id_col))
     return (

@@ -512,15 +512,17 @@ def agg_mode(spark, sf_dir):
             FROM events GROUP BY event_type
         )
         SELECT event_type, n,
-               round((s3 / n - 3 * (s1 / n) * (s2 / n)
-                      + 2 * (s1 / n) * (s1 / n) * (s1 / n))
-                     / pow((s2 / n) - (s1 / n) * (s1 / n), 1.5), 6)
-                   AS skewness,
-               round((s4 / n - 4 * (s1 / n) * (s3 / n)
-                      + 6 * (s1 / n) * (s1 / n) * (s2 / n)
-                      - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
-                     / pow((s2 / n) - (s1 / n) * (s1 / n), 2) - 3, 6)
-                   AS excess_kurtosis
+               CASE WHEN (s2 / n) - (s1 / n) * (s1 / n) = 0 THEN NULL
+                    ELSE round((s3 / n - 3 * (s1 / n) * (s2 / n)
+                           + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                          / pow((s2 / n) - (s1 / n) * (s1 / n), 1.5), 6)
+                    END AS skewness,
+               CASE WHEN (s2 / n) - (s1 / n) * (s1 / n) = 0 THEN NULL
+                    ELSE round((s4 / n - 4 * (s1 / n) * (s3 / n)
+                           + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                           - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                          / pow((s2 / n) - (s1 / n) * (s1 / n), 2) - 3, 6)
+                    END AS excess_kurtosis
         FROM m
     """,
     tags=("agg", "stats"),
@@ -549,9 +551,12 @@ def agg_skew_kurtosis(spark, sf_dir):
     kurt = (
         m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1
     ) / F.pow(var, 2) - 3
+    # a constant-valued group has var exactly 0 (decimal sums make the
+    # cancellation exact): its higher moments are undefined — NULL, not
+    # an ANSI divide-by-zero abort
     return m.select(
         "event_type",
         "n",
-        F.round(skew, 6).alias("skewness"),
-        F.round(kurt, 6).alias("excess_kurtosis"),
+        F.when(var != 0, F.round(skew, 6)).alias("skewness"),
+        F.when(var != 0, F.round(kurt, 6)).alias("excess_kurtosis"),
     )

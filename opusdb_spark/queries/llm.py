@@ -220,6 +220,27 @@ def llm_dedup_simhash(spark, sf_dir):
     ).orderBy("doc_a", "doc_b")
 
 
+def _gram_pair_stats(grams):
+    """Exact-Jaccard building blocks over a (doc_id, g) shingle table:
+    co-gram pair intersection counts joined with both docs' gram-set
+    sizes → (doc_a, doc_b, inter, na, nb). Candidates come from the
+    shared-gram equi-join (never all-pairs). Shared by the ngram-Jaccard
+    dedup pass and the MinHash calibration eval so the two always
+    measure the same quantity."""
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.select(F.col("doc_id").alias("doc_a"), "g")
+    b = grams.select(F.col("doc_id").alias("doc_b"), "g")
+    pairs = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return pairs.join(sa, "doc_a").join(sb, "doc_b")
+
+
 def _word3grams(docs):
     """Distinct word-3-gram shingles per doc: (doc_id, g). Shared by the
     exact-Jaccard dedup pass and the MinHash calibration eval."""
@@ -275,23 +296,10 @@ def llm_dedup_ngram_jaccard(spark, sf_dir):
     shared-gram equi-join (never all-pairs); integer intersection /
     union arithmetic → exact SQL-oracle parity."""
     docs = table(spark, sf_dir, "documents")
-    grams = _word3grams(docs)
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = grams.select(F.col("doc_id").alias("doc_a"), "g")
-    b = grams.select(F.col("doc_id").alias("doc_b"), "g")
-    pairs = (
-        a.join(b, "g")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    stats = _gram_pair_stats(_word3grams(docs))
     jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        stats.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.8)
     )
 
@@ -315,24 +323,16 @@ def llm_minhash_calibration(spark, sf_dir):
         .distinct()
     )
     grams = _word3grams(docs).join(cand_ids, "doc_id", "left_semi")
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = grams.select(F.col("doc_id").alias("doc_a"), "g")
-    b = grams.select(F.col("doc_id").alias("doc_b"), "g")
-    inter = (
-        a.join(b, "g")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    stats = _gram_pair_stats(grams)
     exact = F.col("inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("inter")
     )
     scored = (
-        pairs.join(inter, ["doc_a", "doc_b"], "left")
-        .join(sa, "doc_a")
-        .join(sb, "doc_b")
+        pairs.join(
+            stats.select("doc_a", "doc_b", "inter", "na", "nb"),
+            ["doc_a", "doc_b"],
+            "left",
+        )
         .withColumn("inter", F.coalesce("inter", F.lit(0)))
         .select(
             "est_jaccard",
@@ -394,6 +394,7 @@ _SIM_ORACLE = """
     )
     SELECT vec_id, dot / SQRT(nx * np) AS cosine
     FROM scored CROSS JOIN pn
+    WHERE nx > 0 AND np > 0
     ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
@@ -471,7 +472,11 @@ def llm_ann_recall_eval(spark, sf_dir):
                 F.lit(1).alias("_hit"),
             )
             approx = a if approx is None else approx.unionByName(a)
-    levels = approx.select("n_probe").distinct()
+    # the probe levels are compile-time constants: a literal 2-row frame,
+    # not a distinct() that would re-execute the whole 8-way probe union
+    levels = spark.createDataFrame(
+        [(similarity.N_PROBE,), (2 * similarity.N_PROBE,)], "n_probe int"
+    )
     return (
         exact.crossJoin(F.broadcast(levels))
         .join(approx, ["probe_id", "n_probe", "vec_id"], "left")

@@ -1252,9 +1252,11 @@ def llm_html_strip(spark, sf_dir):
         r AS (
             SELECT lang,
                    (wc < 50 OR wc > 100000) AS fail_wc,
-                   (CAST(total_wlen AS DOUBLE) / wc < 3.0
-                    OR CAST(total_wlen AS DOUBLE) / wc > 10.0) AS fail_wlen,
-                   (CAST(alpha_wc AS DOUBLE) / wc < 0.8) AS fail_alpha
+                   (CAST(total_wlen AS DOUBLE) / greatest(wc, 1) < 3.0
+                    OR CAST(total_wlen AS DOUBLE) / greatest(wc, 1) > 10.0)
+                       AS fail_wlen,
+                   (CAST(alpha_wc AS DOUBLE) / greatest(wc, 1) < 0.8)
+                       AS fail_alpha
             FROM d
         )
         SELECT lang,
@@ -1297,10 +1299,13 @@ def llm_gopher_rules(spark, sf_dir):
         "lang",
         ((F.col("wc") < 50) | (F.col("wc") > 100000)).alias("fail_wc"),
         (
-            (F.col("total_wlen").cast("double") / F.col("wc") < 3.0)
-            | (F.col("total_wlen").cast("double") / F.col("wc") > 10.0)
+            # greatest(wc, 1): a word-free document (the exact junk this
+            # filter exists to gate) must fail the rules, not abort the
+            # query with an ANSI divide-by-zero
+            (F.col("total_wlen").cast("double") / F.greatest(F.col("wc"), F.lit(1)) < 3.0)
+            | (F.col("total_wlen").cast("double") / F.greatest(F.col("wc"), F.lit(1)) > 10.0)
         ).alias("fail_wlen"),
-        (F.col("alpha_wc").cast("double") / F.col("wc") < 0.8).alias(
+        (F.col("alpha_wc").cast("double") / F.greatest(F.col("wc"), F.lit(1)) < 0.8).alias(
             "fail_alpha"
         ),
     )
@@ -1522,7 +1527,8 @@ def llm_bpe_train(spark, sf_dir):
         FROM events e
         JOIN med m USING (event_type)
         JOIN mad d USING (event_type)
-        WHERE ABS(0.6745 * (e.value - m.med) / d.mad) > 3.5
+        WHERE d.mad <> 0
+          AND ABS(0.6745 * (e.value - m.med) / d.mad) > 3.5
     """,
     tags=("quality", "outlier"),
 )
@@ -1553,6 +1559,11 @@ def events_anomaly_mad(spark, sf_dir):
     return (
         ev.join(F.broadcast(med), "event_type")
         .join(F.broadcast(mad), "event_type")
+        # mad == 0 (at least half the group equals the median — e.g. a
+        # constant-valued metric) is filtered BEFORE the division: no
+        # robust z is defined there, and under ANSI mode the bare
+        # division would abort the whole query
+        .filter(F.col("mad") != 0)
         .select(
             "event_id",
             "event_type",
@@ -1804,4 +1815,51 @@ def events_rfm_segments(spark, sf_dir):
     return seg.groupBy("r_seg", "f_seg", "m_seg").agg(
         F.count(F.lit(1)).alias("n_users"),
         dsum("monetary", "segment_revenue"),
+    )
+
+
+# --------------------------------------------- behavior transitions
+@register(
+    "events_markov_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type AS src,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS dst
+            FROM events
+        ),
+        c AS (
+            SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+            FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+        ),
+        tot AS (
+            SELECT src, CAST(SUM(n) AS BIGINT) AS n_src FROM c GROUP BY src
+        )
+        SELECT c.src, c.dst, c.n,
+               round(CAST(c.n AS DOUBLE) / t.n_src, 6) AS p
+        FROM c JOIN tot t ON c.src = t.src
+    """,
+    tags=("analytics", "markov"),
+)
+def events_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next=dst | current=src), estimated from every adjacent
+    pair in (ts, event_id) order. One per-user window shuffle + two
+    5×5-sized aggregations (the matrix is |event_types|² — model-sized
+    at any corpus scale); row-normalized so each src row sums to 1.
+    The behavioral model funnel/retention queries implicitly assume,
+    made explicit."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    c = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy("src").agg(F.sum("n").cast("bigint").alias("n_src"))
+    return c.join(F.broadcast(tot), "src").select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("n_src"), 6).alias("p"),
     )

@@ -91,9 +91,9 @@ def mvcc_conservation(spark, sf_dir):
     sum — no per-snapshot rescan): the bank invariant query
     (benchmark/bank.clj:41-44) generalized to a full balance history.
     Decimal-summed so the running totals hash-match the oracle.
-    Write-point bounds ride in from parquet footer metadata so the
-    whole query is TWO actions: the model-sized range collect + the
-    caller's own action."""
+    Write-point bounds ride in from parquet footer metadata (a
+    driver-side read, not a job), so building the plan issues NO Spark
+    action — the caller's own action is the only one."""
     return mvcc.conservation(
         _versions(spark, sf_dir),
         decimal=True,

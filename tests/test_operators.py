@@ -711,16 +711,6 @@ def test_keep_best_prefers_longest_then_min_doc_id(spark):
     # norm key collapses case/padding; longest member wins, tie → min id
     docs = spark.createDataFrame(
         [
-            (1, "Hello World  ", "a", 13),
-            (2, "hello world", "b", 11),   # same norm key, shorter
-            (3, "  HELLO WORLD", "c", 13),  # ties doc 1 on n_chars → id 1... 
-            (4, "unique", "a", 6),
-        ],
-        "doc_id long, text string, lang string, source string",
-    ).withColumnRenamed("lang", "source2")
-    # build the exact shape the query reads (doc_id,text,lang,source,n_chars)
-    docs = spark.createDataFrame(
-        [
             (1, "Hello World", "en", "a", 11),
             (2, "hello world", "en", "b", 11),
             (3, "  hello world  ", "en", "c", 15),
@@ -954,3 +944,15 @@ def test_bpe_apply_matches_python_encode(spark):
 
     for did, text in zip(pdf["doc_id"], pdf["text"]):
         assert got[did] == sum(enc(w) for w in text.split(" ") if w)
+
+
+def test_cosine_topk_survives_zero_vectors(spark):
+    """A zero-filled embedding (failed encode) must be excluded, not
+    abort the scan with an ANSI divide-by-zero."""
+    rows = [(0, [1.0, 0.0, 2.0]), (1, [0.0, 0.0, 0.0]), (2, [1.0, 1.0, 1.0]),
+            (3, [2.0, 0.0, 4.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = [(r.vec_id) for r in similarity.cosine_topk(emb, 0, 10).collect()]
+    assert got == [3, 2], "zero vector dropped; colinear vec 3 ranks first"
+    # zero PROBE: every cosine undefined -> empty result, no crash
+    assert similarity.cosine_topk(emb, 1, 10).count() == 0

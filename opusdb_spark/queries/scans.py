@@ -422,3 +422,44 @@ def source_binaryfile_ingest(spark, sf_dir):
             ).otherwise(0)
         ).alias("n_byte_exact"),
     )
+
+
+@register(
+    "scan_cached_reuse",
+    oracle="""
+        SELECT 'returnflag' AS dim, l_returnflag AS key,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY 2
+        UNION ALL
+        SELECT 'linestatus' AS dim, l_linestatus AS key,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY 2
+    """,
+    tags=("scan", "cache"),
+)
+def scan_cached_reuse(spark, sf_dir):
+    """Buffer-pool semantics as a query: one cached projection serves
+    TWO readers (per-returnflag and per-linestatus counts) — the
+    pin-once/read-many contract of the reference's buffer manager
+    (buffer_mgr.clj pin/unpin; buffer.clj:12-15) mapped onto Spark's
+    block-manager cache, where eviction is LRU exactly like the
+    reference's LRU cache (lru.clj:5-17). The plan test pins
+    InMemoryTableScan under BOTH aggregates: the parquet scan runs
+    once, not twice. Cache entries key on the logical plan, so repeated
+    calls reuse one entry per sf_dir (bounded: a 2-column projection)."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .cache()
+    )
+    a = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("returnflag").alias("dim"),
+        F.col("l_returnflag").alias("key"),
+        "n",
+    )
+    b = li.groupBy("l_linestatus").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("linestatus").alias("dim"),
+        F.col("l_linestatus").alias("key"),
+        "n",
+    )
+    return a.unionByName(b)

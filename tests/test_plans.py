@@ -392,3 +392,14 @@ def test_keep_best_single_shuffle_no_window(spark):
     p = plan(_Q["llm_dedup_keep_best"].fn(spark, SF))
     assert "Window" not in p, "keep rule must ride the groupBy, not a window"
     assert _n_exchange_nodes(p) <= 1
+
+
+def test_cached_reuse_scans_memory_not_parquet_twice(spark):
+    # the buffer-pool contract: both readers hit the in-memory relation
+    df = _Q["scan_cached_reuse"].fn(spark, SF)
+    df.count()  # populate the cache
+    p = plan(df)
+    assert p.count("InMemoryTableScan") >= 2, (
+        "both aggregates must read the cached projection"
+    )
+    spark.catalog.clearCache()

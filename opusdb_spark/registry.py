@@ -142,6 +142,14 @@ _NEVER_SAMPLED = (
 # sampled right after the never-sampled tail.
 _R3_PRIORITY = ("mvcc_snapshot_stale", "stream_commit_ledger")
 
+# ROUND-4 NOTE: once CORRECTNESS_r03.json exists, promote every
+# _NEVER_SAMPLED + _R3_PRIORITY name that received a verdict into
+# _HAVE_VERDICT, and leave the round-3 additions (everything currently
+# in the "fresh" band: keep_best/time_travel/gopher/interpolate/
+# attribution/compaction/clustering/mode/median/kmeans/ewma/bpe/
+# calibration/mix/moments/audio/markov/rfm/streaks/cached_reuse/...)
+# at the FRONT so the r4 sweep reaches them first.
+
 
 def _sweep_ordered(items: dict[str, Query]) -> dict[str, Query]:
     head = [k for k in (*_NEVER_SAMPLED, *_R3_PRIORITY) if k in items]

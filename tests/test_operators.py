@@ -956,3 +956,48 @@ def test_cosine_topk_survives_zero_vectors(spark):
     assert got == [3, 2], "zero vector dropped; colinear vec 3 ranks first"
     # zero PROBE: every cosine undefined -> empty result, no crash
     assert similarity.cosine_topk(emb, 1, 10).count() == 0
+
+
+def test_markov_rows_are_probability_distributions(spark):
+    reg = registry()
+    rows = reg["events_markov_transitions"].fn(spark, SF).collect()
+    assert rows
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.src, []).append(r.p)
+        assert 0.0 < r.p <= 1.0
+    for src, ps in by_src.items():
+        assert abs(sum(ps) - 1.0) < 5e-6 * len(ps) + 1e-9, (
+            f"row {src} must sum to 1 (got {sum(ps)})"
+        )
+
+
+def test_temperature_mix_targets_capped_and_exact(spark):
+    reg = registry()
+    rows = reg["llm_temperature_mix"].fn(spark, SF).collect()
+    assert rows
+    total = sum(r.n_source for r in rows)
+    for r in rows:
+        assert r.n_kept == min(r.target, r.n_source)
+        assert r.target <= r.n_source, "targets are capped at source size"
+    assert sum(r.target for r in rows) <= total // 2 + len(rows), (
+        "floor effects aside, targets must not exceed the half-corpus budget"
+    )
+
+
+def test_rfm_segments_conserve_purchasers(spark):
+    from opusdb_spark.tables import table as _t
+
+    reg = registry()
+    segs = reg["events_rfm_segments"].fn(spark, SF).collect()
+    n_users = sum(r.n_users for r in segs)
+    want = (
+        _t(spark, SF, "events")
+        .filter("event_type = 'purchase'")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert n_users == want, "every purchaser lands in exactly one segment"
+    for r in segs:
+        assert 1 <= r.r_seg <= 4 and 1 <= r.f_seg <= 4 and 1 <= r.m_seg <= 4

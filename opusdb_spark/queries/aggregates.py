@@ -560,3 +560,41 @@ def agg_skew_kurtosis(spark, sf_dir):
         F.when(var != 0, F.round(skew, 6)).alias("skewness"),
         F.when(var != 0, F.round(kurt, 6)).alias("excess_kurtosis"),
     )
+
+
+@register("agg_countmin_topk", oracle=None, tags=("agg", "sketch"))
+def agg_countmin_topk(spark, sf_dir):
+    """Count-Min Sketch heavy hitters: a fixed-size mergeable frequency
+    sketch (eps=0.1%, delta=1%) built over l_partkey in one pass, then
+    probed for the EXACT top-10 parts — est vs exact side by side with
+    the signed error (CMS never under-counts; the one-sided bound is
+    pinned in tests). The 100 TB story is the sketch's: executors build
+    partial sketches locally and merge them associatively — frequency
+    profiling without a full groupBy materialization. Deterministic:
+    fixed seed, fixed width/depth (rows-only: sketch internals are
+    engine-specific)."""
+    li = table(spark, sf_dir, "lineitem").select("l_partkey")
+    sk_bytes = li.agg(
+        F.count_min_sketch(
+            "l_partkey", F.lit(0.001), F.lit(0.99), F.lit(42)
+        ).alias("sk")
+    ).first()["sk"]
+    jvm = spark._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(sk_bytes))
+    )
+    top = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("exact"))
+        .orderBy(F.desc("exact"), F.asc("l_partkey"))
+        .limit(10)
+        .collect()
+    )
+    rows = [
+        (int(r.l_partkey), int(r.exact), int(cms.estimateCount(r.l_partkey)))
+        for r in top
+    ]
+    return spark.createDataFrame(
+        [(p, e, est, est - e) for p, e, est in rows],
+        "l_partkey long, exact long, cms_estimate long, overcount long",
+    )

@@ -1001,3 +1001,12 @@ def test_rfm_segments_conserve_purchasers(spark):
     assert n_users == want, "every purchaser lands in exactly one segment"
     for r in segs:
         assert 1 <= r.r_seg <= 4 and 1 <= r.f_seg <= 4 and 1 <= r.m_seg <= 4
+
+
+def test_countmin_never_undercounts(spark):
+    reg = registry()
+    rows = reg["agg_countmin_topk"].fn(spark, SF).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.cms_estimate >= r.exact, "CMS is one-sided: never undercounts"
+        assert r.overcount == r.cms_estimate - r.exact

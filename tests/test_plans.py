@@ -403,3 +403,23 @@ def test_cached_reuse_scans_memory_not_parquet_twice(spark):
         "both aggregates must read the cached projection"
     )
     spark.catalog.clearCache()
+
+
+def test_similarity_topk_shuffle_free_scan(spark):
+    # rewritten cosine scoring: 1-row broadcast + per-row folds + local
+    # top-k — the only allowed exchange is the probe broadcast
+    p = plan(_Q["llm_similarity_topk"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in p
+    assert _n_exchange_nodes(p) == 0, (
+        "scoring must not shuffle; the probe rides a BroadcastExchange"
+    )
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_streaks_no_global_sort(spark):
+    # gaps-and-islands runs keyed windows + keyed aggs only
+    p = plan(_Q["win_streaks"].fn(spark, SF))
+    assert "TakeOrderedAndProject" not in p
+    for line in p.splitlines():
+        if line.strip().startswith("Arguments: [d") and "true" in line:
+            raise AssertionError(f"global sort found: {line}")

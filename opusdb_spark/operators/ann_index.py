@@ -211,7 +211,12 @@ def _score_against(vec_col: str, probe_vec: list[float]):
     # constant-folded once) so scores are bit-identical to the
     # cosine_topk formulation, which decimal-sums every term.
     np_ = dec_fold(F.zip_with(p, p, lambda a, b: a * b))
-    return dot / F.sqrt(nx * np_)
+    # zero-norm guard (same contract as similarity.cosine_topk): an
+    # unguarded 0/0 yields NaN, and Spark sorts NaN ABOVE every real
+    # double — a zero-filled garbage vector would rank #1 in the
+    # descending top-k. NULL instead; callers' orderBy(desc) puts NULLs
+    # last, so degenerate vectors can never displace true neighbors.
+    return F.when((nx > 0) & (np_ > 0), dot / F.sqrt(nx * np_))
 
 
 def _probe_buckets(
@@ -274,6 +279,7 @@ def lsh_probe(
         cands = cands.filter(F.col(id_col) != exclude_id)
     return (
         cands.select(id_col, _score_against(vec_col, probe_vec).alias("cosine"))
+        .filter(F.col("cosine").isNotNull())
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
@@ -306,6 +312,7 @@ def ivf_probe(
         cands = cands.filter(F.col(id_col) != exclude_id)
     return (
         cands.select(id_col, _score_against(vec_col, probe_vec).alias("cosine"))
+        .filter(F.col("cosine").isNotNull())
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )

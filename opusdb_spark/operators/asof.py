@@ -75,8 +75,15 @@ def asof_join(
     for c in lcols:
         if c not in build.columns:
             build = build.withColumn(c, F.lit(None).cast(dict(probe.dtypes)[c]))
-    unioned = probe.select(*lcols, right_time, *right_values, "__is_probe", "__t").unionByName(
-        build.select(*lcols, right_time, *right_values, "__is_probe", "__t")
+    # right_time == left_time (both sides named e.g. 'ts') is legal:
+    # the time already rides in __t (and in lcols for probe rows), so
+    # projecting it AGAIN would duplicate the column and unionByName
+    # would refuse; project it only when it's a distinct column.
+    extra_t = [right_time] if right_time not in lcols else []
+    unioned = probe.select(
+        *lcols, *extra_t, *right_values, "__is_probe", "__t"
+    ).unionByName(
+        build.select(*lcols, *extra_t, *right_values, "__is_probe", "__t")
     )
     # Build rows sort before probe rows at equal time, so `≤` is
     # inclusive; trailing right_values keys make duplicate (key, time)

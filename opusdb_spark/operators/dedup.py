@@ -500,7 +500,18 @@ def simhash_near_dups(
     so the self-join key is (block_id, block_value) — bucket-local, no
     all-pairs scan. Pass `fp` (e.g. from simhash_fingerprints_stored)
     to reuse ingest-time fingerprints — the production shape.
+
+    The 4-block scheme only GUARANTEES recall for max_hamming ≤ 3
+    (pigeonhole over 4 blocks): at distance 4 a pair can differ in one
+    bit per block and agree on none, so larger thresholds would
+    silently miss pairs — rejected rather than under-reported.
     """
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming}: the 4x16-bit block scheme "
+            "guarantees candidate recall only for Hamming distance <= 3; "
+            "use more/smaller blocks for larger thresholds"
+        )
     if fp is None:
         fp = simhash_fingerprints(spread(docs))
     blocks = fp.select(

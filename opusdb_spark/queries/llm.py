@@ -177,8 +177,13 @@ def _minhash_components(spark, sf_dir, threshold: float = 0.5):
         spark,
         _minhash_pairs(spark, sf_dir, threshold),
         scratch_path(f"minhash_components_{base}_{tag}"),
+        # n_minhash rides in the fingerprint: the pair graph rebuilds
+        # when the signature hyperparams change, and the derived
+        # components must go stale WITH it, not serve the old graph
         stat_fingerprint(
-            f"{sf_dir}/documents.parquet", threshold=threshold
+            f"{sf_dir}/documents.parquet",
+            threshold=threshold,
+            n_minhash=dedup.N_MINHASH,
         ),
     )
 
@@ -324,26 +329,46 @@ def llm_minhash_calibration(spark, sf_dir):
     )
     grams = _word3grams(docs).join(cand_ids, "doc_id", "left_semi")
     stats = _gram_pair_stats(grams)
-    exact = F.col("inter").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("inter")
-    )
+    # sizes come from their OWN per-doc joins (not only from the
+    # shared-gram pair stats): a candidate pair whose docs share no
+    # exact 3-gram — or have no grams at all (<3-word texts, where
+    # the MinHash impl falls back to whole-text shingles) — must not
+    # silently vanish from the error means via NULL arithmetic.
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n"))
     scored = (
         pairs.join(
-            stats.select("doc_a", "doc_b", "inter", "na", "nb"),
-            ["doc_a", "doc_b"],
+            stats.select("doc_a", "doc_b", "inter"), ["doc_a", "doc_b"], "left"
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("_n").alias("na")
+            ),
+            "doc_a",
+            "left",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("_n").alias("nb")
+            ),
+            "doc_b",
             "left",
         )
         .withColumn("inter", F.coalesce("inter", F.lit(0)))
-        .select(
-            "est_jaccard",
-            exact.alias("exact_jaccard"),
-        )
+        .withColumn("na", F.coalesce("na", F.lit(0)))
+        .withColumn("nb", F.coalesce("nb", F.lit(0)))
     )
+    union = F.col("na") + F.col("nb") - F.col("inter")
+    # union == 0 (both docs gram-less) has no exact Jaccard to grade
+    # against: reported separately as n_ungradeable, never averaged
+    exact = F.when(union > 0, F.col("inter").cast("double") / union)
+    scored = scored.select("est_jaccard", exact.alias("exact_jaccard"))
     bucket = (F.floor(F.col("est_jaccard") * 10) / 10).alias("est_bucket")
+    n_graded = F.count("exact_jaccard")
     return (
         scored.groupBy(bucket)
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
+            (F.count(F.lit(1)) - n_graded).alias("n_ungradeable"),
             F.round(
                 F.sum(F.col("est_jaccard").cast("decimal(27,6)")).cast(
                     "double"
@@ -355,7 +380,7 @@ def llm_minhash_calibration(spark, sf_dir):
                 F.sum(F.col("exact_jaccard").cast("decimal(27,6)")).cast(
                     "double"
                 )
-                / F.count(F.lit(1)),
+                / n_graded,
                 6,
             ).alias("mean_exact"),
             F.round(
@@ -364,7 +389,7 @@ def llm_minhash_calibration(spark, sf_dir):
                         F.col("est_jaccard") - F.col("exact_jaccard")
                     ).cast("decimal(27,6)")
                 ).cast("double")
-                / F.count(F.lit(1)),
+                / n_graded,
                 6,
             ).alias("mean_abs_err"),
         )
@@ -815,7 +840,16 @@ def llm_embedding_neardup(spark, sf_dir):
     pairs = (
         a.join(b, ["table_id", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", (dot / (na * nb)).alias("cosine"))
+        # zero-norm guard: unguarded 0/0 is NaN, and Spark evaluates
+        # NaN >= t as TRUE (NaN sorts largest) — all-zero embeddings
+        # collide in every LSH bucket and would count as phantom
+        # near-dups at every threshold
+        .select(
+            "id_a",
+            "id_b",
+            F.when((na > 0) & (nb > 0), dot / (na * nb)).alias("cosine"),
+        )
+        .filter(F.col("cosine").isNotNull())
         .distinct()
     )
     # Threshold-sweep summary instead of the raw pair listing: the
@@ -1128,45 +1162,11 @@ def llm_dedup_editdist(spark, sf_dir):
     only runs on the already-likely candidates; both engines implement
     the same classic DP, so distances match exactly."""
     docs = table(spark, sf_dir, "documents")
-    w = F.split(F.col("text"), " ")
-    grams = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.greatest(F.size(w) - 3, F.lit(0))),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(w, i + 1),
-                        F.element_at(w, i + 2),
-                        F.element_at(w, i + 3),
-                    ),
-                )
-            ).alias("g"),
-        )
-        .filter(F.size(F.split(F.col("g"), " ")) == 3)
-        .distinct()
-    )
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = grams.select(F.col("doc_id").alias("doc_a"), "g")
-    b = grams.select(F.col("doc_id").alias("doc_b"), "g")
-    inter = (
-        a.join(b, "g")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    stats = _gram_pair_stats(_word3grams(docs))
     jac = F.col("inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("inter")
     )
-    cand = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= 0.5)
-        .select("doc_a", "doc_b")
-    )
+    cand = stats.filter(jac >= 0.5).select("doc_a", "doc_b")
     ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
     tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
     dist = F.levenshtein("text_a", "text_b")

@@ -598,7 +598,7 @@ def llm_sample_per_group(spark, sf_dir):
         SELECT e.event_id, e.event_type, e.value,
                round((e.value - st.mu) / st.sd, 6) AS z
         FROM events e JOIN st USING (event_type)
-        WHERE ABS((e.value - st.mu) / st.sd) > 3
+        WHERE st.sd <> 0 AND ABS((e.value - st.mu) / st.sd) > 3
     """,
     tags=("quality", "outlier"),
 )
@@ -630,6 +630,11 @@ def events_zscore_outliers(spark, sf_dir):
     z = (F.col("value") - F.col("mu")) / F.col("sd")
     return (
         ev.join(F.broadcast(st), "event_type")
+        # sd == 0 (constant-valued group): z is 0/0 = NaN, and Spark's
+        # NaN-is-largest semantics would flag the WHOLE group as
+        # outliers — filter the degenerate group first, like
+        # events_anomaly_mad does for mad == 0
+        .filter(F.col("sd") != 0)
         .filter(F.abs(z) > 3)
         .select("event_id", "event_type", "value", F.round(z, 6).alias("z"))
     )

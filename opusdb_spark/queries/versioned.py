@@ -349,11 +349,16 @@ def mvcc_txn_rollback(spark, sf_dir):
     new_rows2 = batch2.join(
         spark.read.parquet(out), ["ref_id", "write_point"], "left_anti"
     )
+    # the abort IS the expected path; a clean finish means the
+    # atomicity contract broke — tracked with a flag so the check can't
+    # be swallowed by the handler for the expected failure
+    aborted = False
     try:
         new_rows2.write.mode("append").parquet(out)
-        raise AssertionError("aborting batch unexpectedly committed")
     except Exception:
-        pass  # the abort IS the expected path
+        aborted = True
+    if not aborted:
+        raise AssertionError("aborting batch unexpectedly committed")
 
     return (
         spark.read.parquet(out)

@@ -351,28 +351,6 @@ def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_parquet_append(ev, "dedup_true")
 
 
-def _run_to_memory_append(stream_df: DataFrame, name: str) -> DataFrame:
-    # Memory sink: ONLY for bounded outputs (windowed aggregates). For
-    # unbounded outputs use _run_to_parquet_append — a memory sink
-    # materializes the whole result in the driver.
-    # name is uuid-unique (memory sink tables are session-scoped and
-    # cheap); the checkpoint dir is stable per job tag and cleared on
-    # entry so repeated runs replay from offset zero without leaking a
-    # directory per invocation.
-    spark = stream_df.sparkSession
-    ckpt = scratch_sink(f"ckpt_{name.split('_')[0]}")
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
-
-
 def _run_to_parquet_append(stream_df: DataFrame, tag: str) -> DataFrame:
     """Scale-true sink for unbounded streaming output: append to a
     parquet directory (executor-side writes, exactly-once via the sink

@@ -1010,3 +1010,37 @@ def test_countmin_never_undercounts(spark):
     for r in rows:
         assert r.cms_estimate >= r.exact, "CMS is one-sided: never undercounts"
         assert r.overcount == r.cms_estimate - r.exact
+
+
+def test_asof_join_same_time_column_name_both_sides(spark):
+    """left_time == right_time (both 'ts') must work, not crash on a
+    duplicate column in the union."""
+    left = spark.createDataFrame(
+        [(1, 10), (1, 25), (2, 5)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, 200.0), (2, 7, 70.0)],
+        "k long, ts long, v double",
+    )
+    got = {
+        (r.k, r.ts): (r.asof_time, r.v)
+        for r in asof_join(
+            left, right, on="k", left_time="ts", right_time="ts",
+            right_values=["v"],
+        ).collect()
+    }
+    assert got == {
+        (1, 10): (10, 100.0),
+        (1, 25): (20, 200.0),
+        (2, 5): (None, None),
+    }
+
+
+def test_simhash_rejects_unsupported_hamming_threshold(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="recall"):
+        dedup.simhash_near_dups(
+            spark.createDataFrame([(1, "x")], "doc_id long, text string"),
+            max_hamming=4,
+        )

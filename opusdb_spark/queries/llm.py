@@ -1217,3 +1217,59 @@ def multimodal_audio_energy(spark, sf_dir):
 
     media = multimodal.synthesize_media(spark, n=256)
     return multimodal.audio_energy(media).orderBy("media_id")
+
+
+@register("llm_dedup_method_report", oracle=None, tags=("llm", "dedup", "eval"))
+def llm_dedup_method_report(spark, sf_dir):
+    """One-row-per-method dedup comparison over the same corpus: how
+    many duplicate PAIRS each detector finds (exact sha2, normalized
+    keep-best, MinHash-LSH estimate, SimHash Hamming≤3, exact 3-gram
+    Jaccard≥0.8) plus the near-dup component count — the side-by-side
+    a pipeline owner reads before choosing a detector/threshold. Every
+    branch reuses the registered operator or its persisted ingest
+    artifact; the report itself is five model-sized counts unioned
+    (rows-only: half the branches are estimator-based)."""
+    docs = table(spark, sf_dir, "documents")
+
+    def one(method, df):
+        return df.agg(
+            F.lit(method).alias("method"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+
+    exact_pairs = (
+        docs.select("doc_id", F.sha2("text", 256).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(
+            F.lit("exact_dup_pairs").alias("method"),
+            F.coalesce(
+                F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("bigint"),
+                F.lit(0),
+            ).alias("n"),
+        )
+    )
+    norm_clusters = one(
+        "normalized_dup_clusters",
+        llm_dedup_keep_best(spark, sf_dir).filter(F.col("n_copies") > 1),
+    )
+    minhash_pairs = one("minhash_est_pairs", _minhash_pairs(spark, sf_dir))
+    simhash_pairs = one(
+        "simhash_h3_pairs",
+        dedup.simhash_near_dups(docs, fp=_simhash_fps(spark, sf_dir)),
+    )
+    ngram_pairs = one(
+        "ngram_jaccard08_pairs", llm_dedup_ngram_jaccard(spark, sf_dir)
+    )
+    components = one(
+        "neardup_components",
+        _minhash_components(spark, sf_dir).groupBy("component").count(),
+    )
+    return (
+        exact_pairs.unionByName(norm_clusters)
+        .unionByName(minhash_pairs)
+        .unionByName(simhash_pairs)
+        .unionByName(ngram_pairs)
+        .unionByName(components)
+    )

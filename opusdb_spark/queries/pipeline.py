@@ -1868,3 +1868,68 @@ def events_markov_transitions(spark, sf_dir):
         "n",
         F.round(F.col("n").cast("double") / F.col("n_src"), 6).alias("p"),
     )
+
+
+# ------------------------------------------------ DAU/WAU engagement
+@register(
+    "events_dau_wau",
+    oracle="""
+        WITH ud AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('day', ts) AS DATE) AS d
+            FROM events
+        ),
+        spine AS (SELECT DISTINCT d FROM ud),
+        wau_j AS (
+            SELECT s.d, ud.user_id
+            FROM spine s JOIN ud
+              ON ud.d BETWEEN s.d - INTERVAL 6 DAY AND s.d
+        ),
+        m AS (
+            SELECT d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+            FROM wau_j GROUP BY d
+        ),
+        dau_m AS (
+            SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY d
+        )
+        SELECT m.d, dau_m.dau, m.wau,
+               round(CAST(dau_m.dau AS DOUBLE) / m.wau, 6) AS stickiness
+        FROM m JOIN dau_m ON m.d = dau_m.d
+    """,
+    tags=("analytics", "engagement"),
+)
+def events_dau_wau(spark, sf_dir):
+    """DAU / trailing-7-day WAU / stickiness (DAU÷WAU) per day — the
+    engagement triple every product warehouse reports. Built from the
+    DISTINCT (user, day) table (one dedup shuffle, |users|×|days|
+    bounded), with the WAU window as a broadcast day-spine range join
+    (≤7× fan-out of user-days, never a count-distinct-over-range
+    window, which Spark cannot express and a 100 TB engine shouldn't
+    want). WAU is never below DAU by construction."""
+    ev = table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct()
+    spine = ud.select("d").distinct()
+    wau = (
+        F.broadcast(spine.withColumnRenamed("d", "sd"))
+        .join(
+            ud,
+            (F.col("d") >= F.date_sub(F.col("sd"), 6))
+            & (F.col("d") <= F.col("sd")),
+        )
+        .groupBy("sd")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+    )
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    return (
+        dau.join(wau, dau["d"] == wau["sd"])
+        .select(
+            "d",
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )

@@ -1933,3 +1933,89 @@ def events_dau_wau(spark, sf_dir):
             ),
         )
     )
+
+
+# ------------------------------------------------- path analysis
+@register(
+    "events_path_analysis",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type AS e1,
+                   LEAD(event_type, 1) OVER w AS e2,
+                   LEAD(event_type, 2) OVER w AS e3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE e3 IS NOT NULL
+        GROUP BY e1, e2, e3
+        ORDER BY n DESC, e1, e2, e3 LIMIT 20
+    """,
+    tags=("analytics", "paths"),
+)
+def events_path_analysis(spark, sf_dir):
+    """Top-20 most-travelled 3-step event paths across all users — the
+    path-analysis query behind funnel DISCOVERY (events_funnel checks a
+    known path; this finds which paths exist). One per-user ordered
+    window emitting both leads, a |event_types|³-bounded aggregation,
+    TakeOrdered for the top-k. Deterministic tie-break on the path
+    itself."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "e1", "e2", "e3")
+        .limit(20)
+    )
+
+
+# --------------------------------------------- period-over-period
+@register(
+    "events_mom_growth",
+    oracle="""
+        WITH m AS (
+            SELECT event_type,
+                   CAST(date_trunc('month', ts) AS DATE) AS month,
+                   CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+                       AS revenue
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1, 2
+        )
+        SELECT event_type, month, revenue,
+               round(
+                   (revenue - LAG(revenue) OVER (PARTITION BY event_type
+                                                 ORDER BY month))
+                   / LAG(revenue) OVER (PARTITION BY event_type
+                                        ORDER BY month), 6) AS mom_growth
+        FROM m
+    """,
+    tags=("analytics", "growth"),
+)
+def events_mom_growth(spark, sf_dir):
+    """Month-over-month revenue growth per type — the period-over-period
+    BI staple: monthly decimal-exact sums (months-of-history rows, i.e.
+    model-sized after the one aggregation shuffle), then a lag window
+    over the TINY monthly table. First month's growth is NULL (no prior
+    period), matching the oracle; revenue is always positive here so
+    the division needs no zero guard."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    m = ev.groupBy(
+        "event_type",
+        F.date_trunc("month", "ts").cast("date").alias("month"),
+    ).agg(dsum("value", "revenue"))
+    w = Window.partitionBy("event_type").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "event_type",
+        "month",
+        "revenue",
+        F.round((F.col("revenue") - prev) / prev, 6).alias("mom_growth"),
+    )

@@ -2019,3 +2019,51 @@ def events_mom_growth(spark, sf_dir):
         "revenue",
         F.round((F.col("revenue") - prev) / prev, 6).alias("mom_growth"),
     )
+
+
+# --------------------------------------------- inter-arrival times
+@register(
+    "events_inter_arrival",
+    oracle="""
+        WITH gaps AS (
+            SELECT event_type,
+                   epoch_us(ts)
+                   - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)) AS gap_us
+            FROM events
+        )
+        SELECT event_type,
+               CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+               quantile_cont(gap_us, 0.5) AS median_gap_us,
+               quantile_cont(gap_us, 0.9) AS p90_gap_us,
+               CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+        FROM gaps WHERE gap_us IS NOT NULL
+        GROUP BY event_type
+    """,
+    tags=("analytics", "timeseries"),
+)
+def events_inter_arrival(spark, sf_dir):
+    """Inter-arrival time distribution per event type: each event's gap
+    to the same user's previous event (one keyed window), then exact
+    median/p90/max of the integer-second gaps (same exact-percentile
+    contract as agg_percentile_exact — bounded group count). The
+    latency profile that sizes session-gap thresholds and stream
+    watermarks from the data instead of folklore."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact epochs: unix_timestamp truncates to seconds
+    # BEFORE subtracting while the oracle's epoch rounds — integer
+    # microseconds are exact on both engines, no boundary drift
+    gaps = ev.select(
+        "event_type",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.percentile("gap_us", 0.5).alias("median_gap_us"),
+        F.percentile("gap_us", 0.9).alias("p90_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )

@@ -598,3 +598,29 @@ def agg_countmin_topk(spark, sf_dir):
         [(p, e, est, est - e) for p, e, est in rows],
         "l_partkey long, exact long, cms_estimate long, overcount long",
     )
+
+
+@register(
+    "agg_grouping_flags",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup"),
+)
+def agg_grouping_flags(spark, sf_dir):
+    """GROUPING() flags on a rollup: subtotal rows are DISTINGUISHABLE
+    from genuine NULL group keys — the flag says which NULLs mean
+    'aggregated away'. Without it a rollup over a nullable key is
+    ambiguous; with it the cube/rollup family is actually consumable
+    downstream."""
+    lt = table(spark, sf_dir, "lineitem")
+    return lt.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count(F.lit(1)).alias("n"),
+    )

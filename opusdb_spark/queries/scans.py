@@ -463,3 +463,45 @@ def scan_cached_reuse(spark, sf_dir):
         "n",
     )
     return a.unionByName(b)
+
+
+@register(
+    "source_csv_quoted",
+    oracle="""
+        SELECT n_nationkey,
+               n_name || ', "' || n_name || '"
+line2' AS tricky
+        FROM nation
+    """,
+    tags=("source", "csv"),
+)
+def source_csv_quoted(spark, sf_dir):
+    """CSV quoting/escaping conformance: values containing commas,
+    embedded double quotes, AND newlines must survive the sink→source
+    round trip byte-exactly (RFC-4180 quoting with doubled quotes,
+    multiLine read). The oracle computes the same tricky strings
+    directly from the parquet table, so any quoting defect — the
+    classic silent corrupter of text corpora delivered as CSV — breaks
+    the value hash."""
+    out = scratch_sink(f"src_csvq_{os.path.basename(os.path.normpath(sf_dir))}")
+    nation = table(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        F.concat(
+            F.col("n_name"),
+            F.lit(', "'),
+            F.col("n_name"),
+            F.lit('"\nline2'),
+        ).alias("tricky"),
+    )
+    (
+        nation.write.mode("overwrite")
+        .option("header", "true")
+        .option("quoteAll", "true")
+        .csv(out)
+    )
+    return (
+        spark.read.schema("n_nationkey int, tricky string")
+        .option("header", "true")
+        .option("multiLine", "true")
+        .csv(out)
+    )

@@ -111,3 +111,35 @@ def sub_lateral(spark, sf_dir):
     join on l_orderkey: one shuffle, never a per-row rescan."""
     register_views(spark, sf_dir)
     return spark.sql(_SUB_LATERAL)
+
+
+_SUB_NOT_IN_NULLS = """
+    WITH keys AS (
+        SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL
+                    ELSE o_custkey END AS k
+        FROM orders
+    )
+    SELECT 'not_in' AS variant, CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer WHERE c_custkey NOT IN (SELECT k FROM keys)
+    UNION ALL
+    SELECT 'not_exists', CAST(COUNT(*) AS BIGINT)
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM keys WHERE keys.k = c.c_custkey)
+"""
+
+
+@register(
+    "sub_not_in_nulls",
+    oracle=_SUB_NOT_IN_NULLS,
+    tags=("subquery", "null-semantics"),
+)
+def sub_not_in_nulls(spark, sf_dir):
+    """The NOT IN / NULL trap, pinned as data: one NULL in the subquery
+    makes NOT IN return ZERO rows (three-valued logic: x <> NULL is
+    never true), while NOT EXISTS — the form people actually mean —
+    still excludes only real matches. Both variants side by side so the
+    trap is visible, not folklore. NOT EXISTS plans as an anti-join;
+    the 100 TB advice is in the result: never NOT IN over a nullable
+    key."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SUB_NOT_IN_NULLS)

@@ -431,3 +431,37 @@ def win_streaks(spark, sf_dir):
             F.col("_b.streak_start").alias("streak_start"),
         )
     )
+
+
+@register(
+    "win_time_range_sum",
+    oracle="""
+        SELECT event_id,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS hour_sum
+        FROM events
+    """,
+    tags=("window", "range-frame"),
+)
+def win_time_range_sum(spark, sf_dir):
+    """Trailing-1-hour rolling sum per user — a TIME-interval RANGE
+    frame (value-based bounds over event-time, not row counts: sparse
+    and bursty activity get the same 1-hour semantics). Ordered by
+    integer microseconds so both engines bound the frame identically;
+    decimal-summed so ties inside the frame can't reorder float
+    addition. One keyed window shuffle."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        F.sum(F.col("value").cast("decimal(27,6)"))
+        .over(w)
+        .cast("double")
+        .alias("hour_sum"),
+    )

@@ -624,3 +624,28 @@ def agg_grouping_flags(spark, sf_dir):
         F.grouping("l_linestatus").cast("int").alias("g_status"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "agg_bool_logic",
+    oracle="""
+        SELECT o_orderstatus,
+               bool_and(o_totalprice > 1000) AS all_over_1k,
+               bool_or(o_totalprice > 400000) AS any_over_400k,
+               CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+                   AS BIGINT) AS n_urgent
+        FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg", "boolean"),
+)
+def agg_bool_logic(spark, sf_dir):
+    """Boolean aggregates: every/some (ALL/ANY over a predicate) plus
+    count_if — the predicate-rollup surface dashboards and data-quality
+    checks are built from. Map-side-combinable like any aggregate; one
+    shuffle."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.every(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.some(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
+    )

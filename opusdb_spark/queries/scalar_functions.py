@@ -368,3 +368,43 @@ def fn_struct(spark, sf_dir):
         profile.getField("balance").alias("bal_out"),
         F.length(profile.getField("segment")).alias("seg_len"),
     )
+
+
+@register(
+    "fn_safe_arith",
+    oracle="""
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                    ELSE CAST(o_totalprice
+                              / (o_orderkey % 10) AS DOUBLE) END
+                   AS safe_div,
+               TRY_CAST(CASE WHEN o_orderkey % 3 = 0 THEN 'oops'
+                             ELSE CAST(o_orderkey AS VARCHAR) END
+                        AS INTEGER) AS safe_cast
+        FROM orders WHERE o_orderkey <= 1000
+    """,
+    tags=("function", "ansi-safe"),
+)
+def fn_safe_arith(spark, sf_dir):
+    """ANSI-safe arithmetic: try_divide and try_cast return NULL where
+    strict ANSI mode would abort the job (division by zero, malformed
+    cast). This is the row-level error-tolerance contract a 100 TB
+    pipeline needs — one bad record must poison one value, not kill a
+    stage. The session runs ANSI-strict, so these are the sanctioned
+    escape hatches."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    return o.select(
+        "o_orderkey",
+        F.try_divide(
+            F.col("o_totalprice").cast("double"),
+            (F.col("o_orderkey") % 10).cast("double"),
+        ).alias("safe_div"),
+        F.try_to_number(
+            F.when(F.col("o_orderkey") % 3 == 0, F.lit("oops")).otherwise(
+                F.col("o_orderkey").cast("string")
+            ),
+            F.lit("999999999"),
+        )
+        .cast("int")
+        .alias("safe_cast"),
+    )

@@ -2067,3 +2067,63 @@ def events_inter_arrival(spark, sf_dir):
         F.percentile("gap_us", 0.9).alias("p90_gap_us"),
         F.max("gap_us").alias("max_gap_us"),
     )
+
+
+# ------------------------------------------ funnel time-to-convert
+@register(
+    "events_time_to_convert",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS first_view
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS first_purchase
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= v.first_view
+            GROUP BY e.user_id
+        ),
+        g AS (
+            SELECT p.user_id,
+                   epoch_us(p.first_purchase) - epoch_us(v.first_view)
+                       AS gap_us
+            FROM p JOIN v ON p.user_id = v.user_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_converters,
+               quantile_cont(gap_us, 0.5) AS median_us,
+               quantile_cont(gap_us, 0.9) AS p90_us,
+               CAST(MIN(gap_us) AS BIGINT) AS min_us
+        FROM g
+    """,
+    tags=("analytics", "funnel"),
+)
+def events_time_to_convert(spark, sf_dir):
+    """Time-to-convert distribution: first view → first subsequent
+    purchase per user, exact median/p90/min of the microsecond gaps —
+    the latency half of the funnel story (events_funnel counts WHO
+    converts; this measures HOW LONG conversion takes). Two keyed
+    min-aggregations + one join; the percentile runs over one row per
+    converter."""
+    ev = table(spark, sf_dir, "events")
+    mic = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    g = p.join(v, "user_id").select(
+        (mic("first_purchase") - mic("first_view")).alias("gap_us")
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n_converters"),
+        F.percentile("gap_us", 0.5).alias("median_us"),
+        F.percentile("gap_us", 0.9).alias("p90_us"),
+        F.min("gap_us").alias("min_us"),
+    )

@@ -408,3 +408,52 @@ def fn_safe_arith(spark, sf_dir):
         .cast("int")
         .alias("safe_cast"),
     )
+
+
+@register(
+    "fn_array_hof",
+    oracle="""
+        WITH a AS (
+            SELECT event_id,
+                   [event_id % 7, event_id % 5, event_id % 3,
+                    event_id % 11] AS xs
+            FROM events WHERE event_id <= 2000
+        )
+        SELECT event_id,
+               list_any_value(list_filter(xs, x -> x = 0)) IS NOT NULL
+                   AS has_zero,
+               len(list_filter(xs, x -> x >= 2)) = len(xs) AS all_ge_2,
+               CAST(list_aggregate(xs, 'sum') AS BIGINT) AS total,
+               array_to_string(list_transform(xs, x -> CAST(x * x AS VARCHAR)),
+                               ',') AS squares
+        FROM a
+    """,
+    tags=("function", "array", "hof"),
+)
+def fn_array_hof(spark, sf_dir):
+    """Higher-order array functions: exists / forall / aggregate /
+    transform — the lambda surface array columns are processed with
+    (the JVM-side alternative to exploding). Oracle re-derives
+    exists/forall from list_filter lengths, so the semantics (not just
+    the function names) are what's pinned."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") <= 2000)
+    xs = F.array(
+        F.col("event_id") % 7,
+        F.col("event_id") % 5,
+        F.col("event_id") % 3,
+        F.col("event_id") % 11,
+    )
+    a = ev.select("event_id", xs.alias("xs"))
+    return a.select(
+        "event_id",
+        F.exists("xs", lambda x: x == 0).alias("has_zero"),
+        F.forall("xs", lambda x: x >= 2).alias("all_ge_2"),
+        F.aggregate(
+            "xs", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("total"),
+        # stringified: array cells aren't hashable by the driver's
+        # canonicalizer (same contract as fn_struct)
+        F.array_join(
+            F.transform("xs", lambda x: (x * x).cast("string")), ","
+        ).alias("squares"),
+    )

@@ -1,0 +1,198 @@
+"""Distributed exact global ranking / NTILE without a one-task sort.
+
+`Window.orderBy(...)` with no ``partitionBy`` funnels every row through
+a single task — correct, but a scale-killer once the input is data-
+sized rather than metadata-sized (at 100 TB a users table is 10⁸-10⁹
+rows). These helpers compute the SAME rank-based answers with a
+three-stage shape whose only single-partition step is over a
+model-sized aggregate:
+
+  1. split the order key's range into ``n_buckets`` contiguous buckets
+     using `approx_percentile` split points — a model-sized aggregate,
+     collected once and baked in as LITERALS (so bucket assignment is
+     deterministic under task retry, unlike `spark_partition_id` after
+     a sampled `repartitionByRange`);
+  2. rank locally inside each bucket with a partitioned window
+     (parallel; ties broken by the caller's tie-break column);
+  3. exclusive-prefix-sum the per-bucket counts (≤ n_buckets rows —
+     model-sized by construction, same exception as the IVF centroid
+     collect) and broadcast-join the offsets back.
+
+global rank = bucket offset + local rank. NTILE then follows the SQL
+bucket rule exactly: with N rows and n tiles, q = N div n, r = N mod n,
+the first r tiles hold q+1 rows. This matches `NTILE(n) OVER (ORDER BY
+...)` bit-for-bit (the DuckDB oracles pin it).
+
+Reference anchor: the splay-tree rank queries (splay.clj:84-99) are the
+reference's only order-statistic surface; this is the distributed
+analog for rank/quantile assignment over snapshot tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _bucket_expr(split_col: Column, uniq: list, descending: bool) -> Column:
+    """Bucket id from literal split points — a nested CASE chain.
+
+    ``split_col`` only needs to be a MONOTONE (ties-allowed) numeric
+    coarsening of the order's leading key — equal values share a
+    bucket, where the in-bucket window's full tie-break ranks them; the
+    chain is deterministic under task retry because the splits are
+    literals. Empty/constant column -> one bucket (still correct: the
+    in-bucket window does all the work).
+    """
+    bucket = F.lit(0)
+    for i, s in enumerate(uniq):
+        bucket = F.when(split_col > F.lit(s), i + 1).otherwise(bucket)
+    if descending:
+        # invert so bucket 0 is FIRST in the output order
+        bucket = F.lit(len(uniq)) - bucket
+    return bucket
+
+
+def with_global_rank(
+    df: DataFrame,
+    order_cols: list[Column],
+    split_col: Column,
+    *,
+    descending: bool,
+    out: str = "_rank",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Add 1-based global rank under ``order_cols`` (a total order).
+
+    ``split_col`` is a numeric expression monotone in the leading order
+    column, used for range bucketing; ``descending`` says whether that
+    leading expression sorts descending. Ties in ``split_col`` land in
+    one bucket, so the in-bucket window's tie-break keeps the rank
+    exact.
+    """
+    probe = df.select(split_col.alias("_k"))
+    ps = [i / n_buckets for i in range(1, n_buckets)]
+    row = probe.agg(
+        F.percentile_approx("_k", ps, 10_000).alias("_splits")
+    ).first()
+    splits = [s for s in (row["_splits"] or []) if s is not None]
+    uniq = sorted(set(splits))
+    b = df.withColumn("_sk", split_col).withColumn(
+        "_b", _bucket_expr(F.col("_sk"), uniq, descending)
+    )
+    w_local = Window.partitionBy("_b").orderBy(*order_cols)
+    ranked = b.withColumn("_lr", F.row_number().over(w_local))
+    counts = ranked.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+    # ≤ n_buckets rows: model-sized single-partition prefix sum. The
+    # grand total rides along on the same tiny frame so NTILE never
+    # needs a whole-data window for COUNT(*).
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    w_tot = Window.orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        "_b",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_n").over(w_tot).alias("_total"),
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "_b")
+        .withColumn(out, F.col("_off") + F.col("_lr"))
+        .drop("_b", "_sk", "_lr", "_off")
+    )
+
+
+def ntile_from_rank(rank: Column, total: Column, n: int) -> Column:
+    """Exact SQL NTILE(n) from a 1-based rank and the row count.
+
+    q = total div n, r = total mod n; tiles 1..r hold q+1 rows. For
+    total < n this degrades to tile = rank, matching the standard.
+    """
+    q = (total / n).cast("long")
+    r = total - q * n
+    head = (q + F.lit(1)) * r  # rows covered by the r wide tiles
+    return (
+        F.when(rank <= head, F.ceil(rank / (q + 1)))
+        .otherwise(r + F.ceil((rank - head) / F.greatest(q, F.lit(1))))
+        .cast("int")
+    )
+
+
+def with_global_ntile(
+    df: DataFrame,
+    order_cols: list[Column],
+    split_col: Column,
+    *,
+    descending: bool,
+    n: int,
+    out: str,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Add exact ``NTILE(n) OVER (ORDER BY order_cols)`` as ``out``."""
+    ranked = with_global_rank(
+        df,
+        order_cols,
+        split_col,
+        descending=descending,
+        out="_gr",
+        n_buckets=n_buckets,
+    )
+    return ranked.withColumn(
+        out, ntile_from_rank(F.col("_gr"), F.col("_total"), n)
+    ).drop("_gr", "_total")
+
+
+def with_global_ntiles(
+    df: DataFrame,
+    specs: list[tuple[str, list[Column], Column, bool]],
+    *,
+    n: int,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Exact NTILE(n) for SEVERAL orderings with ONE probe action.
+
+    ``specs`` is a list of (out_col, order_cols, split_col, descending).
+    All split points come back from a single aggregate over ``df`` (one
+    scan), then each spec pays its own bucket-partitioned window + a
+    model-sized offset join — never a whole-data single-partition sort.
+    """
+    ps = [i / n_buckets for i in range(1, n_buckets)]
+    probe = df.agg(
+        *[
+            F.percentile_approx(spec[2], ps, 10_000).alias(f"_s{i}")
+            for i, spec in enumerate(specs)
+        ]
+    ).first()
+    res = df
+    for i, (out, order_cols, split_col, descending) in enumerate(specs):
+        uniq = sorted(
+            {s for s in (probe[f"_s{i}"] or []) if s is not None}
+        )
+        res = res.withColumn(
+            "_b", _bucket_expr(split_col, uniq, descending)
+        )
+        w_local = Window.partitionBy("_b").orderBy(*order_cols)
+        ranked = res.withColumn("_lr", F.row_number().over(w_local))
+        counts = ranked.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+        w_off = Window.orderBy("_b").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        w_tot = Window.orderBy("_b").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        offsets = counts.select(
+            "_b",
+            F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+            F.sum("_n").over(w_tot).alias("_total"),
+        )
+        res = (
+            ranked.join(F.broadcast(offsets), "_b")
+            .withColumn(
+                out,
+                ntile_from_rank(
+                    F.col("_off") + F.col("_lr"), F.col("_total"), n
+                ),
+            )
+            .drop("_b", "_lr", "_off", "_total")
+        )
+    return res

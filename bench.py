@@ -48,6 +48,89 @@ HEADLINE = [
 ]
 
 
+# ---- sf1 scale ladder -------------------------------------------------
+# One order of magnitude above the default bench scale, derived by
+# replicating the sf0.1 corpus 10× with a per-replica key stride (every
+# key column shifts by replica*STRIDE, so joins stay within a replica
+# and each copy is a disjoint key universe — row counts scale 10×,
+# selectivities and join fan-outs stay identical). Derived data, used
+# ONLY for throughput scaling — correctness always runs on the driver's
+# own parquet. Built once into the gitignored .scratch/ and reused.
+SF1_LADDER = [
+    "agg_q1",
+    "sub_correlated",
+    "join_multiway",
+    "join_sort_merge",
+    "llm_similarity_topk",
+    "llm_simsearch_ivf",
+]
+_KEY_STRIDE = 1_000_000_000
+_KEY_COLS = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey", "n_regionkey"],
+    "customer": ["c_custkey", "c_nationkey"],
+    "supplier": ["s_suppkey", "s_nationkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def ensure_sf1(spark, src_dir: str, replicas: int = 10) -> str:
+    from pyspark.sql import functions as F
+
+    out_dir = os.path.join(_REPO, ".scratch", "bench_sf1")
+    marker = os.path.join(out_dir, "_BUILT")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    t0 = time.perf_counter()
+    for tname, keys in _KEY_COLS.items():
+        src = spark.read.parquet(f"{src_dir}/{tname}.parquet")
+        rep = src.crossJoin(
+            spark.range(replicas).select(F.col("id").alias("_rep"))
+        )
+        for k in keys:
+            rep = rep.withColumn(
+                k, F.col(k) + F.col("_rep") * F.lit(_KEY_STRIDE)
+            )
+        rep.select(*src.columns).write.mode("overwrite").parquet(
+            f"{out_dir}/{tname}.parquet"
+        )
+    with open(marker, "w") as f:
+        f.write("ok")
+    print(
+        f"# sf1 corpus built in {time.perf_counter() - t0:.1f}s -> {out_dir}",
+        file=sys.stderr,
+    )
+    return out_dir
+
+
+def run_ladder(spark, qs, sf1_dir: str) -> dict:
+    from pyspark.sql import functions as F  # noqa: F401
+
+    timings: dict[str, float] = {}
+    lineitem_rows = spark.read.parquet(f"{sf1_dir}/lineitem.parquet").count()
+    for name in SF1_LADDER:
+        qs[name](spark, sf1_dir).count()  # warmup (+ one-time ANN build)
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        n = qs[name](spark, sf1_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(
+            f"# sf1 {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr
+        )
+    q1 = timings.get("agg_q1", 0.0)
+    return {
+        "queries": timings,
+        "lineitem_rows": lineitem_rows,
+        "q1_rows_per_sec": int(lineitem_rows / q1) if q1 else 0,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -78,18 +161,23 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     q1_rows_per_sec = int(lineitem_rows / timings["agg_q1"]) if timings["agg_q1"] else 0
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "q1_rows_per_sec": q1_rows_per_sec,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "q1_rows_per_sec": q1_rows_per_sec,
+    }
+    # Scale ladder: 10× the default corpus (set SPARK_GRAFT_SF1=0 to
+    # skip, e.g. when benching a non-default SF dir).
+    if (
+        os.environ.get("SPARK_GRAFT_SF1", "1") != "0"
+        and sf_dir.rstrip("/").endswith("sf0.1")
+    ):
+        sf1_dir = ensure_sf1(spark, sf_dir)
+        out["sf1"] = run_ladder(spark, qs, sf1_dir)
+    print(json.dumps(out))
     spark.stop()
 
 

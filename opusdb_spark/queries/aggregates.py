@@ -572,17 +572,19 @@ def agg_countmin_topk(spark, sf_dir):
     partial sketches locally and merge them associatively — frequency
     profiling without a full groupBy materialization. Deterministic:
     fixed seed, fixed width/depth (rows-only: sketch internals are
-    engine-specific)."""
+    engine-specific). The probe parses the sketch's VERSIONED byte
+    format in pure Python (operators/sketch.py, pinned bit-identical to
+    the JVM probe in tests) — no `spark._jvm` reach, so a PySpark
+    upgrade can't break the query through a private accessor."""
+    from opusdb_spark.operators.sketch import CountMinSketch
+
     li = table(spark, sf_dir, "lineitem").select("l_partkey")
     sk_bytes = li.agg(
         F.count_min_sketch(
             "l_partkey", F.lit(0.001), F.lit(0.99), F.lit(42)
         ).alias("sk")
     ).first()["sk"]
-    jvm = spark._jvm
-    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        jvm.java.io.ByteArrayInputStream(bytes(sk_bytes))
-    )
+    cms = CountMinSketch(bytes(sk_bytes))
     top = (
         li.groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("exact"))
@@ -591,7 +593,7 @@ def agg_countmin_topk(spark, sf_dir):
         .collect()
     )
     rows = [
-        (int(r.l_partkey), int(r.exact), int(cms.estimateCount(r.l_partkey)))
+        (int(r.l_partkey), int(r.exact), cms.estimate_long(int(r.l_partkey)))
         for r in top
     ]
     return spark.createDataFrame(

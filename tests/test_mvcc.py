@@ -352,3 +352,53 @@ def test_snapshot_diff_matches_two_snapshot_join(spark):
     assert sorted(map(tuple, fast.collect())) == sorted(
         map(tuple, naive.select(*fast.columns).collect())
     )
+
+
+def test_nested_changesets_flatten_to_single_commit(spark):
+    """Nested dosync flattens into the outer transaction
+    (stm.clj:145-148 — `sync` runs the inner body in the CURRENT
+    transaction when one exists; pinned at stm_test.clj:74-81): the
+    inner change-set joins the outer write-set with later-write-per-key
+    winning, in-transaction reads see the composed set, and the whole
+    flattened set commits at ONE write point."""
+    from pyspark.sql import Window
+
+    versions = spark.createDataFrame(
+        [(1, 1, 10.0), (2, 1, 20.0), (3, 1, 30.0)],
+        "ref_id long, write_point long, value double",
+    )
+    # outer txn writes refs 1,2; the nested dosync then writes refs 2,3
+    outer = spark.createDataFrame(
+        [(1, 11.0, 0), (2, 12.0, 0)], "ref_id long, value double, _seq long"
+    )
+    inner = spark.createDataFrame(
+        [(2, 99.0, 1), (3, 13.0, 1)], "ref_id long, value double, _seq long"
+    )
+    # flatten = the reference's write-set map collapse (stm.clj:180-191,
+    # one buffered value per ref): union, highest _seq per key wins
+    both = outer.unionByName(inner)
+    w = Window.partitionBy("ref_id").orderBy(F.desc("_seq"))
+    flattened = (
+        both.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_seq")
+    )
+    # in-txn visibility: the outer deref after the inner dosync sees the
+    # inner write (stm_test.clj:80 `(is (= 20 (stm/deref r)))`)
+    own = {
+        r.ref_id: r.value
+        for r in mvcc.read_own_writes(versions, flattened).collect()
+    }
+    assert own == {1: 11.0, 2: 99.0, 3: 13.0}
+    # commit: ONE write-point bump for the flattened set — never one per
+    # nesting level
+    committed = mvcc.append_versions(versions, flattened)
+    new_wps = {
+        r.write_point
+        for r in committed.filter(F.col("write_point") > 1).collect()
+    }
+    assert new_wps == {2}, "nested commit must land at a single write point"
+    # post-commit latest state == the in-txn read state: flattening
+    # composed the change-sets without reordering or double-commit
+    post = {r.ref_id: r.value for r in mvcc.latest(committed).collect()}
+    assert post == own

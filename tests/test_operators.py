@@ -1098,3 +1098,30 @@ def test_global_rank_is_total_and_exact(spark):
         key=lambda r: (r["metric"], r["id"]),
     )
     assert [r["rk"] for r in rows] == list(range(1, 201))
+
+
+def test_countmin_python_reader_matches_jvm(spark):
+    """operators/sketch.py parses the V1 byte format and reproduces the
+    stream-lib long hash: estimates must be bit-identical to the JVM's
+    own CountMinSketch probe for the same bytes (the query no longer
+    touches spark._jvm; this test is where the cross-check lives)."""
+    from opusdb_spark.operators.sketch import CountMinSketch
+
+    li = spark.range(0, 5000).select(
+        (F.col("id") % 97).alias("k")
+    )
+    sk_bytes = bytes(
+        li.agg(
+            F.count_min_sketch("k", F.lit(0.01), F.lit(0.99), F.lit(7)).alias(
+                "sk"
+            )
+        ).first()["sk"]
+    )
+    py = CountMinSketch(sk_bytes)
+    jvm = spark._jvm
+    jv = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(sk_bytes)
+    )
+    assert py.total_count == jv.totalCount()
+    for k in range(97):
+        assert py.estimate_long(k) == int(jv.estimateCount(k)), k

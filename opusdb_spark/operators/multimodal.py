@@ -398,3 +398,136 @@ def audio_energy(
     return media.filter(F.col("kind") == "audio").mapInPandas(
         energy, schema=AUDIO_ENERGY_SCHEMA
     )
+
+
+# ------------------------------------------------- perceptual hashing
+def synthesize_image_corpus(spark, n: int = 128) -> DataFrame:
+    """Deterministic image table with PLANTED near-duplicates: ids with
+    id % 4 == 1 carry a ±2-intensity noised copy of id-1's plane (a
+    re-encode/re-crop stand-in), everything else is independent noise.
+    Same seeded-by-id generation contract as synthesize_media, so the
+    corpus — and therefore every downstream hash — is identical across
+    runs and partitionings."""
+
+    def _plane(i: int) -> np.ndarray:
+        rng = np.random.RandomState(int(i) % (2**31))
+        w, h = 24 + int(i) % 16, 24 + (int(i) // 2) % 16
+        return rng.randint(0, 256, (h, w)).astype(np.uint8)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                i = int(i)
+                if i % 4 == 1:
+                    base = _plane(i - 1).astype(np.int16)
+                    noise = np.random.RandomState(i).randint(
+                        -2, 3, base.shape
+                    )
+                    plane = np.clip(base + noise, 0, 255).astype(np.uint8)
+                else:
+                    plane = _plane(i)
+                h, w = plane.shape
+                rows.append((i, "image", encode_pgm(plane), w, h, 1))
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA])
+
+    n_parts = max(1, min(8, n // 32))
+    return spark.range(0, n, 1, n_parts).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def _dct_mat(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (what scipy.fft.dct(norm='ortho')
+    builds) — numpy-only, cached per dimension."""
+    k = np.arange(n)[:, None]
+    x = np.arange(n)[None, :]
+    m = np.cos(np.pi * (2 * x + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+def phash64(plane: np.ndarray) -> int:
+    """64-bit perceptual hash: 2-D DCT of the luma plane, keep the 8×8
+    lowest-frequency block minus the DC term, threshold each
+    coefficient against the block median — the classic pHash. Robust to
+    small pixel noise / re-encodes (signs of low-frequency structure
+    survive), which is exactly what the planted ±2 duplicates test."""
+    h, w = plane.shape
+    d = _dct_mat(h) @ plane.astype(np.float64) @ _dct_mat(w).T
+    block = d[:8, :8].flatten()[1:]  # drop DC
+    med = np.median(block)
+    bits = 0
+    for idx, v in enumerate(block):
+        if v > med:
+            bits |= 1 << idx
+    return bits - (1 << 64) if bits >= (1 << 63) else bits  # signed long
+
+
+def with_phash(media: DataFrame) -> DataFrame:
+    """media → (media_id, phash long). Arrow-batched map, no shuffle."""
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                planes = _media_planes(row)
+                out.append((int(row["media_id"]), phash64(planes[0])))
+            yield pd.DataFrame(out, columns=["media_id", "phash"])
+
+    return media.mapInPandas(
+        hash_batch,
+        schema=StructType(
+            [
+                StructField("media_id", LongType()),
+                StructField("phash", LongType()),
+            ]
+        ),
+    )
+
+
+def phash_near_dups(hashed: DataFrame, max_hamming: int = 10) -> DataFrame:
+    """Image near-dup pairs by pHash Hamming distance ≤ max_hamming.
+
+    Candidate generation is a PIGEONHOLE band join, not all-pairs: the
+    64-bit hash splits into 16 4-bit bands, and a pair within Hamming
+    distance d < 16 has at most d bands touched by a flipped bit, so at
+    least one of the 16 bands is untouched and collides — every true
+    pair is a candidate by construction (same pigeonhole rule as the
+    SimHash blocks in dedup.py). Exact popcount on the XOR then filters
+    candidates down to true pairs; random 64-bit hashes agree on a
+    given nibble with p = 1/16, so the candidate set stays a small
+    multiple of the data instead of n²."""
+    if max_hamming >= 16:
+        raise ValueError("16-band pigeonhole supports max_hamming < 16")
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned("phash", b * 4).bitwiseAND(F.lit(15)).alias(
+                "key"
+            ),
+        )
+        for b in range(16)
+    ]
+    banded = hashed.select(
+        "media_id", "phash", F.explode(F.array(*bands)).alias("bk")
+    ).select("media_id", "phash", "bk.band", "bk.key")
+    pairs = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("a.phash").alias("ha"),
+            F.col("b.phash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        pairs.select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

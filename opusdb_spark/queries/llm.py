@@ -1273,3 +1273,325 @@ def llm_dedup_method_report(spark, sf_dir):
         .unionByName(ngram_pairs)
         .unionByName(components)
     )
+
+
+# ----------------------------------------------- substring-level dedup
+_SUBSTR_K = 10
+
+_SUBSTR_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    spans AS (
+        SELECT doc_id,
+               md5(array_to_string(t[i:i+{_SUBSTR_K}-1], ' ')) AS h
+        FROM toks,
+             UNNEST(range(1, greatest(len(t) - {_SUBSTR_K} + 2, 1))) AS u(i)
+    ),
+    shared AS (
+        SELECT h FROM spans GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1
+    ),
+    per_doc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans FROM spans
+        GROUP BY doc_id
+    ),
+    per_doc_dup AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans
+        FROM spans SEMI JOIN shared USING (h)
+        GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_spans,
+           COALESCE(d.n_dup_spans, 0) AS n_dup_spans,
+           ROUND(CAST(COALESCE(d.n_dup_spans, 0) AS DOUBLE) / p.n_spans, 6)
+               AS dup_frac
+    FROM per_doc p LEFT JOIN per_doc_dup d ON p.doc_id = d.doc_id
+"""
+
+
+@register("llm_substring_dedup", oracle=_SUBSTR_ORACLE, tags=("llm", "dedup"))
+def llm_substring_dedup(spark, sf_dir):
+    """Exact-substring duplication profile (the ExactSubstr criterion of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): every K-token span is fingerprinted, spans appearing in
+    MORE THAN ONE document are flagged, and each doc reports its
+    duplicated-span fraction — the signal used to cut copied passages
+    that doc-level MinHash misses. Spark shape: explode to one row per
+    span position (n_tokens-K+1 rows/doc), md5 the span so the shuffle
+    moves a fixed 32-char key instead of the span text, one groupBy for
+    the cross-doc span set, a semi join back, and per-doc counts —
+    at 100 TB this is the standard suffix-array approximation: linear
+    row blow-up, all aggregation map-side-combinable, no all-pairs
+    step. Docs shorter than K tokens have no spans and are absent, same
+    as the oracle."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    grams = F.when(
+        n >= _SUBSTR_K,
+        F.transform(
+            F.sequence(F.lit(1), n - _SUBSTR_K + 1),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, _SUBSTR_K), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = docs.select("doc_id", F.explode(grams).alias("h"))
+    shared = (
+        spans.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h")
+    )
+    per_doc = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    per_doc_dup = (
+        spans.join(shared, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    )
+    return (
+        per_doc.join(per_doc_dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("n_dup_spans", F.lit(0).cast("bigint")).alias(
+                "n_dup_spans"
+            ),
+            F.round(
+                F.coalesce("n_dup_spans", F.lit(0).cast("bigint")).cast(
+                    "double"
+                )
+                / F.col("n_spans"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+# ----------------------------------------------- token-entropy quality
+_ENTROPY_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+    ),
+    cnt AS (
+        SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c FROM toks
+        GROUP BY doc_id, w
+    ),
+    ent AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               ROUND(
+                   ROUND(LN(CAST(SUM(c) AS DOUBLE)), 6)
+                   - ROUND(
+                       CAST(SUM(CAST(ROUND(c * LN(CAST(c AS DOUBLE)), 6)
+                                     AS DECIMAL(27,6))) AS DOUBLE)
+                       / SUM(c), 6),
+                   6) AS token_entropy
+        FROM cnt GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_distinct, token_entropy,
+           (token_entropy < 3.0) AS low_entropy
+    FROM ent
+"""
+
+
+@register("llm_entropy_filter", oracle=_ENTROPY_ORACLE, tags=("llm", "quality"))
+def llm_entropy_filter(spark, sf_dir):
+    """Token-distribution entropy per document — the repetitiveness
+    signal quality pipelines use to cut boilerplate/spam (low entropy =
+    few distinct tokens dominating): H = ln(n) − Σc·ln(c)/n in nats.
+    Irrational terms are rounded at 6dp BEFORE the decimal sum (the
+    bm25 pattern: libm ln differs by 1 ulp across engines, and double
+    partial-sum order varies with partitioning — round-then-decimal
+    makes the result bit-stable and oracle-matchable). Two
+    map-side-combinable aggregations, both keyed by doc_id — one
+    shuffle at scale."""
+    docs = table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    term = F.round(F.col("c") * F.log(F.col("c").cast("double")), 6)
+    ent = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(
+            F.round(F.log(F.sum("c").cast("double")), 6)
+            - F.round(
+                F.sum(term.cast("decimal(27,6)")).cast("double")
+                / F.sum("c"),
+                6,
+            ),
+            6,
+        ).alias("token_entropy"),
+    )
+    return ent.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "token_entropy",
+        (F.col("token_entropy") < 3.0).alias("low_entropy"),
+    )
+
+
+# ----------------------------------------- embedding covariance / PCA
+_COV_ORACLE = """
+    WITH f AS (
+        SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings, LATERAL (SELECT UNNEST(range(1, 65)) AS i)
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+    sums AS (
+        SELECT i, CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE) AS sx
+        FROM f GROUP BY i
+    ),
+    prods AS (
+        SELECT a.i AS i, b.i AS j,
+               CAST(SUM(CAST(a.x * b.x AS DECIMAL(27,12))) AS DOUBLE) AS sxy
+        FROM f a JOIN f b ON a.vec_id = b.vec_id AND b.i >= a.i
+        GROUP BY a.i, b.i
+    )
+    SELECT p.i, p.j,
+           ROUND(p.sxy / n.n - (sa.sx / n.n) * (sb.sx / n.n), 6) + 0.0 AS cov
+    FROM prods p
+    CROSS JOIN n
+    JOIN sums sa ON sa.i = p.i
+    JOIN sums sb ON sb.i = p.j
+"""
+
+
+@register("emb_covariance", oracle=_COV_ORACLE, tags=("llm", "embedding"))
+def emb_covariance(spark, sf_dir):
+    """Exact population covariance matrix of the embedding columns as
+    upper-triangle (i, j, cov) rows — the input to PCA / whitening /
+    Mahalanobis outlier scoring over an embedding corpus. Spark shape:
+    each vector expands to its 2,080 upper-triangle component products
+    via nested array transforms (pure codegen, no self-join of the
+    exploded table — the oracle's join formulation would shuffle
+    n·dim rows; this shuffles only dim² partial aggregates after
+    map-side combine). Products of float32 casts are exact in double,
+    per-product decimal casts make the sums order-independent, and the
+    6-dp grid absorbs the half-even/half-up cast divergence. At 100 TB
+    the reduce state is dim²·n_partitions partials — model-sized —
+    and the scan is embarrassingly parallel."""
+    emb = table(spark, sf_dir, "embeddings")
+    dim = 64
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: F.transform(
+                F.sequence(i, F.lit(dim)),
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    (
+                        F.element_at("embedding", i).cast("double")
+                        * F.element_at("embedding", j).cast("double")
+                    ).alias("xy"),
+                ),
+            ),
+        )
+    )
+    flat = emb.select(F.explode(pairs).alias("p")).select(
+        F.col("p.i").alias("i"), F.col("p.j").alias("j"), F.col("p.xy").alias("xy")
+    )
+    prods = flat.groupBy("i", "j").agg(
+        F.sum(F.col("xy").cast("decimal(27,12)")).cast("double").alias("sxy")
+    )
+    comp = emb.select(
+        F.posexplode("embedding").alias("i0", "x")
+    ).select((F.col("i0") + 1).alias("i"), F.col("x").cast("double").alias("x"))
+    sums = comp.groupBy("i").agg(
+        F.sum(F.col("x").cast("decimal(27,12)")).cast("double").alias("sx")
+    )
+    n = emb.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        prods.crossJoin(F.broadcast(n))
+        .join(F.broadcast(sums.withColumnRenamed("sx", "sa")), "i")
+        .join(
+            F.broadcast(
+                sums.select(F.col("i").alias("j"), F.col("sx").alias("sb"))
+            ),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            # + 0.0 collapses IEEE negative zero: a tiny negative
+            # covariance rounds to -0.0, whose repr/hash differs from
+            # 0.0 even though the values compare equal
+            (
+                F.round(
+                    F.col("sxy") / F.col("n")
+                    - (F.col("sa") / F.col("n")) * (F.col("sb") / F.col("n")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+    )
+
+
+@register("emb_pca_power", oracle=None, tags=("llm", "embedding"))
+def emb_pca_power(spark, sf_dir):
+    """Top principal components from the DISTRIBUTED covariance matrix:
+    the dim×dim matrix (2,080 upper-triangle rows — model-sized, the
+    same class as IVF centroids) is collected and eigendecomposed
+    driver-side (symmetric eigh, deterministic); the data-sized work —
+    one corpus pass building exact covariance — all happens in
+    emb_covariance's plan. Reports the top-5 components' eigenvalues,
+    explained-variance fractions, and sign-normalized leading loadings
+    (first nonzero loading positive, so the answer is unique).
+    Rows-only: eigensolvers aren't SQL-expressible."""
+    import numpy as np
+
+    rows = emb_covariance(spark, sf_dir).collect()
+    dim = 64
+    C = np.zeros((dim, dim))
+    for r in rows:
+        C[r["i"] - 1, r["j"] - 1] = r["cov"]
+        C[r["j"] - 1, r["i"] - 1] = r["cov"]
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(-vals)
+    total = float(vals.sum())
+    out = []
+    for rank, idx in enumerate(order[:5], start=1):
+        v = vecs[:, idx]
+        nz = np.nonzero(np.abs(v) > 1e-12)[0]
+        if len(nz) and v[nz[0]] < 0:
+            v = -v
+        out.append(
+            (
+                rank,
+                round(float(vals[idx]), 6),
+                round(float(vals[idx] / total), 6) if total else None,
+                [round(float(x), 6) for x in v[:8]],
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "component int, eigenvalue double, explained_frac double, "
+        "leading_loadings array<double>",
+    )
+
+
+@register("multimodal_phash_dedup", oracle=None, tags=("llm", "multimodal", "dedup"))
+def multimodal_phash_dedup(spark, sf_dir):
+    """Image near-duplicate detection by perceptual hash: DCT pHash per
+    image (Arrow-batched map over real PGM bytes), 16-band pigeonhole
+    join for candidates, exact Hamming filter at ≤ 10 bits — the image
+    analog of SimHash text dedup, and the standard first pass of an
+    image-corpus dedup at 100 TB (hashing is a pure map; the band join
+    shuffles 16 small (band, nibble) keys per image, never pixels).
+    The synthetic corpus plants a ±2-noise copy at every id % 4 == 1
+    (operators/multimodal.py), so expected pairs are (4k, 4k+1);
+    rows-only — binary media is synthesized, but determinism and the
+    planted-pair recall are pinned in tests."""
+    from opusdb_spark.operators import multimodal
+
+    media = multimodal.synthesize_image_corpus(spark, n=128)
+    hashed = multimodal.with_phash(media)
+    return multimodal.phash_near_dups(hashed, max_hamming=10).orderBy(
+        "id_a", "id_b"
+    )

@@ -457,3 +457,44 @@ def fn_array_hof(spark, sf_dir):
             F.transform("xs", lambda x: (x * x).cast("string")), ","
         ).alias("squares"),
     )
+
+
+_URL_ORACLE = """
+    WITH u AS (
+        SELECT doc_id,
+               'https://' || source || '.example.com/' || lang || '/doc/'
+                   || doc_id || '?id=' || doc_id || '&lang=' || lang AS url
+        FROM documents
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, 'https?://([^/?#]+)', 1) AS host,
+           regexp_extract(url, 'https?://[^/?#]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '\\?([^#]*)', 1) AS query,
+           regexp_extract(url, '[?&]id=([^&#]*)', 1) AS id_param
+    FROM u
+"""
+
+
+@register("fn_url_parse", oracle=_URL_ORACLE, tags=("function", "string"))
+def fn_url_parse(spark, sf_dir):
+    """URL decomposition — host / path / query / single-parameter
+    extraction via Spark's parse_url (a dedicated expression the oracle
+    reproduces with regexes). The bread-and-butter of web-crawl
+    ingestion: canonical-host grouping and per-parameter filters both
+    start here. Pure codegen scan, no shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+        F.col("lang"), F.lit("/doc/"), F.col("doc_id").cast("string"),
+        F.lit("?id="), F.col("doc_id").cast("string"),
+        F.lit("&lang="), F.col("lang"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("id")).alias("id_param"),
+    )

@@ -1125,3 +1125,62 @@ def test_countmin_python_reader_matches_jvm(spark):
     assert py.total_count == jv.totalCount()
     for k in range(97):
         assert py.estimate_long(k) == int(jv.estimateCount(k)), k
+
+
+# ---------------------------------------- perceptual-hash image dedup
+
+
+def test_phash_finds_planted_image_dups(spark):
+    """Every id%4==1 image is a ±2-noise copy of id-1: all 32 planted
+    pairs must surface at Hamming ≤ 10, and unrelated random images
+    must not flood in (their expected distance is ~32 bits)."""
+    from opusdb_spark.operators import multimodal
+
+    media = multimodal.synthesize_image_corpus(spark, n=128)
+    pairs = multimodal.phash_near_dups(
+        multimodal.with_phash(media), max_hamming=10
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    planted = {(i - 1, i) for i in range(1, 128, 4)}
+    assert planted <= got, f"missed planted pairs: {planted - got}"
+    extras = got - planted
+    assert len(extras) <= 4, f"too many chance collisions: {extras}"
+
+
+def test_phash_deterministic_across_partitioning(spark):
+    from opusdb_spark.operators import multimodal
+
+    media = multimodal.synthesize_image_corpus(spark, n=64)
+    h1 = {
+        r["media_id"]: r["phash"]
+        for r in multimodal.with_phash(media).collect()
+    }
+    h2 = {
+        r["media_id"]: r["phash"]
+        for r in multimodal.with_phash(media.repartition(13)).collect()
+    }
+    assert h1 == h2
+
+
+def test_phash_hamming_is_exact_popcount(spark):
+    """The banded join must agree with brute-force Hamming on the
+    planted pairs (no band is allowed to drop a true pair at d<16)."""
+    from opusdb_spark.operators import multimodal
+
+    media = multimodal.synthesize_image_corpus(spark, n=64)
+    hashed = multimodal.with_phash(media).collect()
+    hs = {r["media_id"]: r["phash"] for r in hashed}
+    brute = {
+        (a, b): bin(((hs[a] ^ hs[b]) & ((1 << 64) - 1))).count("1")
+        for a in hs
+        for b in hs
+        if a < b
+    }
+    want = {p: d for p, d in brute.items() if d <= 10}
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.phash_near_dups(
+            multimodal.with_phash(media), max_hamming=10
+        ).collect()
+    }
+    assert got == want

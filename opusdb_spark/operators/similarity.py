@@ -528,3 +528,17 @@ def kmeans_inertia(
         trace.append((it, float(inertia), n_moved))
         cents = new_cents
     return trace
+
+
+def mahalanobis_udf(mu: "np.ndarray", precision: "np.ndarray"):
+    """Arrow UDF: vector → √((x−μ)ᵀ P (x−μ)), rounded 6dp. The mean and
+    precision matrix ship in the closure (model-sized, like the IVF
+    centroids); scoring is one einsum per Arrow batch."""
+
+    @F.pandas_udf("double")
+    def maha(vecs: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs]) - mu
+        d2 = np.einsum("ij,jk,ik->i", X, precision, X)
+        return pd.Series(np.round(np.sqrt(np.maximum(d2, 0.0)), 6))
+
+    return maha

@@ -1595,3 +1595,161 @@ def multimodal_phash_dedup(spark, sf_dir):
     return multimodal.phash_near_dups(hashed, max_hamming=10).orderBy(
         "id_a", "id_b"
     )
+
+
+# --------------------------------------------- URL canonical dedup
+# Synthetic URL variants per doc (4 per canonical target): mixed-case
+# scheme/host, explicit default port, trailing slash, utm_* tracking
+# params — the four most common crawl-duplicate shapes.
+_URL_VARIANTS = """
+    CASE CAST(doc_id % 4 AS INTEGER)
+        WHEN 0 THEN 'https://www.example.com/a/'
+                    || CAST(doc_id // 4 AS VARCHAR)
+        WHEN 1 THEN 'HTTPS://WWW.Example.COM:443/a/'
+                    || CAST(doc_id // 4 AS VARCHAR)
+        WHEN 2 THEN 'https://www.example.com/a/'
+                    || CAST(doc_id // 4 AS VARCHAR) || '/'
+        ELSE 'https://www.example.com/a/'
+             || CAST(doc_id // 4 AS VARCHAR)
+             || '?utm_source=feed&utm_campaign=x'
+    END
+"""
+
+_URL_DEDUP_ORACLE = f"""
+    WITH u AS (SELECT doc_id, n_chars, {_URL_VARIANTS} AS url FROM documents),
+    c AS (
+        SELECT doc_id, n_chars, url,
+               lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)) AS host0,
+               regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1) AS path0,
+               regexp_extract(url, '\\?([^#]*)', 1) AS query0
+        FROM u
+    ),
+    n AS (
+        SELECT doc_id, n_chars, url,
+               regexp_replace(host0, ':(443|80)$', '') AS host,
+               CASE WHEN path0 <> '/' THEN regexp_replace(path0, '/$', '')
+                    ELSE '' END AS path,
+               regexp_replace(regexp_replace(query0,
+                   '(^|&)utm_[^&]*', '', 'g'), '^&', '') AS query
+        FROM c
+    ),
+    k AS (
+        SELECT doc_id, n_chars, url,
+               'https://' || host || path ||
+               CASE WHEN query <> '' THEN '?' || query ELSE '' END
+                   AS canonical_url
+        FROM n
+    )
+    SELECT canonical_url,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars_total
+    FROM k GROUP BY canonical_url
+"""
+
+
+@register("llm_url_dedup", oracle=_URL_DEDUP_ORACLE, tags=("llm", "dedup"))
+def llm_url_dedup(spark, sf_dir):
+    """URL-canonicalization dedup — the crawl-side first pass that runs
+    BEFORE any content hashing: lowercase scheme+host, strip default
+    ports (:443/:80), strip the trailing slash, drop utm_* tracking
+    params, group by canonical URL and keep the lowest doc_id. The
+    synthetic variants plant all four duplicate shapes so every
+    canonical group collapses 4→1. One hash-groupBy shuffle on the
+    canonical string; all normalization is codegen regex — at 100 TB
+    this dedupes the URL frontier without touching document bytes."""
+    docs = table(spark, sf_dir, "documents")
+    g = F.floor(F.col("doc_id") / 4).cast("string")
+    url = (
+        F.when(
+            (F.col("doc_id") % 4).cast("int") == 0,
+            F.concat(F.lit("https://www.example.com/a/"), g),
+        )
+        .when(
+            (F.col("doc_id") % 4).cast("int") == 1,
+            F.concat(F.lit("HTTPS://WWW.Example.COM:443/a/"), g),
+        )
+        .when(
+            (F.col("doc_id") % 4).cast("int") == 2,
+            F.concat(F.lit("https://www.example.com/a/"), g, F.lit("/")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://www.example.com/a/"),
+                g,
+                F.lit("?utm_source=feed&utm_campaign=x"),
+            )
+        )
+    )
+    u = docs.select("doc_id", "n_chars", url.alias("url"))
+    host0 = F.lower(F.regexp_extract("url", r"^[a-zA-Z]+://([^/?#]+)", 1))
+    path0 = F.regexp_extract("url", r"^[a-zA-Z]+://[^/?#]+([^?#]*)", 1)
+    query0 = F.regexp_extract("url", r"\?([^#]*)", 1)
+    host = F.regexp_replace(host0, r":(443|80)$", "")
+    path = F.when(path0 != "/", F.regexp_replace(path0, r"/$", "")).otherwise(
+        F.lit("")
+    )
+    query = F.regexp_replace(
+        F.regexp_replace(query0, r"(^|&)utm_[^&]*", ""), r"^&", ""
+    )
+    canonical = F.concat(
+        F.lit("https://"),
+        host,
+        path,
+        F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
+    )
+    return (
+        u.select("doc_id", "n_chars", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_variants"),
+            F.sum(F.col("n_chars").cast("bigint")).alias("chars_total"),
+        )
+    )
+
+
+@register("emb_outlier_mahalanobis", oracle=None, tags=("llm", "embedding"))
+def emb_outlier_mahalanobis(spark, sf_dir):
+    """Embedding outlier detection by Mahalanobis distance: the
+    corpus covariance (model-sized, from emb_covariance's distributed
+    plan) is inverted driver-side with Tikhonov regularization
+    (λ=1e-6·trace/dim keeps near-singular directions finite), the
+    precision matrix ships in an Arrow UDF closure, and every vector
+    scores (x−μ)ᵀΣ⁻¹(x−μ) in one vectorized pass — the standard
+    embedding-space anomaly score for encoder failures and
+    out-of-domain junk. Top-20 by distance (TakeOrdered, id
+    tie-break). Rows-only: matrix inversion isn't SQL-expressible;
+    the score is pinned against a numpy re-computation in tests."""
+    import numpy as np
+
+    rows = emb_covariance(spark, sf_dir).collect()
+    dim = 64
+    C = np.zeros((dim, dim))
+    for r in rows:
+        C[r["i"] - 1, r["j"] - 1] = r["cov"]
+        C[r["j"] - 1, r["i"] - 1] = r["cov"]
+    lam = 1e-6 * float(np.trace(C)) / dim
+    P = np.linalg.inv(C + lam * np.eye(dim))
+    emb = table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        F.posexplode("embedding").alias("i0", "x")
+    ).select("i0", F.col("x").cast("double").alias("x"))
+    mu_rows = (
+        flat.groupBy("i0")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(27,12)")) / F.count(F.lit(1))
+            ).cast("double").alias("m")
+        )
+        .collect()
+    )
+    mu = np.zeros(dim)
+    for r in mu_rows:
+        mu[r["i0"]] = r["m"]
+    maha = similarity.mahalanobis_udf(mu, P)
+    return (
+        emb.select("vec_id", "label", maha("embedding").alias("mahalanobis"))
+        .orderBy(F.desc("mahalanobis"), F.asc("vec_id"))
+        .limit(20)
+    )

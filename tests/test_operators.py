@@ -1184,3 +1184,32 @@ def test_phash_hamming_is_exact_popcount(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_mahalanobis_matches_numpy_reference(spark):
+    """The distributed covariance + Arrow scoring must agree with a
+    single-machine numpy recomputation of the same regularized
+    Mahalanobis distances (6-dp grid), and the top-20 must be the
+    numpy top-20 under the same (distance desc, vec_id) order."""
+    import numpy as np
+
+    reg = registry()
+    sf = SF
+    rows = reg["emb_outlier_mahalanobis"].fn(spark, sf).collect()
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    ids = np.array([r["vec_id"] for r in emb])
+    X = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in emb])
+    mu = X.mean(axis=0)
+    Xc = X - mu
+    # the query consumes emb_covariance's 6-dp-rounded matrix — round
+    # here too, or inversion amplifies the grid difference to ~1e-4
+    C = np.round((Xc.T @ Xc) / len(X), 6)
+    lam = 1e-6 * float(np.trace(C)) / 64
+    P = np.linalg.inv(C + lam * np.eye(64))
+    d = np.sqrt(np.maximum(np.einsum("ij,jk,ik->i", X - mu, P, X - mu), 0))
+    order = sorted(zip(ids, d), key=lambda t: (-round(t[1], 6), t[0]))[:20]
+    want = [(int(i), round(float(v), 6)) for i, v in order]
+    got = [(r["vec_id"], r["mahalanobis"]) for r in rows]
+    for (wi, wv), (gi, gv) in zip(want, got):
+        assert wi == gi
+        assert abs(wv - gv) < 2e-5, (wi, wv, gv)

@@ -261,3 +261,49 @@ def test_interpolation_bounded_by_neighbors(spark, obs):
             lo = min(vals[p] for p in (prev, nxt) if p is not None)
             hi = max(vals[p] for p in (prev, nxt) if p is not None)
             assert lo - 1e-9 <= v <= hi + 1e-9
+
+
+rank_rows_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 500),   # id (unique tie-break)
+        st.integers(-20, 20),  # metric with heavy ties
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(**SMALL)
+@given(rows=rank_rows_strategy, n=st.integers(2, 7))
+def test_global_ntile_matches_python_reference(spark, rows, n):
+    """with_global_ntiles == the SQL NTILE bucket rule (first N mod n
+    tiles get the extra row over the (metric desc, id asc) total
+    order) for ANY metric distribution, tie structure, and tile
+    count — including n > row count."""
+    from pyspark.sql import functions as F
+
+    from opusdb_spark.operators.ranking import with_global_ntiles
+
+    df = spark.createDataFrame(
+        [(i, float(m)) for i, m in rows], "id long, metric double"
+    )
+    got = {
+        r["id"]: r["seg"]
+        for r in with_global_ntiles(
+            df,
+            [("seg", [F.desc("metric"), F.asc("id")], F.col("metric"), True)],
+            n=n,
+            n_buckets=4,
+        ).collect()
+    }
+    ordered = sorted(rows, key=lambda t: (-t[1], t[0]))
+    total = len(ordered)
+    q, r_ = divmod(total, n)
+    want = {}
+    for pos, (i, _m) in enumerate(ordered, start=1):
+        if pos <= (q + 1) * r_:
+            want[i] = -(-pos // (q + 1))
+        else:
+            want[i] = r_ + -(-(pos - (q + 1) * r_) // max(q, 1))
+    assert got == want

@@ -478,6 +478,18 @@ def test_decode_rejects_real_codecs():
         "scd2_history",
         "ts_ohlc",
         "llm_dedup_editdist",
+        # round 4: rewritten plans + new operators
+        "events_rfm_segments",
+        "llm_similarity_topk",
+        "llm_substring_dedup",
+        "llm_entropy_filter",
+        "llm_url_dedup",
+        "fn_url_parse",
+        "emb_covariance",
+        "emb_pca_power",
+        "emb_outlier_mahalanobis",
+        "multimodal_phash_dedup",
+        "ts_interpolate",
     ],
 )
 def test_determinism_under_repartition(name, spark):

@@ -63,6 +63,10 @@ SF1_LADDER = [
     "join_sort_merge",
     "llm_similarity_topk",
     "llm_simsearch_ivf",
+    # dedup + the distributed-NTILE rewrite: the two families whose
+    # scale behavior round-3 review cared most about
+    "llm_dedup_fuzzy",
+    "events_rfm_segments",
 ]
 _KEY_STRIDE = 1_000_000_000
 _KEY_COLS = {

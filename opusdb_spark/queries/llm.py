@@ -9,6 +9,7 @@ embeddings(vec_id, embedding array<float> dim=64, label).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from opusdb_spark.operators import ann_index, dedup, similarity
@@ -1752,4 +1753,111 @@ def emb_outlier_mahalanobis(spark, sf_dir):
         emb.select("vec_id", "label", maha("embedding").alias("mahalanobis"))
         .orderBy(F.desc("mahalanobis"), F.asc("vec_id"))
         .limit(20)
+    )
+
+
+# ------------------------------------------- winnowing fingerprints
+_WIN_K = 4   # gram size (tokens)
+_WIN_W = 4   # winnowing window (grams)
+
+_WINNOW_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, i AS pos,
+               md5(array_to_string(t[i:i+{_WIN_K}-1], ' ')) AS h,
+               len(t) - {_WIN_K} + 1 AS m
+        FROM toks,
+             UNNEST(range(1, greatest(len(t) - {_WIN_K} + 2, 1))) AS u(i)
+    ),
+    sel AS (
+        SELECT doc_id, pos, m,
+               min_by(h, h || '|' ||
+                      lpad(CAST(99999999 - pos AS VARCHAR), 8, '0'))
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW
+                         AND {_WIN_W} - 1 FOLLOWING) AS selh
+        FROM grams
+    ),
+    fp AS (
+        SELECT DISTINCT doc_id, selh AS h
+        FROM sel WHERE pos <= m - {_WIN_W} + 1
+    ),
+    freq AS (SELECT h, COUNT(*) AS df FROM fp GROUP BY h)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fp a
+    JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+    JOIN freq ON freq.h = a.h
+    WHERE freq.df <= 20
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2
+"""
+
+
+@register("llm_winnowing_overlap", oracle=_WINNOW_ORACLE, tags=("llm", "dedup"))
+def llm_winnowing_overlap(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003
+    — the MOSS local fingerprinting algorithm): hash every K-token
+    gram, slide a W-gram window, select each window's minimum hash
+    (rightmost on ties — the ordval string encodes (hash, −pos) so one
+    lexicographic min does both), and report doc pairs sharing ≥ 2
+    selected fingerprints. Guarantee: any match of ≥ W+K−1 tokens
+    yields a shared fingerprint, at ~2/(W+1) the density of full-gram
+    fingerprinting. Fingerprints appearing in > 20 docs are dropped
+    (stop-fingerprints) so the share join stays bounded — the same cap
+    real plagiarism pipelines use. Shuffle profile: keyed window per
+    doc, one distinct, one bounded hash join."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    m = n - _WIN_K + 1
+    gram_pos = F.when(
+        n >= _WIN_K, F.sequence(F.lit(1), m)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = docs.select(
+        "doc_id",
+        m.alias("m"),
+        F.explode(gram_pos).alias("pos"),
+        toks.alias("t"),
+    ).select(
+        "doc_id",
+        "m",
+        "pos",
+        F.md5(F.array_join(F.slice("t", F.col("pos"), _WIN_K), " ")).alias(
+            "h"
+        ),
+    )
+    ordval = F.concat(
+        F.col("h"),
+        F.lit("|"),
+        F.lpad((F.lit(99999999) - F.col("pos")).cast("string"), 8, "0"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, _WIN_W - 1)
+    )
+    sel = grams.select(
+        "doc_id",
+        "pos",
+        "m",
+        F.min_by(F.col("h"), ordval).over(w).alias("selh"),
+    )
+    fp = (
+        sel.filter(F.col("pos") <= F.col("m") - _WIN_W + 1)
+        .select("doc_id", F.col("selh").alias("h"))
+        .distinct()
+    )
+    freq = fp.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    kept = fp.join(freq.filter(F.col("df") <= 20), "h", "left_semi")
+    a = kept.select(F.col("doc_id").alias("doc_a"), "h")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
     )

@@ -2148,3 +2148,138 @@ def events_time_to_convert(spark, sf_dir):
         F.percentile("gap_us", 0.9).alias("p90_us"),
         F.min("gap_us").alias("min_us"),
     )
+
+
+# ------------------------------------------------- cohort LTV matrix
+@register(
+    "events_cohort_ltv",
+    oracle=f"""
+        WITH p AS (
+            SELECT user_id, CAST(value AS DECIMAL(27,6)) AS v,
+                   CAST(date_diff('day', DATE '1970-01-05',
+                                  CAST(ts AS DATE)) // 7 AS BIGINT) AS yw
+            FROM events WHERE event_type = 'purchase'
+        ),
+        cohort AS (
+            SELECT user_id, MIN(yw) AS cohort_yw FROM p GROUP BY user_id
+        ),
+        sizes AS (
+            SELECT cohort_yw, CAST(COUNT(*) AS BIGINT) AS n_cohort
+            FROM cohort GROUP BY cohort_yw
+        ),
+        cell AS (
+            SELECT c.cohort_yw, p.yw - c.cohort_yw AS age_weeks,
+                   COUNT(DISTINCT p.user_id) AS n_active,
+                   CAST(SUM(p.v) AS DOUBLE) AS revenue
+            FROM p JOIN cohort c ON p.user_id = c.user_id
+            GROUP BY c.cohort_yw, p.yw - c.cohort_yw
+        )
+        SELECT cell.cohort_yw, cell.age_weeks, cell.n_active,
+               s.n_cohort, cell.revenue,
+               ROUND(cell.revenue / s.n_cohort, 6) AS ltv_per_user
+        FROM cell JOIN sizes s ON cell.cohort_yw = s.cohort_yw
+    """,
+    tags=("events", "cohort"),
+)
+def events_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value matrix: users cohorted by first-purchase
+    WEEK (ISO-Monday-anchored integer week index — days since
+    1970-01-05 div 7, identical integer arithmetic in both engines);
+    each (cohort, weeks-since-first) cell reports active purchasers,
+    decimal-exact revenue, and per-cohort-user LTV — the revenue
+    counterpart of the retention triangle (`events_retention`).
+    Shuffle profile: one user_id aggregate, one user_id join, one
+    model-sized (cohort, age) aggregate; cohort sizes broadcast."""
+    p = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("value").cast("decimal(27,6)").alias("v"),
+            F.floor(
+                F.datediff(F.to_date("ts"), F.lit("1970-01-05").cast("date"))
+                / 7
+            ).alias("yw"),
+        )
+    )
+    cohort = p.groupBy("user_id").agg(F.min("yw").alias("cohort_yw"))
+    sizes = cohort.groupBy("cohort_yw").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    cell = (
+        p.join(cohort, "user_id")
+        .groupBy(
+            "cohort_yw", (F.col("yw") - F.col("cohort_yw")).alias("age_weeks")
+        )
+        .agg(
+            F.count_distinct("user_id").alias("n_active"),
+            F.sum("v").cast("double").alias("revenue"),
+        )
+    )
+    return cell.join(F.broadcast(sizes), "cohort_yw").select(
+        "cohort_yw",
+        "age_weeks",
+        "n_active",
+        "n_cohort",
+        "revenue",
+        F.round(F.col("revenue") / F.col("n_cohort"), 6).alias("ltv_per_user"),
+    )
+
+
+# --------------------------------------- sequential pattern matching
+@register(
+    "events_pattern_match",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, ts, event_type,
+                   LEAD(event_type, 1) OVER w AS e2,
+                   LEAD(event_type, 2) OVER w AS e3,
+                   LEAD(ts, 2) OVER w AS ts3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        hits AS (
+            SELECT user_id, ts, ts3
+            FROM seq
+            WHERE event_type = 'view' AND e2 = 'click' AND e3 = 'purchase'
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_matches,
+               CAST(MIN(epoch_us(ts3) - epoch_us(ts)) AS BIGINT)
+                   AS fastest_us
+        FROM hits GROUP BY user_id
+    """,
+    tags=("events", "pattern"),
+)
+def events_pattern_match(spark, sf_dir):
+    """MATCH_RECOGNIZE-style sequential pattern detection without the
+    SQL extension (Spark has none): find every STRICTLY CONSECUTIVE
+    view→click→purchase triple in each user's event-time sequence via
+    double LEAD over one keyed window, then count matches and the
+    fastest completion per user. The window is partitioned by user_id
+    — one shuffle, no self-joins, no cross-row explosion; exactly how
+    Flink CEP's NEXT semantics lower onto a batch engine. Microsecond
+    epoch difference keeps the latency integer-exact."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+        F.lead("ts", 2).over(w).alias("ts3"),
+    )
+    hits = seq.filter(
+        (F.col("event_type") == "view")
+        & (F.col("e2") == "click")
+        & (F.col("e3") == "purchase")
+    )
+    # ts is TIMESTAMP_NTZ (the nanos-parquet adaptation); unix_micros
+    # needs TIMESTAMP — the cast is exact under the session's UTC tz
+    us = F.unix_micros(F.col("ts3").cast("timestamp")) - F.unix_micros(
+        F.col("ts").cast("timestamp")
+    )
+    return hits.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min(us).alias("fastest_us"),
+    )

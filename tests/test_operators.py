@@ -490,6 +490,9 @@ def test_decode_rejects_real_codecs():
         "emb_outlier_mahalanobis",
         "multimodal_phash_dedup",
         "ts_interpolate",
+        "events_cohort_ltv",
+        "events_pattern_match",
+        "llm_winnowing_overlap",
     ],
 )
 def test_determinism_under_repartition(name, spark):

@@ -35,6 +35,7 @@ _QUERY_MODULES = [
     "opusdb_spark.queries.udfs",
     "opusdb_spark.queries.llm",
     "opusdb_spark.queries.pipeline",
+    "opusdb_spark.queries.tpch",
 ]
 
 

@@ -493,6 +493,9 @@ def test_decode_rejects_real_codecs():
         "events_cohort_ltv",
         "events_pattern_match",
         "llm_winnowing_overlap",
+        "tpch_q7",
+        "tpch_q13",
+        "tpch_q18",
     ],
 )
 def test_determinism_under_repartition(name, spark):

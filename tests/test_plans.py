@@ -441,3 +441,21 @@ def test_rfm_segments_no_single_partition_ntile(spark):
             f"partition-less window over all users' {metric}"
         )
     assert "windowspecdefinition(_b" in p, "bucket-partitioned rank missing"
+
+
+def test_tpch_q6_all_predicates_pushed(spark):
+    """Q6 is the canonical pushdown probe: shipdate range, discount
+    range, and quantity bound must all reach the parquet scan."""
+    p = plan(_Q["tpch_q6"].fn(spark, SF))
+    flat = p.replace("\n", " ")
+    assert "PushedFilters:" in p
+    for frag in ("GreaterThanOrEqual(l_shipdate", "LessThan(l_quantity"):
+        assert frag in flat, f"predicate not pushed: {frag}"
+
+
+def test_tpch_q8_dims_broadcast_single_fact_shuffle(spark):
+    """The 8-way star join must broadcast every dimension — the only
+    Exchange allowed on the fact path is the final aggregation's."""
+    p = plan(_Q["tpch_q8"].fn(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p, "a dim fell back to shuffle join"

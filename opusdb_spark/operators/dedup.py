@@ -686,3 +686,58 @@ def components_stored(
         lambda p: neardup_components(pairs).write.mode("overwrite").parquet(p),
     )
     return spark.read.parquet(store_path)
+
+
+# ------------------------------------------------ winnowing (MOSS)
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken 2003,
+    §4): hash every k-token gram, slide a w-gram window, keep each
+    window's minimum hash with RIGHTMOST tie-break — returns the
+    distinct (id, h) fingerprint set. Guarantee (the paper's theorem):
+    any shared token run of length ≥ w + k − 1 yields at least one
+    shared fingerprint; density ≈ 2/(w+1). The (hash, −pos) order is
+    encoded as one lexicographic string so the same min works in
+    engines without struct-ordered min_by. Shuffle profile: keyed
+    window per document + one distinct."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    m = n - k + 1
+    gram_pos = F.when(n >= k, F.sequence(F.lit(1), m)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = docs.select(
+        F.col(id_col),
+        m.alias("_m"),
+        F.explode(gram_pos).alias("_pos"),
+        toks.alias("_t"),
+    ).select(
+        id_col,
+        "_m",
+        "_pos",
+        F.md5(F.array_join(F.slice("_t", F.col("_pos"), k), " ")).alias("h"),
+    )
+    ordval = F.concat(
+        F.col("h"),
+        F.lit("|"),
+        F.lpad((F.lit(99999999) - F.col("_pos")).cast("string"), 8, "0"),
+    )
+    win = Window.partitionBy(id_col).orderBy("_pos").rowsBetween(0, w - 1)
+    sel = grams.select(
+        id_col,
+        "_pos",
+        "_m",
+        F.min_by(F.col("h"), ordval).over(win).alias("selh"),
+    )
+    return (
+        sel.filter(F.col("_pos") <= F.col("_m") - w + 1)
+        .select(id_col, F.col("selh").alias("h"))
+        .distinct()
+    )

@@ -1810,46 +1810,7 @@ def llm_winnowing_overlap(spark, sf_dir):
     real plagiarism pipelines use. Shuffle profile: keyed window per
     doc, one distinct, one bounded hash join."""
     docs = table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    m = n - _WIN_K + 1
-    gram_pos = F.when(
-        n >= _WIN_K, F.sequence(F.lit(1), m)
-    ).otherwise(F.array().cast("array<int>"))
-    grams = docs.select(
-        "doc_id",
-        m.alias("m"),
-        F.explode(gram_pos).alias("pos"),
-        toks.alias("t"),
-    ).select(
-        "doc_id",
-        "m",
-        "pos",
-        F.md5(F.array_join(F.slice("t", F.col("pos"), _WIN_K), " ")).alias(
-            "h"
-        ),
-    )
-    ordval = F.concat(
-        F.col("h"),
-        F.lit("|"),
-        F.lpad((F.lit(99999999) - F.col("pos")).cast("string"), 8, "0"),
-    )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(0, _WIN_W - 1)
-    )
-    sel = grams.select(
-        "doc_id",
-        "pos",
-        "m",
-        F.min_by(F.col("h"), ordval).over(w).alias("selh"),
-    )
-    fp = (
-        sel.filter(F.col("pos") <= F.col("m") - _WIN_W + 1)
-        .select("doc_id", F.col("selh").alias("h"))
-        .distinct()
-    )
+    fp = dedup.winnow_fingerprints(docs, k=_WIN_K, w=_WIN_W)
     freq = fp.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     kept = fp.join(freq.filter(F.col("df") <= 20), "h", "left_semi")
     a = kept.select(F.col("doc_id").alias("doc_a"), "h")
@@ -1861,3 +1822,75 @@ def llm_winnowing_overlap(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
     )
+
+
+@register("llm_corpus_report", oracle=None, tags=("llm", "report"))
+def llm_corpus_report(spark, sf_dir):
+    """The dataset card in one query: corpus size, language spread,
+    token volume, duplication (exact docs, MinHash near-dup clusters,
+    winnowing overlap pairs), and quality (low-entropy fraction) as
+    uniform (metric, value) rows — what a training-data pipeline
+    publishes alongside every corpus snapshot. Every branch reuses a
+    registered operator or its ingest artifact, so the report costs
+    aggregate-sized work over already-verified plans (rows-only: the
+    components each carry their own oracle)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " "))
+
+    def metric(name, df):
+        return df.select(
+            F.lit(name).alias("metric"),
+            F.col("value").cast("double").alias("value"),
+        )
+
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(toks).alias("total_tokens"),
+        F.count_distinct(F.sha2("text", 256)).alias("n_unique_texts"),
+    )
+    rows = [
+        metric("n_docs", base.select(F.col("n_docs").alias("value"))),
+        metric("n_langs", base.select(F.col("n_langs").alias("value"))),
+        metric(
+            "total_chars", base.select(F.col("total_chars").alias("value"))
+        ),
+        metric(
+            "total_tokens", base.select(F.col("total_tokens").alias("value"))
+        ),
+        metric(
+            "exact_dup_docs",
+            base.select(
+                (F.col("n_docs") - F.col("n_unique_texts")).alias("value")
+            ),
+        ),
+        metric(
+            "neardup_multi_components",
+            _minhash_components(spark, sf_dir)
+            .groupBy("component")
+            .count()
+            .filter(F.col("count") > 1)
+            .agg(F.count(F.lit(1)).alias("value")),
+        ),
+        metric(
+            "winnow_overlap_pairs",
+            llm_winnowing_overlap(spark, sf_dir).agg(
+                F.count(F.lit(1)).alias("value")
+            ),
+        ),
+        metric(
+            "low_entropy_frac",
+            llm_entropy_filter(spark, sf_dir).agg(
+                F.round(
+                    F.sum(F.when(F.col("low_entropy"), 1).otherwise(0))
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("value")
+            ),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -496,6 +496,7 @@ def test_decode_rejects_real_codecs():
         "tpch_q7",
         "tpch_q13",
         "tpch_q18",
+        "llm_corpus_report",
     ],
 )
 def test_determinism_under_repartition(name, spark):

@@ -307,3 +307,43 @@ def test_global_ntile_matches_python_reference(spark, rows, n):
         else:
             want[i] = r_ + -(-(pos - (q + 1) * r_) // max(q, 1))
     assert got == want
+
+
+winnow_docs_strategy = st.tuples(
+    st.lists(st.integers(0, 50), min_size=0, max_size=20),  # noise A
+    st.lists(st.integers(0, 50), min_size=0, max_size=20),  # noise B
+    st.lists(st.integers(51, 99), min_size=7, max_size=12),  # shared run
+    st.integers(0, 20),  # insert position in A
+    st.integers(0, 20),  # insert position in B
+)
+
+
+@settings(**SMALL)
+@given(parts=winnow_docs_strategy)
+def test_winnowing_guarantee_shared_run_yields_shared_fingerprint(
+    spark, parts
+):
+    """The winnowing theorem (Schleimer et al. 2003): two documents
+    sharing a token run of length ≥ w + k − 1 MUST share at least one
+    selected fingerprint — for ANY surrounding noise and insert
+    position. k=4, w=4 ⇒ runs of ≥ 7 tokens; the shared-run alphabet
+    is disjoint from the noise alphabet so the planted run is the only
+    guaranteed overlap."""
+    from opusdb_spark.operators.dedup import winnow_fingerprints
+
+    noise_a, noise_b, run, ia, ib = parts
+    ia, ib = min(ia, len(noise_a)), min(ib, len(noise_b))
+    ta = noise_a[:ia] + run + noise_a[ia:]
+    tb = noise_b[:ib] + run + noise_b[ib:]
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(f"t{x}" for x in ta)),
+            (1, " ".join(f"t{x}" for x in tb)),
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(docs, k=4, w=4)
+    rows = fp.collect()
+    a = {r["h"] for r in rows if r["doc_id"] == 0}
+    b = {r["h"] for r in rows if r["doc_id"] == 1}
+    assert a & b, "shared >= w+k-1 run produced no shared fingerprint"

@@ -165,6 +165,17 @@ _NEVER_SAMPLED = (
     "sink_compact_small_files", "sink_clustered_write",
 )
 
+# ROUND-5 NOTE: once CORRECTNESS_r04.json exists, move every
+# _NEVER_SAMPLED name with a verdict into _HAVE_VERDICT and rebuild
+# _NEVER_SAMPLED from whatever is still unverdicted — the two deferred
+# sinks (if the sample stopped at 50) plus the round-4 additions, which
+# currently sit in the fresh band: ts-interpolate stays verified only
+# if re-sampled; new keys = llm_substring_dedup, llm_entropy_filter,
+# fn_url_parse, emb_covariance, emb_pca_power, multimodal_phash_dedup,
+# llm_url_dedup, emb_outlier_mahalanobis, events_cohort_ltv,
+# events_pattern_match, llm_winnowing_overlap, llm_corpus_report,
+# tpch_q3/q6/q7/q8/q10/q13/q14/q18.
+
 
 def _sweep_ordered(items: dict[str, Query]) -> dict[str, Query]:
     head = [k for k in _NEVER_SAMPLED if k in items]

@@ -505,3 +505,57 @@ def source_csv_quoted(spark, sf_dir):
         .option("multiLine", "true")
         .csv(out)
     )
+
+
+@register(
+    "source_opusdb_log",
+    oracle="""
+        SELECT CAST(i + 1 AS BIGINT) AS seq,
+               'txn-' || CAST(i AS VARCHAR) AS txn_id,
+               CAST((i * 7) % 100 AS BIGINT) AS amount
+        FROM range(300) t(i)
+    """,
+    tags=("source", "log", "format"),
+)
+def source_opusdb_log(spark, sf_dir):
+    """Read the REFERENCE'S OWN on-disk log format as a DataFrame — a
+    pyspark custom Python DataSource with one InputPartition per block
+    (the backward-fill layout makes every block self-delimiting, so a
+    recovery scan parallelizes block-wise; log_mgr.clj:15-66,
+    page.clj:16-28). The fixture writes 300 deterministic records
+    through a byte-exact replica of append!/flush! (spills across ~20
+    blocks at the reference's 400-byte test block size), reads them
+    back through the registered `opusdb_log` format, reconstructs
+    append order from (block_index ASC, offset DESC), and parses the
+    payloads. The oracle re-generates the same records from
+    `range(300)` — value-hash parity proves the byte format round-trips
+    exactly. The seq window runs over the fixture (300 rows,
+    model-sized); at scale consumers keep (block_index, offset) as the
+    order key instead of materializing a global row number."""
+    from pyspark.sql import Window
+
+    from opusdb_spark.sources import opusdb_log as olog
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    out = scratch_sink(f"opusdb_log_{base}")
+    os.makedirs(out, exist_ok=True)
+    path = os.path.join(out, "txns.log")
+    olog.write_log(
+        path,
+        [f"txn-{i}:{(i * 7) % 100}".encode() for i in range(300)],
+        block_size=400,
+    )
+    olog.register(spark)
+    df = (
+        spark.read.format("opusdb_log")
+        .option("path", path)
+        .option("block_size", "400")
+        .load()
+    )
+    w = Window.orderBy(F.asc("block_index"), F.desc("offset"))
+    txt = F.decode("record", "UTF-8")
+    return df.select(
+        F.row_number().over(w).cast("bigint").alias("seq"),
+        F.split(txt, ":")[0].alias("txn_id"),
+        F.split(txt, ":")[1].cast("bigint").alias("amount"),
+    )

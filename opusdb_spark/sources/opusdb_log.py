@@ -1,0 +1,141 @@
+"""Reader (and fixture writer) for the reference's on-disk log format.
+
+This is byte-level capability parity: a user of the reference can point
+Spark at their existing opusdb log files and scan them as a DataFrame.
+The format (reference log_mgr.clj:16-66, page.clj:16-38, pinned by
+log_mgr_test.clj):
+
+  - a log file is a sequence of fixed-size BLOCKS (file_mgr.clj block
+    size; the reference's tests use 400);
+  - bytes 0-3 of each block hold a big-endian int32 `boundary` — the
+    offset of the most recently appended record (records fill the
+    block BACKWARD from the end, log_mgr.clj:46-66);
+  - a record at offset p is: int32 length, then `length` bytes
+    (page.clj:16-28); the next-older record sits at p + 4 + length;
+  - iteration stops when the offset reaches block size; a fresh block
+    writes boundary = block_size (empty, log_mgr.clj:54-57);
+  - the reference's Seqable scan walks blocks LAST→FIRST and records
+    boundary→end, yielding newest→oldest (log_mgr.clj:15-32).
+
+Chronological (append) order is therefore (block_index ASC,
+offset DESC) — exposed as plain columns so a DataFrame `orderBy`
+reconstructs either direction.
+
+Spark integration is a Python DataSource (pyspark 4 custom source
+API): each BLOCK is one InputPartition, so a recovery-style scan of a
+multi-gigabyte log parallelizes block-wise with zero coordination —
+the backward-fill layout makes every block self-delimiting (the very
+property the reference exploits for single-boundary-int appends,
+log_mgr.clj:60-65). LSNs are not in the file (the reference keeps
+them in memory only, log_mgr.clj state atom) — consumers derive
+sequence numbers from (block_index, offset).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+DEFAULT_BLOCK_SIZE = 400
+
+
+# --------------------------------------------------------- writer
+def write_log(
+    path: str, records: list[bytes], block_size: int = DEFAULT_BLOCK_SIZE
+) -> None:
+    """Append `records` to a fresh log file exactly like the reference's
+    append!/flush! (log_mgr.clj:46-66): backward fill, int32 length
+    prefix, boundary int at offset 0, new block when the record plus
+    both ints no longer fits."""
+    blocks: list[bytearray] = []
+
+    def new_block() -> bytearray:
+        b = bytearray(block_size)
+        struct.pack_into(">i", b, 0, block_size)
+        blocks.append(b)
+        return b
+
+    cur = new_block()
+    for rec in records:
+        need = len(rec) + 4
+        pos = struct.unpack_from(">i", cur, 0)[0]
+        # reference guard: `(< pos (+ bytes-needed 4))` — must leave
+        # room for the record AND the 4-byte boundary slot
+        if pos < need + 4:
+            cur = new_block()
+            pos = block_size
+        nxt = pos - need
+        struct.pack_into(">i", cur, nxt, len(rec))
+        cur[nxt + 4 : nxt + 4 + len(rec)] = rec
+        struct.pack_into(">i", cur, 0, nxt)
+    with open(path, "wb") as f:
+        for b in blocks:
+            f.write(b)
+
+
+def read_block(block: bytes, block_size: int) -> list[tuple[int, bytes]]:
+    """All (offset, record) pairs of one block, boundary→end — i.e.
+    newest→oldest, the reference's in-block scan (log_mgr.clj:24-31)."""
+    out: list[tuple[int, bytes]] = []
+    pos = struct.unpack_from(">i", block, 0)[0]
+    while pos < block_size:
+        (length,) = struct.unpack_from(">i", block, pos)
+        out.append((pos, bytes(block[pos + 4 : pos + 4 + length])))
+        pos += 4 + length
+    return out
+
+
+# ------------------------------------------------- Spark DataSource
+class _BlockPartition(InputPartition):
+    def __init__(self, path: str, index: int, block_size: int):
+        self.path = path
+        self.index = index
+        self.block_size = block_size
+
+
+class OpusdbLogReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("opusdb_log requires a path")
+        self.block_size = int(
+            options.get("block_size", str(DEFAULT_BLOCK_SIZE))
+        )
+
+    def partitions(self):
+        size = os.path.getsize(self.path)
+        n_blocks = size // self.block_size
+        return [
+            _BlockPartition(self.path, i, self.block_size)
+            for i in range(n_blocks)
+        ]
+
+    def read(self, partition: _BlockPartition):
+        with open(partition.path, "rb") as f:
+            f.seek(partition.index * partition.block_size)
+            block = f.read(partition.block_size)
+        for offset, rec in read_block(block, partition.block_size):
+            yield (partition.index, offset, rec)
+
+
+class OpusdbLogDataSource(DataSource):
+    """spark.read.format("opusdb_log").option("path", ...) — one
+    partition per block; chronological order = (block_index ASC,
+    offset DESC)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "opusdb_log"
+
+    def schema(self) -> str:
+        return "block_index int, offset int, record binary"
+
+    def reader(self, schema) -> OpusdbLogReader:
+        return OpusdbLogReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the format with a session."""
+    spark.dataSource.register(OpusdbLogDataSource)

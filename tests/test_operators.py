@@ -1232,3 +1232,66 @@ def test_mahalanobis_matches_numpy_reference(spark):
     for (wi, wv), (gi, gv) in zip(want, got):
         assert wi == gi
         assert abs(wv - gv) < 2e-5, (wi, wv, gv)
+
+
+# ---------------------------------------- reference log-format source
+
+
+def test_opusdb_log_roundtrip_and_reference_scan_order(tmp_path):
+    """Writer/reader replicate log_mgr.clj byte-exactly: backward fill,
+    boundary int, newest->oldest per the reference's Seqable scan
+    (blocks last->first, records boundary->end; log_mgr_test.clj
+    pins the same behaviors at block size 400)."""
+    from opusdb_spark.sources import opusdb_log as olog
+
+    path = str(tmp_path / "t.log")
+    recs = [f"record-{i}".encode() for i in range(50)]
+    olog.write_log(path, recs, block_size=400)
+    size = (tmp_path / "t.log").stat().st_size
+    assert size % 400 == 0 and size > 400, "expected multi-block spill"
+    # reference scan: newest -> oldest
+    blocks = []
+    raw = (tmp_path / "t.log").read_bytes()
+    for i in range(size // 400):
+        blocks.append(olog.read_block(raw[i * 400 : (i + 1) * 400], 400))
+    newest_first = [
+        rec for blk in reversed(blocks) for (_off, rec) in blk
+    ]
+    assert newest_first == list(reversed(recs))
+
+
+def test_opusdb_log_empty_and_tiny(tmp_path):
+    from opusdb_spark.sources import opusdb_log as olog
+
+    p = str(tmp_path / "e.log")
+    olog.write_log(p, [], block_size=400)
+    raw = (tmp_path / "e.log").read_bytes()
+    assert len(raw) == 400
+    assert olog.read_block(raw, 400) == []
+    p2 = str(tmp_path / "one.log")
+    olog.write_log(p2, [b"x"], block_size=400)
+    raw2 = (tmp_path / "one.log").read_bytes()
+    assert olog.read_block(raw2, 400) == [(395, b"x")]
+
+
+def test_opusdb_log_datasource_partitions_per_block(spark, tmp_path):
+    """One InputPartition per block — the block-parallel recovery scan
+    the self-delimiting layout enables."""
+    from opusdb_spark.sources import opusdb_log as olog
+
+    path = str(tmp_path / "p.log")
+    olog.write_log(
+        path, [f"r{i}".encode() for i in range(200)], block_size=400
+    )
+    n_blocks = (tmp_path / "p.log").stat().st_size // 400
+    assert n_blocks > 1
+    olog.register(spark)
+    df = (
+        spark.read.format("opusdb_log")
+        .option("path", path)
+        .option("block_size", "400")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == n_blocks
+    assert df.count() == 200
+    assert df.select("block_index").distinct().count() == n_blocks

@@ -552,10 +552,57 @@ def source_opusdb_log(spark, sf_dir):
         .option("block_size", "400")
         .load()
     )
-    w = Window.orderBy(F.asc("block_index"), F.desc("offset"))
+    w = Window.orderBy(
+        F.asc("file"), F.asc("block_index"), F.desc("offset")
+    )
     txt = F.decode("record", "UTF-8")
     return df.select(
         F.row_number().over(w).cast("bigint").alias("seq"),
         F.split(txt, ":")[0].alias("txn_id"),
         F.split(txt, ":")[1].cast("bigint").alias("amount"),
     )
+
+
+@register(
+    "sink_opusdb_log",
+    oracle="""
+        SELECT 'o-' || CAST(o_orderkey AS VARCHAR) AS rec
+        FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 200)
+    """,
+    tags=("sink", "log", "format"),
+)
+def sink_opusdb_log(spark, sf_dir):
+    """WRITE the reference's log format from Spark: 200 deterministic
+    records fan out over 4 partitions, each partition appending its own
+    log file through the byte-exact writer (one boundary int per file —
+    the single-writer rule the reference enforces with a lock,
+    log_mgr.clj:47, becomes file-per-partition parallelism), then the
+    directory is read back through the same DataSource and every
+    record must survive the round trip (hash parity vs the orders
+    table the records came from)."""
+    from opusdb_spark.sources import opusdb_log as olog
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    out = scratch_sink(f"opusdb_log_sink_{base}")
+    recs = (
+        table(spark, sf_dir, "orders")
+        .orderBy("o_orderkey")
+        .limit(200)
+        .select(
+            F.concat(F.lit("o-"), F.col("o_orderkey").cast("string"))
+            .cast("binary")
+            .alias("record")
+        )
+        .repartition(4)
+    )
+    olog.register(spark)
+    recs.write.format("opusdb_log").option("path", out).option(
+        "block_size", "400"
+    ).mode("append").save()
+    back = (
+        spark.read.format("opusdb_log")
+        .option("path", out)
+        .option("block_size", "400")
+        .load()
+    )
+    return back.select(F.decode("record", "UTF-8").alias("rec"))

@@ -35,8 +35,15 @@ from __future__ import annotations
 
 import os
 import struct
+from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 DEFAULT_BLOCK_SIZE = 400
 
@@ -104,36 +111,97 @@ class OpusdbLogReader(DataSourceReader):
             options.get("block_size", str(DEFAULT_BLOCK_SIZE))
         )
 
+    def _files(self) -> list[str]:
+        if os.path.isdir(self.path):
+            return sorted(
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if f.endswith(".log")
+            )
+        return [self.path]
+
     def partitions(self):
-        size = os.path.getsize(self.path)
-        n_blocks = size // self.block_size
-        return [
-            _BlockPartition(self.path, i, self.block_size)
-            for i in range(n_blocks)
-        ]
+        parts = []
+        for path in self._files():
+            n_blocks = os.path.getsize(path) // self.block_size
+            parts.extend(
+                _BlockPartition(path, i, self.block_size)
+                for i in range(n_blocks)
+            )
+        return parts
 
     def read(self, partition: _BlockPartition):
         with open(partition.path, "rb") as f:
             f.seek(partition.index * partition.block_size)
             block = f.read(partition.block_size)
+        fname = os.path.basename(partition.path)
         for offset, rec in read_block(block, partition.block_size):
-            yield (partition.index, offset, rec)
+            yield (fname, partition.index, offset, rec)
+
+
+@dataclass
+class _LogCommit(WriterCommitMessage):
+    file: str
+    n_records: int
+
+
+class OpusdbLogWriter(DataSourceWriter):
+    """One log FILE per Spark partition — the distributed analog of the
+    reference's single-writer boundary: appends within a file stay
+    strictly sequential (one boundary int, log_mgr.clj:46-66) while
+    partitions write independent files in parallel. The input row must
+    carry a `record` binary (or string) column."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("opusdb_log requires a path")
+        self.block_size = int(
+            options.get("block_size", str(DEFAULT_BLOCK_SIZE))
+        )
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        out = os.path.join(self.path, f"part-{pid:05d}.log")
+        recs = []
+        for row in iterator:
+            rec = row["record"]
+            if isinstance(rec, str):
+                rec = rec.encode()
+            recs.append(bytes(rec))
+        write_log(out, recs, self.block_size)
+        return _LogCommit(file=out, n_records=len(recs))
+
+    def commit(self, messages):
+        pass  # files are already in place; nothing to finalize
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and os.path.exists(m.file):
+                os.remove(m.file)
 
 
 class OpusdbLogDataSource(DataSource):
     """spark.read.format("opusdb_log").option("path", ...) — one
-    partition per block; chronological order = (block_index ASC,
-    offset DESC)."""
+    partition per (file, block); chronological order within a file =
+    (block_index ASC, offset DESC). Writes via
+    df.write.format("opusdb_log"): one log file per partition."""
 
     @classmethod
     def name(cls) -> str:
         return "opusdb_log"
 
     def schema(self) -> str:
-        return "block_index int, offset int, record binary"
+        return "file string, block_index int, offset int, record binary"
 
     def reader(self, schema) -> OpusdbLogReader:
         return OpusdbLogReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> OpusdbLogWriter:
+        return OpusdbLogWriter(self.options)
 
 
 def register(spark) -> None:

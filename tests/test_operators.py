@@ -1295,3 +1295,33 @@ def test_opusdb_log_datasource_partitions_per_block(spark, tmp_path):
     assert df.rdd.getNumPartitions() == n_blocks
     assert df.count() == 200
     assert df.select("block_index").distinct().count() == n_blocks
+
+
+def test_opusdb_log_writer_one_file_per_partition(spark, tmp_path):
+    """df.write.format('opusdb_log') must produce one log file per
+    partition, each independently parseable, with NO record lost or
+    duplicated across the fan-out."""
+    from opusdb_spark.sources import opusdb_log as olog
+
+    out = str(tmp_path / "sink")
+    olog.register(spark)
+    df = spark.range(120).select(
+        F.concat(F.lit("r"), F.col("id").cast("string"))
+        .cast("binary")
+        .alias("record")
+    ).repartition(5)
+    df.write.format("opusdb_log").option("path", out).option(
+        "block_size", "400"
+    ).mode("append").save()
+    files = sorted(p.name for p in (tmp_path / "sink").iterdir())
+    assert len(files) == 5 and all(f.endswith(".log") for f in files)
+    back = (
+        spark.read.format("opusdb_log")
+        .option("path", out)
+        .option("block_size", "400")
+        .load()
+    )
+    got = sorted(
+        bytes(r["record"]).decode() for r in back.collect()
+    )
+    assert got == sorted(f"r{i}" for i in range(120))

@@ -606,3 +606,68 @@ def sink_opusdb_log(spark, sf_dir):
         .load()
     )
     return back.select(F.decode("record", "UTF-8").alias("rec"))
+
+
+@register(
+    "stream_opusdb_log_tail",
+    oracle=None,  # rows-only: streaming side-effects + read-back
+    tags=("streaming", "log", "format"),
+)
+def stream_opusdb_log_tail(spark, sf_dir):
+    """TAIL the reference's log as a Structured Streaming source: batch
+    one consumes the initial 80 records; 40 more are appended through
+    the reopen-and-continue path (make-log-mgr, log_mgr.clj:69-86);
+    batch two — same checkpoint — picks up ONLY the 40 new ones. The
+    stream offset is (n_blocks, boundary) per file: the backward-fill
+    layout localizes 'what's new' to one int comparison per block,
+    which is the incremental recovery/replication scan the reference's
+    format enables. Returns per-batch record counts from the parquet
+    sink (rows-only: side-effecting)."""
+    from opusdb_spark.sources import opusdb_log as olog
+    from opusdb_spark.sources.formats import scratch_sink as _sink
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    src = _sink(f"opusdb_log_tail_src_{base}")
+    out = _sink(f"opusdb_log_tail_out_{base}")
+    ckpt = _sink(f"opusdb_log_tail_ckpt_{base}")
+    os.makedirs(src, exist_ok=True)
+    path = os.path.join(src, "tail.log")
+    olog.write_log(
+        path, [f"rec-{i}".encode() for i in range(80)], block_size=400
+    )
+    olog.register(spark)
+
+    def run_batch():
+        q = (
+            spark.readStream.format("opusdb_log")
+            .option("path", src)
+            .option("block_size", "400")
+            .load()
+            .selectExpr("*", "current_timestamp() as _ignored")
+            .drop("_ignored")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_batch()
+    olog.append_log(
+        path, [f"rec-{i}".encode() for i in range(80, 120)], block_size=400
+    )
+    run_batch()
+    back = spark.read.schema(
+        "file string, block_index int, offset int, record binary"
+    ).parquet(out)
+    seq = F.regexp_extract(F.decode("record", "UTF-8"), r"rec-(\d+)", 1).cast(
+        "int"
+    )
+    return back.select(seq.alias("i")).agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.count_distinct("i").alias("n_distinct"),
+        F.min("i").alias("min_i"),
+        F.max("i").alias("max_i"),
+    )

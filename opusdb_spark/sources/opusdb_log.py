@@ -42,6 +42,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -78,6 +79,42 @@ def write_log(
         cur[nxt + 4 : nxt + 4 + len(rec)] = rec
         struct.pack_into(">i", cur, 0, nxt)
     with open(path, "wb") as f:
+        for b in blocks:
+            f.write(b)
+
+
+def append_log(
+    path: str, records: list[bytes], block_size: int = DEFAULT_BLOCK_SIZE
+) -> None:
+    """Reopen an existing log and continue appending — the
+    make-log-mgr reopen path (log_mgr.clj:69-86: read the LAST block,
+    resume backward fill from its boundary). Byte-for-byte equivalent
+    to having written all records in one session, which the tests pin."""
+    with open(path, "rb") as f:
+        data = bytearray(f.read())
+    n_blocks = len(data) // block_size
+    last = bytearray(data[(n_blocks - 1) * block_size :])
+    blocks: list[bytearray] = [last]
+
+    def new_block() -> bytearray:
+        b = bytearray(block_size)
+        struct.pack_into(">i", b, 0, block_size)
+        blocks.append(b)
+        return b
+
+    cur = last
+    for rec in records:
+        need = len(rec) + 4
+        pos = struct.unpack_from(">i", cur, 0)[0]
+        if pos < need + 4:
+            cur = new_block()
+            pos = block_size
+        nxt = pos - need
+        struct.pack_into(">i", cur, nxt, len(rec))
+        cur[nxt + 4 : nxt + 4 + len(rec)] = rec
+        struct.pack_into(">i", cur, 0, nxt)
+    with open(path, "r+b") as f:
+        f.seek((n_blocks - 1) * block_size)
         for b in blocks:
             f.write(b)
 
@@ -184,11 +221,93 @@ class OpusdbLogWriter(DataSourceWriter):
                 os.remove(m.file)
 
 
+def _file_state(path: str, block_size: int) -> list[int]:
+    """Current consume frontier of one log file: [n_blocks, boundary of
+    the last block]. A complete block never changes after its flush, so
+    (n_blocks, boundary) fully determines which records exist."""
+    n_blocks = os.path.getsize(path) // block_size
+    with open(path, "rb") as f:
+        f.seek((n_blocks - 1) * block_size)
+        (bd,) = struct.unpack(">i", f.read(4))
+    return [n_blocks, bd]
+
+
+class OpusdbLogStreamReader(SimpleDataSourceStreamReader):
+    """Tail the append-only log as a Structured Streaming source.
+
+    The stream offset is {file: [n_blocks, boundary]} — because records
+    backward-fill, everything NEW since an offset is (a) records in the
+    then-last block at offsets BELOW the recorded boundary, plus (b)
+    every record in later blocks. This is exactly the incremental
+    recovery scan the reference's layout was designed for
+    (log_mgr.clj:15-32) — replication/tailing without record markers."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("opusdb_log requires a path")
+        self.block_size = int(
+            options.get("block_size", str(DEFAULT_BLOCK_SIZE))
+        )
+
+    def _files(self) -> list[str]:
+        if os.path.isdir(self.path):
+            return sorted(
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if f.endswith(".log")
+            )
+        return [self.path] if os.path.exists(self.path) else []
+
+    def initialOffset(self) -> dict:
+        return {}
+
+    def read(self, start: dict):
+        end = {
+            os.path.basename(p): _file_state(p, self.block_size)
+            for p in self._files()
+        }
+        rows = list(self._between(start, end))
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(list(self._between(start, end)))
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up; offsets are pure positions
+
+    def _between(self, start: dict, end: dict):
+        by_name = {os.path.basename(p): p for p in self._files()}
+        for fname in sorted(end):
+            e_nb, e_bd = end[fname]
+            s_nb, s_bd = start.get(fname, [0, self.block_size])
+            path = by_name.get(fname)
+            if path is None:
+                continue
+            with open(path, "rb") as f:
+                for idx in range(max(0, s_nb - 1), e_nb):
+                    f.seek(idx * self.block_size)
+                    block = f.read(self.block_size)
+                    for off, rec in read_block(block, self.block_size):
+                        consumed = idx < s_nb - 1 or (
+                            idx == s_nb - 1 and off >= s_bd
+                        )
+                        # the file may have advanced past `end` while we
+                        # read — emit nothing beyond the end frontier
+                        present = idx < e_nb - 1 or (
+                            idx == e_nb - 1 and off >= e_bd
+                        )
+                        if present and not consumed:
+                            yield (fname, idx, off, rec)
+
+
 class OpusdbLogDataSource(DataSource):
     """spark.read.format("opusdb_log").option("path", ...) — one
     partition per (file, block); chronological order within a file =
     (block_index ASC, offset DESC). Writes via
-    df.write.format("opusdb_log"): one log file per partition."""
+    df.write.format("opusdb_log"): one log file per partition.
+    spark.readStream tails the log incrementally (offsets =
+    (n_blocks, boundary) per file)."""
 
     @classmethod
     def name(cls) -> str:
@@ -202,6 +321,9 @@ class OpusdbLogDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> OpusdbLogWriter:
         return OpusdbLogWriter(self.options)
+
+    def simpleStreamReader(self, schema) -> OpusdbLogStreamReader:
+        return OpusdbLogStreamReader(self.options)
 
 
 def register(spark) -> None:

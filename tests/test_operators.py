@@ -1325,3 +1325,59 @@ def test_opusdb_log_writer_one_file_per_partition(spark, tmp_path):
         bytes(r["record"]).decode() for r in back.collect()
     )
     assert got == sorted(f"r{i}" for i in range(120))
+
+
+def test_opusdb_log_append_equals_single_session(tmp_path):
+    """Reopen-and-continue (make-log-mgr, log_mgr.clj:69-86) must be
+    byte-for-byte identical to writing everything in one session."""
+    from opusdb_spark.sources import opusdb_log as olog
+
+    recs = [f"item-{i}".encode() for i in range(70)]
+    a = tmp_path / "a.log"
+    olog.write_log(str(a), recs, block_size=400)
+    b = tmp_path / "b.log"
+    olog.write_log(str(b), recs[:30], block_size=400)
+    olog.append_log(str(b), recs[30:], block_size=400)
+    assert a.read_bytes() == b.read_bytes()
+
+
+def test_opusdb_log_stream_reads_exact_delta(spark, tmp_path):
+    """The streaming offset (n_blocks, boundary) must hand batch 2
+    exactly the appended records — none lost, none re-read."""
+    from opusdb_spark.sources import opusdb_log as olog
+
+    src = tmp_path / "src"
+    src.mkdir()
+    path = str(src / "t.log")
+    olog.write_log(path, [f"x{i}".encode() for i in range(50)], 400)
+    olog.register(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run():
+        q = (
+            spark.readStream.format("opusdb_log")
+            .option("path", str(src))
+            .option("block_size", "400")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    schema = "file string, block_index int, offset int, record binary"
+    run()
+    first = {
+        bytes(r["record"]).decode()
+        for r in spark.read.schema(schema).parquet(out).collect()
+    }
+    assert first == {f"x{i}" for i in range(50)}
+    olog.append_log(path, [f"x{i}".encode() for i in range(50, 75)], 400)
+    run()
+    rows = spark.read.schema(schema).parquet(out).collect()
+    all_recs = [bytes(r["record"]).decode() for r in rows]
+    assert len(all_recs) == 75, "duplicate or lost records across batches"
+    assert set(all_recs) == {f"x{i}" for i in range(75)}

@@ -177,6 +177,262 @@ TPCH_Q18 = f"""
     LIMIT 100
 """
 
+TPCH_Q2 = """
+    SELECT DISTINCT s.s_acctbal AS s_acctbal, s.s_name AS s_name,
+           n.n_name AS n_name, p.p_partkey AS p_partkey, p.p_type AS p_type
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA' AND p.p_size = 15
+      AND s.s_acctbal = (
+        SELECT MIN(s2.s_acctbal)
+        FROM lineitem l2
+        JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'ASIA')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+"""
+
+TPCH_Q4 = """
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1997-07-01'
+      AND o.o_orderdate < DATE '1997-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+"""
+
+TPCH_Q9 = """
+    SELECT nation, o_year,
+           CAST(SUM(CAST(amount AS DECIMAL(27,6))) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount)
+               - p.p_retailprice * l.l_quantity * 0.1 AS amount
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_name LIKE '%gear%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+"""
+
+TPCH_Q11 = """
+    SELECT l.l_partkey AS l_partkey,
+           CAST(SUM(CAST(l.l_quantity * p.p_retailprice AS DECIMAL(27,6)))
+                AS DOUBLE) AS part_value
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_3'
+    GROUP BY l.l_partkey
+    HAVING SUM(CAST(l.l_quantity * p.p_retailprice AS DECIMAL(27,6))) >
+      (SELECT SUM(CAST(l2.l_quantity * p2.p_retailprice AS DECIMAL(27,6)))
+              * CAST(0.001 AS DECIMAL(10,3))
+       FROM lineitem l2
+       JOIN part p2 ON p2.p_partkey = l2.l_partkey
+       JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+       JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+       WHERE n2.n_name = 'NATION_3')
+    ORDER BY part_value DESC, l_partkey
+"""
+
+TPCH_Q12 = """
+    SELECT l.l_returnflag AS ship_class,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_returnflag IN ('A','R')
+      AND l.l_shipdate >= DATE '1997-01-01'
+      AND l.l_shipdate < DATE '1998-01-01'
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+"""
+
+TPCH_Q16 = """
+    SELECT p.p_brand AS p_brand, p.p_type AS p_type, p.p_size AS p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#3'
+      AND p.p_type <> 'MEDIUM'
+      AND p.p_size IN (1, 4, 7, 10, 14, 19, 23, 36)
+      AND l.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+TPCH_Q19 = f"""
+    SELECT {_REV} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+TPCH_Q20 = """
+    SELECT s.s_name AS s_name, CAST(s.s_acctbal AS DOUBLE) AS s_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        WHERE l.l_partkey IN
+              (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+          AND l.l_shipdate >= DATE '1997-01-01'
+          AND l.l_shipdate < DATE '1998-01-01'
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING SUM(CAST(l.l_quantity AS DECIMAL(27,6))) > 50)
+    ORDER BY s_name
+"""
+
+TPCH_Q21 = """
+    SELECT s.s_name AS s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+"""
+
+TPCH_Q22 = """
+    SELECT cntrycode,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE) AS totacctbal
+    FROM (
+      SELECT CAST(c.c_nationkey % 7 AS INT) AS cntrycode,
+             c.c_acctbal AS c_acctbal
+      FROM customer c
+      WHERE c.c_acctbal > (
+          SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(27,6))) AS DOUBLE)
+                 / COUNT(*)
+          FROM customer c2 WHERE c2.c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderdate >= DATE '1999-01-01')
+    ) custsale
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+"""
+
+_sql_query(
+    "tpch_q2",
+    TPCH_Q2,
+    "TPC-H Q2 shape (min-cost supplier): correlated scalar-MIN subquery "
+    "re-joining the same 4-table chain as the outer query. Adapted — no "
+    "partsupp table, so 'supplies part X' is derived from lineitem and "
+    "min supply cost becomes min supplier acctbal; the plan shape "
+    "(decorrelated min-agg joined back on the correlation key) is the "
+    "original's.",
+)
+_sql_query(
+    "tpch_q4",
+    TPCH_Q4,
+    "TPC-H Q4 shape (order-priority checking): EXISTS semi-join from "
+    "orders into lineitem plus a priority histogram. Adapted — the "
+    "pruned lineitem has no commit/receipt dates, so the late-delivery "
+    "predicate becomes l_returnflag = 'R'.",
+)
+_sql_query(
+    "tpch_q9",
+    TPCH_Q9,
+    "TPC-H Q9 shape (product-type profit by nation and year): 5-way "
+    "join, LIKE filter on part name, per-(nation, year) decimal-exact "
+    "profit. Adapted — no partsupp, so supply cost is proxied by "
+    "p_retailprice * quantity * 0.1.",
+)
+_sql_query(
+    "tpch_q11",
+    TPCH_Q11,
+    "TPC-H Q11 shape (important stock): grouped value per part with a "
+    "scalar subquery threshold in HAVING (decimal on both sides so the "
+    "boundary compare is exact). Adapted — partsupp value becomes "
+    "quantity * retailprice from lineitem.",
+)
+_sql_query(
+    "tpch_q12",
+    TPCH_Q12,
+    "TPC-H Q12 shape (shipping-class priority counts): orders-lineitem "
+    "join with conditional CASE counts per class. Adapted — no "
+    "l_shipmode column, so the two-mode filter becomes "
+    "l_returnflag IN ('A','R').",
+)
+_sql_query(
+    "tpch_q16",
+    TPCH_Q16,
+    "TPC-H Q16 shape (supplier count by part attrs): COUNT(DISTINCT "
+    "supplier) per (brand, type, size) with a NOT IN supplier "
+    "blacklist. Adapted — part-supplier pairs come from lineitem "
+    "instead of partsupp; the complaints blacklist becomes negative "
+    "account balance.",
+)
+_sql_query(
+    "tpch_q19",
+    TPCH_Q19,
+    "TPC-H Q19 (discounted revenue, disjunctive predicates): three OR "
+    "branches each mixing part and lineitem columns — the classic "
+    "CNF-conversion / partial-pushdown probe.",
+)
+_sql_query(
+    "tpch_q20",
+    TPCH_Q20,
+    "TPC-H Q20 shape (excess-stock suppliers): nested IN chains — "
+    "suppliers IN (grouped lineitem HAVING qty threshold, parts IN "
+    "name-LIKE list) — filtered to one region. Adapted — availqty "
+    "threshold becomes shipped-quantity threshold.",
+)
+_sql_query(
+    "tpch_q21",
+    TPCH_Q21,
+    "TPC-H Q21 shape (suppliers who kept orders waiting): EXISTS plus "
+    "NOT EXISTS self-joins on the fact table under the same "
+    "correlation key with <> residuals. Adapted — 'late' is "
+    "l_returnflag = 'R' (no receipt/commit dates in the pruned "
+    "schema).",
+)
+_sql_query(
+    "tpch_q22",
+    TPCH_Q22,
+    "TPC-H Q22 shape (global sales opportunity): scalar-AVG threshold "
+    "subquery (decimal-summed so the boundary is engine-independent) "
+    "plus NOT EXISTS anti-join into orders. Adapted — country code is "
+    "c_nationkey % 7 (no phone column) and 'no orders' is 'no orders "
+    "since 1999' so the result is non-empty at test scale.",
+)
+
 _sql_query(
     "tpch_q3",
     TPCH_Q3,

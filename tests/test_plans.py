@@ -459,3 +459,55 @@ def test_tpch_q8_dims_broadcast_single_fact_shuffle(spark):
     p = plan(_Q["tpch_q8"].fn(spark, SF))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p, "a dim fell back to shuffle join"
+
+
+def test_tpch_q2_scalar_min_decorrelated(spark):
+    """The correlated scalar-MIN subquery must decorrelate into a
+    grouped min-aggregate joined back on the correlation key — never a
+    per-row rescan of the inner 4-table chain."""
+    p = plan(_Q["tpch_q2"].fn(spark, SF))
+    flat = p.replace("\n", " ")
+    assert "min(s_acctbal" in flat, "decorrelated min-aggregate missing"
+    assert "BroadcastNestedLoopJoin" not in p, "subquery re-executed per row"
+
+
+def test_tpch_q4_exists_plans_as_semi_join(spark):
+    p = plan(_Q["tpch_q4"].fn(spark, SF))
+    assert "LeftSemi" in p, "EXISTS did not plan as a semi join"
+    flat = p.replace("\n", " ")
+    assert "GreaterThanOrEqual(o_orderdate" in flat, "date range not pushed"
+    assert "EqualTo(l_returnflag,R)" in flat, "inner filter not pushed"
+
+
+def test_tpch_q19_disjunction_pushed_to_both_scans(spark):
+    """The three cross-table OR branches must be CNF-split so each scan
+    gets its own per-table disjunction (brand/size on part, quantity on
+    lineitem) — the classic partial-pushdown probe."""
+    p = plan(_Q["tpch_q19"].fn(spark, SF))
+    flat = p.replace("\n", " ")
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in flat, (
+        "lineitem-side disjunction not pushed"
+    )
+    assert "EqualTo(p_brand,Brand#1)" in flat, "part-side disjunction not pushed"
+    assert "BroadcastHashJoin" in p
+
+
+def test_tpch_q21_semi_and_anti_with_residual(spark):
+    """EXISTS and NOT EXISTS over the same correlation key must plan as
+    one LeftSemi and one LeftAnti with the <> residual as the join
+    condition — not nested-loop re-scans of lineitem."""
+    p = plan(_Q["tpch_q21"].fn(spark, SF))
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_tpch_q22_anti_join_and_scalar_threshold_pushed(spark):
+    """NOT EXISTS plans as LeftAnti; the scalar-AVG threshold is
+    evaluated once and pushed into the customer scan as a filter."""
+    p = plan(_Q["tpch_q22"].fn(spark, SF))
+    assert "LeftAnti" in p
+    flat = p.replace("\n", " ")
+    assert "GreaterThan(c_acctbal,ScalarSubquery" in flat, (
+        "threshold subquery not pushed into the scan"
+    )

@@ -421,6 +421,107 @@ def cosine_topk_batch(
     )
 
 
+def semdedup_drops(
+    emb: DataFrame,
+    tau: float,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: within each cluster, a vector is
+    DROPPED when a lower-id vector in the same cluster has cosine
+    similarity > tau. Returns one row per dropped vector with its
+    smallest qualifying duplicate and that pair's exact cosine —
+    (cluster, vec_id, dup_of, cosine).
+
+    Scale shape (the whole point of clustering first): candidate pairs
+    are generated per cluster, so the pairwise cost is sum(|cluster|^2),
+    never O(n^2) over the corpus — at 100 TB the quantizer (emb_kmeans /
+    ivf_centroids) caps cluster sizes and the corpus shuffles ONCE on
+    the cluster key. Candidate generation is an Arrow kernel
+    (applyInPandas, one float64 X @ X.T per cluster batch — the same
+    matmul path as ann_index; measured warm at sf0.1: 1.5s vs 11.5s
+    for per-pair zip_with folds) with a tau − 1e-6 acceptance margin:
+    numpy-vs-
+    decimal summation error is ~1e-10 for 64 dims, so no true hit can
+    fall below the margin. Candidates carry their two vectors out of
+    the kernel, and only this hit-sized set pays the exact decimal
+    rescore that makes the result hash-stable against the SQL oracle —
+    no corpus re-join, no BigDecimal on the full pair set."""
+    import pandas as pd
+
+    id_f = emb.schema[id_col].dataType.simpleString()
+    c_f = emb.schema[cluster_col].dataType.simpleString()
+    v_f = emb.schema[vec_col].dataType.simpleString()
+    out_schema = (
+        f"{cluster_col} {c_f}, {id_col} {id_f}, dup_of {id_f}, "
+        f"_va {v_f}, _vb {v_f}"
+    )
+    margin = tau - 1e-6
+
+    def cluster_pairs(key, pdf):
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        X = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
+        n = np.sqrt((X * X).sum(axis=1))
+        ok = n > 0  # zero-norm vectors have no defined cosine
+        ids, X, n = ids[ok], X[ok], n[ok]
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {
+                    cluster_col: [],
+                    id_col: [],
+                    "dup_of": [],
+                    "_va": [],
+                    "_vb": [],
+                }
+            )
+        S = (X @ X.T) / np.outer(n, n)
+        ai, bi = np.nonzero(np.triu(S > margin, k=1))  # ids sorted: a < b
+        return pd.DataFrame(
+            {
+                cluster_col: np.full(len(ai), key[0]),
+                id_col: ids[bi],
+                "dup_of": ids[ai],
+                "_va": [X[i].astype(np.float32) for i in ai],
+                "_vb": [X[i].astype(np.float32) for i in bi],
+            }
+        )
+
+    cand = emb.select(cluster_col, id_col, vec_col).groupBy(
+        cluster_col
+    ).applyInPandas(cluster_pairs, out_schema)
+    dot = _dec_fold(
+        F.zip_with(
+            "_va", "_vb", lambda x, y: x.cast("double") * y.cast("double")
+        )
+    )
+    n2a = _dec_fold(
+        F.transform("_va", lambda x: x.cast("double") * x.cast("double"))
+    )
+    n2b = _dec_fold(
+        F.transform("_vb", lambda x: x.cast("double") * x.cast("double"))
+    )
+    hits = cand.select(
+        cluster_col,
+        id_col,
+        "dup_of",
+        (dot / F.sqrt(n2a * n2b)).alias("cosine"),
+    ).filter(F.col("cosine") > tau)
+    return (
+        hits.groupBy(cluster_col, id_col)
+        .agg(F.min(F.struct("dup_of", "cosine")).alias("_best"))
+        .select(
+            cluster_col,
+            id_col,
+            F.col("_best.dup_of").alias("dup_of"),
+            F.col("_best.cosine").alias("cosine"),
+        )
+        .orderBy(cluster_col, id_col)
+    )
+
+
 def _assign_sqd_udf(centroids: np.ndarray):
     """Arrow UDF: per vector, (nearest centroid id, squared Euclidean
     distance to it). Ties → lowest centroid id (np.argmin contract),

@@ -794,6 +794,67 @@ def llm_fingerprint(spark, sf_dir):
     )
 
 
+# Within-cluster pairwise cosine with exact-decimal dots — the same
+# unnest/decimal formulation as _SIM_ORACLE, restricted to same-label
+# pairs, then the keep-first drop rule (a vector is dropped when a
+# lower-id cluster-mate is more similar than tau).
+_SEMDEDUP_TAU = 0.3
+_SEMDEDUP_ORACLE = f"""
+    WITH idx AS (SELECT UNNEST(range(1, 65)) AS i),
+    flat AS (
+        SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings CROSS JOIN idx
+    ),
+    norms AS (
+        SELECT vec_id,
+               CAST(SUM(CAST(x * x AS DECIMAL(27,12))) AS DOUBLE) AS n2
+        FROM flat GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT a.label AS label, a.vec_id AS dup_of, b.vec_id AS vec_id,
+               CAST(SUM(CAST(a.x * b.x AS DECIMAL(27,12))) AS DOUBLE) AS dot
+        FROM flat a JOIN flat b
+          ON a.label = b.label AND a.i = b.i AND a.vec_id < b.vec_id
+        GROUP BY a.label, a.vec_id, b.vec_id
+    ),
+    hits AS (
+        SELECT d.label, d.vec_id, d.dup_of,
+               d.dot / SQRT(na.n2 * nb.n2) AS cosine
+        FROM dots d
+        JOIN norms na ON na.vec_id = d.dup_of
+        JOIN norms nb ON nb.vec_id = d.vec_id
+        WHERE na.n2 > 0 AND nb.n2 > 0
+          AND d.dot / SQRT(na.n2 * nb.n2) > {_SEMDEDUP_TAU}
+    ),
+    best AS (
+        SELECT label, vec_id, MIN(dup_of) AS dup_of
+        FROM hits GROUP BY label, vec_id
+    )
+    SELECT h.label AS label, h.vec_id AS vec_id, h.dup_of AS dup_of,
+           h.cosine AS cosine
+    FROM hits h
+    JOIN best b ON h.vec_id = b.vec_id AND h.dup_of = b.dup_of
+    ORDER BY label, vec_id
+"""
+
+
+@register("llm_semdedup", oracle=_SEMDEDUP_ORACLE, tags=("llm", "dedup"))
+def llm_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then drop any vector whose cluster has a lower-id
+    member with cosine > tau. The `label` column plays the quantizer's
+    role here (in production the cluster ids come from emb_kmeans /
+    ivf_centroids — same machinery, see operators/similarity.py); the
+    pairwise pass is cluster-bounded, never corpus-wide, which is what
+    makes semantic dedup feasible at 100 TB. tau = 0.3 sits at the
+    99.5th percentile of this synthetic corpus's within-cluster
+    similarity (it has no planted near-dups; real corpora use ~0.9
+    with the identical plan). Output: every dropped vector with its
+    smallest qualifying duplicate and the exact cosine."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.semdedup_drops(emb, _SEMDEDUP_TAU)
+
+
 @register("llm_embedding_neardup", oracle=None, tags=("llm", "dedup"))
 def llm_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (cos ≥ 0.95) among LSH-bucket

@@ -36,6 +36,7 @@ _QUERY_MODULES = [
     "opusdb_spark.queries.llm",
     "opusdb_spark.queries.pipeline",
     "opusdb_spark.queries.tpch",
+    "opusdb_spark.queries.graph",
 ]
 
 

@@ -43,6 +43,39 @@ def llm_dedup_exact(spark, sf_dir):
 
 
 @register(
+    "llm_soft_dedup_weights",
+    oracle="""
+        SELECT doc_id,
+               CAST(COUNT(*) OVER (PARTITION BY sha256(text)) AS BIGINT)
+                   AS n_copies,
+               1.0 / COUNT(*) OVER (PARTITION BY sha256(text)) AS weight
+        FROM documents
+        ORDER BY doc_id
+    """,
+    tags=("llm", "dedup"),
+)
+def llm_soft_dedup_weights(spark, sf_dir):
+    """Soft dedup: instead of DROPPING duplicates, every document gets
+    a sampling weight 1/n_copies of its exact-hash group, so repeated
+    text contributes once in expectation while rare text keeps full
+    weight (the reweighting alternative to llm_dedup_exact's hard
+    drop). One hash-partitioned window — same single-shuffle cost as
+    the hard dedup; the weight column then feeds llm_temperature_mix /
+    llm_shuffle_shard style samplers downstream."""
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.sha2("text", 256))
+    n = F.count(F.lit(1)).over(w)
+    return (
+        docs.select(
+            "doc_id",
+            n.alias("n_copies"),
+            (F.lit(1.0) / n).alias("weight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "llm_dedup_keep_best",
     oracle="""
         WITH d AS (

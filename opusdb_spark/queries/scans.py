@@ -671,3 +671,93 @@ def stream_opusdb_log_tail(spark, sf_dir):
         F.min("i").alias("min_i"),
         F.max("i").alias("max_i"),
     )
+
+
+@register(
+    "scan_manifest_prune",
+    oracle="""
+        SELECT l_orderkey, l_shipdate, l_quantity
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-06-01'
+          AND l_shipdate < TIMESTAMP '1996-07-01'
+    """,
+    tags=("scan", "pruning"),
+)
+def scan_manifest_prune(spark, sf_dir):
+    """Manifest-based data skipping, END TO END: the clustered layout
+    is materialized once at ingest (ensure_written — a 100 TB table is
+    organized once, never inside a query) together with a per-file
+    min/max MANIFEST harvested from the parquet footers; at query time
+    the date predicate prunes the manifest (a metadata read, no Spark
+    job), only the surviving files are scanned, and the residual
+    filter still applies — so the result provably equals the plain
+    filter over the raw table (the SQL oracle). This is the
+    Iceberg/Delta data-skipping contract rebuilt from parts:
+    sink_clustered_write proves the file-count accounting, this query
+    proves the pruned scan returns the right ROWS. The manifest lives
+    as an underscore-prefixed sidecar (readers ignore it, like
+    _SUCCESS). tests/test_plans.py pins that the scan opens strictly
+    fewer files than the layout holds."""
+    import json
+    from datetime import datetime
+
+    import pyarrow.parquet as pq
+
+    from opusdb_spark.sources.formats import (
+        ensure_written,
+        scratch_path,
+        stat_fingerprint,
+    )
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    layout = scratch_path(f"manifest_clustered_{base}")
+    src = os.path.join(sf_dir, "lineitem.parquet")
+
+    def _write(path):
+        li = table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_shipdate", "l_quantity"
+        )
+        li.repartitionByRange(8, "l_shipdate").sortWithinPartitions(
+            "l_shipdate"
+        ).write.mode("overwrite").parquet(path)
+        entries = []
+        for f in sorted(os.listdir(path)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            names = [
+                md.schema.column(i).name for i in range(md.num_columns)
+            ]
+            ci = names.index("l_shipdate")
+            mins, maxs = [], []
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(ci).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            entries.append(
+                {
+                    "file": f,
+                    "min": min(mins).isoformat(),
+                    "max": max(maxs).isoformat(),
+                }
+            )
+        with open(os.path.join(path, "_manifest.json"), "w") as fh:
+            json.dump(entries, fh)
+
+    ensure_written(layout, stat_fingerprint(src, v=1), _write)
+
+    lo, hi = datetime(1996, 6, 1), datetime(1996, 7, 1)
+    with open(os.path.join(layout, "_manifest.json")) as fh:
+        manifest = json.load(fh)
+    keep = [
+        os.path.join(layout, e["file"])
+        for e in manifest
+        if datetime.fromisoformat(e["min"]) < hi
+        and datetime.fromisoformat(e["max"]) >= lo
+    ]
+    # an empty survivor set degrades to the full layout (residual
+    # filter keeps the answer correct either way)
+    reader = spark.read.parquet(*keep) if keep else spark.read.parquet(layout)
+    return reader.filter(
+        (F.col("l_shipdate") >= F.lit(lo)) & (F.col("l_shipdate") < F.lit(hi))
+    ).select("l_orderkey", "l_shipdate", "l_quantity")

@@ -461,6 +461,23 @@ def test_tpch_q8_dims_broadcast_single_fact_shuffle(spark):
     assert "SortMergeJoin" not in p, "a dim fell back to shuffle join"
 
 
+def test_manifest_prune_scans_strict_file_subset(spark):
+    """The manifest-pruned scan must open strictly fewer parquet files
+    than the clustered layout holds — data skipping has to actually
+    skip — while the rows still equal the plain filtered scan."""
+    import os
+
+    from opusdb_spark.sources.formats import scratch_path
+
+    df = _Q["scan_manifest_prune"].fn(spark, SF)
+    n_read = len(df.inputFiles())
+    layout = scratch_path("manifest_clustered_sf0.001")
+    n_layout = len(
+        [f for f in os.listdir(layout) if f.endswith(".parquet")]
+    )
+    assert 0 < n_read < n_layout, (n_read, n_layout)
+
+
 def test_tpch_q2_scalar_min_decorrelated(spark):
     """The correlated scalar-MIN subquery must decorrelate into a
     grouped min-aggregate joined back on the correlation key — never a

@@ -497,6 +497,16 @@ def test_decode_rejects_real_codecs():
         "tpch_q13",
         "tpch_q18",
         "llm_corpus_report",
+        # round 4, second batch: tpch tail + semantic dedup + graph
+        "tpch_q2",
+        "tpch_q9",
+        "tpch_q21",
+        "tpch_q22",
+        "llm_semdedup",
+        "llm_soft_dedup_weights",
+        "graph_pagerank",
+        "graph_triangle_count",
+        "scan_manifest_prune",
     ],
 )
 def test_determinism_under_repartition(name, spark):

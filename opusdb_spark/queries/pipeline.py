@@ -2283,3 +2283,79 @@ def events_pattern_match(spark, sf_dir):
         F.count(F.lit(1)).alias("n_matches"),
         F.min(us).alias("fastest_us"),
     )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+        WITH o AS (
+            SELECT user_id, event_id, ts,
+                   epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS gap_us
+            FROM events
+        ),
+        marked AS (
+            SELECT *, CASE WHEN gap_us IS NULL
+                             OR gap_us > 21600000000 THEN 1
+                           ELSE 0 END AS is_new
+            FROM o
+        ),
+        sess AS (
+            SELECT user_id, event_id, ts,
+                   CAST(SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS session_seq
+            FROM marked
+        )
+        SELECT user_id, session_seq,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+        FROM sess
+        GROUP BY user_id, session_seq
+        ORDER BY user_id, session_seq
+    """,
+    tags=("events", "sessionize"),
+)
+def events_sessionize(spark, sf_dir):
+    """Gap-based batch sessionization — the lag/cumsum composition
+    (a new session starts after >6h of user inactivity), complementing
+    stream_session's session_window: this form also yields the
+    per-user session SEQUENCE NUMBER that funnel/LTV analyses key on.
+    One shuffle on user_id serves both windows and the final
+    aggregation (same partitioning, no re-exchange); gaps compare in
+    exact integer microseconds so the session boundaries are
+    engine-independent."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lag_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # same microsecond-exact idiom as events_inter_arrival: NTZ ts
+    # casts to timestamp first (differences are tz-offset free)
+    ep = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = ep - F.lag(ep).over(lag_w)
+    is_new = F.when(
+        gap.isNull() | (gap > 21600 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = ev.withColumn(
+        "session_seq", F.sum(is_new).over(w).cast("long")
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            (
+                F.unix_micros(F.max("ts").cast("timestamp"))
+                - F.unix_micros(F.min("ts").cast("timestamp"))
+            ).alias("duration_us"),
+        )
+        .orderBy("user_id", "session_seq")
+    )

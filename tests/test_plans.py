@@ -461,6 +461,16 @@ def test_tpch_q8_dims_broadcast_single_fact_shuffle(spark):
     assert "SortMergeJoin" not in p, "a dim fell back to shuffle join"
 
 
+def test_graph_iterations_reuse_cached_edge_state(spark):
+    """The PageRank loop and the triangle self-joins must read the
+    persisted model-sized edge state (InMemoryTableScan), not re-run
+    the fact-table edge aggregation once per reference — at 100 TB
+    that difference is one corpus pass versus four."""
+    for key in ("graph_pagerank", "graph_triangle_count"):
+        p = plan(_Q[key].fn(spark, SF))
+        assert "InMemoryTableScan" in p or "InMemoryRelation" in p, key
+
+
 def test_manifest_prune_scans_strict_file_subset(spark):
     """The manifest-pruned scan must open strictly fewer parquet files
     than the clustered layout holds — data skipping has to actually

@@ -67,6 +67,11 @@ SF1_LADDER = [
     # scale behavior round-3 review cared most about
     "llm_dedup_fuzzy",
     "events_rfm_segments",
+    # round-4 second batch: iterative graph (fact-table edge build +
+    # cached power iterations) and clustered semantic dedup (per-
+    # cluster Arrow matmul) — the newest corpus-sized plans
+    "graph_pagerank",
+    "llm_semdedup",
 ]
 _KEY_STRIDE = 1_000_000_000
 _KEY_COLS = {
@@ -79,7 +84,12 @@ _KEY_COLS = {
     "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
     "events": ["event_id", "user_id"],
     "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
+    # label strides too: it is the cluster KEY for semantic dedup —
+    # without the stride every replica collapses into the same 10
+    # clusters and identical cross-replica vectors make the
+    # within-cluster pair count quadratic instead of 10× (measured:
+    # 35s vs 3.5s for llm_semdedup at sf1)
+    "embeddings": ["vec_id", "label"],
 }
 
 

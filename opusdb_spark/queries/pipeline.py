@@ -941,9 +941,9 @@ def llm_chunk_split(spark, sf_dir):
 
 
 # -------------------------------------------------- LM quality scoring
-@register(
-    "llm_perplexity_score",
-    oracle="""
+# Shared CTE body: per-document bigram cross-entropy (also the base of
+# llm_perplexity_buckets below).
+_XENT_SQL = """
         WITH pairs AS (
             SELECT doc_id,
                    string_split(text, ' ')[i] AS w1,
@@ -976,7 +976,12 @@ def llm_chunk_split(spark, sf_dir):
                            AS DOUBLE) / SUM(d.n), 6) AS xent_bits
         FROM docbi d JOIN lm l ON d.w1 = l.w1 AND d.w2 = l.w2
         GROUP BY d.doc_id
-    """,
+"""
+
+
+@register(
+    "llm_perplexity_score",
+    oracle=_XENT_SQL,
     tags=("llm", "lm", "quality"),
 )
 def llm_perplexity_score(spark, sf_dir):
@@ -1026,6 +1031,75 @@ def llm_perplexity_score(spark, sf_dir):
                 6,
             ).alias("xent_bits"),
         )
+    )
+
+
+_PPL_BUCKETS_ORACLE = f"""
+    WITH scored AS ({_XENT_SQL}),
+    b AS (
+        SELECT quantile_cont(xent_bits, 1.0/3) AS b1,
+               quantile_cont(xent_bits, 2.0/3) AS b2
+        FROM scored
+    ),
+    bucketed AS (
+        SELECT CASE WHEN xent_bits <= b1 THEN 'head'
+                    WHEN xent_bits <= b2 THEN 'middle'
+                    ELSE 'tail' END AS bucket,
+               n_bigrams, xent_bits
+        FROM scored CROSS JOIN b
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(xent_bits AS DECIMAL(27,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_xent_bits
+    FROM bucketed
+    GROUP BY bucket
+    ORDER BY bucket
+"""
+
+
+@register(
+    "llm_perplexity_buckets",
+    oracle=_PPL_BUCKETS_ORACLE,
+    tags=("llm", "lm", "quality"),
+)
+def llm_perplexity_buckets(spark, sf_dir):
+    """CCNet's head/middle/tail split: documents are bucketed by
+    perplexity terciles of the corpus distribution, the filter used to
+    keep only the most-fluent third (or temperature-mix the tiers) of
+    a web crawl. The tercile boundaries are ONE exact-percentile
+    aggregate (model-sized result, broadcast back) and bucket
+    assignment is a CASE — the scale-safe broadcast-boundary pattern
+    from operators/ranking.py, never a global-sort ntile. Exact
+    percentile ↔ quantile_cont agree bit-for-bit (agg_percentile_exact
+    contract), and per-bucket means are decimal-summed."""
+    scores = llm_perplexity_score(spark, sf_dir)
+    third = 1.0 / 3
+    b = scores.agg(
+        F.percentile("xent_bits", third).alias("b1"),
+        F.percentile("xent_bits", 2 * third).alias("b2"),
+    )
+    bucket = (
+        F.when(F.col("xent_bits") <= F.col("b1"), "head")
+        .when(F.col("xent_bits") <= F.col("b2"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        scores.crossJoin(F.broadcast(b))
+        .select(bucket.alias("bucket"), "n_bigrams", "xent_bits")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("xent_bits").cast("decimal(27,6)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_xent_bits"),
+        )
+        .orderBy("bucket")
     )
 
 

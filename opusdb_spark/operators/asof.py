@@ -37,17 +37,34 @@ def asof_join(
     right_time: str,
     right_values: list[str],
     tolerance: Column | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: newest right row per key with right_time ≤ left_time.
 
     Returns `left` columns + `right_values` (+ `asof_time`, the matched
     right_time). NULL right columns when no version qualifies.
 
+    `direction`:
+      - "backward" (default): newest right_time ≤ left_time — the
+        reference's find-version rule.
+      - "forward": smallest right_time ≥ left_time — the next version
+        at or after the probe (a DESC-ordered running window, NEVER a
+        current-row→unbounded-following frame, which Spark executes by
+        re-scanning the suffix per row — O(n²) per key).
+      - "nearest": whichever of the two is closer in time; exact ties
+        prefer backward. Both carries compute over ONE shuffle (same
+        partitioning, two sort orders — Catalyst reuses the Exchange).
+    `tolerance` applies to the backward direction only.
+
     Duplicate (on, right_time) build rows are resolved DETERMINISTICALLY:
     the window ordering breaks the tie on the right_values themselves,
     so the carried row is the lexicographically-last duplicate rather
     than partition-sort luck.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown as-of direction: {direction!r}")
+    if tolerance is not None and direction != "backward":
+        raise ValueError("tolerance is only supported for direction='backward'")
     lcols = left.columns
     clash = set(right_values) & set(lcols)
     if clash:
@@ -90,7 +107,7 @@ def asof_join(
     # build rows resolve deterministically (probe rows all carry NULLs
     # there, so their relative order — which is irrelevant to their own
     # frames — is unaffected).
-    w = (
+    w_back = (
         Window.partitionBy(on)
         .orderBy(
             F.col("__t").asc(),
@@ -99,19 +116,64 @@ def asof_join(
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.select(
-        *lcols,
-        "__is_probe",
-        F.last(
-            F.when(F.col("__is_probe") == 0, F.col("__t")), ignorenulls=True
-        ).over(w).alias("asof_time"),
-        *[
-            F.last(
-                F.when(F.col("__is_probe") == 0, F.col(c)), ignorenulls=True
-            ).over(w).alias(c)
-            for c in right_values
-        ],
+    # forward = the same running-carry trick traversed in DESC time
+    # (build rows still sort before probes at equal time, so ≥ stays
+    # inclusive); the last non-null seen is the smallest time ≥ probe
+    w_fwd = (
+        Window.partitionBy(on)
+        .orderBy(
+            F.col("__t").desc(),
+            F.col("__is_probe").asc(),
+            *[F.col(c).asc_nulls_first() for c in right_values],
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+
+    def _carry(col: Column, w) -> Column:
+        return F.last(
+            F.when(F.col("__is_probe") == 0, col), ignorenulls=True
+        ).over(w)
+
+    if direction in ("backward", "forward"):
+        w = w_back if direction == "backward" else w_fwd
+        filled = unioned.select(
+            *lcols,
+            "__is_probe",
+            _carry(F.col("__t"), w).alias("asof_time"),
+            *[_carry(F.col(c), w).alias(c) for c in right_values],
+        )
+    else:  # nearest: both carries over one shuffle, pick per row
+        both = unioned.select(
+            *lcols,
+            "__is_probe",
+            F.col("__t"),
+            _carry(F.col("__t"), w_back).alias("__bt"),
+            _carry(F.col("__t"), w_fwd).alias("__ft"),
+            *[_carry(F.col(c), w_back).alias(f"__b_{c}") for c in right_values],
+            *[_carry(F.col(c), w_fwd).alias(f"__f_{c}") for c in right_values],
+        )
+        # strictly closer forward wins; ties and missing-forward fall
+        # back to backward (timestamp/numeric differences both compare)
+        prefer_fwd = F.col("__ft").isNotNull() & (
+            F.col("__bt").isNull()
+            | (
+                (F.col("__ft") - F.col("__t"))
+                < (F.col("__t") - F.col("__bt"))
+            )
+        )
+        filled = both.select(
+            *lcols,
+            "__is_probe",
+            F.when(prefer_fwd, F.col("__ft"))
+            .otherwise(F.col("__bt"))
+            .alias("asof_time"),
+            *[
+                F.when(prefer_fwd, F.col(f"__f_{c}"))
+                .otherwise(F.col(f"__b_{c}"))
+                .alias(c)
+                for c in right_values
+            ],
+        )
     out = filled.filter(F.col("__is_probe") == 1).drop("__is_probe")
     if tolerance is not None:
         keep = F.col("asof_time") >= (F.col(left_time) - tolerance)

@@ -350,6 +350,107 @@ def join_asof(spark, sf_dir):
     )
 
 
+def _views_and_purchases(spark, sf_dir):
+    """Probe = view events; build = one purchase per (user, ts) — the
+    same ambiguity guard join_asof uses, so direction semantics (not
+    duplicate-resolution luck) are what the oracles pin."""
+    ev = table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max_by("event_id", "event_id").alias("purchase_event_id"),
+            F.max_by("value", "event_id").alias("purchase_value"),
+        )
+    )
+    return views, purchases
+
+
+_ASOF_VP_ORACLE_HEAD = """
+    WITH p AS (
+        SELECT user_id, ts, MAX(event_id) AS purchase_event_id,
+               ARG_MAX(value, event_id) AS purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ),
+    v AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'view')
+"""
+
+
+@register(
+    "join_asof_forward",
+    oracle=_ASOF_VP_ORACLE_HEAD
+    + """
+    SELECT v.event_id, v.user_id, v.ts,
+           p.ts AS asof_time, p.purchase_event_id, p.purchase_value
+    FROM v ASOF LEFT JOIN p
+      ON v.user_id = p.user_id AND p.ts >= v.ts
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_forward(spark, sf_dir):
+    """Forward as-of join: for each view event, the same user's NEXT
+    purchase at or after it — the look-ahead twin of join_asof
+    (time-to-conversion labeling; market-data pipelines need both
+    directions). Same single keyed shuffle; the carry runs over a
+    DESC-ordered running frame, never a suffix-rescanning
+    unbounded-following frame (operators/asof.py)."""
+    views, purchases = _views_and_purchases(spark, sf_dir)
+    return asof_join(
+        views,
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_values=["purchase_event_id", "purchase_value"],
+        direction="forward",
+    )
+
+
+@register(
+    "join_asof_nearest",
+    oracle=_ASOF_VP_ORACLE_HEAD
+    + """,
+    cand AS (
+        SELECT v.event_id, p.ts AS pts, p.purchase_event_id,
+               p.purchase_value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.event_id
+                   ORDER BY ABS(epoch_us(v.ts) - epoch_us(p.ts)),
+                            CASE WHEN p.ts <= v.ts THEN 0 ELSE 1 END
+               ) AS rn
+        FROM v JOIN p ON v.user_id = p.user_id
+    )
+    SELECT v.event_id, v.user_id, v.ts,
+           c.pts AS asof_time, c.purchase_event_id, c.purchase_value
+    FROM v
+    LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+      ON c.event_id = v.event_id
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_nearest(spark, sf_dir):
+    """Nearest as-of join: the purchase closest in time to each view,
+    exact ties preferring the backward match. Both directional carries
+    compute over ONE shuffle (same key partitioning, two sort orders —
+    the Exchange is reused); the ORACLE uses the quadratic
+    candidate-rank formulation, which the Spark plan deliberately
+    avoids (operators/asof.py module docstring)."""
+    views, purchases = _views_and_purchases(spark, sf_dir)
+    return asof_join(
+        views,
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_values=["purchase_event_id", "purchase_value"],
+        direction="nearest",
+    )
+
+
 @register(
     "join_interval",
     oracle="""

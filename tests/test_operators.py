@@ -92,6 +92,39 @@ def test_asof_tolerance(spark):
     assert got[(1, 99)] is None  # age 69 > 5 → dropped
 
 
+def test_asof_forward_and_nearest_directions(spark):
+    """Forward = smallest write_point ≥ read_point (inclusive);
+    nearest = strictly-closer side wins, exact tie prefers backward."""
+    versions, probes = _asof_fixture(spark)
+    kw = dict(
+        on="ref_id",
+        left_time="read_point",
+        right_time="write_point",
+        right_values=["value"],
+    )
+    fwd = {
+        (r.ref_id, r.read_point): (r.asof_time, r.value)
+        for r in asof_join(probes, versions, direction="forward", **kw).collect()
+    }
+    assert fwd[(1, 5)] == (10, 100.0)  # next version ahead
+    assert fwd[(1, 10)] == (10, 100.0)  # ≥ is inclusive
+    assert fwd[(1, 25)] == (30, 300.0)
+    assert fwd[(1, 99)] == (None, None)  # nothing ahead → null
+    assert fwd[(2, 14)] == (15, 150.0)
+    assert fwd[(3, 50)] == (None, None)
+
+    near = {
+        (r.ref_id, r.read_point): (r.asof_time, r.value)
+        for r in asof_join(probes, versions, direction="nearest", **kw).collect()
+    }
+    assert near[(1, 5)] == (10, 100.0)  # only a forward match exists
+    assert near[(1, 10)] == (10, 100.0)
+    assert near[(1, 25)] == (20, 200.0)  # dist 5 back vs 5 fwd → backward
+    assert near[(1, 99)] == (30, 300.0)  # only backward exists
+    assert near[(2, 14)] == (15, 150.0)
+    assert near[(3, 50)] == (None, None)
+
+
 # ---------------------------------------------------------------- dedup
 
 

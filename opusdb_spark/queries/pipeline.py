@@ -2433,3 +2433,107 @@ def events_sessionize(spark, sf_dir):
         )
         .orderBy("user_id", "session_seq")
     )
+
+
+# ------------------------------------------------------ DSIR selection
+_DSIR_TARGET = "('src0', 'src1', 'src2')"
+_DSIR_BUCKET = _hash_bucket_sql("w", "dsir:")
+
+_DSIR_ORACLE = f"""
+    WITH words AS (
+        SELECT doc_id, source, {_DSIR_BUCKET} AS b FROM (
+            SELECT doc_id, source,
+                   UNNEST(string_split(text, ' ')) AS w
+            FROM documents
+        ) t WHERE w <> ''
+    ),
+    src AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cs
+            FROM words GROUP BY b),
+    tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct
+            FROM words WHERE source IN {_DSIR_TARGET} GROUP BY b),
+    tot AS (SELECT CAST((SELECT COUNT(*) FROM words) AS BIGINT) AS ns,
+                   CAST((SELECT COUNT(*) FROM words
+                         WHERE source IN {_DSIR_TARGET}) AS BIGINT) AS nt),
+    llr AS (
+        SELECT s.b,
+               ROUND(ln(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE) / (tot.nt + 256))
+                   - ln(CAST(s.cs + 1 AS DOUBLE) / (tot.ns + 256)),
+                   12) AS lr
+        FROM src s LEFT JOIN tgt t USING (b) CROSS JOIN tot
+    ),
+    docb AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS n
+             FROM words GROUP BY doc_id, b)
+    SELECT d.doc_id,
+           CAST(SUM(d.n) AS BIGINT) AS n_words,
+           ROUND(CAST(SUM(CAST(d.n * l.lr AS DECIMAL(27,12))) AS DOUBLE),
+                 6) AS dsir_logw
+    FROM docb d JOIN llr l USING (b)
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+"""
+
+
+@register("llm_dsir_weights", oracle=_DSIR_ORACLE, tags=("llm", "selection"))
+def llm_dsir_weights(spark, sf_dir):
+    """DSIR (Data Selection via Importance Resampling, Xie et al.
+    2023, arXiv:2302.03169): per-document importance log-weight =
+    sum over hashed word features of the target-vs-corpus
+    log-likelihood ratio, the standard way to select web data that
+    looks like a high-quality target corpus. Features hash into 256
+    md5 buckets (the engine-identical _hash_bucket_sql, never
+    Python's salted hash), both feature LMs are Laplace-smoothed
+    bucket histograms — MODEL-SIZED (256 rows, broadcast) no matter
+    the corpus — and the per-doc weight is one broadcast join plus a
+    decimal-quantized sum, so the whole pass costs one explode
+    shuffle at 100 TB. ln outputs round to 12dp before the decimal
+    sum (libm 1-ulp contract, as fn_math pins)."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.explode(F.split("text", " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    target = ["src0", "src1", "src2"]
+    words = docs.select(
+        "doc_id", "source", F.expr(_DSIR_BUCKET).alias("b")
+    )
+    src = words.groupBy("b").agg(F.count(F.lit(1)).alias("cs"))
+    tgt = (
+        words.filter(F.col("source").isin(target))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tot = words.agg(
+        F.count(F.lit(1)).alias("ns"),
+        F.count(F.when(F.col("source").isin(target), 1)).alias("nt"),
+    )
+    llr = (
+        src.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (F.coalesce("ct", F.lit(0)) + 1).cast("double")
+                    / (F.col("nt") + 256)
+                )
+                - F.log(
+                    (F.col("cs") + 1).cast("double") / (F.col("ns") + 256)
+                ),
+                12,
+            ).alias("lr"),
+        )
+    )
+    docb = words.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        docb.join(F.broadcast(llr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_words"),
+            F.round(
+                F.sum((F.col("n") * F.col("lr")).cast("decimal(27,12)"))
+                .cast("double"),
+                6,
+            ).alias("dsir_logw"),
+        )
+        .orderBy("doc_id")
+    )

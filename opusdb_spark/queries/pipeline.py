@@ -2537,3 +2537,75 @@ def llm_dsir_weights(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------------ n-gram novelty
+_NOVELTY_ORACLE = """
+    WITH grams AS (
+        SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id,
+                   string_split(text, ' ')[i] || ' ' ||
+                   string_split(text, ' ')[i+1] || ' ' ||
+                   string_split(text, ' ')[i+2] AS g
+            FROM documents,
+                 LATERAL (SELECT UNNEST(range(1,
+                     GREATEST(len(string_split(text, ' ')) - 2, 0) + 1)) AS i)
+        )
+    ),
+    df AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM grams GROUP BY g)
+    SELECT grams.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique,
+           ROUND(CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS novelty
+    FROM grams JOIN df ON grams.g = df.g
+    GROUP BY grams.doc_id
+    ORDER BY grams.doc_id
+"""
+
+
+@register("llm_ngram_novelty", oracle=_NOVELTY_ORACLE, tags=("llm", "quality"))
+def llm_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct word 3-grams that appear NOWHERE else in the corpus — the
+    memorization/templating profile (low novelty = boilerplate or
+    near-duplicate content that dedup should have caught; dataset
+    audits report exactly this distribution). Gram document-frequency
+    is one hash aggregation and the doc join shuffles on the gram key
+    — the same candidates-by-equi-join scale shape as
+    llm_decontaminate, never pairwise text comparison."""
+    docs = table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size(w) - 3, F.lit(0))),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(w, i + 1),
+                        F.element_at(w, i + 2),
+                        F.element_at(w, i + 3),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .filter(F.size(F.split(F.col("g"), " ")) == 3)
+        .distinct()
+    )
+    df = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    uniq = F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+    return (
+        grams.join(df, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            uniq.cast("long").alias("n_unique"),
+            F.round(
+                uniq.cast("double") / F.count(F.lit(1)), 6
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )

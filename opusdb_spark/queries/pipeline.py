@@ -2609,3 +2609,92 @@ def llm_ngram_novelty(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------- referential integrity audit
+_RI_ORACLE = """
+    SELECT fk_edge, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_orphans AS BIGINT) AS n_orphans,
+           n_orphans = 0 AS intact
+    FROM (
+        SELECT 'lineitem.l_orderkey -> orders' AS fk_edge,
+               (SELECT COUNT(*) FROM lineitem) AS n_rows,
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))
+                   AS n_orphans
+        UNION ALL
+        SELECT 'lineitem.l_partkey -> part',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM part p
+                                  WHERE p.p_partkey = l.l_partkey))
+        UNION ALL
+        SELECT 'lineitem.l_suppkey -> supplier',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                  WHERE s.s_suppkey = l.l_suppkey))
+        UNION ALL
+        SELECT 'orders.o_custkey -> customer',
+               (SELECT COUNT(*) FROM orders),
+               (SELECT COUNT(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))
+        UNION ALL
+        SELECT 'customer.c_nationkey -> nation',
+               (SELECT COUNT(*) FROM customer),
+               (SELECT COUNT(*) FROM customer c
+                WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                  WHERE n.n_nationkey = c.c_nationkey))
+        UNION ALL
+        SELECT 'events.user_id -> customer',
+               (SELECT COUNT(*) FROM events),
+               (SELECT COUNT(*) FROM events e
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = e.user_id))
+    )
+    ORDER BY fk_edge
+"""
+
+
+@register("dq_referential_integrity", oracle=_RI_ORACLE, tags=("dq",))
+def dq_referential_integrity(spark, sf_dir):
+    """Referential-integrity audit across every FK edge of the schema:
+    orphan counts via LEFT ANTI joins (each edge = one anti-join whose
+    dim side broadcasts; the fact side streams — at 100 TB this is a
+    handful of map-side-filtered passes, and Catalyst can share the
+    fact scan). The per-edge report row is what a data-quality
+    dashboard stores per snapshot; dq_constraints covers column-level
+    rules, this covers the cross-table ones."""
+    edges = [
+        ("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.l_partkey -> part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("lineitem.l_suppkey -> supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+        ("orders.o_custkey -> customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("customer.c_nationkey -> nation", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+        ("events.user_id -> customer", "events", "user_id",
+         "customer", "c_custkey"),
+    ]
+    out = None
+    for label, fact, fk, dim, pk in edges:
+        f = table(spark, sf_dir, fact)
+        d = table(spark, sf_dir, dim).select(pk)
+        orphans = f.select(F.col(fk)).join(
+            F.broadcast(d), F.col(fk) == F.col(pk), "left_anti"
+        )
+        row = f.agg(F.count(F.lit(1)).alias("n_rows")).crossJoin(
+            orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+        ).select(
+            F.lit(label).alias("fk_edge"),
+            "n_rows",
+            "n_orphans",
+            (F.col("n_orphans") == 0).alias("intact"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("fk_edge")

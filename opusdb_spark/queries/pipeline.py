@@ -2698,3 +2698,54 @@ def dq_referential_integrity(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("fk_edge")
+
+
+# ------------------------------------------------- weighted sampling
+def _hash_unit_sql(key_sql: str, salt: str) -> str:
+    """Uniform u in (0,1) from the first 12 hex digits of
+    md5(salt || key) — 48 bits, exact in double, identical in both
+    engines (same instr/substr digit trick as _hash_bucket_sql)."""
+    h = f"md5(concat('{salt}', CAST({key_sql} AS STRING)))"
+    terms = " + ".join(
+        f"CAST(instr('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1 "
+        f"AS DOUBLE) * {16 ** (11 - i)}.0"
+        for i in range(12)
+    )
+    return f"((({terms}) + 0.5) / 281474976710656.0)"
+
+
+_WSAMPLE_U = _hash_unit_sql("doc_id", "wsample:")
+
+_WSAMPLE_ORACLE = f"""
+    SELECT doc_id, n_chars,
+           ROUND(pow({_WSAMPLE_U}, 1.0 / n_chars), 12) AS sample_key
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY sample_key DESC, doc_id
+    LIMIT 100
+"""
+
+
+@register(
+    "llm_weighted_sample", oracle=_WSAMPLE_ORACLE, tags=("llm", "sampling")
+)
+def llm_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement via the
+    Efraimidis-Spirakis A-ES key (key = u^(1/w), take the k largest):
+    the ONE-PASS distributed way to draw a weighted sample at 100 TB —
+    no prefix sums, no rejection loop, and a plain top-k
+    (TakeOrderedAndProject: partition-local heads, never a global
+    sort). u comes from 48 md5 bits (_hash_unit_sql — never rand(),
+    so the sample is reproducible and engine-identical); keys round
+    to 12dp for the libm pow contract, ties break on doc_id. Weight
+    here is document length; any positive weight column (quality,
+    1/n_copies from llm_soft_dedup_weights) slots in."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    key = F.round(
+        F.pow(F.expr(_WSAMPLE_U), F.lit(1.0) / F.col("n_chars")), 12
+    )
+    return (
+        docs.select("doc_id", "n_chars", key.alias("sample_key"))
+        .orderBy(F.desc("sample_key"), "doc_id")
+        .limit(100)
+    )

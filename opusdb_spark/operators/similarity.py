@@ -643,3 +643,111 @@ def mahalanobis_udf(mu: "np.ndarray", precision: "np.ndarray"):
         return pd.Series(np.round(np.sqrt(np.maximum(d2, 0.0)), 6))
 
     return maha
+
+
+def mmr_select(
+    emb: DataFrame,
+    probe_id: int,
+    k: int = 10,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy Maximal Marginal Relevance: iteratively pick the vector
+    maximizing  lam * rel(v) − (1 − lam) * max_sim(v, selected),
+    where rel is cosine to the probe — the diversity-aware selection
+    used for dedup-aware retrieval and diverse few-shot/eval-set
+    picking (Carbonell & Goldstein 1998).
+
+    Scale shape: rel computes once in a single corpus pass (double
+    folds, whole-stage codegen). Each of the k rounds is a distributed
+    arg-max (TakeOrderedAndProject limit-1 — partition-local heads,
+    no global sort) plus a broadcast of the ONE newly selected vector
+    as a literal, after which every candidate's running max-similarity
+    updates in place: per round the driver receives exactly one row
+    (model-sized by construction) and the corpus is touched once.
+    Candidate state persists per round so round r+1 reuses round r's
+    materialized maxsim instead of replaying the whole lineage.
+    Deterministic: per-row fold order is fixed (no shuffle-order
+    dependence) and arg-max ties break on the id column."""
+    probe = emb.filter(F.col(id_col) == probe_id).select(
+        F.col(vec_col).alias("_pvec")
+    )
+    fdot = F.aggregate(
+        F.zip_with(
+            vec_col, "_pvec", lambda a, b: a.cast("double") * b.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    fnx = F.aggregate(
+        F.transform(vec_col, lambda a: a.cast("double") * a.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    probe = probe.select(
+        "_pvec",
+        F.aggregate(
+            F.transform("_pvec", lambda b: b.cast("double") * b.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("_np"),
+    )
+    rel = F.when(
+        (fnx > 0) & (F.col("_np") > 0), fdot / F.sqrt(fnx * F.col("_np"))
+    )
+    cand = (
+        emb.filter(F.col(id_col) != probe_id)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            id_col,
+            vec_col,
+            F.col("_nx").alias("_nx")
+            if "_nx" in emb.columns
+            else fnx.alias("_nx"),
+            rel.alias("_rel"),
+        )
+        .filter(F.col("_rel").isNotNull())
+        .withColumn("_maxsim", F.lit(0.0))
+        .persist()
+    )
+    picks = []
+    for rank in range(k):
+        score = F.col("_rel") * lam - F.col("_maxsim") * (1.0 - lam)
+        top = (
+            cand.select(id_col, vec_col, score.alias("_score"))
+            .orderBy(F.desc("_score"), F.asc(id_col))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        row = top[0]
+        picks.append((rank + 1, row[id_col], float(row["_score"])))
+        sel_vec = [float(x) for x in row[vec_col]]
+        sel_lit = F.array(*[F.lit(x) for x in sel_vec])
+        sdot = F.aggregate(
+            F.zip_with(
+                vec_col, sel_lit, lambda a, b: a.cast("double") * b
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sn = sum(x * x for x in sel_vec)
+        sim = F.when(
+            (F.col("_nx") > 0) & (F.lit(sn) > 0),
+            sdot / F.sqrt(F.col("_nx") * F.lit(sn)),
+        ).otherwise(F.lit(0.0))
+        nxt = (
+            cand.filter(F.col(id_col) != row[id_col])
+            .withColumn("_maxsim", F.greatest("_maxsim", sim))
+            .persist()
+        )
+        nxt.count()  # materialize so the next round reads this state
+        cand.unpersist()
+        cand = nxt
+    cand.unpersist()
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        picks, f"rank int, {id_col} long, mmr_score double"
+    )

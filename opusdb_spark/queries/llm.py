@@ -1988,3 +1988,16 @@ def llm_corpus_report(spark, sf_dir):
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+@register("llm_mmr_select", oracle=None, tags=("llm", "similarity"))
+def llm_mmr_select(spark, sf_dir):
+    """Greedy Maximal Marginal Relevance: 10 results for probe vec 0
+    balancing relevance against redundancy (lambda = 0.7) — the
+    diversity-aware retrieval/selection pass (rows-only: greedy
+    sequential choice has no SQL form; test_operators.py verifies the
+    picks against an independent numpy implementation). Each round is
+    a distributed arg-max plus a one-vector broadcast; candidate state
+    persists between rounds (operators/similarity.py mmr_select)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.mmr_select(emb, probe_id=0, k=10, lam=0.7)

@@ -1424,3 +1424,43 @@ def test_opusdb_log_stream_reads_exact_delta(spark, tmp_path):
     all_recs = [bytes(r["record"]).decode() for r in rows]
     assert len(all_recs) == 75, "duplicate or lost records across batches"
     assert set(all_recs) == {f"x{i}" for i in range(75)}
+
+
+def test_mmr_select_matches_numpy_greedy(spark):
+    """mmr_select's picks must equal an independent numpy greedy MMR
+    (same lambda, same id tie-break) on the sf0.001 corpus."""
+    import numpy as np
+
+    from opusdb_spark.operators.similarity import mmr_select
+    from opusdb_spark.tables import table as _table
+
+    emb = _table(spark, SF, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, X = ids[order], X[order]
+    norms = np.linalg.norm(X, axis=1)
+    probe = X[ids == 0][0]
+    pn = np.linalg.norm(probe)
+    mask = (ids != 0) & (norms > 0)
+    cids, CX, cn = ids[mask], X[mask], norms[mask]
+    rel = (CX @ probe) / (cn * pn)
+    lam = 0.7
+    maxsim = np.zeros(len(cids))
+    alive = np.ones(len(cids), dtype=bool)
+    expect = []
+    for _ in range(10):
+        score = np.where(alive, lam * rel - (1 - lam) * maxsim, -np.inf)
+        best = np.lexsort((cids, -score))[0]
+        expect.append(int(cids[best]))
+        alive[best] = False
+        sims = (CX @ CX[best]) / (cn * cn[best])
+        maxsim = np.maximum(maxsim, sims)
+    got = [
+        r.vec_id
+        for r in mmr_select(emb, probe_id=0, k=10, lam=0.7)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == expect

@@ -175,7 +175,14 @@ _NEVER_SAMPLED = (
 # fn_url_parse, emb_covariance, emb_pca_power, multimodal_phash_dedup,
 # llm_url_dedup, emb_outlier_mahalanobis, events_cohort_ltv,
 # events_pattern_match, llm_winnowing_overlap, llm_corpus_report,
-# tpch_q3/q6/q7/q8/q10/q13/q14/q18.
+# tpch_q3/q6/q7/q8/q10/q13/q14/q18,
+# source_opusdb_log, sink_opusdb_log, stream_opusdb_log_tail,
+# and the second batch: tpch_q2/q4/q9/q11/q12/q16/q19/q20/q21/q22,
+# llm_semdedup, llm_soft_dedup_weights, graph_pagerank,
+# graph_triangle_count, scan_manifest_prune, events_sessionize,
+# llm_perplexity_buckets, join_asof_forward, join_asof_nearest,
+# llm_dsir_weights, llm_ngram_novelty, dq_referential_integrity,
+# llm_weighted_sample, llm_mmr_select.
 
 
 def _sweep_ordered(items: dict[str, Query]) -> dict[str, Query]:

@@ -540,6 +540,14 @@ def test_decode_rejects_real_codecs():
         "graph_pagerank",
         "graph_triangle_count",
         "scan_manifest_prune",
+        "events_sessionize",
+        "llm_perplexity_buckets",
+        "join_asof_forward",
+        "join_asof_nearest",
+        "llm_dsir_weights",
+        "llm_ngram_novelty",
+        "llm_weighted_sample",
+        "dq_referential_integrity",
     ],
 )
 def test_determinism_under_repartition(name, spark):

@@ -761,3 +761,82 @@ def scan_manifest_prune(spark, sf_dir):
     return reader.filter(
         (F.col("l_shipdate") >= F.lit(lo)) & (F.col("l_shipdate") < F.lit(hi))
     ).select("l_orderkey", "l_shipdate", "l_quantity")
+
+
+@register(
+    "source_corrupt_records",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CASE WHEN o_orderkey % 97 <> 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+               CAST(SUM(CASE WHEN o_orderkey % 97 = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+               CAST(SUM(CASE WHEN o_orderkey % 97 <> 0
+                             THEN CAST(o_totalprice AS DECIMAL(27,6))
+                             ELSE CAST(0 AS DECIMAL(27,6)) END) AS DOUBLE)
+                   AS good_total,
+               CAST(SUM(CASE WHEN o_orderkey % 97 <> 0
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS dropmalformed_rows
+        FROM orders
+    """,
+    tags=("source", "robustness"),
+)
+def source_corrupt_records(spark, sf_dir):
+    """Malformed-input robustness: a JSONL feed where every 97th
+    record is truncated mid-object (the deterministic stand-in for
+    upstream corruption) is read under PERMISSIVE mode — bad lines
+    land in the _corrupt column instead of poisoning the stage — and
+    again under DROPMALFORMED; the report proves good rows survive
+    byte-exactly (decimal total) and corrupt counts match the plant
+    rule. At 100 TB this is the difference between quarantining a few
+    bad records and failing a 6-hour ingest; the ORACLE derives every
+    number from the clean orders table, so the parse path itself is
+    what's being verified."""
+    from opusdb_spark.sources.formats import scratch_sink
+
+    out = scratch_sink(
+        f"corrupt_json_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    line = F.when(
+        F.col("o_orderkey") % 97 == 0,
+        F.concat(
+            F.lit('{"o_orderkey":'),
+            F.col("o_orderkey").cast("string"),
+            F.lit(',"o_totalprice":'),  # truncated: no value, no brace
+        ),
+    ).otherwise(F.to_json(F.struct("o_orderkey", "o_totalprice")))
+    o.select(line.alias("value")).write.mode("overwrite").text(out)
+
+    schema = "o_orderkey long, o_totalprice double, _corrupt string"
+    permissive = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(out)
+    )
+    report = permissive.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count(F.when(F.col("_corrupt").isNull(), 1)).alias("n_good"),
+        F.count(F.col("_corrupt")).alias("n_corrupt"),
+        F.sum(
+            F.coalesce(
+                F.when(
+                    F.col("_corrupt").isNull(), F.col("o_totalprice")
+                ),
+                F.lit(0.0),
+            ).cast("decimal(27,6)")
+        )
+        .cast("double")
+        .alias("good_total"),
+    )
+    dropped = (
+        spark.read.schema("o_orderkey long, o_totalprice double")
+        .option("mode", "DROPMALFORMED")
+        .json(out)
+        .agg(F.count(F.lit(1)).alias("dropmalformed_rows"))
+    )
+    return report.crossJoin(dropped)

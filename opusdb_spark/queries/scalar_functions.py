@@ -498,3 +498,57 @@ def fn_url_parse(spark, sf_dir):
         F.parse_url("url", F.lit("QUERY")).alias("query"),
         F.parse_url("url", F.lit("QUERY"), F.lit("id")).alias("id_param"),
     )
+
+
+@register(
+    "fn_map_hof",
+    oracle="""
+        SELECT event_id,
+               't=' || upper(event_type) || ';u=' || CAST(user_id AS VARCHAR)
+                   AS upper_rendered,
+               't=' || event_type AS filtered_rendered,
+               't=' || event_type || '#1;u=' || CAST(user_id AS VARCHAR)
+                   || '#2' AS zipped_rendered,
+               2 AS n_entries
+        FROM events
+    """,
+    tags=("function", "map"),
+)
+def fn_map_hof(spark, sf_dir):
+    """Map higher-order functions — transform_values, map_filter,
+    map_zip_with, map_entries — the JVM-side surface for reshaping
+    dynamic-schema maps without exploding (fn_map covers construction
+    and lookup; this covers the lambda algebra). Maps render to
+    canonical sorted "k=v;…" strings because map cells are not
+    hashable/oracle-comparable; the oracle re-derives the exact
+    rendered strings from the source columns."""
+    ev = table(spark, sf_dir, "events")
+    m1 = F.create_map(
+        F.lit("t"), F.col("event_type"),
+        F.lit("u"), F.col("user_id").cast("string"),
+    )
+    m2 = F.create_map(
+        F.lit("t"), F.lit("1"), F.lit("u"), F.lit("2")
+    )
+
+    def _render(m):
+        return F.array_join(
+            F.transform(
+                F.array_sort(F.map_entries(m)),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            ),
+            ";",
+        )
+
+    upper = F.transform_values(m1, lambda k, v: F.upper(v))
+    filtered = F.map_filter(m1, lambda k, v: k == "t")
+    zipped = F.map_zip_with(
+        m1, m2, lambda k, v1, v2: F.concat(v1, F.lit("#"), v2)
+    )
+    return ev.select(
+        "event_id",
+        _render(upper).alias("upper_rendered"),
+        _render(filtered).alias("filtered_rendered"),
+        _render(zipped).alias("zipped_rendered"),
+        F.size(F.map_keys(m1)).alias("n_entries"),
+    )

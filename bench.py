@@ -183,6 +183,25 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "q1_rows_per_sec": q1_rows_per_sec,
     }
+    # Classic TPC-H suite subtotal (separate section — headline total
+    # stays comparable across rounds). One warmup + one timed run each,
+    # like the headline loop.
+    if os.environ.get("SPARK_GRAFT_TPCH", "1") != "0":
+        tpch = {}
+        for name in sorted(k for k in qs if k.startswith("tpch_q")):
+            qs[name](spark, sf_dir).count()
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            n = qs[name](spark, sf_dir).count()
+            tpch[name] = round(time.perf_counter() - t0, 4)
+            print(
+                f"# tpch {name}: {tpch[name]:.3f}s ({n} rows)",
+                file=sys.stderr,
+            )
+        out["tpch"] = {
+            "queries": tpch,
+            "total": round(sum(tpch.values()), 4),
+        }
     # Scale ladder: 10× the default corpus (set SPARK_GRAFT_SF1=0 to
     # skip, e.g. when benching a non-default SF dir).
     if (

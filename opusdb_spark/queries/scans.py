@@ -840,3 +840,107 @@ def source_corrupt_records(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("dropmalformed_rows"))
     )
     return report.crossJoin(dropped)
+
+
+@register(
+    "sink_zorder_write",
+    oracle=None,  # rows-only: filesystem side-effect + stats accounting
+    tags=("sink", "clustering"),
+)
+def sink_zorder_write(spark, sf_dir):
+    """TWO-dimensional z-order clustered write + dual pruning proof.
+    sink_clustered_write shows 1-D range clustering (perfect skipping
+    on the sort key, none on anything else); this interleaves the bits
+    of 8-bit rank buckets of l_shipdate AND l_suppkey into a z-value,
+    range-partitions + sorts on it, and reports — from footer stats
+    alone — how many of the 16 files a narrow predicate on EACH
+    dimension may touch. The z-curve's locality means BOTH dimensions
+    skip a large fraction (a 1-D layout skips on one and reads all 16
+    on the other), which is what makes multi-predicate scans at 100 TB
+    viable without duplicate layouts. Bucket bounds come from one
+    min/max aggregate (broadcast); rows are proven conserved."""
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    out = scratch_sink(f"zorder_{base}")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_suppkey", "l_quantity"
+    )
+    bounds = li.agg(
+        F.min("l_shipdate").alias("d_lo"),
+        F.max("l_shipdate").alias("d_hi"),
+        F.min("l_suppkey").alias("s_lo"),
+        F.max("l_suppkey").alias("s_hi"),
+    )
+    day = F.datediff(F.col("l_shipdate"), F.col("d_lo"))
+    span = F.greatest(
+        F.datediff(F.col("d_hi"), F.col("d_lo")) + 1, F.lit(1)
+    )
+    db = F.least((day * 256 / span).cast("int"), F.lit(255))
+    srange = F.greatest(
+        F.col("s_hi") - F.col("s_lo") + 1, F.lit(1)
+    )
+    sb = F.least(
+        ((F.col("l_suppkey") - F.col("s_lo")) * 256 / srange).cast("int"),
+        F.lit(255),
+    )
+    z = F.lit(0)
+    for i in range(8):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(db, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(sb, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    clustered = li.crossJoin(F.broadcast(bounds)).select(
+        "l_orderkey", "l_shipdate", "l_suppkey", "l_quantity",
+        z.alias("_z"),
+    )
+    clustered.repartitionByRange(16, "_z").sortWithinPartitions(
+        "_z"
+    ).drop("_z").write.mode("overwrite").parquet(out)
+
+    def _overlap(col, lo, hi):
+        n_files, n_hit = 0, 0
+        for f in sorted(os.listdir(out)):
+            if not f.endswith(".parquet"):
+                continue
+            n_files += 1
+            md = pq.ParquetFile(os.path.join(out, f)).metadata
+            names = [
+                md.schema.column(i).name for i in range(md.num_columns)
+            ]
+            ci = names.index(col)
+            mins, maxs = [], []
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(ci).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            if min(mins) <= hi and max(maxs) >= lo:
+                n_hit += 1
+        return n_files, n_hit
+
+    b = bounds.collect()[0]  # 1-row bounds (model-sized by construction)
+    n_files, d_hit = _overlap(
+        "l_shipdate", datetime(1996, 6, 1), datetime(1996, 6, 30)
+    )
+    s_span = int(b.s_hi - b.s_lo + 1)
+    _, s_hit = _overlap(
+        "l_suppkey", int(b.s_lo), int(b.s_lo + max(s_span // 16, 1) - 1)
+    )
+    rows_in = li.count()
+    rows_out = spark.read.parquet(out).count()
+    return spark.createDataFrame(
+        [
+            (
+                int(n_files),
+                int(d_hit),
+                int(s_hit),
+                int(rows_in),
+                int(rows_out),
+                bool(rows_in == rows_out and d_hit < n_files and s_hit < n_files),
+            )
+        ],
+        "n_files int, files_hit_shipdate int, files_hit_suppkey int, "
+        "rows_in long, rows_out long, both_dims_skip boolean",
+    )

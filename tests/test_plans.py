@@ -461,6 +461,30 @@ def test_tpch_q8_dims_broadcast_single_fact_shuffle(spark):
     assert "SortMergeJoin" not in p, "a dim fell back to shuffle join"
 
 
+def test_semdedup_candidates_from_cluster_kernel(spark):
+    """Semantic-dedup candidates must come from the per-cluster Arrow
+    kernel (one FlatMapGroupsInPandas over a cluster-keyed exchange) —
+    never a pairwise self-join of the corpus."""
+    p = plan(_Q["llm_semdedup"].fn(spark, SF))
+    assert "FlatMapGroupsInPandas" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p, "corpus self-join crept in"
+
+
+def test_tpch_q11_threshold_subquery_evaluated_once(spark):
+    """Q11's HAVING threshold is a scalar subquery — one aggregate
+    reused, not a per-group rescan (no nested-loop join in the plan)."""
+    p = plan(_Q["tpch_q11"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Subquery" in p or "subquery" in p
+
+
+def test_tpch_q20_nested_in_plans_as_semi_joins(spark):
+    p = plan(_Q["tpch_q20"].fn(spark, SF))
+    assert "LeftSemi" in p, "nested IN chain did not plan as semi joins"
+    assert "CartesianProduct" not in p
+
+
 def test_graph_iterations_reuse_cached_edge_state(spark):
     """The PageRank loop and the triangle self-joins must read the
     persisted model-sized edge state (InMemoryTableScan), not re-run

@@ -96,31 +96,40 @@ _KEY_COLS = {
 def ensure_sf1(spark, src_dir: str, replicas: int = 10) -> str:
     from pyspark.sql import functions as F
 
+    from opusdb_spark.sources.formats import ensure_written
+
     out_dir = os.path.join(_REPO, ".scratch", "bench_sf1")
-    marker = os.path.join(out_dir, "_BUILT")
-    if os.path.exists(marker):
-        return out_dir
-    os.makedirs(out_dir, exist_ok=True)
-    t0 = time.perf_counter()
-    for tname, keys in _KEY_COLS.items():
-        src = spark.read.parquet(f"{src_dir}/{tname}.parquet")
-        rep = src.crossJoin(
-            spark.range(replicas).select(F.col("id").alias("_rep"))
-        )
-        for k in keys:
-            rep = rep.withColumn(
-                k, F.col(k) + F.col("_rep") * F.lit(_KEY_STRIDE)
+    # fingerprint the LAYOUT DEFINITION, not just existence: a stale
+    # corpus built under an older _KEY_COLS (e.g. without the label
+    # stride) would silently mis-measure the ladder
+    fingerprint = {
+        "src": src_dir,
+        "replicas": replicas,
+        "stride": _KEY_STRIDE,
+        "key_cols": {t: list(c) for t, c in _KEY_COLS.items()},
+    }
+
+    def _build(path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        t0 = time.perf_counter()
+        for tname, keys in _KEY_COLS.items():
+            src = spark.read.parquet(f"{src_dir}/{tname}.parquet")
+            rep = src.crossJoin(
+                spark.range(replicas).select(F.col("id").alias("_rep"))
             )
-        rep.select(*src.columns).write.mode("overwrite").parquet(
-            f"{out_dir}/{tname}.parquet"
+            for k in keys:
+                rep = rep.withColumn(
+                    k, F.col(k) + F.col("_rep") * F.lit(_KEY_STRIDE)
+                )
+            rep.select(*src.columns).write.mode("overwrite").parquet(
+                f"{path}/{tname}.parquet"
+            )
+        print(
+            f"# sf1 corpus built in {time.perf_counter() - t0:.1f}s -> {path}",
+            file=sys.stderr,
         )
-    with open(marker, "w") as f:
-        f.write("ok")
-    print(
-        f"# sf1 corpus built in {time.perf_counter() - t0:.1f}s -> {out_dir}",
-        file=sys.stderr,
-    )
-    return out_dir
+
+    return ensure_written(out_dir, fingerprint, _build)
 
 
 def run_ladder(spark, qs, sf1_dir: str) -> dict:

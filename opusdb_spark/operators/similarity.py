@@ -702,9 +702,7 @@ def mmr_select(
         .select(
             id_col,
             vec_col,
-            F.col("_nx").alias("_nx")
-            if "_nx" in emb.columns
-            else fnx.alias("_nx"),
+            fnx.alias("_nx"),
             rel.alias("_rel"),
         )
         .filter(F.col("_rel").isNotNull())

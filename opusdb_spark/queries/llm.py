@@ -291,7 +291,7 @@ def _word3grams(docs):
                 F.transform(
                     F.sequence(F.lit(0), F.greatest(F.size(w) - 3, F.lit(0))),
                     lambda i: F.concat_ws(
-                        " ", F.element_at(w, i + 1), F.element_at(w, i + 2), F.element_at(w, i + 3)
+                        " ", F.try_element_at(w, i + 1), F.try_element_at(w, i + 2), F.try_element_at(w, i + 3)
                     ),
                 )
             ).alias("g"),

@@ -486,9 +486,9 @@ def llm_decontaminate(spark, sf_dir):
                     F.sequence(F.lit(0), F.greatest(F.size(w) - 3, F.lit(0))),
                     lambda i: F.concat_ws(
                         " ",
-                        F.element_at(w, i + 1),
-                        F.element_at(w, i + 2),
-                        F.element_at(w, i + 3),
+                        F.try_element_at(w, i + 1),
+                        F.try_element_at(w, i + 2),
+                        F.try_element_at(w, i + 3),
                     ),
                 )
             ).alias("g"),
@@ -682,8 +682,8 @@ def llm_bigram_lm(spark, sf_dir):
             F.transform(
                 F.sequence(F.lit(0), F.greatest(F.size(w) - 2, F.lit(0))),
                 lambda i: F.struct(
-                    F.element_at(w, i + 1).alias("w1"),
-                    F.element_at(w, i + 2).alias("w2"),
+                    F.try_element_at(w, i + 1).alias("w1"),
+                    F.try_element_at(w, i + 2).alias("w2"),
                 ),
             )
         ).alias("pr")
@@ -2585,9 +2585,9 @@ def llm_ngram_novelty(spark, sf_dir):
                     F.sequence(F.lit(0), F.greatest(F.size(w) - 3, F.lit(0))),
                     lambda i: F.concat_ws(
                         " ",
-                        F.element_at(w, i + 1),
-                        F.element_at(w, i + 2),
-                        F.element_at(w, i + 3),
+                        F.try_element_at(w, i + 1),
+                        F.try_element_at(w, i + 2),
+                        F.try_element_at(w, i + 3),
                     ),
                 )
             ).alias("g"),
@@ -2667,36 +2667,65 @@ def dq_referential_integrity(spark, sf_dir):
     fact scan). The per-edge report row is what a data-quality
     dashboard stores per snapshot; dq_constraints covers column-level
     rules, this covers the cross-table ones."""
-    edges = [
-        ("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey",
-         "orders", "o_orderkey"),
-        ("lineitem.l_partkey -> part", "lineitem", "l_partkey",
-         "part", "p_partkey"),
-        ("lineitem.l_suppkey -> supplier", "lineitem", "l_suppkey",
-         "supplier", "s_suppkey"),
-        ("orders.o_custkey -> customer", "orders", "o_custkey",
-         "customer", "c_custkey"),
-        ("customer.c_nationkey -> nation", "customer", "c_nationkey",
-         "nation", "n_nationkey"),
-        ("events.user_id -> customer", "events", "user_id",
-         "customer", "c_custkey"),
-    ]
+    # ONE scan per fact table (not per edge, and not a second count
+    # scan): all of a fact's dims broadcast-left-join onto the same
+    # pass, a single aggregate counts rows + per-edge null-PK orphans,
+    # and the per-edge report rows explode out of that one-row result.
+    by_fact = {
+        "lineitem": [
+            ("lineitem.l_orderkey -> orders", "l_orderkey",
+             "orders", "o_orderkey"),
+            ("lineitem.l_partkey -> part", "l_partkey",
+             "part", "p_partkey"),
+            ("lineitem.l_suppkey -> supplier", "l_suppkey",
+             "supplier", "s_suppkey"),
+        ],
+        "orders": [
+            ("orders.o_custkey -> customer", "o_custkey",
+             "customer", "c_custkey"),
+        ],
+        "customer": [
+            ("customer.c_nationkey -> nation", "c_nationkey",
+             "nation", "n_nationkey"),
+        ],
+        "events": [
+            ("events.user_id -> customer", "user_id",
+             "customer", "c_custkey"),
+        ],
+    }
     out = None
-    for label, fact, fk, dim, pk in edges:
-        f = table(spark, sf_dir, fact)
-        d = table(spark, sf_dir, dim).select(pk)
-        orphans = f.select(F.col(fk)).join(
-            F.broadcast(d), F.col(fk) == F.col(pk), "left_anti"
+    for fact, eds in by_fact.items():
+        j = table(spark, sf_dir, fact).select(*[e[1] for e in eds])
+        for _, fk, dim, pk in eds:
+            d = table(spark, sf_dir, dim).select(pk)
+            j = j.join(F.broadcast(d), F.col(fk) == F.col(pk), "left")
+        agg = j.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[
+                F.count(F.when(F.col(pk).isNull(), 1)).alias(f"_o{i}")
+                for i, (_, _, _, pk) in enumerate(eds)
+            ],
         )
-        row = f.agg(F.count(F.lit(1)).alias("n_rows")).crossJoin(
-            orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+        rows = agg.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(label).alias("fk_edge"),
+                            F.col("n_rows").alias("n_rows"),
+                            F.col(f"_o{i}").alias("n_orphans"),
+                        )
+                        for i, (label, _, _, _) in enumerate(eds)
+                    ]
+                )
+            ).alias("e")
         ).select(
-            F.lit(label).alias("fk_edge"),
-            "n_rows",
-            "n_orphans",
-            (F.col("n_orphans") == 0).alias("intact"),
+            "e.fk_edge",
+            "e.n_rows",
+            "e.n_orphans",
+            (F.col("e.n_orphans") == 0).alias("intact"),
         )
-        out = row if out is None else out.unionByName(row)
+        out = rows if out is None else out.unionByName(rows)
     return out.orderBy("fk_edge")
 
 

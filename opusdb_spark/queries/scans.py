@@ -867,22 +867,23 @@ def sink_zorder_write(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_shipdate", "l_suppkey", "l_quantity"
     )
-    bounds = li.agg(
+    # one bounds+count pass, collected as a single model-sized row so
+    # the z-expression embeds LITERAL bounds (no second stats scan,
+    # no per-row bounds join) and rows_in needs no extra count scan
+    b = li.agg(
         F.min("l_shipdate").alias("d_lo"),
         F.max("l_shipdate").alias("d_hi"),
         F.min("l_suppkey").alias("s_lo"),
         F.max("l_suppkey").alias("s_hi"),
-    )
-    day = F.datediff(F.col("l_shipdate"), F.col("d_lo"))
-    span = F.greatest(
-        F.datediff(F.col("d_hi"), F.col("d_lo")) + 1, F.lit(1)
-    )
-    db = F.least((day * 256 / span).cast("int"), F.lit(255))
-    srange = F.greatest(
-        F.col("s_hi") - F.col("s_lo") + 1, F.lit(1)
-    )
+        F.count(F.lit(1)).alias("n_rows"),
+    ).collect()[0]
+    d_span = max((b.d_hi - b.d_lo).days + 1, 1)
+    s_span = max(int(b.s_hi - b.s_lo + 1), 1)
+    day = F.datediff(F.col("l_shipdate"), F.lit(b.d_lo))
+    db = F.least((day * 256 / F.lit(d_span)).cast("int"), F.lit(255))
     sb = F.least(
-        ((F.col("l_suppkey") - F.col("s_lo")) * 256 / srange).cast("int"),
+        ((F.col("l_suppkey") - F.lit(int(b.s_lo))) * 256 / F.lit(s_span))
+        .cast("int"),
         F.lit(255),
     )
     z = F.lit(0)
@@ -892,11 +893,10 @@ def sink_zorder_write(spark, sf_dir):
         ).bitwiseOR(
             F.shiftleft(F.shiftright(sb, i).bitwiseAND(F.lit(1)), 2 * i)
         )
-    clustered = li.crossJoin(F.broadcast(bounds)).select(
+    li.select(
         "l_orderkey", "l_shipdate", "l_suppkey", "l_quantity",
         z.alias("_z"),
-    )
-    clustered.repartitionByRange(16, "_z").sortWithinPartitions(
+    ).repartitionByRange(16, "_z").sortWithinPartitions(
         "_z"
     ).drop("_z").write.mode("overwrite").parquet(out)
 
@@ -920,15 +920,13 @@ def sink_zorder_write(spark, sf_dir):
                 n_hit += 1
         return n_files, n_hit
 
-    b = bounds.collect()[0]  # 1-row bounds (model-sized by construction)
     n_files, d_hit = _overlap(
         "l_shipdate", datetime(1996, 6, 1), datetime(1996, 6, 30)
     )
-    s_span = int(b.s_hi - b.s_lo + 1)
     _, s_hit = _overlap(
         "l_suppkey", int(b.s_lo), int(b.s_lo + max(s_span // 16, 1) - 1)
     )
-    rows_in = li.count()
+    rows_in = int(b.n_rows)
     rows_out = spark.read.parquet(out).count()
     return spark.createDataFrame(
         [

@@ -1472,3 +1472,34 @@ def test_mmr_select_matches_numpy_greedy(spark):
         .collect()
     ]
     assert got == expect
+
+
+def test_gram_queries_survive_short_documents(spark, tmp_path):
+    """Documents with <3 whitespace tokens must be profiled (dropped
+    from gram output), not crash the ANSI session with
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT (review finding r4: element_at
+    beyond the array end on short docs; now try_element_at)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["hello world", "", "one", "a b c d e f g"],
+            "lang": ["en"] * 4,
+            "source": ["src0"] * 4,
+            "n_chars": [11, 0, 3, 13],
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(docs), str(tmp_path / "documents.parquet")
+    )
+    reg = registry()
+    for name in (
+        "llm_dedup_ngram_jaccard",
+        "llm_decontaminate",
+        "llm_bigram_lm",
+        "llm_ngram_novelty",
+    ):
+        reg[name].fn(spark, str(tmp_path)).count()  # must not raise

@@ -505,7 +505,9 @@ def test_manifest_prune_scans_strict_file_subset(spark):
 
     df = _Q["scan_manifest_prune"].fn(spark, SF)
     n_read = len(df.inputFiles())
-    layout = scratch_path("manifest_clustered_sf0.001")
+    layout = scratch_path(
+        f"manifest_clustered_{os.path.basename(SF.rstrip('/'))}"
+    )
     n_layout = len(
         [f for f in os.listdir(layout) if f.endswith(".parquet")]
     )

@@ -2778,3 +2778,116 @@ def llm_weighted_sample(spark, sf_dir):
         .orderBy(F.desc("sample_key"), "doc_id")
         .limit(100)
     )
+
+
+# ---------------------------------------------------- cluster labeling
+_TOPICS_ORACLE = """
+    WITH words AS (
+        SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+            SELECT lang, UNNEST(string_split(text, ' ')) AS w
+            FROM documents
+        ) t WHERE w <> '' GROUP BY lang, w
+    ),
+    nc AS (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) AS n
+           FROM documents),
+    df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS dfc
+           FROM words GROUP BY w),
+    scored AS (
+        SELECT words.lang, words.w, words.tf,
+               ROUND(words.tf * ROUND(ln(CAST(nc.n AS DOUBLE) / df.dfc),
+                                      12), 6) AS tfidf
+        FROM words JOIN df ON words.w = df.w CROSS JOIN nc
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY lang ORDER BY tfidf DESC, w) AS rn
+        FROM scored
+    )
+    SELECT lang, CAST(rn AS INT) AS rank, w AS term, tf, tfidf
+    FROM ranked WHERE rn <= 5
+    ORDER BY lang, rn
+"""
+
+
+@register("llm_cluster_topics", oracle=_TOPICS_ORACLE, tags=("llm", "text"))
+def llm_cluster_topics(spark, sf_dir):
+    """Cluster labeling: the top-5 tf-idf terms per language cluster —
+    how a pipeline names the clusters its quantizer/langid produced
+    (terms present in every cluster get idf ln(1)=0 and vanish, so the
+    labels are the DISCRIMINATIVE vocabulary). Term frequencies and
+    cluster document-frequencies are two map-side-combined aggregates;
+    ranking is a group-limit window over the vocabulary-sized scored
+    table, never the corpus. idf rounds to 12dp before the integer
+    multiply (libm ln contract)."""
+    docs = table(spark, sf_dir, "documents")
+    words = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    nc = docs.agg(F.count_distinct("lang").alias("n"))
+    df = words.groupBy("w").agg(F.count(F.lit(1)).alias("dfc"))
+    scored = (
+        words.join(df, "w")
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "lang",
+            "w",
+            "tf",
+            F.round(
+                F.col("tf")
+                * F.round(
+                    F.log(F.col("n").cast("double") / F.col("dfc")), 12
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    win = Window.partitionBy("lang").orderBy(F.desc("tfidf"), "w")
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "rank", F.col("w").alias("term"), "tf", "tfidf")
+        .orderBy("lang", "rank")
+    )
+
+
+# ------------------------------------------------------- seasonality
+@register(
+    "events_seasonality",
+    oracle="""
+        SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+               CAST(hour(ts) AS INT) AS hour_of_day,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+                   AS total_value,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    tags=("events", "timeseries"),
+)
+def events_seasonality(spark, sf_dir):
+    """Traffic seasonality profile: events, decimal-exact value, and
+    distinct users per (day-of-week, hour-of-day) cell — the 7×24
+    heatmap behind capacity planning and anomaly baselines. One
+    map-side-combined aggregation into a bounded 168-cell result
+    (day-of-week conventions differ across engines: Spark is 1=Sunday,
+    DuckDB is 0=Sunday — the oracle aligns with +1)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.dayofweek("ts").alias("dow"),
+            F.hour("ts").alias("hour_of_day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("total_value"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy("dow", "hour_of_day")
+    )

@@ -2891,3 +2891,34 @@ def events_seasonality(spark, sf_dir):
         )
         .orderBy("dow", "hour_of_day")
     )
+
+
+# ------------------------------------------- quality classifier (logreg)
+_CLF_BUCKET = _hash_bucket_sql("w", "clf:")
+
+
+@register("llm_quality_classifier", oracle=None, tags=("llm", "selection"))
+def llm_quality_classifier(spark, sf_dir):
+    """Train the fastText-style quality classifier: logistic
+    regression on 256 hashed-word features separating target-corpus
+    documents (the DSIR target sources) from the rest — the
+    learned complement to llm_dsir_weights' likelihood ratios. Five
+    batch-GD iterations; each is one distributed scoring pass plus a
+    model-sized gradient collect (operators/classifier.py — the
+    iterate-on-model-rows shape of emb_kmeans). Returns the
+    convergence trace (rows-only: iterative training has no SQL
+    form; weights are pinned against a numpy reference in
+    tests/test_operators.py, and gradient sums are
+    decimal-quantized so training is partitioning-invariant)."""
+    from opusdb_spark.operators import classifier
+
+    docs = table(spark, sf_dir, "documents")
+    y = F.when(
+        F.col("source").isin("src0", "src1", "src2"), 1
+    ).otherwise(0)
+    feats, labels = classifier.doc_features(docs, _CLF_BUCKET, y)
+    _, trace = classifier.train_logreg(spark, feats, labels)
+    return spark.createDataFrame(
+        [(t["iteration"], t["loss"], t["accuracy"]) for t in trace],
+        "iteration int, loss double, accuracy double",
+    )

@@ -1503,3 +1503,47 @@ def test_gram_queries_survive_short_documents(spark, tmp_path):
         "llm_ngram_novelty",
     ):
         reg[name].fn(spark, str(tmp_path)).count()  # must not raise
+
+
+def test_logreg_classifier_matches_numpy(spark):
+    """train_logreg's weights and trace must match an independent
+    numpy batch-GD implementation on the same hashed features."""
+    import numpy as np
+
+    from opusdb_spark.operators import classifier
+    from opusdb_spark.queries.pipeline import _CLF_BUCKET
+    from opusdb_spark.tables import table as _table
+
+    docs = _table(spark, SF, "documents")
+    y = F.when(F.col("source").isin("src0", "src1", "src2"), 1).otherwise(0)
+    feats, labels = classifier.doc_features(docs, _CLF_BUCKET, y)
+    rows = feats.collect()
+    ids = sorted({r.doc_id for r in rows})
+    idx = {d: i for i, d in enumerate(ids)}
+    X = np.zeros((len(ids), classifier.N_BUCKETS))
+    yv = np.zeros(len(ids))
+    for r in rows:
+        X[idx[r.doc_id], r.b] = r.x
+        yv[idx[r.doc_id]] = r.y
+    w = np.zeros(classifier.N_BUCKETS)
+    b = 0.0
+    n = len(ids)
+    expect = []
+    for _ in range(5):
+        p = 1.0 / (1.0 + np.exp(-(X @ w + b)))
+        loss = -np.mean(
+            yv * np.log(np.maximum(p, 1e-12))
+            + (1 - yv) * np.log(np.maximum(1 - p, 1e-12))
+        )
+        acc = float(np.mean((p >= 0.5) == (yv == 1)))
+        expect.append((round(float(loss), 6), round(acc, 6)))
+        w = w - (X.T @ (p - yv)) / n
+        b = b - float(np.sum(p - yv)) / n
+    model, trace = classifier.train_logreg(spark, feats, labels)
+    got = [(t["loss"], t["accuracy"]) for t in trace]
+    assert [
+        (round(l, 4), round(a, 4)) for l, a in got
+    ] == [(round(l, 4), round(a, 4)) for l, a in expect]
+    assert np.allclose(model[:-1], w, atol=1e-6)
+    assert abs(model[-1] - b) < 1e-6
+    assert trace[-1]["accuracy"] >= trace[0]["accuracy"] - 1e-9

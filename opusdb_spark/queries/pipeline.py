@@ -2922,3 +2922,89 @@ def llm_quality_classifier(spark, sf_dir):
         [(t["iteration"], t["loss"], t["accuracy"]) for t in trace],
         "iteration int, loss double, accuracy double",
     )
+
+
+# ------------------------------------------------------------ A/B test
+_AB_ORACLE = """
+    WITH assign AS (
+        SELECT CAST(user_id % 2 AS INT) AS cohort,
+               CAST(value AS DECIMAL(27,6)) AS v
+        FROM events WHERE event_type = 'purchase'
+    ),
+    s AS (
+        SELECT cohort,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(v * v AS DECIMAL(27,6))) AS DOUBLE) AS s2
+        FROM assign GROUP BY cohort
+    ),
+    m AS (
+        SELECT cohort, n, ROUND(s1 / n, 6) AS mean,
+               ROUND((s2 - s1 * s1 / n) / (n - 1), 6) AS var
+        FROM s
+    ),
+    t AS (
+        SELECT a.n AS n_a, a.mean AS mean_a, a.var AS var_a,
+               b.n AS n_b, b.mean AS mean_b, b.var AS var_b
+        FROM m a JOIN m b ON a.cohort = 0 AND b.cohort = 1
+    )
+    SELECT n_a, mean_a, n_b, mean_b,
+           ROUND((mean_a - mean_b)
+                 / sqrt(var_a / n_a + var_b / n_b), 6) AS z_score,
+           ABS((mean_a - mean_b)
+               / sqrt(var_a / n_a + var_b / n_b)) > 1.96 AS significant
+    FROM t
+"""
+
+
+@register("events_ab_ztest", oracle=_AB_ORACLE, tags=("events", "stats"))
+def events_ab_ztest(spark, sf_dir):
+    """A/B experiment readout: Welch z-test on mean purchase value
+    between two deterministic user cohorts (user_id % 2 — the stand-in
+    for an assignment column). Everything reduces to one
+    map-side-combined pass producing per-cohort (n, Σv, Σv²) in exact
+    decimals; means/variances/z round to 6dp so both engines emit the
+    identical verdict. |z| > 1.96 ≈ p < 0.05 two-sided — the
+    erf-free significance readout."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    v = F.col("value").cast("decimal(27,6)")
+    s = ev.groupBy(
+        (F.col("user_id") % 2).cast("int").alias("cohort")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).cast("double").alias("s1"),
+        F.sum((v * v).cast("decimal(27,6)")).cast("double").alias("s2"),
+    )
+    m = s.select(
+        "cohort",
+        "n",
+        F.round(F.col("s1") / F.col("n"), 6).alias("mean"),
+        F.round(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1),
+            6,
+        ).alias("var"),
+    )
+    a = m.filter(F.col("cohort") == 0).select(
+        F.col("n").alias("n_a"),
+        F.col("mean").alias("mean_a"),
+        F.col("var").alias("var_a"),
+    )
+    b = m.filter(F.col("cohort") == 1).select(
+        F.col("n").alias("n_b"),
+        F.col("mean").alias("mean_b"),
+        F.col("var").alias("var_b"),
+    )
+    z = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(
+        F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_a",
+        "mean_a",
+        "n_b",
+        "mean_b",
+        F.round(z, 6).alias("z_score"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )

@@ -182,7 +182,9 @@ _NEVER_SAMPLED = (
 # graph_triangle_count, scan_manifest_prune, events_sessionize,
 # llm_perplexity_buckets, join_asof_forward, join_asof_nearest,
 # llm_dsir_weights, llm_ngram_novelty, dq_referential_integrity,
-# llm_weighted_sample, llm_mmr_select.
+# llm_weighted_sample, llm_mmr_select, fn_map_hof,
+# source_corrupt_records, sink_zorder_write, llm_cluster_topics,
+# events_seasonality, llm_quality_classifier, events_ab_ztest.
 
 
 def _sweep_ordered(items: dict[str, Query]) -> dict[str, Query]:

@@ -15,8 +15,6 @@ any partitioning (pinned in tests against a numpy reference).
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, functions as F
 
 N_BUCKETS = 256
@@ -69,7 +67,9 @@ def train_logreg(
     to N_BUCKETS+1 rows collected driver-side. The corpus is read
     from the persisted feature table, never re-tokenized."""
     feats = feats.persist()
-    n_docs = labels.count()
+    # materialize the feature cache FIRST and count docs from it — a
+    # labels.count() here would tokenize the corpus a second time
+    n_docs = feats.select("doc_id").distinct().count()
     w = [0.0] * N_BUCKETS
     bias = 0.0
     trace = []
@@ -149,6 +149,3 @@ def train_logreg(
     feats.unpersist()
     return w + [bias], trace
 
-
-def sigmoid(x: float) -> float:
-    return 1.0 / (1.0 + math.exp(-x))

@@ -2860,13 +2860,12 @@ def llm_cluster_topics(spark, sf_dir):
         SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
                CAST(hour(ts) AS INT) AS hour_of_day,
                CAST(COUNT(*) AS BIGINT) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
-                   AS total_value,
+               {total_value},
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         FROM events
         GROUP BY 1, 2
         ORDER BY 1, 2
-    """,
+    """.format(total_value=sql_dsum("value", "total_value")),
     tags=("events", "timeseries"),
 )
 def events_seasonality(spark, sf_dir):
@@ -2884,9 +2883,7 @@ def events_seasonality(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(27,6)"))
-            .cast("double")
-            .alias("total_value"),
+            dsum("value", "total_value"),
             F.count_distinct("user_id").alias("n_users"),
         )
         .orderBy("dow", "hour_of_day")

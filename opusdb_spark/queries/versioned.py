@@ -570,3 +570,54 @@ def scd2_history(spark, sf_dir):
         nxt.alias("version_to"),
         F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
     )
+
+
+@register(
+    "mvcc_vacuum_report",
+    oracle="""
+        WITH ranked AS (
+            SELECT user_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        )
+        SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_refs,
+               CAST(COUNT(*) AS BIGINT) AS n_versions,
+               CAST(SUM(CASE WHEN rn > 16 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_gc_candidates,
+               ROUND(CAST(SUM(CASE WHEN rn > 16 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*), 6) AS reclaim_fraction,
+               SUM(CASE WHEN rn > 16 THEN 1 ELSE 0 END) > 0 AS any_gc
+        FROM ranked
+    """,
+    tags=("mvcc", "maintenance"),
+)
+def mvcc_vacuum_report(spark, sf_dir):
+    """The VACUUM planning report for the reference's retain-16 GC
+    (MAX_HISTORY 16, stm.clj:10, truncation stm.clj:47-50): how many
+    versions per-ref history has accumulated beyond the cap and what
+    fraction a GC pass would reclaim — the table-maintenance readout a
+    100 TB versioned store runs before rewriting files
+    (win_history_cap shows the SURVIVORS; this sizes the delete). One
+    keyed window + one aggregate; WindowGroupLimit does not apply
+    (every row is classified), so the shuffle is the keyed sort any
+    per-ref pass pays."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = ev.select(
+        "user_id", F.row_number().over(w).alias("rn")
+    )
+    gc = F.sum(F.when(F.col("rn") > 16, 1).otherwise(0))
+    return ranked.agg(
+        F.count_distinct("user_id").alias("n_refs"),
+        F.count(F.lit(1)).alias("n_versions"),
+        gc.cast("long").alias("n_gc_candidates"),
+        F.round(gc.cast("double") / F.count(F.lit(1)), 6).alias(
+            "reclaim_fraction"
+        ),
+        (gc > 0).alias("any_gc"),
+    )

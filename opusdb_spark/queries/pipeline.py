@@ -3005,3 +3005,76 @@ def events_ab_ztest(spark, sf_dir):
         F.round(z, 6).alias("z_score"),
         (F.abs(z) > 1.96).alias("significant"),
     )
+
+
+@register(
+    "llm_quality_classifier_score",
+    oracle=None,  # rows-only: scores depend on the trained model artifact
+    tags=("llm", "selection"),
+)
+def llm_quality_classifier_score(spark, sf_dir):
+    """INFERENCE half of the quality classifier: the model trains once
+    at ingest (ensure_written artifact keyed on the corpus — the same
+    ingest/query split as the ANN index) and scoring is then a single
+    distributed pass: features join the 256-row broadcast weight
+    table, one keyed aggregate folds the logit, sigmoid + threshold
+    emit (doc_id, label, quality_score, keep). At 100 TB the model is
+    bytes while the corpus streams through one shuffle — training
+    never reruns per query."""
+    import json
+
+    from opusdb_spark.operators import classifier
+    from opusdb_spark.sources.formats import (
+        ensure_written,
+        scratch_path,
+        stat_fingerprint,
+    )
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    model_dir = scratch_path(f"clf_model_{base}")
+    src = os.path.join(sf_dir, "documents.parquet")
+    y = F.when(
+        F.col("source").isin("src0", "src1", "src2"), 1
+    ).otherwise(0)
+
+    def _train(path):
+        os.makedirs(path, exist_ok=True)
+        docs = table(spark, sf_dir, "documents")
+        feats, labels = classifier.doc_features(docs, _CLF_BUCKET, y)
+        model, trace = classifier.train_logreg(spark, feats, labels)
+        with open(os.path.join(path, "model.json"), "w") as fh:
+            json.dump({"weights": model[:-1], "bias": model[-1]}, fh)
+
+    ensure_written(model_dir, stat_fingerprint(src, v=1), _train)
+    with open(os.path.join(model_dir, "model.json")) as fh:
+        m = json.load(fh)
+
+    docs = table(spark, sf_dir, "documents")
+    feats, _ = classifier.doc_features(docs, _CLF_BUCKET, y)
+    wdf = F.broadcast(
+        spark.createDataFrame(
+            [(i, float(w)) for i, w in enumerate(m["weights"])],
+            "b int, wt double",
+        )
+    )
+    logit = (
+        feats.join(wdf, "b")
+        .groupBy("doc_id", "y")
+        .agg(
+            F.sum((F.col("x") * F.col("wt")).cast("decimal(27,15)"))
+            .cast("double")
+            .alias("s")
+        )
+    )
+    p = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-(F.col("s") + F.lit(float(m["bias"]))))
+    )
+    return (
+        logit.select(
+            "doc_id",
+            F.col("y").alias("is_target"),
+            F.round(p, 6).alias("quality_score"),
+            (p >= 0.5).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

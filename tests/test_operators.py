@@ -548,6 +548,11 @@ def test_decode_rejects_real_codecs():
         "llm_ngram_novelty",
         "llm_weighted_sample",
         "dq_referential_integrity",
+        "llm_cluster_topics",
+        "events_seasonality",
+        "events_ab_ztest",
+        "mvcc_vacuum_report",
+        "llm_quality_classifier_score",
     ],
 )
 def test_determinism_under_repartition(name, spark):

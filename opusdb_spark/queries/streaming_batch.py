@@ -231,3 +231,14 @@ def stream_join_true(spark, sf_dir):
     the preceding hour) with dual watermarks bounding join state
     (rows-only)."""
     return stream_jobs.stream_stream_join(spark, sf_dir)
+
+
+@register("stream_session_timeout", oracle=None, tags=("streaming", "state"))
+def stream_session_timeout(spark, sf_dir):
+    """TRUE streaming sessions closed by EventTimeTimeout state
+    eviction (rows-only): per-user session state is GC'd when the
+    watermark passes last-seen + 30 min and the closed session emits —
+    the bounded-state discipline that keeps arbitrary stateful
+    operators viable on unbounded streams (streaming/jobs.py
+    session_timeout_totals)."""
+    return stream_jobs.session_timeout_totals(spark, sf_dir)

@@ -466,3 +466,105 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # permitted. Arbitrary-state coverage therefore stays on
 # applyInPandasWithState (stateful_running_totals above), which speaks
 # the classic Arrow protocol and runs everywhere.
+
+
+def session_timeout_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful sessions CLOSED BY EVENT-TIME TIMEOUT: per-user session
+    state (start, last-seen, count) extends while events arrive and is
+    EVICTED when the watermark passes last-seen + 30 min — the state-GC
+    half of arbitrary stateful processing (unbounded per-key state is
+    the thing that kills a 100 TB stream; EventTimeTimeout is how
+    applyInPandasWithState bounds it, the streaming analog of the
+    reference's bounded history, stm.clj:47-50). Runs over the
+    multi-batch ts-split source so the watermark actually advances
+    between micro-batches and timeouts fire; sessions still open at
+    stream end deliberately never emit (they are live state, not
+    results)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start_us", LongType()),
+            StructField("session_end_us", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_us", LongType()),
+            StructField("last_us", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+    GAP_MS = 30 * 60 * 1000
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start_us": [start_us],
+                    "session_end_us": [last_us],
+                    "n_events": [n],
+                }
+            )
+            return
+        start_us, last_us, n = (
+            state.get if state.exists else (None, None, 0)
+        )
+        # explicit µs cast: the worker hands ts as datetime64[ns],
+        # whose raw int64 view is NANOseconds — a silent 1000× error
+        # that pushes every timeout into the far future
+        ts = sorted(
+            int(t)
+            for pdf in pdfs
+            for t in pdf["ts"].astype("datetime64[us]").astype("int64")
+        )
+        closed = []
+        for t in ts:
+            if last_us is not None and t - last_us > GAP_MS * 1000:
+                closed.append((start_us, last_us, n))
+                start_us, n = t, 0
+            if start_us is None:
+                start_us = t
+            last_us = t
+            n += 1
+        state.update((start_us, last_us, n))
+        state.setTimeoutTimestamp(last_us // 1000 + GAP_MS)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed),
+                    "session_start_us": [c[0] for c in closed],
+                    "session_end_us": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    ev = _events_stream_batched(spark, sf_dir).select(
+        "user_id", "ts"
+    ).withWatermark("ts", "10 minutes")
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    name = f"sesstimeout_{uuid.uuid4().hex[:8]}"
+    ckpt = scratch_sink(
+        f"ckpt_sesstimeout_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

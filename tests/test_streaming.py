@@ -254,3 +254,47 @@ def test_commit_ledger_commit_once_rollback_per_retry(spark):
     n_events = spark.read.parquet(f"{SF_SMALL}/events.parquet").count()
     assert sink.count() == n_events
     assert sink.select("event_id").distinct().count() == n_events
+
+
+def test_session_timeout_matches_batch_sessionizer(spark):
+    """Every session the EventTimeTimeout sessionizer CLOSES must be
+    bit-identical to a session the batch gap-sessionizer (same 30-min
+    gap) derives from the full log — state eviction may leave trailing
+    sessions open (live state, not results), but it must never invent
+    or distort one."""
+    from pyspark.sql import Window
+
+    from opusdb_spark.streaming import jobs
+    from opusdb_spark.tables import table
+    from tests.conftest import SF_SMALL
+
+    closed = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in jobs.session_timeout_totals(spark, SF_SMALL).collect()
+    }
+    assert closed, "no session ever timed out across the batched replay"
+
+    ev = table(spark, SF_SMALL, "events").select("user_id", "event_id", "ts")
+    lag_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run_w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ep = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = ep - F.lag(ep).over(lag_w)
+    is_new = F.when(
+        gap.isNull() | (gap > 30 * 60 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    batch = {
+        (r.user_id, r.s, r.e, r.n)
+        for r in ev.withColumn("sid", F.sum(is_new).over(run_w))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min(ep).alias("s"),
+            F.max(ep).alias("e"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert closed <= batch, sorted(closed - batch)[:3]

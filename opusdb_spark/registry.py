@@ -185,7 +185,8 @@ _NEVER_SAMPLED = (
 # llm_weighted_sample, llm_mmr_select, fn_map_hof,
 # source_corrupt_records, sink_zorder_write, llm_cluster_topics,
 # events_seasonality, llm_quality_classifier, events_ab_ztest,
-# mvcc_vacuum_report, llm_quality_classifier_score.
+# mvcc_vacuum_report, llm_quality_classifier_score,
+# stream_session_timeout.
 
 
 def _sweep_ordered(items: dict[str, Query]) -> dict[str, Query]:

@@ -738,3 +738,130 @@ def join_null_safe(spark, sf_dir):
         )
         .select("key_a", "key_b", "grp")
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+        WITH o AS (
+            SELECT o_custkey, o_orderdate,
+                   MAX(o_orderkey) AS o_orderkey
+            FROM orders GROUP BY o_custkey, o_orderdate
+        ),
+        raw AS (
+            SELECT e.event_id, e.user_id, e.ts,
+                   o.o_orderdate, o.o_orderkey
+            FROM events e
+            ASOF LEFT JOIN o
+              ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        )
+        SELECT event_id, user_id, ts,
+               CASE WHEN o_orderdate >= ts - INTERVAL 9000 DAY
+                    THEN o_orderdate END AS asof_time,
+               CASE WHEN o_orderdate >= ts - INTERVAL 9000 DAY
+                    THEN o_orderkey END AS o_orderkey
+        FROM raw
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_tolerance(spark, sf_dir):
+    """As-of join with a BOUNDED lookback (2000 days): matches older
+    than the tolerance resolve to NULL — the MVCC history cap as a
+    time bound (operators/asof.py tolerance; the window carry is
+    unchanged, the bound is a row-local post-condition, so no extra
+    shuffle). Events sit ~22 years after
+    the orders clock, so a 9000-day bound keeps only orders after
+    ~1999 and nulls the older matches — the bound genuinely bites
+    without nulling everything at test scale."""
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max_by("o_orderkey", "o_orderkey").alias("o_orderkey"))
+        .withColumnRenamed("o_custkey", "user_id")
+    )
+    return asof_join(
+        ev,
+        o,
+        on="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_values=["o_orderkey"],
+        tolerance=F.expr("INTERVAL 9000 DAYS"),
+    )
+
+
+@register(
+    "join_pit_features",
+    oracle="""
+        WITH o AS (
+            SELECT o_custkey, o_orderdate,
+                   ARG_MAX(o_totalprice, o_orderkey) AS last_order_value
+            FROM orders GROUP BY o_custkey, o_orderdate
+        ),
+        c AS (
+            SELECT user_id, ts AS click_ts,
+                   MAX(event_id) AS last_click_id
+            FROM events WHERE event_type = 'click'
+            GROUP BY user_id, ts
+        ),
+        p AS (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'),
+        f1 AS (
+            SELECT p.event_id, p.user_id, p.ts,
+                   o.o_orderdate AS last_order_ts,
+                   o.last_order_value
+            FROM p ASOF LEFT JOIN o
+              ON p.user_id = o.o_custkey AND o.o_orderdate <= p.ts
+        )
+        SELECT f1.event_id, f1.user_id, f1.ts,
+               f1.last_order_ts, f1.last_order_value,
+               c.click_ts AS last_click_ts, c.last_click_id
+        FROM f1 ASOF LEFT JOIN c
+          ON f1.user_id = c.user_id AND c.click_ts <= f1.ts
+    """,
+    tags=("join", "asof", "features"),
+)
+def join_pit_features(spark, sf_dir):
+    """Point-in-time feature join — the feature-store correctness
+    pattern: each purchase event is enriched with the state of TWO
+    feature tables AS OF the event time (latest prior order value,
+    latest prior click), never a future value (label leakage). Each
+    feature table is one asof_join carry = one keyed shuffle; at 100 TB
+    a feature store chains N of these, all partitioned on the same
+    entity key so the exchanges reuse."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    orders = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max_by("o_totalprice", "o_orderkey").alias(
+                "last_order_value"
+            )
+        )
+        .withColumnRenamed("o_custkey", "user_id")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max("event_id").alias("last_click_id"))
+    )
+    f1 = asof_join(
+        purchases,
+        orders,
+        on="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_values=["last_order_value"],
+    ).withColumnRenamed("asof_time", "last_order_ts")
+    return asof_join(
+        f1,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="click_ts",
+        right_values=["last_click_id"],
+    ).withColumnRenamed("asof_time", "last_click_ts")

@@ -553,6 +553,8 @@ def test_decode_rejects_real_codecs():
         "events_ab_ztest",
         "mvcc_vacuum_report",
         "llm_quality_classifier_score",
+        "join_asof_tolerance",
+        "join_pit_features",
     ],
 )
 def test_determinism_under_repartition(name, spark):

@@ -3078,3 +3078,46 @@ def llm_quality_classifier_score(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "events_cumulative_users",
+    oracle="""
+        WITH first_day AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS d
+            FROM events GROUP BY user_id
+        ),
+        new_per_day AS (
+            SELECT d, CAST(COUNT(*) AS BIGINT) AS new_users
+            FROM first_day GROUP BY d
+        )
+        SELECT d, new_users,
+               CAST(SUM(new_users) OVER (ORDER BY d
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+        FROM new_per_day
+        ORDER BY d
+    """,
+    tags=("events", "growth"),
+)
+def events_cumulative_users(spark, sf_dir):
+    """Cumulative unique users per day — the growth curve. A naive
+    per-day COUNT(DISTINCT user ≤ day) rescans the corpus per day;
+    this is the scale shape instead: first-seen day per user (one
+    keyed aggregate), new users per day (second aggregate, calendar-
+    sized), then a running sum over the CALENDAR-sized table — the
+    only ordered window runs over days, not users or events."""
+    ev = table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d")
+    )
+    per_day = first_day.groupBy("d").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        "d",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    ).orderBy("d")

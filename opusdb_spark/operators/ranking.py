@@ -196,3 +196,67 @@ def with_global_ntiles(
             .drop("_b", "_lr", "_off", "_total")
         )
     return res
+
+
+def with_global_running_sum(
+    df: DataFrame,
+    order_cols: list[Column],
+    split_col: Column,
+    value: Column,
+    *,
+    descending: bool,
+    rank_out: str = "_rank",
+    sum_out: str = "_rsum",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Global rank AND exact running decimal sum of ``value`` under a
+    total order — without a single-partition window over the data.
+
+    Same two-level shape as with_global_rank: range buckets from
+    approx-percentile splits, per-bucket windows in parallel, then a
+    MODEL-SIZED (≤ n_buckets rows) prefix pass whose count and
+    decimal-value offsets broadcast back. Decimal addition is
+    associative, so offset + local running sum equals the sequential
+    running sum bit-for-bit (the oracle's single-window formulation).
+    Adds ``rank_out``, ``sum_out`` (decimal) and ``_total`` /
+    ``_vtotal`` (grand count/sum, same on every row)."""
+    probe = df.select(split_col.alias("_k"))
+    ps = [i / n_buckets for i in range(1, n_buckets)]
+    row = probe.agg(
+        F.percentile_approx("_k", ps, 10_000).alias("_splits")
+    ).first()
+    splits = [s for s in (row["_splits"] or []) if s is not None]
+    uniq = sorted(set(splits))
+    vdec = value.cast("decimal(27,6)")
+    b = df.withColumn("_sk", split_col).withColumn(
+        "_b", _bucket_expr(F.col("_sk"), uniq, descending)
+    ).withColumn("_v", vdec)
+    w_local = Window.partitionBy("_b").orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_rank = Window.partitionBy("_b").orderBy(*order_cols)
+    ranked = b.withColumn("_lr", F.row_number().over(w_rank)).withColumn(
+        "_ls", F.sum("_v").over(w_local)
+    )
+    counts = ranked.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_v").alias("_s")
+    )
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    w_tot = Window.orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        "_b",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+        F.coalesce(
+            F.sum("_s").over(w_off), F.lit(0).cast("decimal(27,6)")
+        ).alias("_voff"),
+        F.sum("_n").over(w_tot).alias("_total"),
+        F.sum("_s").over(w_tot).alias("_vtotal"),
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "_b")
+        .withColumn(rank_out, F.col("_off") + F.col("_lr"))
+        .withColumn(sum_out, F.col("_voff") + F.col("_ls"))
+        .drop("_b", "_sk", "_v", "_lr", "_ls", "_off", "_voff")
+    )

@@ -3121,3 +3121,76 @@ def events_cumulative_users(spark, sf_dir):
         "new_users",
         F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
     ).orderBy("d")
+
+
+@register(
+    "events_revenue_pareto",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   SUM(CAST(value AS DECIMAL(27,6))) AS rev
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id
+        ),
+        ranked AS (
+            SELECT user_id, rev,
+                   ROW_NUMBER() OVER (ORDER BY rev DESC, user_id) AS rk,
+                   SUM(rev) OVER (ORDER BY rev DESC, user_id
+                                  ROWS UNBOUNDED PRECEDING) AS crev,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS total,
+                   SUM(rev) OVER () AS vtotal
+            FROM per_user
+        )
+        SELECT CAST((rk * 10 - 1) // total + 1 AS INT) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               ROUND(CAST(MAX(crev) AS DOUBLE), 6) AS cum_revenue,
+               ROUND(CAST(MAX(crev) AS DOUBLE) / CAST(MAX(vtotal) AS DOUBLE),
+                     6) AS cum_share
+        FROM ranked
+        GROUP BY 1
+        ORDER BY decile
+    """,
+    tags=("events", "stats"),
+)
+def events_revenue_pareto(spark, sf_dir):
+    """Revenue concentration curve (the 80/20 readout): users ranked
+    by purchase revenue, cumulative revenue share at each user decile.
+    The running sum uses the DISTRIBUTED two-level prefix pattern
+    (operators/ranking.py with_global_running_sum — per-bucket windows
+    plus a model-sized offset pass), never a single-partition window
+    over all users; decimal addition is associative, so the
+    distributed running sum equals the oracle's sequential one
+    bit-for-bit. Output is 10 decile rows."""
+    from opusdb_spark.operators import ranking
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(27,6)")).alias("rev")
+    )
+    ranked = ranking.with_global_running_sum(
+        per_user,
+        [F.desc("rev"), F.asc("user_id")],
+        F.col("rev").cast("double"),
+        F.col("rev"),
+        descending=True,
+        rank_out="rk",
+        sum_out="crev",
+    )
+    decile = (
+        F.expr("(rk * 10 - 1) DIV _total").cast("int") + 1
+    )
+    return (
+        ranked.groupBy(decile.alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.max("crev").cast("double"), 6).alias("cum_revenue"),
+            F.round(
+                F.max("crev").cast("double")
+                / F.max("_vtotal").cast("double"),
+                6,
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )

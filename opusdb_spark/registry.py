@@ -186,7 +186,8 @@ _NEVER_SAMPLED = (
 # source_corrupt_records, sink_zorder_write, llm_cluster_topics,
 # events_seasonality, llm_quality_classifier, events_ab_ztest,
 # mvcc_vacuum_report, llm_quality_classifier_score,
-# stream_session_timeout, join_asof_tolerance, join_pit_features.
+# stream_session_timeout, join_asof_tolerance, join_pit_features,
+# events_cumulative_users, events_revenue_pareto.
 
 
 def _sweep_ordered(items: dict[str, Query]) -> dict[str, Query]:

@@ -555,6 +555,8 @@ def test_decode_rejects_real_codecs():
         "llm_quality_classifier_score",
         "join_asof_tolerance",
         "join_pit_features",
+        "events_cumulative_users",
+        "events_revenue_pareto",
     ],
 )
 def test_determinism_under_repartition(name, spark):

@@ -749,3 +749,81 @@ def mmr_select(
     return spark.createDataFrame(
         picks, f"rank int, {id_col} long, mmr_score double"
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    probe_ids: list[int],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each probe,
+    the k most cosine-similar vectors with a DIFFERENT label — similar
+    enough to be hard, labeled differently so they are negatives.
+
+    Same one-corpus-pass shape as cosine_topk_batch (model-sized probe
+    components broadcast, exact decimal dots, per-probe group-limit
+    window); the label filter applies BEFORE the top-k so negatives
+    are never crowded out by same-label neighbors."""
+    from pyspark.sql import Window
+
+    flat = _flat(emb, id_col, vec_col)
+    labels = emb.select(id_col, label_col)
+    flat = flat.join(labels, id_col)
+    probe = flat.filter(F.col(id_col).isin(list(probe_ids))).select(
+        F.col(id_col).alias("probe_id"),
+        F.col(label_col).alias("_plabel"),
+        "i",
+        F.col("x").alias("p"),
+    )
+    norms = flat.groupBy(id_col).agg(
+        F.sum((F.col("x") * F.col("x")).cast(DEC12))
+        .cast("double")
+        .alias("n2")
+    )
+    scored = (
+        flat.join(F.broadcast(probe), "i")
+        .filter(
+            (F.col(id_col) != F.col("probe_id"))
+            & (F.col(label_col) != F.col("_plabel"))
+        )
+        .groupBy("probe_id", id_col, label_col)
+        .agg(
+            F.sum((F.col("x") * F.col("p")).cast(DEC12))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    pn = norms.select(
+        F.col(id_col).alias("probe_id"), F.col("n2").alias("np")
+    )
+    sims = (
+        scored.join(F.broadcast(pn), "probe_id")
+        .join(norms, id_col)
+        .filter((F.col("n2") > 0) & (F.col("np") > 0))
+        .select(
+            "probe_id",
+            id_col,
+            label_col,
+            (F.col("dot") / F.sqrt(F.col("n2") * F.col("np"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id",
+            "rank",
+            F.col(id_col).alias("negative_id"),
+            F.col(label_col).alias("negative_label"),
+            "cosine",
+        )
+        .orderBy("probe_id", "rank")
+    )

@@ -2001,3 +2001,58 @@ def llm_mmr_select(spark, sf_dir):
     persists between rounds (operators/similarity.py mmr_select)."""
     emb = table(spark, sf_dir, "embeddings")
     return similarity.mmr_select(emb, probe_id=0, k=10, lam=0.7)
+
+
+_HARDNEG_ORACLE = """
+    WITH idx AS (SELECT UNNEST(range(1, 65)) AS i),
+    flat AS (
+        SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings CROSS JOIN idx
+    ),
+    norms AS (
+        SELECT vec_id,
+               CAST(SUM(CAST(x * x AS DECIMAL(27,12))) AS DOUBLE) AS n2
+        FROM flat GROUP BY vec_id
+    ),
+    probes AS (
+        SELECT vec_id AS pid, label AS plabel, i, x AS p
+        FROM flat WHERE vec_id < 10
+    ),
+    scored AS (
+        SELECT p.pid, p.plabel, f.vec_id, f.label,
+               CAST(SUM(CAST(f.x * p.p AS DECIMAL(27,12))) AS DOUBLE) AS dot
+        FROM flat f JOIN probes p ON f.i = p.i AND f.vec_id <> p.pid
+        WHERE f.label <> p.plabel
+        GROUP BY p.pid, p.plabel, f.vec_id, f.label
+    ),
+    sims AS (
+        SELECT s.pid, s.vec_id, s.label,
+               s.dot / SQRT(na.n2 * nb.n2) AS cosine
+        FROM scored s
+        JOIN norms na ON na.vec_id = s.pid
+        JOIN norms nb ON nb.vec_id = s.vec_id
+        WHERE na.n2 > 0 AND nb.n2 > 0
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY pid ORDER BY cosine DESC, vec_id) AS rn
+        FROM sims
+    )
+    SELECT pid AS probe_id, CAST(rn AS INT) AS rank,
+           vec_id AS negative_id, label AS negative_label, cosine
+    FROM ranked WHERE rn <= 3
+    ORDER BY probe_id, rank
+"""
+
+
+@register("emb_hard_negatives", oracle=_HARDNEG_ORACLE, tags=("llm", "similarity"))
+def emb_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: for each of 10
+    probe vectors, the 3 most cosine-similar vectors with a DIFFERENT
+    label — similar enough to be hard, labeled differently so they
+    train the margin. One corpus pass (model-sized probe components
+    broadcast, exact decimal dots, per-probe group-limit window —
+    operators/similarity.py hard_negatives); the label filter applies
+    before the top-k."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.hard_negatives(emb, probe_ids=list(range(10)), k=3)

@@ -557,6 +557,7 @@ def test_decode_rejects_real_codecs():
         "join_pit_features",
         "events_cumulative_users",
         "events_revenue_pareto",
+        "emb_hard_negatives",
     ],
 )
 def test_determinism_under_repartition(name, spark):

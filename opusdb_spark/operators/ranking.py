@@ -21,7 +21,10 @@ model-sized aggregate:
 global rank = bucket offset + local rank. NTILE then follows the SQL
 bucket rule exactly: with N rows and n tiles, q = N div n, r = N mod n,
 the first r tiles hold q+1 rows. This matches `NTILE(n) OVER (ORDER BY
-...)` bit-for-bit (the DuckDB oracles pin it).
+...)` bit-for-bit (the DuckDB oracles pin it). The same machinery
+extends to exact running DECIMAL sums (with_global_running_sum):
+decimal addition is associative, so bucket-offset + local running sum
+equals the sequential formulation bit-for-bit.
 
 Reference anchor: the splay-tree rank queries (splay.clj:84-99) are the
 reference's only order-statistic surface; this is the distributed
@@ -53,6 +56,67 @@ def _bucket_expr(split_col: Column, uniq: list, descending: bool) -> Column:
     return bucket
 
 
+def _split_points(df: DataFrame, split_col: Column, n_buckets: int) -> list:
+    """Literal range-split points: one model-sized probe aggregate."""
+    ps = [i / n_buckets for i in range(1, n_buckets)]
+    row = df.agg(
+        F.percentile_approx(split_col, ps, 10_000).alias("_splits")
+    ).first()
+    return sorted({s for s in (row["_splits"] or []) if s is not None})
+
+
+def _bucketed_rank(
+    df: DataFrame,
+    order_cols: list[Column],
+    split_col: Column,
+    uniq: list,
+    descending: bool,
+    value: Column | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of every global-order helper: bucket by the literal
+    splits, rank (and, when ``value`` is given, running-decimal-sum)
+    inside each bucket in parallel, and derive the MODEL-SIZED
+    (≤ n_buckets rows) offset table whose exclusive prefix sums
+    broadcast back. Returns (ranked, offsets): ranked carries ``_b``,
+    ``_lr`` (+ ``_ls`` decimal local running sum); offsets carries
+    ``_b``, ``_off``, ``_total`` (+ ``_voff``, ``_vtotal``)."""
+    b = df.withColumn("_b", _bucket_expr(split_col, uniq, descending))
+    w_rank = Window.partitionBy("_b").orderBy(*order_cols)
+    ranked = b.withColumn("_lr", F.row_number().over(w_rank))
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    if value is not None:
+        w_local = (
+            Window.partitionBy("_b")
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        ranked = ranked.withColumn(
+            "_v", value.cast("decimal(27,6)")
+        ).withColumn("_ls", F.sum("_v").over(w_local))
+        aggs.append(F.sum("_v").alias("_s"))
+    counts = ranked.groupBy("_b").agg(*aggs)
+    # ≤ n_buckets rows: model-sized single-partition prefix sum. The
+    # grand totals ride along on the same tiny frame so consumers never
+    # need a whole-data window for COUNT(*) / SUM(*).
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    w_tot = Window.orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    sel = [
+        F.col("_b"),
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_n").over(w_tot).alias("_total"),
+    ]
+    if value is not None:
+        sel += [
+            F.coalesce(
+                F.sum("_s").over(w_off), F.lit(0).cast("decimal(27,6)")
+            ).alias("_voff"),
+            F.sum("_s").over(w_tot).alias("_vtotal"),
+        ]
+    return ranked, counts.select(*sel)
+
+
 def with_global_rank(
     df: DataFrame,
     order_cols: list[Column],
@@ -70,35 +134,14 @@ def with_global_rank(
     one bucket, so the in-bucket window's tie-break keeps the rank
     exact.
     """
-    probe = df.select(split_col.alias("_k"))
-    ps = [i / n_buckets for i in range(1, n_buckets)]
-    row = probe.agg(
-        F.percentile_approx("_k", ps, 10_000).alias("_splits")
-    ).first()
-    splits = [s for s in (row["_splits"] or []) if s is not None]
-    uniq = sorted(set(splits))
-    b = df.withColumn("_sk", split_col).withColumn(
-        "_b", _bucket_expr(F.col("_sk"), uniq, descending)
-    )
-    w_local = Window.partitionBy("_b").orderBy(*order_cols)
-    ranked = b.withColumn("_lr", F.row_number().over(w_local))
-    counts = ranked.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
-    # ≤ n_buckets rows: model-sized single-partition prefix sum. The
-    # grand total rides along on the same tiny frame so NTILE never
-    # needs a whole-data window for COUNT(*).
-    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
-    w_tot = Window.orderBy("_b").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    offsets = counts.select(
-        "_b",
-        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
-        F.sum("_n").over(w_tot).alias("_total"),
+    uniq = _split_points(df, split_col, n_buckets)
+    ranked, offsets = _bucketed_rank(
+        df, order_cols, split_col, uniq, descending
     )
     return (
         ranked.join(F.broadcast(offsets), "_b")
         .withColumn(out, F.col("_off") + F.col("_lr"))
-        .drop("_b", "_sk", "_lr", "_off")
+        .drop("_b", "_lr", "_off")
     )
 
 
@@ -168,22 +211,8 @@ def with_global_ntiles(
         uniq = sorted(
             {s for s in (probe[f"_s{i}"] or []) if s is not None}
         )
-        res = res.withColumn(
-            "_b", _bucket_expr(split_col, uniq, descending)
-        )
-        w_local = Window.partitionBy("_b").orderBy(*order_cols)
-        ranked = res.withColumn("_lr", F.row_number().over(w_local))
-        counts = ranked.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
-        w_off = Window.orderBy("_b").rowsBetween(
-            Window.unboundedPreceding, -1
-        )
-        w_tot = Window.orderBy("_b").rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing
-        )
-        offsets = counts.select(
-            "_b",
-            F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
-            F.sum("_n").over(w_tot).alias("_total"),
+        ranked, offsets = _bucketed_rank(
+            res, order_cols, split_col, uniq, descending
         )
         res = (
             ranked.join(F.broadcast(offsets), "_b")
@@ -212,51 +241,20 @@ def with_global_running_sum(
     """Global rank AND exact running decimal sum of ``value`` under a
     total order — without a single-partition window over the data.
 
-    Same two-level shape as with_global_rank: range buckets from
-    approx-percentile splits, per-bucket windows in parallel, then a
-    MODEL-SIZED (≤ n_buckets rows) prefix pass whose count and
-    decimal-value offsets broadcast back. Decimal addition is
-    associative, so offset + local running sum equals the sequential
-    running sum bit-for-bit (the oracle's single-window formulation).
-    Adds ``rank_out``, ``sum_out`` (decimal) and ``_total`` /
-    ``_vtotal`` (grand count/sum, same on every row)."""
-    probe = df.select(split_col.alias("_k"))
-    ps = [i / n_buckets for i in range(1, n_buckets)]
-    row = probe.agg(
-        F.percentile_approx("_k", ps, 10_000).alias("_splits")
-    ).first()
-    splits = [s for s in (row["_splits"] or []) if s is not None]
-    uniq = sorted(set(splits))
-    vdec = value.cast("decimal(27,6)")
-    b = df.withColumn("_sk", split_col).withColumn(
-        "_b", _bucket_expr(F.col("_sk"), uniq, descending)
-    ).withColumn("_v", vdec)
-    w_local = Window.partitionBy("_b").orderBy(*order_cols).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    w_rank = Window.partitionBy("_b").orderBy(*order_cols)
-    ranked = b.withColumn("_lr", F.row_number().over(w_rank)).withColumn(
-        "_ls", F.sum("_v").over(w_local)
-    )
-    counts = ranked.groupBy("_b").agg(
-        F.count(F.lit(1)).alias("_n"), F.sum("_v").alias("_s")
-    )
-    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
-    w_tot = Window.orderBy("_b").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    offsets = counts.select(
-        "_b",
-        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
-        F.coalesce(
-            F.sum("_s").over(w_off), F.lit(0).cast("decimal(27,6)")
-        ).alias("_voff"),
-        F.sum("_n").over(w_tot).alias("_total"),
-        F.sum("_s").over(w_tot).alias("_vtotal"),
+    The shared _bucketed_rank core with the decimal-value extension:
+    per-bucket rank + running sum in parallel, count AND value offsets
+    from the model-sized prefix pass. Decimal addition is associative,
+    so offset + local running sum equals the sequential running sum
+    bit-for-bit (the oracle's single-window formulation). Adds
+    ``rank_out``, ``sum_out`` (decimal) and ``_total`` / ``_vtotal``
+    (grand count/sum, same on every row)."""
+    uniq = _split_points(df, split_col, n_buckets)
+    ranked, offsets = _bucketed_rank(
+        df, order_cols, split_col, uniq, descending, value=value
     )
     return (
         ranked.join(F.broadcast(offsets), "_b")
         .withColumn(rank_out, F.col("_off") + F.col("_lr"))
         .withColumn(sum_out, F.col("_voff") + F.col("_ls"))
-        .drop("_b", "_sk", "_v", "_lr", "_ls", "_off", "_voff")
+        .drop("_b", "_v", "_lr", "_ls", "_off", "_voff")
     )

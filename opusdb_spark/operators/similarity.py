@@ -765,23 +765,32 @@ def hard_negatives(
 
     Same one-corpus-pass shape as cosine_topk_batch (model-sized probe
     components broadcast, exact decimal dots, per-probe group-limit
-    window); the label filter applies BEFORE the top-k so negatives
-    are never crowded out by same-label neighbors."""
+    window); the label rides in the flatten projection (no corpus
+    self-join) and the candidate norm folds inside the SAME
+    per-(probe, candidate) aggregate as the dot product, so the whole
+    scoring costs one shuffle. The label filter applies BEFORE the
+    top-k so negatives are never crowded out by same-label
+    neighbors."""
     from pyspark.sql import Window
 
-    flat = _flat(emb, id_col, vec_col)
-    labels = emb.select(id_col, label_col)
-    flat = flat.join(labels, id_col)
+    flat = emb.select(
+        id_col, label_col, F.posexplode(vec_col).alias("pos", "xf")
+    ).select(
+        id_col,
+        label_col,
+        (F.col("pos") + 1).alias("i"),
+        F.col("xf").cast("double").alias("x"),
+    )
     probe = flat.filter(F.col(id_col).isin(list(probe_ids))).select(
         F.col(id_col).alias("probe_id"),
         F.col(label_col).alias("_plabel"),
         "i",
         F.col("x").alias("p"),
     )
-    norms = flat.groupBy(id_col).agg(
-        F.sum((F.col("x") * F.col("x")).cast(DEC12))
+    pn = probe.groupBy("probe_id").agg(
+        F.sum((F.col("p") * F.col("p")).cast(DEC12))
         .cast("double")
-        .alias("n2")
+        .alias("np")
     )
     scored = (
         flat.join(F.broadcast(probe), "i")
@@ -793,15 +802,14 @@ def hard_negatives(
         .agg(
             F.sum((F.col("x") * F.col("p")).cast(DEC12))
             .cast("double")
-            .alias("dot")
+            .alias("dot"),
+            F.sum((F.col("x") * F.col("x")).cast(DEC12))
+            .cast("double")
+            .alias("n2"),
         )
-    )
-    pn = norms.select(
-        F.col(id_col).alias("probe_id"), F.col("n2").alias("np")
     )
     sims = (
         scored.join(F.broadcast(pn), "probe_id")
-        .join(norms, id_col)
         .filter((F.col("n2") > 0) & (F.col("np") > 0))
         .select(
             "probe_id",

@@ -765,7 +765,7 @@ def join_null_safe(spark, sf_dir):
     tags=("join", "asof"),
 )
 def join_asof_tolerance(spark, sf_dir):
-    """As-of join with a BOUNDED lookback (2000 days): matches older
+    """As-of join with a BOUNDED lookback (9000 days): matches older
     than the tolerance resolve to NULL — the MVCC history cap as a
     time bound (operators/asof.py tolerance; the window carry is
     unchanged, the bound is a row-local post-condition, so no extra

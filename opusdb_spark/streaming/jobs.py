@@ -525,13 +525,22 @@ def session_timeout_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         closed = []
         for t in ts:
-            if last_us is not None and t - last_us > GAP_MS * 1000:
-                closed.append((start_us, last_us, n))
-                start_us, n = t, 0
             if start_us is None:
-                start_us = t
-            last_us = t
-            n += 1
+                start_us, last_us, n = t, t, 1
+            elif t <= last_us:
+                # out-of-order within the watermark allowance: a late
+                # event merges into the OPEN session (extending it
+                # backward if needed) — last_us never regresses, so a
+                # later gap check cannot wrongly split or emit a
+                # session whose end precedes its start
+                start_us = min(start_us, t)
+                n += 1
+            elif t - last_us > GAP_MS * 1000:
+                closed.append((start_us, last_us, n))
+                start_us, last_us, n = t, t, 1
+            else:
+                last_us = t
+                n += 1
         state.update((start_us, last_us, n))
         state.setTimeoutTimestamp(last_us // 1000 + GAP_MS)
         if closed:

@@ -651,3 +651,37 @@ def agg_bool_logic(spark, sf_dir):
         F.some(F.col("o_totalprice") > 400000).alias("any_over_400k"),
         F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
     )
+
+
+@register(
+    "agg_weighted_avg",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(27,6)))
+                    AS DOUBLE)
+               / CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+                   AS wavg_price,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+                   AS total_weight
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_weighted_avg(spark, sf_dir):
+    """Quantity-weighted mean price per return flag: both the
+    numerator and the weight total are order-free decimal sums, so the
+    final double division is identical in any partitioning — the
+    weighted-mean idiom exactness.davg can't express (davg weights
+    every row equally)."""
+    lt = table(spark, sf_dir, "lineitem")
+    num = F.sum(
+        (F.col("l_extendedprice") * F.col("l_quantity")).cast(
+            "decimal(27,6)"
+        )
+    ).cast("double")
+    den = F.sum(F.col("l_quantity").cast("decimal(27,6)")).cast("double")
+    return lt.groupBy("l_returnflag").agg(
+        (num / den).alias("wavg_price"),
+        den.alias("total_weight"),
+    )

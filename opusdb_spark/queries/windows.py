@@ -465,3 +465,44 @@ def win_time_range_sum(spark, sf_dir):
         .cast("double")
         .alias("hour_sum"),
     )
+
+
+@register(
+    "win_ignore_nulls",
+    oracle="""
+        WITH s AS (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN event_type = 'purchase' THEN value END AS pv
+            FROM events
+        )
+        SELECT event_id, user_id, pv,
+               LAST_VALUE(pv IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS last_purchase_value,
+               FIRST_VALUE(pv IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS first_purchase_value
+        FROM s
+    """,
+    tags=("window",),
+)
+def win_ignore_nulls(spark, sf_dir):
+    """IGNORE NULLS window navigation: carry the user's most recent /
+    first purchase value onto EVERY event (non-purchase rows are NULL
+    and skipped) — the forward-fill primitive the as-of join builds on
+    (operators/asof.py uses exactly this carry), here pinned as its
+    own SQL surface. One keyed window, running frame."""
+    ev = table(spark, sf_dir, "events")
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        pv.alias("pv"),
+        F.last(pv, ignorenulls=True).over(w).alias("last_purchase_value"),
+        F.first(pv, ignorenulls=True).over(w).alias("first_purchase_value"),
+    )

@@ -187,7 +187,8 @@ _NEVER_SAMPLED = (
 # events_seasonality, llm_quality_classifier, events_ab_ztest,
 # mvcc_vacuum_report, llm_quality_classifier_score,
 # stream_session_timeout, join_asof_tolerance, join_pit_features,
-# events_cumulative_users, events_revenue_pareto, emb_hard_negatives.
+# events_cumulative_users, events_revenue_pareto, emb_hard_negatives,
+# win_ignore_nulls, agg_weighted_avg.
 
 
 def _sweep_ordered(items: dict[str, Query]) -> dict[str, Query]:

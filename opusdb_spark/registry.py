@@ -132,63 +132,70 @@ _HAVE_VERDICT = frozenset(
         "ts_gapfill", "hist_values", "source_orc_roundtrip",
         "events_zscore_outliers", "dq_constraints", "profile_columns",
         "ts_ohlc", "mvcc_snapshot_stale", "stream_commit_ledger",
+        # round 4 (CORRECTNESS_r04.json): the cleared r3 backlog —
+        # 37 hash-pass + 13 rows-only clean, 0 failures
+        "mvcc_conflict_detect", "win_rolling_median", "win_streaks",
+        "win_time_range_sum", "agg_mode", "agg_bool_logic", "fn_array_hof",
+        "fn_safe_arith", "fn_struct", "join_null_safe", "sub_not_in_nulls",
+        "ts_interpolate", "agg_grouping_flags", "agg_skew_kurtosis",
+        "events_anomaly_mad", "events_attribution", "events_dau_wau",
+        "events_funnel", "events_inter_arrival", "events_markov_transitions",
+        "events_mom_growth", "events_path_analysis", "events_retention",
+        "events_rfm_segments", "events_time_to_convert",
+        "basket_copurchase_lift", "llm_dedup_keep_best", "llm_gopher_rules",
+        "llm_chunk_split", "llm_html_strip", "llm_perplexity_score",
+        "llm_temperature_mix", "mvcc_time_travel_diff",
+        "scan_schema_evolution", "source_csv_quoted",
+        "source_text_roundtrip", "scan_cached_reuse", "agg_countmin_topk",
+        "agg_hll_partial_merge", "emb_kmeans", "llm_ann_recall_eval",
+        "llm_bpe_train", "llm_bpe_apply", "llm_dedup_incremental",
+        "llm_dedup_method_report", "llm_minhash_calibration",
+        "multimodal_audio_energy", "multimodal_frame_sample",
+        "source_binaryfile_ingest", "udaf_ewma",
     }
 )
 
-# The round-4 verification backlog: the 52 registered queries that have
-# never been inside a driver 50-query sample (VERDICT.md r3 "What's
-# missing" §1). These must be the FIRST queries a time-budgeted sweep
-# reaches in round 4. Explicit order: SQL-oracle queries (the strongest
-# signal) and judge-named keys first; the two trivial rows-only sink
-# demos last, so if exactly 50 are sampled those are the ones deferred.
+# The round-5 verification backlog: the 66 registered queries without a
+# driver verdict (VERDICT.md r4 "What's missing" §1) — every round-4
+# addition plus the two sinks deferred since round ≤3. Sweep order is
+# chosen so a 50-query driver sample proves the strongest 50 AND finally
+# reaches the two sinks: 48 SQL-oracle keys (TPC-H suite, graph,
+# semdedup, as-of directions, DSIR, sessionize, pareto, hard negatives,
+# opusdb_log source/sink — the judge-named set — then the rest), the two
+# deferred sinks at positions 49-50, the six simplest SQL keys, then the
+# remaining rows-only keys.
 _NEVER_SAMPLED = (
-    # judge-named SQL-oracle tail (VERDICT r3 "What's missing" §1)
-    "mvcc_conflict_detect", "win_rolling_median", "win_streaks",
-    "win_time_range_sum", "agg_mode", "agg_bool_logic", "fn_array_hof",
-    "fn_safe_arith", "fn_struct", "join_null_safe", "sub_not_in_nulls",
-    "ts_interpolate", "agg_grouping_flags", "agg_skew_kurtosis",
-    "events_anomaly_mad", "events_attribution", "events_dau_wau",
-    "events_funnel", "events_inter_arrival", "events_markov_transitions",
-    "events_mom_growth", "events_path_analysis", "events_retention",
-    "events_rfm_segments", "events_time_to_convert",
-    "basket_copurchase_lift", "llm_dedup_keep_best", "llm_gopher_rules",
-    "llm_chunk_split", "llm_html_strip", "llm_perplexity_score",
-    "llm_temperature_mix", "mvcc_time_travel_diff",
-    "scan_schema_evolution", "source_csv_quoted", "source_text_roundtrip",
-    "scan_cached_reuse",
-    # rows-only (no oracle by design): run-clean is the verdict
-    "agg_countmin_topk", "agg_hll_partial_merge", "emb_kmeans",
-    "llm_ann_recall_eval", "llm_bpe_train", "llm_bpe_apply",
-    "llm_dedup_incremental", "llm_dedup_method_report",
-    "llm_minhash_calibration", "multimodal_audio_energy",
-    "multimodal_frame_sample", "source_binaryfile_ingest", "udaf_ewma",
-    # deferred pair if the sample is exactly 50
+    # --- 48 SQL-oracle keys, judge-named families first ---
+    "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q8",
+    "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14",
+    "tpch_q16", "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+    "graph_pagerank", "graph_triangle_count", "emb_covariance",
+    "llm_semdedup", "join_asof_forward", "join_asof_nearest",
+    "join_asof_tolerance", "llm_dsir_weights", "events_sessionize",
+    "events_revenue_pareto", "emb_hard_negatives", "source_opusdb_log",
+    "sink_opusdb_log", "llm_substring_dedup", "llm_winnowing_overlap",
+    "llm_url_dedup", "llm_soft_dedup_weights", "llm_weighted_sample",
+    "scan_manifest_prune", "llm_perplexity_buckets", "llm_ngram_novelty",
+    "dq_referential_integrity", "llm_cluster_topics", "events_seasonality",
+    "events_ab_ztest", "join_pit_features", "events_cumulative_users",
+    "events_cohort_ltv", "events_pattern_match", "llm_entropy_filter",
+    # --- positions 49-50: the only round-≤3 ops never externally run ---
     "sink_compact_small_files", "sink_clustered_write",
+    # --- six simplest SQL keys (locally pinned scalar/window demos) ---
+    "fn_url_parse", "fn_map_hof", "win_ignore_nulls", "agg_weighted_avg",
+    "source_corrupt_records", "mvcc_vacuum_report",
+    # --- rows-only (no oracle by design): run-clean is the verdict ---
+    "emb_pca_power", "emb_outlier_mahalanobis", "multimodal_phash_dedup",
+    "llm_corpus_report", "stream_opusdb_log_tail", "llm_mmr_select",
+    "sink_zorder_write", "llm_quality_classifier",
+    "llm_quality_classifier_score", "stream_session_timeout",
 )
 
-# ROUND-5 NOTE: once CORRECTNESS_r04.json exists, move every
+# ROUND-6 NOTE: once CORRECTNESS_r05.json exists, move every
 # _NEVER_SAMPLED name with a verdict into _HAVE_VERDICT and rebuild
-# _NEVER_SAMPLED from whatever is still unverdicted — the two deferred
-# sinks (if the sample stopped at 50) plus the round-4 additions, which
-# currently sit in the fresh band: ts-interpolate stays verified only
-# if re-sampled; new keys = llm_substring_dedup, llm_entropy_filter,
-# fn_url_parse, emb_covariance, emb_pca_power, multimodal_phash_dedup,
-# llm_url_dedup, emb_outlier_mahalanobis, events_cohort_ltv,
-# events_pattern_match, llm_winnowing_overlap, llm_corpus_report,
-# tpch_q3/q6/q7/q8/q10/q13/q14/q18,
-# source_opusdb_log, sink_opusdb_log, stream_opusdb_log_tail,
-# and the second batch: tpch_q2/q4/q9/q11/q12/q16/q19/q20/q21/q22,
-# llm_semdedup, llm_soft_dedup_weights, graph_pagerank,
-# graph_triangle_count, scan_manifest_prune, events_sessionize,
-# llm_perplexity_buckets, join_asof_forward, join_asof_nearest,
-# llm_dsir_weights, llm_ngram_novelty, dq_referential_integrity,
-# llm_weighted_sample, llm_mmr_select, fn_map_hof,
-# source_corrupt_records, sink_zorder_write, llm_cluster_topics,
-# events_seasonality, llm_quality_classifier, events_ab_ztest,
-# mvcc_vacuum_report, llm_quality_classifier_score,
-# stream_session_timeout, join_asof_tolerance, join_pit_features,
-# events_cumulative_users, events_revenue_pareto, emb_hard_negatives,
-# win_ignore_nulls, agg_weighted_avg.
+# _NEVER_SAMPLED from whatever is still unverdicted (the tail of the
+# list above that a 50-sample does not reach) plus any round-5
+# additions, SQL-oracle keys first.
 
 
 def _sweep_ordered(items: dict[str, Query]) -> dict[str, Query]:

@@ -77,6 +77,11 @@ SF1_LADDER = [
     "events_revenue_pareto",
     "llm_substring_dedup",
     "tpch_q18",
+    # round-6 (VERDICT r5 §6): the remaining corpus-shaped dedup plans
+    # never measured at sf1 — winnowing fingerprint overlap and n-gram
+    # decontamination
+    "llm_winnowing_overlap",
+    "llm_decontaminate",
 ]
 
 # TPC-H at sf1 (VERDICT r4 §7): representative shapes — pushdown scan
@@ -142,17 +147,45 @@ def ensure_sf1(spark, src_dir: str, replicas: int = 10) -> str:
     return ensure_written(out_dir, fingerprint, _build)
 
 
-def run_ladder(spark, qs, sf1_dir: str) -> dict:
-    from pyspark.sql import functions as F  # noqa: F401
+# Steady-state timing discipline, applied IDENTICALLY to every timed
+# loop (headline, TPC-H sf0.1, sf1 ladder, TPC-H sf1, streaming): one
+# untimed warmup (codegen + JIT + parquet footers + one-time ingest
+# layouts), then time FRESH builds of the query and keep the minimum.
+# Rebuilding gives new RDD lineage, so no shuffle-stage reuse — each
+# timed run does all its own work, just on a warm JVM. Best-of-2
+# because sub-second queries swing ±30% on identical plans from JVM
+# GC + scheduler noise (r3→r4: agg_q1 0.58↔0.78s, plan byte-identical);
+# the minimum measures the PLAN, the mean measures the session.
+# NOTE: rounds 1–4 used warmup + single-run; round 5 used best-of-2 for
+# the headline loop only. The output JSON carries a `timing` marker so
+# cross-round comparisons know where the methodology break is.
+_RUNS = 2
+TIMING = f"warmup+best_of_{_RUNS}"
 
+
+def time_query(spark, build, runs: int = _RUNS) -> tuple[float, int]:
+    """Warmup once, then best-of-`runs` fresh builds → (sec, rows)."""
+    build().count()
+    best = float("inf")
+    n = 0
+    for _ in range(runs):
+        # Drop any .cache() a prior run populated (cache lookup is by
+        # logical plan, so the rebuilt query would hit it) — each timed
+        # run must recompute everything itself.
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        n = build().count()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4), n
+
+
+def run_ladder(spark, qs, sf1_dir: str) -> dict:
     timings: dict[str, float] = {}
     lineitem_rows = spark.read.parquet(f"{sf1_dir}/lineitem.parquet").count()
     for name in SF1_LADDER:
-        qs[name](spark, sf1_dir).count()  # warmup (+ one-time ANN build)
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        n = qs[name](spark, sf1_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        timings[name], n = time_query(
+            spark, lambda: qs[name](spark, sf1_dir)
+        )
         print(
             f"# sf1 {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr
         )
@@ -177,26 +210,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     lineitem_rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     for name in HEADLINE:
-        # Steady-state timing: one untimed warmup (codegen + JIT + parquet
-        # footers), then time FRESH builds of the query. Rebuilding gives
-        # new RDD lineage, so no shuffle-stage reuse — each timed run does
-        # all its own work, just on a warm JVM. Best-of-2 because sub-
-        # second queries swing ±30% on identical code/plans from JVM GC +
-        # scheduler noise (r3→r4: agg_q1 0.58↔0.78s, plan byte-identical);
-        # the minimum is the measurement of the PLAN, the mean measures
-        # the session.
-        qs[name](spark, sf_dir).count()
-        best = float("inf")
-        for _ in range(2):
-            # Drop any .cache() a prior run populated (cache lookup is by
-            # logical plan, so the rebuilt query would hit it) — each
-            # timed run must recompute everything itself.
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            df = qs[name](spark, sf_dir)
-            n = df.count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+        timings[name], n = time_query(spark, lambda: qs[name](spark, sf_dir))
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
@@ -205,21 +219,17 @@ def main() -> None:
         "metric": "headline_queries_total_time",
         "value": total,
         "unit": "sec",
+        "timing": TIMING,
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "q1_rows_per_sec": q1_rows_per_sec,
     }
     # Classic TPC-H suite subtotal (separate section — headline total
-    # stays comparable across rounds). One warmup + one timed run each,
-    # like the headline loop.
+    # stays comparable across rounds). Same timing discipline.
     if os.environ.get("SPARK_GRAFT_TPCH", "1") != "0":
         tpch = {}
         for name in sorted(k for k in qs if k.startswith("tpch_q")):
-            qs[name](spark, sf_dir).count()
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            n = qs[name](spark, sf_dir).count()
-            tpch[name] = round(time.perf_counter() - t0, 4)
+            tpch[name], n = time_query(spark, lambda: qs[name](spark, sf_dir))
             print(
                 f"# tpch {name}: {tpch[name]:.3f}s ({n} rows)",
                 file=sys.stderr,
@@ -228,6 +238,31 @@ def main() -> None:
             "queries": tpch,
             "total": round(sum(tpch.values()), 4),
         }
+    # Streaming at volume (VERDICT r5 §7): replay the full events table
+    # through the EventTimeTimeout session operator (multi-batch
+    # ts-split replay, Python stateful processing, bounded state) and
+    # report throughput — turns "bounded state" from a claim into a
+    # rows/s number. Single timed replay after one warmup replay (each
+    # run reprocesses everything: the checkpoint dir is cleared per
+    # call by scratch_sink).
+    if os.environ.get("SPARK_GRAFT_STREAM", "1") != "0":
+        events_rows = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        sec, n = time_query(
+            spark, lambda: qs["stream_session_timeout"](spark, sf_dir), runs=1
+        )
+        out["streaming"] = {
+            "query": "stream_session_timeout",
+            "sec": sec,
+            "events_rows": events_rows,
+            "rows_per_sec": int(events_rows / sec) if sec else 0,
+            "sessions_closed": n,
+        }
+        print(
+            f"# streaming stream_session_timeout: {sec:.3f}s "
+            f"({events_rows} events -> {n} closed sessions, "
+            f"{int(events_rows / sec)} rows/s)",
+            file=sys.stderr,
+        )
     # Scale ladder: 10× the default corpus (set SPARK_GRAFT_SF1=0 to
     # skip, e.g. when benching a non-default SF dir).
     if (
@@ -238,11 +273,9 @@ def main() -> None:
         out["sf1"] = run_ladder(spark, qs, sf1_dir)
         tpch_sf1: dict[str, float] = {}
         for name in TPCH_SF1:
-            qs[name](spark, sf1_dir).count()
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            n = qs[name](spark, sf1_dir).count()
-            tpch_sf1[name] = round(time.perf_counter() - t0, 4)
+            tpch_sf1[name], n = time_query(
+                spark, lambda: qs[name](spark, sf1_dir)
+            )
             print(
                 f"# sf1 tpch {name}: {tpch_sf1[name]:.3f}s ({n} rows)",
                 file=sys.stderr,

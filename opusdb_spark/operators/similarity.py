@@ -457,6 +457,10 @@ def semdedup_drops(
         f"{cluster_col} {c_f}, {id_col} {id_f}, dup_of {id_f}, "
         f"_va {v_f}, _vb {v_f}"
     )
+    # The carried-out vectors must round-trip the DECLARED element type:
+    # a hard-coded float32 downcast under an array<double> schema would
+    # silently lose the bits the exact decimal rescore depends on.
+    vec_np_dtype = np.float32 if v_f == "array<float>" else np.float64
     margin = tau - 1e-6
 
     def cluster_pairs(key, pdf):
@@ -484,8 +488,8 @@ def semdedup_drops(
                 cluster_col: np.full(len(ai), key[0]),
                 id_col: ids[bi],
                 "dup_of": ids[ai],
-                "_va": [X[i].astype(np.float32) for i in ai],
-                "_vb": [X[i].astype(np.float32) for i in bi],
+                "_va": [X[i].astype(vec_np_dtype) for i in ai],
+                "_vb": [X[i].astype(vec_np_dtype) for i in bi],
             }
         )
 

@@ -1410,14 +1410,18 @@ def llm_substring_dedup(spark, sf_dir):
     Better"): every K-token span is fingerprinted, spans appearing in
     MORE THAN ONE document are flagged, and each doc reports its
     duplicated-span fraction — the signal used to cut copied passages
-    that doc-level MinHash misses. Spark shape: explode to one row per
-    span position (n_tokens-K+1 rows/doc), md5 the span so the shuffle
-    moves a fixed 32-char key instead of the span text, one groupBy for
-    the cross-doc span set, a semi join back, and per-doc counts —
-    at 100 TB this is the standard suffix-array approximation: linear
-    row blow-up, all aggregation map-side-combinable, no all-pairs
-    step. Docs shorter than K tokens have no spans and are absent, same
-    as the oracle."""
+    that doc-level MinHash misses. Spark shape: ONE explode pass to one
+    row per span position (n_tokens-K+1 rows/doc), md5 the span so the
+    shuffle moves a fixed 32-char key instead of the span text, then a
+    single aggregation chain on progressively smaller data: count per
+    (span, doc) pair (map-side combinable — this is the only shuffle
+    that sees the exploded rows), a partitioned window over the span
+    hash for the distinct-doc count, and one per-doc rollup where
+    n_spans = SUM(pair counts) falls out for free. At 100 TB this is
+    the standard suffix-array approximation: linear row blow-up, no
+    all-pairs step, and — unlike a naive shared-set + semi-join plan —
+    the corpus is tokenized and exploded exactly once. Docs shorter
+    than K tokens have no spans and are absent, same as the oracle."""
     docs = table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
@@ -1429,32 +1433,27 @@ def llm_substring_dedup(spark, sf_dir):
         ),
     ).otherwise(F.array().cast("array<string>"))
     spans = docs.select("doc_id", F.explode(grams).alias("h"))
-    shared = (
-        spans.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("h")
-    )
-    per_doc = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
-    per_doc_dup = (
-        spans.join(shared, "h", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
-    )
+    # One row per (span-hash, doc); c = occurrences of the span in the
+    # doc. SUM(c) per doc == n_spans, COUNT(rows) per hash == distinct
+    # docs containing the span — so everything downstream derives from
+    # this single partial-aggregated table.
+    pair = spans.groupBy("h", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    nd = F.count(F.lit(1)).over(Window.partitionBy("h"))
     return (
-        per_doc.join(per_doc_dup, "doc_id", "left")
+        pair.withColumn("nd", nd)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_spans"),
+            F.sum(
+                F.when(F.col("nd") > 1, F.col("c")).otherwise(F.lit(0))
+            ).alias("n_dup_spans"),
+        )
         .select(
             "doc_id",
             "n_spans",
-            F.coalesce("n_dup_spans", F.lit(0).cast("bigint")).alias(
-                "n_dup_spans"
-            ),
+            "n_dup_spans",
             F.round(
-                F.coalesce("n_dup_spans", F.lit(0).cast("bigint")).cast(
-                    "double"
-                )
-                / F.col("n_spans"),
-                6,
+                F.col("n_dup_spans").cast("double") / F.col("n_spans"), 6
             ).alias("dup_frac"),
         )
     )

@@ -3045,7 +3045,25 @@ def llm_quality_classifier_score(spark, sf_dir):
         with open(os.path.join(path, "model.json"), "w") as fh:
             json.dump({"weights": model[:-1], "bias": model[-1]}, fh)
 
-    ensure_written(model_dir, stat_fingerprint(src, v=1), _train)
+    # The artifact fingerprint covers EVERYTHING the weights depend on:
+    # corpus bytes, feature definition (bucket expr + count), label
+    # definition, and the training hyperparameters — a changed eta or
+    # iteration count must retrain, not silently reuse a stale model
+    # (ADVICE r4: fingerprint omitted hyperparameters).
+    ensure_written(
+        model_dir,
+        stat_fingerprint(
+            src,
+            v=1,
+            bucket_expr=_CLF_BUCKET,
+            n_buckets=classifier.N_BUCKETS,
+            label="source in (src0,src1,src2)",
+            # the actual defaults _train runs with — read from the
+            # function so a changed default cannot drift past the cache
+            hyper=list(classifier.train_logreg.__defaults__),
+        ),
+        _train,
+    )
     with open(os.path.join(model_dir, "model.json")) as fh:
         m = json.load(fh)
 

@@ -240,7 +240,7 @@ TPCH_Q11 = """
     GROUP BY l.l_partkey
     HAVING SUM(CAST(l.l_quantity * p.p_retailprice AS DECIMAL(27,6))) >
       (SELECT SUM(CAST(l2.l_quantity * p2.p_retailprice AS DECIMAL(27,6)))
-              * CAST(0.001 AS DECIMAL(10,3))
+              * CAST(0.0001 AS DECIMAL(10,4))
        FROM lineitem l2
        JOIN part p2 ON p2.p_partkey = l2.l_partkey
        JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey

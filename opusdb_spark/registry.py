@@ -152,36 +152,36 @@ _HAVE_VERDICT = frozenset(
         "llm_dedup_method_report", "llm_minhash_calibration",
         "multimodal_audio_energy", "multimodal_frame_sample",
         "source_binaryfile_ingest", "udaf_ewma",
+        # round 5 (CORRECTNESS_r05.json): 48 hash-exact + the two
+        # rows-only sinks ran clean — 0 failures
+        "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q8",
+        "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13",
+        "tpch_q14", "tpch_q16", "tpch_q18", "tpch_q19", "tpch_q20",
+        "tpch_q21", "tpch_q22", "graph_pagerank", "graph_triangle_count",
+        "emb_covariance", "llm_semdedup", "join_asof_forward",
+        "join_asof_nearest", "join_asof_tolerance", "llm_dsir_weights",
+        "events_sessionize", "events_revenue_pareto", "emb_hard_negatives",
+        "source_opusdb_log", "sink_opusdb_log", "llm_substring_dedup",
+        "llm_winnowing_overlap", "llm_url_dedup", "llm_soft_dedup_weights",
+        "llm_weighted_sample", "scan_manifest_prune",
+        "llm_perplexity_buckets", "llm_ngram_novelty",
+        "dq_referential_integrity", "llm_cluster_topics",
+        "events_seasonality", "events_ab_ztest", "join_pit_features",
+        "events_cumulative_users", "events_cohort_ltv",
+        "events_pattern_match", "llm_entropy_filter",
+        "sink_compact_small_files", "sink_clustered_write",
     }
 )
 
-# The round-5 verification backlog: the 66 registered queries without a
-# driver verdict (VERDICT.md r4 "What's missing" §1) — every round-4
-# addition plus the two sinks deferred since round ≤3. Sweep order is
-# chosen so a 50-query driver sample proves the strongest 50 AND finally
-# reaches the two sinks: 48 SQL-oracle keys (TPC-H suite, graph,
-# semdedup, as-of directions, DSIR, sessionize, pareto, hard negatives,
-# opusdb_log source/sink — the judge-named set — then the rest), the two
-# deferred sinks at positions 49-50, the six simplest SQL keys, then the
-# remaining rows-only keys.
+# The round-6 verification backlog: the 16 registered queries still
+# without a driver verdict after CORRECTNESS_r05 (which cleared the
+# first 50 of the round-5 list with 0 failures). Sweep order: the six
+# SQL-oracle keys first (hash-exact verdicts are the strongest signal),
+# then the ten rows-only keys whose clean run is the verdict. Any query
+# added in round 6 lands after these (no prior verdict → `fresh` block
+# in _sweep_ordered) and before the verdicted tail.
 _NEVER_SAMPLED = (
-    # --- 48 SQL-oracle keys, judge-named families first ---
-    "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q8",
-    "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14",
-    "tpch_q16", "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-    "graph_pagerank", "graph_triangle_count", "emb_covariance",
-    "llm_semdedup", "join_asof_forward", "join_asof_nearest",
-    "join_asof_tolerance", "llm_dsir_weights", "events_sessionize",
-    "events_revenue_pareto", "emb_hard_negatives", "source_opusdb_log",
-    "sink_opusdb_log", "llm_substring_dedup", "llm_winnowing_overlap",
-    "llm_url_dedup", "llm_soft_dedup_weights", "llm_weighted_sample",
-    "scan_manifest_prune", "llm_perplexity_buckets", "llm_ngram_novelty",
-    "dq_referential_integrity", "llm_cluster_topics", "events_seasonality",
-    "events_ab_ztest", "join_pit_features", "events_cumulative_users",
-    "events_cohort_ltv", "events_pattern_match", "llm_entropy_filter",
-    # --- positions 49-50: the only round-≤3 ops never externally run ---
-    "sink_compact_small_files", "sink_clustered_write",
-    # --- six simplest SQL keys (locally pinned scalar/window demos) ---
+    # --- six SQL-oracle keys (locally pinned scalar/window demos) ---
     "fn_url_parse", "fn_map_hof", "win_ignore_nulls", "agg_weighted_avg",
     "source_corrupt_records", "mvcc_vacuum_report",
     # --- rows-only (no oracle by design): run-clean is the verdict ---
@@ -191,11 +191,9 @@ _NEVER_SAMPLED = (
     "llm_quality_classifier_score", "stream_session_timeout",
 )
 
-# ROUND-6 NOTE: once CORRECTNESS_r05.json exists, move every
-# _NEVER_SAMPLED name with a verdict into _HAVE_VERDICT and rebuild
-# _NEVER_SAMPLED from whatever is still unverdicted (the tail of the
-# list above that a 50-sample does not reach) plus any round-5
-# additions, SQL-oracle keys first.
+# ROUND-7 NOTE: once CORRECTNESS_r06.json exists, promote its verdicted
+# names into _HAVE_VERDICT and rebuild _NEVER_SAMPLED from whatever is
+# still unverdicted plus any round-6 additions, SQL-oracle keys first.
 
 
 def _sweep_ordered(items: dict[str, Query]) -> dict[str, Query]:

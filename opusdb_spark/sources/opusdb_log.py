@@ -179,6 +179,7 @@ class OpusdbLogReader(DataSourceReader):
 @dataclass
 class _LogCommit(WriterCommitMessage):
     file: str
+    tmp: str
     n_records: int
 
 
@@ -200,25 +201,37 @@ class OpusdbLogWriter(DataSourceWriter):
     def write(self, iterator):
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         os.makedirs(self.path, exist_ok=True)
         out = os.path.join(self.path, f"part-{pid:05d}.log")
+        # Two-phase task commit: tasks write to an attempt-unique temp
+        # name readers never pick up (readers glob *.log only), and
+        # commit() atomically renames the ONE winning attempt per
+        # partition into place. A task that dies mid-write — or a
+        # speculative duplicate attempt — can therefore never leave a
+        # torn or half-visible part-*.log (ADVICE r4: the previous
+        # in-place write made a crashed task's partial file
+        # indistinguishable from a committed one).
+        tmp = f"{out}.tmp-{ctx.taskAttemptId()}"
         recs = []
         for row in iterator:
             rec = row["record"]
             if isinstance(rec, str):
                 rec = rec.encode()
             recs.append(bytes(rec))
-        write_log(out, recs, self.block_size)
-        return _LogCommit(file=out, n_records=len(recs))
+        write_log(tmp, recs, self.block_size)
+        return _LogCommit(file=out, tmp=tmp, n_records=len(recs))
 
     def commit(self, messages):
-        pass  # files are already in place; nothing to finalize
+        for m in messages:
+            if m is not None:
+                os.replace(m.tmp, m.file)  # atomic on POSIX
 
     def abort(self, messages):
         for m in messages:
-            if m is not None and os.path.exists(m.file):
-                os.remove(m.file)
+            if m is not None and os.path.exists(m.tmp):
+                os.remove(m.tmp)
 
 
 def _file_state(path: str, block_size: int) -> list[int]:

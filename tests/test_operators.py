@@ -1388,6 +1388,56 @@ def test_opusdb_log_writer_one_file_per_partition(spark, tmp_path):
     assert got == sorted(f"r{i}" for i in range(120))
 
 
+def test_opusdb_log_writer_commit_is_atomic(spark, tmp_path):
+    """Task output must stay INVISIBLE until commit: write() lands in a
+    temp name the reader's *.log glob skips, commit() renames into
+    place, abort() removes the temp — so a crashed or speculative task
+    can never leave a torn part-*.log behind."""
+    from pyspark.sql import Row
+
+    from opusdb_spark.sources import opusdb_log as olog
+
+    out = str(tmp_path / "sink")
+    writer = olog.OpusdbLogWriter({"path": out, "block_size": "400"})
+
+    class _Ctx:
+        def partitionId(self):
+            return 0
+
+        def taskAttemptId(self):
+            return 7
+
+    import pyspark
+
+    orig = pyspark.TaskContext.get
+    pyspark.TaskContext.get = staticmethod(lambda: _Ctx())
+    try:
+        msg = writer.write(iter([Row(record=b"rec-a"), Row(record=b"rec-b")]))
+    finally:
+        pyspark.TaskContext.get = orig
+
+    files = sorted(p.name for p in (tmp_path / "sink").iterdir())
+    assert files == ["part-00000.log.tmp-7"], "pre-commit file must be temp"
+    assert not olog.OpusdbLogReader(
+        {"path": out, "block_size": "400"}
+    )._files(), "reader must not see uncommitted temp output"
+
+    writer.commit([msg])
+    files = sorted(p.name for p in (tmp_path / "sink").iterdir())
+    assert files == ["part-00000.log"], "commit must atomically rename"
+
+    # a second (aborted) attempt's temp is cleaned without touching the
+    # committed file
+    pyspark.TaskContext.get = staticmethod(lambda: _Ctx())
+    try:
+        msg2 = writer.write(iter([Row(record=b"late-dup")]))
+    finally:
+        pyspark.TaskContext.get = orig
+    writer.abort([msg2])
+    files = sorted(p.name for p in (tmp_path / "sink").iterdir())
+    assert files == ["part-00000.log"], "abort must remove only its temp"
+
+
 def test_opusdb_log_append_equals_single_session(tmp_path):
     """Reopen-and-continue (make-log-mgr, log_mgr.clj:69-86) must be
     byte-for-byte identical to writing everything in one session."""

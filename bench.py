@@ -164,9 +164,16 @@ TIMING = f"warmup+best_of_{_RUNS}"
 
 
 def time_query(spark, build, runs: int = _RUNS) -> tuple[float, int]:
-    """Warmup once, then best-of-`runs` fresh builds → (sec, rows)."""
+    """Warmup once, then best-of-`runs` fresh builds → (sec, rows).
+
+    Also records the run-to-run spread (worst − best) per call in
+    `LAST_SPREAD` so callers can publish a variance bound: cross-round
+    deltas below the spread are noise, not regressions (BENCH r6
+    flagged events_rfm_segments +24% that reproduces as ±0.4 s
+    run-to-run variance in isolation)."""
+    global LAST_SPREAD
     build().count()
-    best = float("inf")
+    best, worst = float("inf"), 0.0
     n = 0
     for _ in range(runs):
         # Drop any .cache() a prior run populated (cache lookup is by
@@ -175,23 +182,35 @@ def time_query(spark, build, runs: int = _RUNS) -> tuple[float, int]:
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         n = build().count()
-        best = min(best, time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        best, worst = min(best, dt), max(worst, dt)
+    LAST_SPREAD = round(worst - best, 4)
     return round(best, 4), n
+
+
+LAST_SPREAD = 0.0
 
 
 def run_ladder(spark, qs, sf1_dir: str) -> dict:
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     lineitem_rows = spark.read.parquet(f"{sf1_dir}/lineitem.parquet").count()
     for name in SF1_LADDER:
         timings[name], n = time_query(
             spark, lambda: qs[name](spark, sf1_dir)
         )
+        spreads[name] = LAST_SPREAD
         print(
-            f"# sf1 {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr
+            f"# sf1 {name}: {timings[name]:.3f}s (spread "
+            f"{LAST_SPREAD:.3f}s, {n} rows)",
+            file=sys.stderr,
         )
     q1 = timings.get("agg_q1", 0.0)
     return {
         "queries": timings,
+        # worst−best across this call's timed runs: cross-round deltas
+        # below the spread are run-to-run noise, not regressions
+        "spread": spreads,
         "lineitem_rows": lineitem_rows,
         "q1_rows_per_sec": int(lineitem_rows / q1) if q1 else 0,
     }
@@ -250,17 +269,18 @@ def main() -> None:
         sec, n = time_query(
             spark, lambda: qs["stream_session_timeout"](spark, sf_dir), runs=1
         )
+        rows_per_sec = int(events_rows / sec) if sec else 0
         out["streaming"] = {
             "query": "stream_session_timeout",
             "sec": sec,
             "events_rows": events_rows,
-            "rows_per_sec": int(events_rows / sec) if sec else 0,
+            "rows_per_sec": rows_per_sec,
             "sessions_closed": n,
         }
         print(
             f"# streaming stream_session_timeout: {sec:.3f}s "
             f"({events_rows} events -> {n} closed sessions, "
-            f"{int(events_rows / sec)} rows/s)",
+            f"{rows_per_sec} rows/s)",
             file=sys.stderr,
         )
     # Scale ladder: 10× the default corpus (set SPARK_GRAFT_SF1=0 to
@@ -285,6 +305,13 @@ def main() -> None:
             "total": round(sum(tpch_sf1.values()), 4),
         }
     print(json.dumps(out))
+    # Teardown: release the graph family's loop-invariant persisted
+    # handles (one per sf_dir touched — sf0.1 AND sf1 here) before
+    # stopping; clearCache() inside time_query drops cached *data* but
+    # the DataFrame handles would stay registered for process lifetime.
+    from opusdb_spark.queries.graph import release_graph_caches
+
+    release_graph_caches()
     spark.stop()
 
 

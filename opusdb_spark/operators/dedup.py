@@ -698,46 +698,74 @@ def winnow_fingerprints(
 ) -> DataFrame:
     """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken 2003,
     §4): hash every k-token gram, slide a w-gram window, keep each
-    window's minimum hash with RIGHTMOST tie-break — returns the
-    distinct (id, h) fingerprint set. Guarantee (the paper's theorem):
+    window's minimum hash — returns the distinct (id, h) fingerprint
+    set, h as a fixed-width BIGINT. Guarantee (the paper's theorem):
     any shared token run of length ≥ w + k − 1 yields at least one
-    shared fingerprint; density ≈ 2/(w+1). The (hash, −pos) order is
-    encoded as one lexicographic string so the same min works in
-    engines without struct-ordered min_by. Shuffle profile: keyed
-    window per document + one distinct."""
-    from pyspark.sql import Window
+    shared fingerprint; density ≈ 2/(w+1).
+
+    Shuffle profile: NONE. A document's selection depends only on its
+    own grams, so the whole pipeline — gram md5s, per-window min,
+    per-doc distinct — runs in the array domain inside one projection
+    (transform/slice/array_min/array_distinct, all codegen), and only
+    the ~2/(w+1)-density selected fingerprints are ever exploded into
+    rows. The previous shape exploded EVERY gram and ran a
+    partitionBy(doc) window — i.e. it shuffled the entire gram stream
+    (with 32-char md5 strings) just to compute a doc-local min
+    (VERDICT r6 perf item 7; this removes that shuffle entirely rather
+    than only narrowing its key).
+
+    Ordering parity: the per-window min is taken over the md5 hex
+    string — bytewise-comparable in any engine, so a DuckDB oracle
+    reproduces the exact selection (the min HASH per window is
+    tie-break-invariant: equal candidates are equal values). The
+    selected md5 is then collapsed to xxhash64 BIGINT because past
+    selection the fingerprint is only ever compared — downstream
+    distinct/DF/join shuffles move 8 bytes instead of ~44 (a 64-bit
+    collision merging two fingerprints is immaterial at any corpus
+    size)."""
+    from opusdb_spark.operators.skew import spread
 
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
-    m = n - k + 1
-    gram_pos = F.when(n >= k, F.sequence(F.lit(1), m)).otherwise(
-        F.array().cast("array<int>")
-    )
+    m = n - k + 1  # grams; windows exist when m >= w
+    # The gram hashing below multiplies each row's work ~100×; spread()
+    # widens a single-split scan first so it parallelizes (no-op on a
+    # many-split cluster scan).
+    docs = spread(docs)
+    # Materialize the gram-hash array as its own projected column: an
+    # inline expression referenced from the outer transform's lambda
+    # would re-evaluate every md5 per WINDOW (O(m²·k) hashing) if
+    # Catalyst's subexpression elimination declines to fire.
     grams = docs.select(
         F.col(id_col),
-        m.alias("_m"),
-        F.explode(gram_pos).alias("_pos"),
-        toks.alias("_t"),
-    ).select(
-        id_col,
-        "_m",
-        "_pos",
-        F.md5(F.array_join(F.slice("_t", F.col("_pos"), k), " ")).alias("h"),
+        F.when(
+            n >= k + w - 1,
+            F.transform(
+                F.sequence(F.lit(1), m),
+                lambda i: F.md5(F.array_join(F.slice(toks, i, k), " ")),
+            ),
+        ).alias("_gh"),
     )
-    ordval = F.concat(
-        F.col("h"),
-        F.lit("|"),
-        F.lpad((F.lit(99999999) - F.col("_pos")).cast("string"), 8, "0"),
+    fps = F.transform(
+        F.sequence(F.lit(1), F.size("_gh") - w + 1),
+        lambda i: F.array_min(F.slice("_gh", i, w)),
     )
-    win = Window.partitionBy(id_col).orderBy("_pos").rowsBetween(0, w - 1)
-    sel = grams.select(
-        id_col,
-        "_pos",
-        "_m",
-        F.min_by(F.col("h"), ordval).over(win).alias("selh"),
-    )
+    # Row-level distinct rather than per-doc array_distinct: same
+    # result (a doc appears once), avoids the O(f²) array scan, and —
+    # load-bearing — plants the ONE Exchange after the expensive
+    # hashing projection, so a query referencing the fingerprint set
+    # from several subtrees (DF count + both sides of the share join)
+    # gets Catalyst Exchange reuse instead of recomputing the hashes
+    # per subtree. The shuffled rows are 16 bytes: (id, xxhash64).
     return (
-        sel.filter(F.col("_pos") <= F.col("_m") - w + 1)
-        .select(id_col, F.col("selh").alias("h"))
+        grams.select(
+            F.col(id_col),
+            F.explode(
+                F.when(F.col("_gh").isNotNull(), fps).otherwise(
+                    F.array().cast("array<string>")
+                )
+            ).alias("_h_md5"),
+        )
+        .select(id_col, F.xxhash64("_h_md5").alias("h"))
         .distinct()
     )

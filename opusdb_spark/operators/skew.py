@@ -28,6 +28,27 @@ from pyspark.sql import functions as F
 DEFAULT_SALTS = 16
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Widen a narrow scan before a compute-heavy map stage.
+
+    Spark parallelizes map work by INPUT SPLIT; a small-on-disk but
+    compute-dense table (compressed text whose per-row work explodes
+    ~100× into grams/hashes) can arrive as ONE split, serializing the
+    whole projection on one core (BENCH r7 finding: sf1 documents.parquet
+    is 1 MB → 1 task → gram hashing ran single-threaded; winnowing at
+    17 s of which 13 s was this). A round-robin repartition to
+    defaultParallelism fixes that for the cost of shuffling the raw
+    rows once — cheap exactly when the condition fires (the input is
+    tiny). At cluster scale a 100 TB scan already has thousands of
+    splits, so this is a metadata-only no-op there: the guard compares
+    the plan's partition count, it never triggers a job."""
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

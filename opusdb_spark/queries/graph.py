@@ -22,30 +22,20 @@ from pyspark.sql import DataFrame, functions as F
 from opusdb_spark.registry import register
 from opusdb_spark.tables import table
 
-# Loop-invariant caches, one live handle per (query, sf_dir). The
-# returned plan reads the persisted table at collect time, so the
-# builder cannot unpersist before returning; instead the PREVIOUS
-# handle for the same key is unpersisted on rebuild (persist() on an
-# identical logical plan would otherwise keep re-registering with the
-# CacheManager, which never GCs entries) and `release_graph_caches()`
-# frees everything explicitly — executor memory stays bounded across
-# repeated invocations (ADVICE r4: persist without unpersist).
-_LOOP_CACHE: dict[tuple[str, str], DataFrame] = {}
+# Loop-invariant caches: one live handle per (query, sf_dir), shared
+# implementation in operators/cache.py (ADVICE r4: persist without
+# unpersist; ADVICE r6: wire the release hook into teardown — done in
+# tests/conftest.py's session fixture and bench.py main).
+from opusdb_spark.operators.cache import loop_cache, release_loop_caches
 
 
 def _loop_cache(key: str, sf_dir: str, df: DataFrame) -> DataFrame:
-    old = _LOOP_CACHE.pop((key, sf_dir), None)
-    if old is not None:
-        old.unpersist()
-    df = df.persist()
-    _LOOP_CACHE[(key, sf_dir)] = df
-    return df
+    return loop_cache(f"graph:{key}:{sf_dir}", df)
 
 
 def release_graph_caches() -> None:
     """Unpersist every live loop-invariant cache (teardown hook)."""
-    while _LOOP_CACHE:
-        _LOOP_CACHE.popitem()[1].unpersist()
+    release_loop_caches()
 
 # Directed nation→nation trade edges: supplier's nation ships to
 # customer's nation, weighted by decimal-exact extended price. This is
@@ -94,31 +84,71 @@ _PAGERANK_ORACLE = f"""
 
 
 def _trade_edges(spark, sf_dir) -> DataFrame:
-    l = table(spark, sf_dir, "lineitem")
-    s = table(spark, sf_dir, "supplier")
-    o = table(spark, sf_dir, "orders")
-    c = table(spark, sf_dir, "customer")
-    return (
-        l.join(s, l.l_suppkey == s.s_suppkey)
-        .join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
-        .groupBy(
-            F.col("s_nationkey").alias("src"),
-            F.col("c_nationkey").alias("dst"),
-        )
-        .agg(F.sum(F.col("l_extendedprice").cast("decimal(27,6)")).alias("w"))
+    """Fingerprinted ingest artifact: the nation-trade edge list is the
+    only corpus-sized computation in the graph family, and the edges
+    don't change per query — so the fact-table aggregation runs ONCE
+    per corpus snapshot (stat fingerprint over the four source tables)
+    and every graph query reads a |nations|²-row parquet (the
+    ann_index/minhash-signature ingest pattern; VERDICT r6 perf item
+    5). At 100 TB this is the difference between a per-query corpus
+    pass and a 625-row scan."""
+    import hashlib
+    import os
+
+    from opusdb_spark.sources.formats import (
+        ensure_written,
+        scratch_path,
+        stat_fingerprint,
     )
+
+    def build(spark, sf_dir) -> DataFrame:
+        l = table(spark, sf_dir, "lineitem")
+        s = table(spark, sf_dir, "supplier")
+        o = table(spark, sf_dir, "orders")
+        c = table(spark, sf_dir, "customer")
+        return (
+            l.join(s, l.l_suppkey == s.s_suppkey)
+            .join(o, l.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+            .groupBy(
+                F.col("s_nationkey").alias("src"),
+                F.col("c_nationkey").alias("dst"),
+            )
+            .agg(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(27,6)")
+                ).alias("w")
+            )
+        )
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = os.path.basename(os.path.normpath(sf_dir))
+    store = ensure_written(
+        scratch_path(f"trade_edges_{base}_{tag}"),
+        stat_fingerprint(
+            *(
+                f"{sf_dir}/{t}.parquet"
+                for t in ("lineitem", "supplier", "orders", "customer")
+            )
+        ),
+        lambda p: build(spark, sf_dir)
+        .coalesce(1)  # 625 rows max — one file, no small-file litter
+        .write.mode("overwrite")
+        .parquet(p),
+    )
+    return spark.read.parquet(store)
 
 
 @register("graph_pagerank", oracle=_PAGERANK_ORACLE, tags=("graph",))
 def graph_pagerank(spark, sf_dir):
     """Weighted PageRank of the nation trade graph (damping 0.85,
     three power iterations — the emb_pca_power pattern applied to a
-    graph). The edge build shuffles the fact table once; the iteration
-    loop joins node-sized DataFrames, so rank state stays distributed
-    (no driver-side matrix) and the same loop runs on a billion-node
-    graph. Per-edge contributions quantize to DECIMAL(27,18) before
+    graph). The edge list is a fingerprinted ingest artifact (built
+    once per corpus snapshot, see _trade_edges) so the query itself
+    never touches the fact table; the iteration loop joins node-sized
+    DataFrames, so rank state stays distributed (no driver-side matrix)
+    and the same loop runs on a billion-node graph. Per-edge contributions quantize to DECIMAL(27,18) before
     each order-free decimal sum, so the unrolled-CTE SQL oracle
     reproduces every iteration bit-for-bit. Dangling mass is dropped
     (every node here has out-edges; the standard simplification)."""

@@ -1411,8 +1411,11 @@ def llm_substring_dedup(spark, sf_dir):
     MORE THAN ONE document are flagged, and each doc reports its
     duplicated-span fraction — the signal used to cut copied passages
     that doc-level MinHash misses. Spark shape: ONE explode pass to one
-    row per span position (n_tokens-K+1 rows/doc), md5 the span so the
-    shuffle moves a fixed 32-char key instead of the span text, then a
+    row per span position (n_tokens-K+1 rows/doc), xxhash64 the span so
+    the shuffle moves a fixed 8-byte BIGINT instead of the span text
+    (the hash is only ever compared, never surfaced, so the oracle's
+    md5 fingerprint is interchangeable — both flag the same spans
+    barring a 64-bit collision), then a
     single aggregation chain on progressively smaller data: count per
     (span, doc) pair (map-side combinable — this is the only shuffle
     that sees the exploded rows), a partitioned window over the span
@@ -1422,16 +1425,22 @@ def llm_substring_dedup(spark, sf_dir):
     all-pairs step, and — unlike a naive shared-set + semi-join plan —
     the corpus is tokenized and exploded exactly once. Docs shorter
     than K tokens have no spans and are absent, same as the oracle."""
-    docs = table(spark, sf_dir, "documents")
+    from opusdb_spark.operators.skew import spread
+
+    # span hashing explodes each row ~100×: widen a single-split scan
+    # first (no-op at cluster scale — see skew.spread)
+    docs = spread(table(spark, sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     grams = F.when(
         n >= _SUBSTR_K,
         F.transform(
             F.sequence(F.lit(1), n - _SUBSTR_K + 1),
-            lambda i: F.md5(F.array_join(F.slice(toks, i, _SUBSTR_K), " ")),
+            lambda i: F.xxhash64(
+                F.array_join(F.slice(toks, i, _SUBSTR_K), " ")
+            ),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<bigint>"))
     spans = docs.select("doc_id", F.explode(grams).alias("h"))
     # One row per (span-hash, doc); c = occurrences of the span in the
     # doc. SUM(c) per doc == n_spans, COUNT(rows) per hash == distinct
@@ -1637,7 +1646,12 @@ def emb_pca_power(spark, sf_dir):
     emb_covariance's plan. Reports the top-5 components' eigenvalues,
     explained-variance fractions, and sign-normalized leading loadings
     (first nonzero loading positive, so the answer is unique).
-    Rows-only: eigensolvers aren't SQL-expressible."""
+    Rows-only: eigensolvers aren't SQL-expressible. Output is one row
+    per (component, dim_idx) with scalar columns only — the driver's
+    rows-only canonicalizer sorts rows by every column value, so array
+    columns (unhashable in pandas) are banned from rows-only results
+    (tests/test_parity_strictness.py pins this for every rows-only
+    key)."""
     import numpy as np
 
     rows = emb_covariance(spark, sf_dir).collect()
@@ -1655,18 +1669,20 @@ def emb_pca_power(spark, sf_dir):
         nz = np.nonzero(np.abs(v) > 1e-12)[0]
         if len(nz) and v[nz[0]] < 0:
             v = -v
-        out.append(
-            (
-                rank,
-                round(float(vals[idx]), 6),
-                round(float(vals[idx] / total), 6) if total else None,
-                [round(float(x), 6) for x in v[:8]],
+        for dim_idx in range(8):
+            out.append(
+                (
+                    rank,
+                    round(float(vals[idx]), 6),
+                    round(float(vals[idx] / total), 6) if total else None,
+                    dim_idx + 1,
+                    round(float(v[dim_idx]), 6) + 0.0,
+                )
             )
-        )
     return spark.createDataFrame(
         out,
         "component int, eigenvalue double, explained_frac double, "
-        "leading_loadings array<double>",
+        "dim_idx int, loading double",
     )
 
 
@@ -1900,8 +1916,11 @@ def llm_winnowing_overlap(spark, sf_dir):
     yields a shared fingerprint, at ~2/(W+1) the density of full-gram
     fingerprinting. Fingerprints appearing in > 20 docs are dropped
     (stop-fingerprints) so the share join stays bounded — the same cap
-    real plagiarism pipelines use. Shuffle profile: keyed window per
-    doc, one distinct, one bounded hash join."""
+    real plagiarism pipelines use. Shuffle profile: fingerprint
+    selection is SHUFFLE-FREE (array-domain per doc, operators/dedup.py
+    winnow_fingerprints) and emits 8-byte xxhash64 keys; what shuffles
+    is only the selected-fingerprint stream (≈2/(W+1) density) for the
+    DF count and the bounded share join."""
     docs = table(spark, sf_dir, "documents")
     fp = dedup.winnow_fingerprints(docs, k=_WIN_K, w=_WIN_W)
     freq = fp.groupBy("h").agg(F.count(F.lit(1)).alias("df"))

@@ -441,9 +441,12 @@ def source_orc_roundtrip(spark, sf_dir):
 
 
 # ----------------------------------------------- decontamination
+_DECON_DF_CAP = 20
+
+
 @register(
     "llm_decontaminate",
-    oracle="""
+    oracle=f"""
         WITH grams AS (
             SELECT DISTINCT doc_id, g FROM (
                 SELECT doc_id,
@@ -454,8 +457,13 @@ def source_orc_roundtrip(spark, sf_dir):
                      LATERAL (SELECT UNNEST(range(1, GREATEST(len(string_split(text,' ')) - 2, 0) + 1)) AS i)
             )
         ),
-        bench AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 = 0),
-        train AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 <> 0)
+        rare AS (
+            SELECT g FROM grams GROUP BY g
+            HAVING COUNT(*) <= {_DECON_DF_CAP}
+        ),
+        kept AS (SELECT grams.doc_id, grams.g FROM grams JOIN rare USING (g)),
+        bench AS (SELECT doc_id, g FROM kept WHERE doc_id % 97 = 0),
+        train AS (SELECT doc_id, g FROM kept WHERE doc_id % 97 <> 0)
         SELECT t.doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_shared_grams,
                CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_bench_docs
@@ -470,38 +478,68 @@ def llm_decontaminate(spark, sf_dir):
     deterministic stand-in for an eval set).
 
     Candidates come ONLY from a shared-gram equi-join — never an
-    all-pairs text comparison — and the benchmark side of the join is
-    the small one (~1% of the corpus), so at 100 TB it broadcasts or
-    hash-joins on the gram key while the training side streams. The
-    kept corpus is train MINUS these doc_ids (an anti-join the caller
-    composes, as llm_dedup_pipeline does for dedup keep-lists).
+    all-pairs text comparison. Two properties make the join key safe at
+    100 TB (VERDICT r6: the old plan shuffled full gram text and had a
+    zipfian hot-key fan-out):
+
+    - **Fixed-width key**: the gram is hashed to an xxhash64 BIGINT at
+      explode time, so every downstream shuffle/join moves 8-byte keys,
+      never gram text (the llm_substring_dedup pattern). Collisions
+      merge two grams' doc sets — at 64 bits, immaterial.
+    - **Document-frequency cap (stop-grams)**: grams appearing in more
+      than {_DECON_DF_CAP} documents are excluded before the join — the
+      ubiquitous "the of and"-class keys whose fan-out is quadratic in
+      DF. FALSE-NEGATIVE POLICY: a gram that common carries no
+      contamination signal (it flags a constant fraction of the corpus);
+      real pipelines additionally raise the window to 8–13 words, which
+      this synthetic corpus cannot express (8-grams shared across the
+      split: zero — the pass would be vacuous), so the cap is the
+      honest skew control here and the gram length stays 3 for signal.
+
+    The DF count itself is skew-free: distinct (doc_id, gh) pairs
+    partition by BOTH columns (hot grams spread across doc_ids), then
+    the per-gram count is map-side combinable. After the cap, every
+    join key matches ≤ {_DECON_DF_CAP} rows per side by construction —
+    no AQE skew-split needed. The kept corpus is train MINUS these
+    doc_ids (an anti-join the caller composes, as llm_dedup_pipeline
+    does for dedup keep-lists).
     """
-    docs = table(spark, sf_dir, "documents")
+    from opusdb_spark.operators.skew import spread
+
+    # gram hashing explodes each row ~100×: widen a single-split scan
+    # first (no-op at cluster scale — see skew.spread)
+    docs = spread(table(spark, sf_dir, "documents"))
     w = F.split(F.col("text"), " ")
-    grams = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.greatest(F.size(w) - 3, F.lit(0))),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.try_element_at(w, i + 1),
-                        F.try_element_at(w, i + 2),
-                        F.try_element_at(w, i + 3),
-                    ),
+    gh_arr = F.when(
+        F.size(w) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 3),
+            lambda i: F.xxhash64(
+                F.concat_ws(
+                    " ",
+                    F.element_at(w, i + 1),
+                    F.element_at(w, i + 2),
+                    F.element_at(w, i + 3),
                 )
-            ).alias("g"),
-        )
-        .filter(F.size(F.split(F.col("g"), " ")) == 3)
-        .distinct()
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    pairs = docs.select(
+        "doc_id", F.explode(gh_arr).alias("gh")
+    ).dropDuplicates(["doc_id", "gh"])
+    rare = (
+        pairs.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _DECON_DF_CAP)
+        .select("gh")
     )
-    bench = grams.filter(F.col("doc_id") % 97 == 0).withColumnRenamed(
+    kept = pairs.join(rare, "gh")
+    bench = kept.filter(F.col("doc_id") % 97 == 0).withColumnRenamed(
         "doc_id", "bench_doc"
     )
-    train = grams.filter(F.col("doc_id") % 97 != 0)
+    train = kept.filter(F.col("doc_id") % 97 != 0)
     return (
-        train.join(bench, "g")
+        train.join(bench, "gh")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shared_grams"),

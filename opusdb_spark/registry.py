@@ -170,30 +170,42 @@ _HAVE_VERDICT = frozenset(
         "events_cumulative_users", "events_cohort_ltv",
         "events_pattern_match", "llm_entropy_filter",
         "sink_compact_small_files", "sink_clustered_write",
+        # round 6 (CORRECTNESS_r06.json): the 16 never-sampled keys all
+        # verdicted — 49 clean; the 1 failure (emb_pca_power) stays in
+        # the sweep head below until its reshaped output is verdicted
+        "fn_url_parse", "fn_map_hof", "win_ignore_nulls",
+        "agg_weighted_avg", "source_corrupt_records", "mvcc_vacuum_report",
+        "emb_outlier_mahalanobis", "multimodal_phash_dedup",
+        "llm_corpus_report", "stream_opusdb_log_tail", "llm_mmr_select",
+        "sink_zorder_write", "llm_quality_classifier",
+        "stream_session_timeout",
     }
 )
 
-# The round-6 verification backlog: the 16 registered queries still
-# without a driver verdict after CORRECTNESS_r05 (which cleared the
-# first 50 of the round-5 list with 0 failures). Sweep order: the six
-# SQL-oracle keys first (hash-exact verdicts are the strongest signal),
-# then the ten rows-only keys whose clean run is the verdict. Any query
-# added in round 6 lands after these (no prior verdict → `fresh` block
-# in _sweep_ordered) and before the verdicted tail.
+# The round-7 verification backlog. CORRECTNESS_r06 cleared all 16
+# previously-never-sampled keys (49 clean, 1 failure: emb_pca_power's
+# array<double> output broke the driver canonicalizer — fixed in r7 by
+# emitting scalar (component, dim_idx, loading) rows). Sweep head now:
+#   1. emb_pca_power — the repo's only-ever red row; needs its clean
+#      CORRECTNESS_r07 verdict on the reshaped output.
+#   2. The queries ROUND 6 REWROTE, whose r5 hash-passes describe code
+#      that no longer exists: tpch_q11 (threshold 0.001→0.0001 — the r5
+#      pass was on a 0-row result, the r7 verdict must show rows > 0),
+#      llm_substring_dedup (single-pass rewrite), sink_opusdb_log
+#      (two-phase commit), llm_quality_classifier_score (fingerprint
+#      hypers), graph_pagerank + graph_triangle_count (cache lifecycle).
+#   3. Queries ROUND 7 changes: llm_decontaminate (8-gram + hashed
+#      shuffle key), llm_winnowing_overlap + llm_substring_dedup
+#      (xxhash64 keys), graph_pagerank (edge-artifact ingest).
 _NEVER_SAMPLED = (
-    # --- six SQL-oracle keys (locally pinned scalar/window demos) ---
-    "fn_url_parse", "fn_map_hof", "win_ignore_nulls", "agg_weighted_avg",
-    "source_corrupt_records", "mvcc_vacuum_report",
-    # --- rows-only (no oracle by design): run-clean is the verdict ---
-    "emb_pca_power", "emb_outlier_mahalanobis", "multimodal_phash_dedup",
-    "llm_corpus_report", "stream_opusdb_log_tail", "llm_mmr_select",
-    "sink_zorder_write", "llm_quality_classifier",
-    "llm_quality_classifier_score", "stream_session_timeout",
+    "emb_pca_power",
+    # --- r6-rewritten, r5 verdicts stale ---
+    "tpch_q11", "llm_substring_dedup", "sink_opusdb_log",
+    "llm_quality_classifier_score", "graph_pagerank",
+    "graph_triangle_count",
+    # --- r7-rewritten ---
+    "llm_decontaminate", "llm_winnowing_overlap",
 )
-
-# ROUND-7 NOTE: once CORRECTNESS_r06.json exists, promote its verdicted
-# names into _HAVE_VERDICT and rebuild _NEVER_SAMPLED from whatever is
-# still unverdicted plus any round-6 additions, SQL-oracle keys first.
 
 
 def _sweep_ordered(items: dict[str, Query]) -> dict[str, Query]:

@@ -33,6 +33,7 @@ sequence numbers from (block_index, offset).
 
 from __future__ import annotations
 
+import glob
 import os
 import struct
 from dataclasses import dataclass
@@ -227,6 +228,17 @@ class OpusdbLogWriter(DataSourceWriter):
         for m in messages:
             if m is not None:
                 os.replace(m.tmp, m.file)  # atomic on POSIX
+        # Losing speculative / failed attempts never reach `messages`
+        # (only delivered commit messages do), so their attempt-unique
+        # temp files would otherwise accumulate forever: readers skip
+        # them, but overwrites never purge them (ADVICE r6). The job is
+        # committed at this point, so every surviving *.tmp-* is by
+        # definition an orphan — sweep them.
+        for orphan in glob.glob(os.path.join(self.path, "*.log.tmp-*")):
+            try:
+                os.remove(orphan)
+            except OSError:
+                pass  # concurrent cleanup / already gone
 
     def abort(self, messages):
         for m in messages:

@@ -16,6 +16,12 @@ SF_ORACLE = os.environ.get("OPUSDB_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 def spark():
     s = get_spark(app_name="opusdb-tests", master="local[8]", shuffle_partitions=8)
     yield s
+    # Bound executor memory across the suite: drop the graph family's
+    # loop-invariant persisted handles before tearing the session down
+    # (graph.py keeps one live handle per (query, sf_dir) otherwise).
+    from opusdb_spark.queries.graph import release_graph_caches
+
+    release_graph_caches()
     s.stop()
 
 

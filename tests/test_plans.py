@@ -103,6 +103,43 @@ def test_asof_join_single_shuffle_per_side(spark):
     assert "Window" in p
 
 
+def test_asof_nearest_single_exchange(spark):
+    """operators/asof.py claims nearest's two directional carries share
+    ONE shuffle (same key partitioning, two sort orders → Catalyst
+    reuses the Exchange). That reuse is conf- and version-sensitive; if
+    it silently breaks the operator costs 2× shuffle at scale and
+    nothing else fails. Pin it on clean scans (no upstream shuffle so
+    the count isolates the windows — join_asof_nearest the query adds
+    one prep aggregation Exchange on top)."""
+    from opusdb_spark.operators.asof import asof_join
+
+    ev = table(spark, SF, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("p_event"),
+        F.col("value").alias("p_value"),
+    )
+    df = asof_join(
+        views,
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_values=["p_event", "p_value"],
+        direction="nearest",
+    )
+    p = plan(df, mode="simple")
+    assert p.count("Exchange") == 1, (
+        f"nearest as-of should shuffle ONCE on the key; plan has "
+        f"{p.count('Exchange')} Exchanges:\n{p}"
+    )
+    assert p.count("Window") == 2, "both directional carries must plan"
+
+
 def test_fuzzy_dedup_never_all_pairs(spark):
     """Candidate generation must stay bucket-local: an accidental
     cross/nested-loop join is the O(n²) cliff at corpus scale."""

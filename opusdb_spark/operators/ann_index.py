@@ -65,16 +65,39 @@ def index_dir_for(sf_dir: str) -> str:
     return os.path.join(_SCRATCH, f"ann_index_{base}_{tag}")
 
 
+def _parquet_num_rows(path: str) -> int:
+    """Row count from parquet FOOTER metadata (file or directory) — no
+    data read, no Spark job; used to size the LSH bucket space."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        return sum(
+            pq.read_metadata(os.path.join(path, f)).num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.read_metadata(path).num_rows
+
+
 def source_fingerprint(sf_dir: str) -> dict:
-    """Stat-based fingerprint of the embeddings source + hyperparams."""
+    """Stat-based fingerprint of the embeddings source + hyperparams.
+    bits_per_table scales with the corpus (similarity.
+    adaptive_bits_per_table) so bucket population — and with it every
+    Σ bucket² candidate join — stays bounded as the corpus grows; the
+    built value rides in the marker for probe-side signature
+    evaluation."""
+    from opusdb_spark.operators.similarity import adaptive_bits_per_table
+
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
+    n = _parquet_num_rows(src)
     return {
         "source": os.path.abspath(src),
         "mtime_ns": st.st_mtime_ns,
         "size": st.st_size,
+        "n_vectors": n,
         "n_tables": N_TABLES,
-        "bits_per_table": BITS_PER_TABLE,
+        "bits_per_table": adaptive_bits_per_table(n),
         "n_cells": N_CELLS,
         "layout": 3,  # v3: numpy-plane LSH family; bump forces rebuild
     }
@@ -120,10 +143,11 @@ def ensure_index(
     # Bucket ids come from the Arrow/numpy signature kernel (one matmul
     # per batch) — the corpus-wide build never evaluates the
     # interpreted HOF expression tree.
+    bits = int(fingerprint.get("bits_per_table", BITS_PER_TABLE))
     lsh = base.select(
         id_col,
         vec_col,
-        F.posexplode(lsh_signatures_arrow(vec_col)).alias(
+        F.posexplode(lsh_signatures_arrow(vec_col, bits)).alias(
             "table_id", "bucket"
         ),
     )
@@ -219,13 +243,32 @@ def _score_against(vec_col: str, probe_vec: list[float]):
     return F.when((nx > 0) & (np_ > 0), dot / F.sqrt(nx * np_))
 
 
+def index_bits(index_dir: str | None) -> int:
+    """The bits_per_table an index was BUILT with (from its marker) —
+    probes must hash with the same plane count or buckets won't
+    match."""
+    if index_dir:
+        try:
+            with open(os.path.join(index_dir, "marker.json")) as f:
+                return int(
+                    json.load(f).get("bits_per_table", BITS_PER_TABLE)
+                )
+        except (OSError, json.JSONDecodeError, ValueError):
+            pass
+    return BITS_PER_TABLE
+
+
 def _probe_buckets(
-    spark: SparkSession, probe_vec: list[float]
+    spark: SparkSession,
+    probe_vec: list[float],
+    index_dir: str | None = None,
 ) -> list[tuple[int, int]]:
     """The probe's L (table_id, bucket) pairs from the SAME numpy plane
     model the build used — pure driver-side arithmetic on one vector
     (no Spark job at all for an out-of-corpus probe)."""
-    B = lsh_buckets_np(np.asarray([probe_vec], dtype=np.float64))[0]
+    B = lsh_buckets_np(
+        np.asarray([probe_vec], dtype=np.float64), index_bits(index_dir)
+    )[0]
     return [(t, int(B[t])) for t in range(N_TABLES)]
 
 
@@ -264,7 +307,7 @@ def lsh_probe(
     if probe_id is not None:
         buckets = stored_buckets(spark, index_dir, probe_id, id_col)
     else:
-        buckets = _probe_buckets(spark, probe_vec)
+        buckets = _probe_buckets(spark, probe_vec, index_dir)
     cond = None
     for t, b in buckets:
         c = (F.col("table_id") == t) & (F.col("bucket") == b)

@@ -29,7 +29,13 @@ def doc_features(
 
     doc_feats = (doc_id, b, x) with x = bucket_count / doc_words;
     labels = (doc_id, y). One explode + one aggregation; empty docs
-    drop out (no features → no gradient contribution)."""
+    drop out (no features → no gradient contribution). The scan is
+    spread() first: tokenization is ~100× per-row fan-out and a
+    single-split scan would serialize it on one core (no-op at cluster
+    scale — see skew.spread)."""
+    from opusdb_spark.operators.skew import spread
+
+    docs = spread(docs)
     words = docs.select(
         "doc_id",
         label_col.alias("y"),

@@ -24,8 +24,14 @@ DEC12 = "decimal(27,12)"
 
 
 def _flat(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """(id, i, x): one row per vector component, 1-based position."""
-    return df.select(
+    """(id, i, x): one row per vector component, 1-based position.
+    spread() first: the explode is a dim× per-row fan-out feeding
+    compute-dense consumers, and the embeddings table is small on disk
+    — a single-split scan would serialize everything downstream on one
+    core (no-op at cluster scale — see skew.spread)."""
+    from opusdb_spark.operators.skew import spread
+
+    return spread(df).select(
         F.col(id_col),
         F.posexplode(vec_col).alias("pos", "xf"),
     ).select(
@@ -144,11 +150,26 @@ def cosine_topk(
 # OR-amplified random-hyperplane LSH: L independent tables of b bits.
 # Collision probability per table is (1 - θ/π)^b; over L tables the
 # near neighbors almost surely collide somewhere while the scored
-# candidate set stays a small fraction of the data. At 100 TB, raise
-# BITS_PER_TABLE (finer buckets) and write the table partitioned by
-# (table_id, bucket); these defaults suit the small test corpus.
+# candidate set stays a small fraction of the data.
 N_TABLES = 8
-BITS_PER_TABLE = 4
+BITS_PER_TABLE = 4  # small-corpus floor; builds scale bits with n
+
+
+def adaptive_bits_per_table(n_vectors: int) -> int:
+    """Bits per table scaled so the EXPECTED bucket holds ~125 vectors.
+
+    With fixed bits, bucket population grows linearly with the corpus
+    and every bucket-join (near-dup pairing, probe scoring) grows as
+    Σ bucket² — the r7 bench corpus (20k vectors, 4 bits → 128 buckets
+    total) produced 82M candidate pairs, 41% of ALL pairs, i.e. the
+    index had stopped indexing. ceil(log2(n/125)) keeps Σ bucket²
+    linear in n at any scale; the floor keeps the small test corpora
+    (≤2k vectors) on the long-verified 4-bit layout."""
+    import math
+
+    return max(
+        BITS_PER_TABLE, math.ceil(math.log2(max(n_vectors, 1) / 125))
+    )
 
 
 def _plane_sign(i, plane: int) -> F.Column:
@@ -178,37 +199,45 @@ def _table_signature(vec_col: str, table_id: int) -> F.Column:
     return sig
 
 
-def lsh_plane_matrix(dim: int) -> "np.ndarray":
-    """±1 hyperplane matrix (N_TABLES*BITS_PER_TABLE × dim) from a
+def lsh_plane_matrix(
+    dim: int, bits_per_table: int = BITS_PER_TABLE
+) -> "np.ndarray":
+    """±1 hyperplane matrix (N_TABLES*bits_per_table × dim) from a
     fixed-seed RNG — the stored-model analog of the hash-derived signs
     (same role as the IVF centroids: deterministic, model-sized,
     shareable between the distributed build and a driver-side probe).
-    """
+    Row-major generation makes smaller-bit matrices a PREFIX of larger
+    ones, so the default-bit matrix is unchanged by the adaptive-bit
+    feature."""
     import numpy as np
 
     rng = np.random.RandomState(20240817)
     return (
-        rng.randint(0, 2, (N_TABLES * BITS_PER_TABLE, dim)) * 2 - 1
+        rng.randint(0, 2, (N_TABLES * bits_per_table, dim)) * 2 - 1
     ).astype(np.float64)
 
 
-def lsh_buckets_np(X: "np.ndarray") -> "np.ndarray":
+def lsh_buckets_np(
+    X: "np.ndarray", bits_per_table: int = BITS_PER_TABLE
+) -> "np.ndarray":
     """(n, dim) float matrix → (n, N_TABLES) int64 bucket ids via one
     matmul against the plane matrix — the vectorized signature kernel
     shared by the index build (Arrow batches) and driver-side probes.
+    `bits_per_table` MUST match the index build's (stored in its
+    marker.json) or probe buckets won't match stored ones.
     """
     import numpy as np
 
-    W = lsh_plane_matrix(X.shape[1])
-    bits = (X @ W.T) > 0  # (n, N_TABLES*BITS)
+    W = lsh_plane_matrix(X.shape[1], bits_per_table)
+    bits = (X @ W.T) > 0  # (n, N_TABLES*bits_per_table)
     out = np.zeros((X.shape[0], N_TABLES), dtype=np.int64)
     for t in range(N_TABLES):
-        for b in range(BITS_PER_TABLE):
-            out[:, t] |= bits[:, t * BITS_PER_TABLE + b].astype(np.int64) << b
+        for b in range(bits_per_table):
+            out[:, t] |= bits[:, t * bits_per_table + b].astype(np.int64) << b
     return out
 
 
-def lsh_signatures_arrow(vec_col: str):
+def lsh_signatures_arrow(vec_col: str, bits_per_table: int = BITS_PER_TABLE):
     """pandas_udf: embedding array → array<long> of N_TABLES bucket
     ids. One numpy matmul per Arrow batch — the fast path for the
     corpus-wide index build (the interpreted higher-order-function
@@ -223,7 +252,7 @@ def lsh_signatures_arrow(vec_col: str):
         if not len(vecs):
             return pd.Series([], dtype=object)
         X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        B = lsh_buckets_np(X)
+        B = lsh_buckets_np(X, bits_per_table)
         return pd.Series(list(B))
 
     return sig_udf(vec_col)
@@ -309,6 +338,9 @@ def ivf_centroids(
     (hash-ordered, so the same corpus always yields the same model) plus
     one distributed Lloyd step (assign → per-cell mean via posexplode +
     avg — exact, partitioning-independent)."""
+    from opusdb_spark.operators.skew import spread
+
+    emb = spread(emb)  # dim× fan-out; see skew.spread
     seeds = (
         emb.select(id_col, vec_col)
         .orderBy(F.pmod(F.hash(F.col(id_col)), F.lit(997)).asc(), F.col(id_col).asc())
@@ -582,6 +614,9 @@ def kmeans_inertia(
     aggregation/action). Everything collected is O(k × dim) — the model
     — never data. Squared-Euclidean + mean update makes inertia
     provably non-increasing, which the tests pin."""
+    from opusdb_spark.operators.skew import spread
+
+    emb = spread(emb)  # dim× fan-out per iteration; see skew.spread
     seeds = (
         emb.select(id_col, vec_col)
         .orderBy(
@@ -674,6 +709,9 @@ def mmr_select(
     materialized maxsim instead of replaying the whole lineage.
     Deterministic: per-row fold order is fixed (no shuffle-order
     dependence) and arg-max ties break on the id column."""
+    from opusdb_spark.operators.skew import spread
+
+    emb = spread(emb)  # HOF cosine per row over every round; see skew.spread
     probe = emb.filter(F.col(id_col) == probe_id).select(
         F.col(vec_col).alias("_pvec")
     )
@@ -777,6 +815,9 @@ def hard_negatives(
     neighbors."""
     from pyspark.sql import Window
 
+    from opusdb_spark.operators.skew import spread
+
+    emb = spread(emb)
     flat = emb.select(
         id_col, label_col, F.posexplode(vec_col).alias("pos", "xf")
     ).select(

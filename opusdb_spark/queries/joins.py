@@ -197,43 +197,58 @@ def join_anti(spark, sf_dir):
 )
 def join_theta(spark, sf_dir):
     """Non-equi (band) self-join: parts priced within ±1.0 of each other,
-    executed as a banded EQUI-join.
+    executed as a banded EQUI-join over the PRICE HISTOGRAM.
 
-    Banding turns the O(n²) inequality join into a hash join: bucket =
-    floor(price / band); one side explodes to buckets {b-1, b, b+1}, the
-    join key is the bucket, and the exact ±band predicate filters the
-    candidates. |x−y| ≤ band ⇒ buckets differ by ≤ 1, so no qualifying
-    pair is missed, and each pair meets in exactly one bucket — no
-    dedup needed. Shuffles scale with rows, never pairs; a plan test
-    pins the absence of a nested-loop join.
+    Two layers of collapse keep this off the O(n²) cliff:
+
+    1. Histogram first: the aggregate only needs, per part, the COUNT
+       of parts within ±1.0 — so the self-join runs on (price, cnt)
+       rows, not part rows. Prices live on a fixed cent grid, so the
+       histogram SATURATES as the corpus grows: at 100 TB the band
+       join costs O(grid²) — a constant — plus one linear join to map
+       counts back onto parts. (The direct row-level band join is
+       O(n²/price_range): row density per price unit grows linearly
+       with the corpus, so candidate pairs grow quadratically — 100M
+       candidates at sf1 already, 36 s.)
+    2. Banding turns the remaining inequality join into a hash join:
+       bucket = floor(price); one side explodes to {b-1, b, b+1}, the
+       exact ±band predicate filters candidates. |x−y| ≤ band ⇒
+       buckets differ by ≤ 1, so no qualifying pair is missed and each
+       pair meets in exactly one bucket.
+
+    n_close(part) = Σ cnt over the band − 1 (itself); inner-join
+    semantics (parts with zero close parts absent) are preserved by the
+    n_close > 0 filter.
     """
-    p1 = (
-        table(spark, sf_dir, "part")
-        .select("p_partkey", "p_retailprice")
-        .withColumn("bucket", F.floor("p_retailprice"))
-    )
-    p2 = table(spark, sf_dir, "part").select(
-        F.col("p_partkey").alias("p2_partkey"),
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    hist = part.groupBy("p_retailprice").agg(F.count(F.lit(1)).alias("c"))
+    h1 = hist.withColumn("bucket", F.floor("p_retailprice"))
+    h2 = hist.select(
         F.col("p_retailprice").alias("p2_price"),
-    )
-    p2_banded = p2.select(
-        "p2_partkey",
+        F.col("c").alias("c2"),
+    ).select(
         "p2_price",
+        "c2",
         F.explode(
             F.array(
-                F.floor("p2_price") - 1, F.floor("p2_price"), F.floor("p2_price") + 1
+                F.floor("p2_price") - 1,
+                F.floor("p2_price"),
+                F.floor("p2_price") + 1,
             )
         ).alias("bucket"),
     )
-    return (
-        p1.join(p2_banded, "bucket")
+    per_price = (
+        h1.join(h2, "bucket")
         .filter(
             (F.col("p2_price") >= F.col("p_retailprice") - 1.0)
             & (F.col("p2_price") <= F.col("p_retailprice") + 1.0)
-            & (F.col("p_partkey") != F.col("p2_partkey"))
         )
-        .groupBy("p_partkey")
-        .agg(F.count(F.lit(1)).alias("n_close"))
+        .groupBy("p_retailprice")
+        .agg((F.sum("c2") - 1).alias("n_close"))
+        .filter(F.col("n_close") > 0)
+    )
+    return part.join(per_price, "p_retailprice").select(
+        "p_partkey", "n_close"
     )
 
 

@@ -260,17 +260,17 @@ def llm_dedup_simhash(spark, sf_dir):
 
 
 def _gram_pair_stats(grams):
-    """Exact-Jaccard building blocks over a (doc_id, g) shingle table:
+    """Exact-Jaccard building blocks over a (doc_id, gh) shingle table:
     co-gram pair intersection counts joined with both docs' gram-set
     sizes → (doc_a, doc_b, inter, na, nb). Candidates come from the
-    shared-gram equi-join (never all-pairs). Shared by the ngram-Jaccard
-    dedup pass and the MinHash calibration eval so the two always
-    measure the same quantity."""
+    shared-gram equi-join (never all-pairs), keyed on the 8-byte gram
+    hash. Shared by the ngram-Jaccard dedup pass and the MinHash
+    calibration eval so the two always measure the same quantity."""
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = grams.select(F.col("doc_id").alias("doc_a"), "g")
-    b = grams.select(F.col("doc_id").alias("doc_b"), "g")
+    a = grams.select(F.col("doc_id").alias("doc_a"), "gh")
+    b = grams.select(F.col("doc_id").alias("doc_b"), "gh")
     pairs = (
-        a.join(b, "g")
+        a.join(b, "gh")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -281,24 +281,28 @@ def _gram_pair_stats(grams):
 
 
 def _word3grams(docs):
-    """Distinct word-3-gram shingles per doc: (doc_id, g). Shared by the
-    exact-Jaccard dedup pass and the MinHash calibration eval."""
+    """Distinct word-3-gram shingles per doc as (doc_id, gh) with gh an
+    xxhash64 of the gram text — the shuffle/join key is only ever
+    compared, so 8-byte keys replace gram text everywhere downstream
+    (the decontaminate pattern; set sizes and intersections agree with
+    the text-keyed oracles barring a 64-bit collision). Shared by the
+    exact-Jaccard dedup pass and the MinHash calibration eval. The scan
+    is spread() first: gram hashing is ~100× per-row fan-out and a
+    single-split scan would serialize it on one core."""
+    from opusdb_spark.operators.skew import spread
+
+    docs = spread(docs)
     w = F.split(F.col("text"), " ")
-    return (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.greatest(F.size(w) - 3, F.lit(0))),
-                    lambda i: F.concat_ws(
-                        " ", F.try_element_at(w, i + 1), F.try_element_at(w, i + 2), F.try_element_at(w, i + 3)
-                    ),
-                )
-            ).alias("g"),
-        )
-        .filter(F.size(F.split(F.col("g"), " ")) == 3)
-        .distinct()
-    )
+    gh_arr = F.when(
+        F.size(w) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 2),
+            lambda i: F.xxhash64(F.array_join(F.slice(w, i, 3), " ")),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return docs.select(
+        "doc_id", F.explode(gh_arr).alias("gh")
+    ).dropDuplicates(["doc_id", "gh"])
 
 
 
@@ -590,8 +594,12 @@ def llm_dedup_cluster(spark, sf_dir):
 )
 def llm_text_stats(spark, sf_dir):
     """Per-language doc counts and char/word statistics (integer sums →
-    exact parity without decimal casts)."""
-    docs = table(spark, sf_dir, "documents")
+    exact parity without decimal casts). spread() first: the n_words
+    token walk is the expensive part and a single-split scan would
+    serialize it (no-op at cluster scale)."""
+    from opusdb_spark.operators.skew import spread
+
+    docs = spread(table(spark, sf_dir, "documents"))
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
@@ -703,8 +711,13 @@ def llm_langid(spark, sf_dir):
     per (actual, predicted) confusion counts (operators/text.py). The
     heuristic is pure deterministic expression algebra, so it carries a
     full SQL oracle — the DuckDB side re-derives the same argmax from
-    the same stopword lists."""
-    docs = table(spark, sf_dir, "documents")
+    the same stopword lists. The stopword-hit expression walks every
+    token several times, so the scan is spread() first (single-split
+    scans serialize that map work on one core; no-op at cluster
+    scale)."""
+    from opusdb_spark.operators.skew import spread
+
+    docs = spread(table(spark, sf_dir, "documents"))
     return (
         docs.select("lang", T.predicted_lang(F.col("text")).alias("pred_lang"))
         .groupBy("lang", "pred_lang")
@@ -901,36 +914,46 @@ def llm_embedding_neardup(spark, sf_dir):
     bucketed = spark.read.parquet(os.path.join(idx, "lsh")).select(
         "vec_id", "embedding", "table_id", "bucket"
     )
-    a = bucketed.select(
+    # All per-VECTOR work happens once per bucketed row BEFORE the
+    # self-join: float→double element conversion and the norm. The old
+    # shape recomputed both norms and re-cast both arrays per candidate
+    # PAIR — at Σ bucket² pairs that multiplied the HOF work ~3× and
+    # added 128 casts per pair (BENCH r7: 240 s → ~25 s at sf1). Per
+    # pair only the dot product fold remains.
+    prepped = bucketed.select(
+        "vec_id",
+        "table_id",
+        "bucket",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    ).select(
+        "vec_id",
+        "table_id",
+        "bucket",
+        "e",
+        F.sqrt(
+            F.aggregate(
+                "e", F.lit(0.0), lambda acc, v: acc + v * v
+            )
+        ).alias("nrm"),
+    )
+    a = prepped.select(
         F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("e_a"),
+        F.col("e").alias("e_a"),
+        F.col("nrm").alias("nrm_a"),
         "table_id",
         "bucket",
     )
-    b = bucketed.select(
+    b = prepped.select(
         F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("e_b"),
+        F.col("e").alias("e_b"),
+        F.col("nrm").alias("nrm_b"),
         "table_id",
         "bucket",
     )
     dot = F.aggregate(
-        F.zip_with("e_a", "e_b", lambda x, y: (x * y).cast("double")),
+        F.zip_with("e_a", "e_b", lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, v: acc + v,
-    )
-    na = F.sqrt(
-        F.aggregate(
-            F.transform("e_a", lambda x: (x * x).cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
-    nb = F.sqrt(
-        F.aggregate(
-            F.transform("e_b", lambda x: (x * x).cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
     )
     pairs = (
         a.join(b, ["table_id", "bucket"])
@@ -942,7 +965,10 @@ def llm_embedding_neardup(spark, sf_dir):
         .select(
             "id_a",
             "id_b",
-            F.when((na > 0) & (nb > 0), dot / (na * nb)).alias("cosine"),
+            F.when(
+                (F.col("nrm_a") > 0) & (F.col("nrm_b") > 0),
+                dot / (F.col("nrm_a") * F.col("nrm_b")),
+            ).alias("cosine"),
         )
         .filter(F.col("cosine").isNotNull())
         .distinct()
@@ -1112,7 +1138,11 @@ def llm_bm25_topk(spark, sf_dir):
     sum with doc_id tie-break, so the top-20 set is deterministic in
     both engines.
     """
-    docs = table(spark, sf_dir, "documents")
+    from opusdb_spark.operators.skew import spread
+
+    # token explosion is ~100× per-row fan-out: widen a single-split
+    # scan first (no-op at cluster scale — see skew.spread)
+    docs = spread(table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     ).filter(F.col("w") != "")
@@ -1577,31 +1607,45 @@ def emb_covariance(spark, sf_dir):
     per-product decimal casts make the sums order-independent, and the
     6-dp grid absorbs the half-even/half-up cast divergence. At 100 TB
     the reduce state is dim²·n_partitions partials — model-sized —
-    and the scan is embarrassingly parallel."""
-    emb = table(spark, sf_dir, "embeddings")
+    and the scan is embarrassingly parallel — provided it HAS
+    partitions: the embeddings table is small on disk but each row
+    expands 2,080×, so a single-split scan would serialize the whole
+    expansion on one core (spread() widens it; no-op at cluster
+    scale)."""
+    from opusdb_spark.operators.skew import spread
+
+    emb = spread(table(spark, sf_dir, "embeddings"))
     dim = 64
+    # Flat array of the 2,080 upper-triangle products in (i, j) order;
+    # the exploded row is (pos int, xy double) — no per-element struct
+    # allocation, and the aggregation key is ONE int. (i, j) come back
+    # from a 2,080-row broadcast mapping after the corpus-sized work.
     pairs = F.flatten(
         F.transform(
             F.sequence(F.lit(1), F.lit(dim)),
             lambda i: F.transform(
                 F.sequence(i, F.lit(dim)),
-                lambda j: F.struct(
-                    i.alias("i"),
-                    j.alias("j"),
-                    (
-                        F.element_at("embedding", i).cast("double")
-                        * F.element_at("embedding", j).cast("double")
-                    ).alias("xy"),
+                lambda j: (
+                    F.element_at("embedding", i).cast("double")
+                    * F.element_at("embedding", j).cast("double")
                 ),
             ),
         )
     )
-    flat = emb.select(F.explode(pairs).alias("p")).select(
-        F.col("p.i").alias("i"), F.col("p.j").alias("j"), F.col("p.xy").alias("xy")
-    )
-    prods = flat.groupBy("i", "j").agg(
+    flat = emb.select(F.posexplode(pairs).alias("pos", "xy"))
+    by_pos = flat.groupBy("pos").agg(
         F.sum(F.col("xy").cast("decimal(27,12)")).cast("double").alias("sxy")
     )
+    ij = [
+        (pos, i, j)
+        for pos, (i, j) in enumerate(
+            (i, j)
+            for i in range(1, dim + 1)
+            for j in range(i, dim + 1)
+        )
+    ]
+    mapping = spark.createDataFrame(ij, "pos int, i int, j int")
+    prods = by_pos.join(F.broadcast(mapping), "pos").select("i", "j", "sxy")
     comp = emb.select(
         F.posexplode("embedding").alias("i0", "x")
     ).select((F.col("i0") + 1).alias("i"), F.col("x").cast("double").alias("x"))

@@ -712,20 +712,29 @@ def llm_bigram_lm(spark, sf_dir):
     aggregate map-side off one exploded pass; the unigram denominator
     re-aggregates the (much smaller) bigram table rather than
     rescanning tokens. Integer-ratio doubles are bit-identical
-    cross-engine; (count, w1, w2) tie-break pins the top-20."""
-    docs = table(spark, sf_dir, "documents")
-    w = F.split(F.col("text"), " ")
-    prs = docs.select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size(w) - 2, F.lit(0))),
-                lambda i: F.struct(
-                    F.try_element_at(w, i + 1).alias("w1"),
-                    F.try_element_at(w, i + 2).alias("w2"),
-                ),
-            )
-        ).alias("pr")
-    ).select("pr.w1", "pr.w2").filter((F.col("w1") != "") & (F.col("w2") != ""))
+    cross-engine; (count, w1, w2) tie-break pins the top-20. Pairs come
+    from arrays_zip over two shifted slices (one array walk — the
+    per-pair transform+element_at form costs ~3× more constructor work)
+    and the scan is spread() first (token explosion is ~100× per-row
+    fan-out; BENCH r7: 38 s → ~2 s at sf1)."""
+    from opusdb_spark.operators.skew import spread
+
+    docs = spread(table(spark, sf_dir, "documents")).select(
+        F.split("text", " ").alias("t")
+    )
+    n = F.greatest(F.size("t") - 1, F.lit(0))
+    prs = (
+        docs.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("t", 1, n).alias("w1"),
+                    F.slice(F.col("t"), 2, n).alias("w2"),
+                )
+            ).alias("pr")
+        )
+        .select("pr.w1", "pr.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
     big = prs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     uni = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
     return (
@@ -1033,8 +1042,14 @@ def llm_perplexity_score(spark, sf_dir):
     engine drift collapses under the quantization — the same contract
     fn_math pins for ln, scalar_functions.py:143-145). At 100 TB the
     LM table is corpus-vocabulary-shaped (≪ corpus) and the join
-    shuffles on (w1, w2) — or broadcasts, for a capped vocabulary."""
-    docs = table(spark, sf_dir, "documents").select(
+    shuffles on (w1, w2) — or broadcasts, for a capped vocabulary.
+    The bigram text never leaves the explode projection: keys shuffle
+    as xxhash64 BIGINTs (h1 for the unigram rollup, h12 for the bigram
+    join — the decontaminate/substring-dedup pattern; counts agree
+    with the text-keyed oracle barring a 64-bit collision)."""
+    from opusdb_spark.operators.skew import spread
+
+    docs = spread(table(spark, sf_dir, "documents")).select(
         "doc_id", F.split("text", " ").alias("t")
     )
     n = F.greatest(F.size("t") - 1, F.lit(0))
@@ -1048,17 +1063,23 @@ def llm_perplexity_score(spark, sf_dir):
                 )
             ).alias("pr"),
         )
-        .select("doc_id", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
-        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .filter((F.col("pr.w1") != "") & (F.col("pr.w2") != ""))
+        .select(
+            "doc_id",
+            F.xxhash64("pr.w1").alias("h1"),
+            F.xxhash64("pr.w1", "pr.w2").alias("h12"),
+        )
     )
-    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    uni = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    lm = big.join(uni, "w1").select(
-        "w1", "w2", F.log2(F.col("c12").cast("double") / F.col("c1")).alias("lp")
+    # h12 determines h1 (no-collision assumption), so grouping by both
+    # costs nothing extra and keeps the unigram key on the row
+    big = pairs.groupBy("h1", "h12").agg(F.count(F.lit(1)).alias("c12"))
+    uni = big.groupBy("h1").agg(F.sum("c12").alias("c1"))
+    lm = big.join(uni, "h1").select(
+        "h12", F.log2(F.col("c12").cast("double") / F.col("c1")).alias("lp")
     )
-    docbi = pairs.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    docbi = pairs.groupBy("doc_id", "h12").agg(F.count(F.lit(1)).alias("n"))
     return (
-        docbi.join(lm, ["w1", "w2"])
+        docbi.join(lm, "h12")
         .groupBy("doc_id")
         .agg(
             F.sum("n").alias("n_bigrams"),
@@ -2612,31 +2633,31 @@ def llm_ngram_novelty(spark, sf_dir):
     audits report exactly this distribution). Gram document-frequency
     is one hash aggregation and the doc join shuffles on the gram key
     — the same candidates-by-equi-join scale shape as
-    llm_decontaminate, never pairwise text comparison."""
-    docs = table(spark, sf_dir, "documents")
+    llm_decontaminate, never pairwise text comparison. Like
+    llm_decontaminate, the gram is collapsed to an xxhash64 BIGINT at
+    explode time, so every shuffle moves 8-byte keys instead of gram
+    text (the oracle keeps the text key — counts agree barring a
+    64-bit collision), and the scan is spread() first because gram
+    hashing multiplies per-row work ~100× (BENCH r7: the old
+    full-text-shuffle shape took 66 s at sf1; this shape ~3 s)."""
+    from opusdb_spark.operators.skew import spread
+
+    docs = spread(table(spark, sf_dir, "documents"))
     w = F.split(F.col("text"), " ")
-    grams = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.greatest(F.size(w) - 3, F.lit(0))),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.try_element_at(w, i + 1),
-                        F.try_element_at(w, i + 2),
-                        F.try_element_at(w, i + 3),
-                    ),
-                )
-            ).alias("g"),
-        )
-        .filter(F.size(F.split(F.col("g"), " ")) == 3)
-        .distinct()
-    )
-    df = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    gh_arr = F.when(
+        F.size(w) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 2),
+            lambda i: F.xxhash64(F.array_join(F.slice(w, i, 3), " ")),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    grams = docs.select(
+        "doc_id", F.explode(gh_arr).alias("gh")
+    ).dropDuplicates(["doc_id", "gh"])
+    df = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
     uniq = F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
     return (
-        grams.join(df, "g")
+        grams.join(df, "gh")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),

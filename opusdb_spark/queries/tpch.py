@@ -228,24 +228,30 @@ TPCH_Q9 = """
     ORDER BY nation, o_year DESC
 """
 
+# Threshold note: the official Q11 fraction is 0.0001/SF — it SCALES
+# WITH THE DATA. A fixed fraction goes vacuous as the corpus grows
+# (0.001 returned 0 rows at sf0.01 — the round-5 vacuous pass; 0.0001
+# returned 0 rows at sf1). The scale-free form keeps the spec's intent
+# — "parts holding an outsized share of stock value" — by comparing
+# each part to 2× the AVERAGE part value, with the compare as decimal
+# MULTIPLICATIONS only (v·n_parts > total·2): division would introduce
+# engine-specific decimal scales; products stay exact. Non-vacuous at
+# every SF (17 / 116 / 1172 / 11720 rows at sf0.001/0.01/0.1/1).
 TPCH_Q11 = """
-    SELECT l.l_partkey AS l_partkey,
-           CAST(SUM(CAST(l.l_quantity * p.p_retailprice AS DECIMAL(27,6)))
-                AS DOUBLE) AS part_value
-    FROM lineitem l
-    JOIN part p ON p.p_partkey = l.l_partkey
-    JOIN supplier s ON s.s_suppkey = l.l_suppkey
-    JOIN nation n ON s.s_nationkey = n.n_nationkey
-    WHERE n.n_name = 'NATION_3'
-    GROUP BY l.l_partkey
-    HAVING SUM(CAST(l.l_quantity * p.p_retailprice AS DECIMAL(27,6))) >
-      (SELECT SUM(CAST(l2.l_quantity * p2.p_retailprice AS DECIMAL(27,6)))
-              * CAST(0.0001 AS DECIMAL(10,4))
-       FROM lineitem l2
-       JOIN part p2 ON p2.p_partkey = l2.l_partkey
-       JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
-       JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
-       WHERE n2.n_name = 'NATION_3')
+    WITH t AS (
+        SELECT l.l_partkey AS l_partkey,
+               SUM(CAST(l.l_quantity * p.p_retailprice AS DECIMAL(27,6)))
+                   AS v
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name = 'NATION_3'
+        GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, CAST(v AS DOUBLE) AS part_value
+    FROM t
+    WHERE v * (SELECT COUNT(*) FROM t) > (SELECT SUM(v) FROM t) * 2
     ORDER BY part_value DESC, l_partkey
 """
 

@@ -371,7 +371,7 @@ def test_stored_probe_buckets_match_signature_expressions(spark):
     )
     vec = ann_index.fetch_vector(spark, idx, 0)
     stored = sorted(ann_index.stored_buckets(spark, idx, 0))
-    computed = sorted(ann_index._probe_buckets(spark, vec))
+    computed = sorted(ann_index._probe_buckets(spark, vec, idx))
     assert stored == computed
     via_store = [
         (r.vec_id, r.cosine)

@@ -32,17 +32,10 @@ _A = [_rng.randrange(1, _MERSENNE) for _ in range(N_MINHASH)]
 _B = [_rng.randrange(0, _MERSENNE) for _ in range(N_MINHASH)]
 
 
-def spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition up to default parallelism when the input
-    has fewer partitions. Signature computation is CPU-heavy map work; a
-    small parquet file arrives as one split and would otherwise pin it
-    to one core. At 100 TB inputs already have thousands of splits and
-    this is a no-op (no shuffle added).
-    """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+# Signature computation is CPU-heavy map work; a small parquet file
+# arrives as one split and would otherwise pin it to one core —
+# skew.spread() widens such scans (no-op on many-split cluster scans).
+from opusdb_spark.operators.skew import spread
 
 
 def shingles(df: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
@@ -723,8 +716,6 @@ def winnow_fingerprints(
     distinct/DF/join shuffles move 8 bytes instead of ~44 (a 64-bit
     collision merging two fingerprints is immaterial at any corpus
     size)."""
-    from opusdb_spark.operators.skew import spread
-
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
     m = n - k + 1  # grams; windows exist when m >= w

@@ -910,69 +910,46 @@ def llm_embedding_neardup(spark, sf_dir):
     exactly once, at ingest."""
     import os
 
+    import numpy as np
+    import pandas as pd
+
     idx = _ann_index(spark, sf_dir)
     bucketed = spark.read.parquet(os.path.join(idx, "lsh")).select(
         "vec_id", "embedding", "table_id", "bucket"
     )
-    # All per-VECTOR work happens once per bucketed row BEFORE the
-    # self-join: float→double element conversion and the norm. The old
-    # shape recomputed both norms and re-cast both arrays per candidate
-    # PAIR — at Σ bucket² pairs that multiplied the HOF work ~3× and
-    # added 128 casts per pair (BENCH r7: 240 s → ~25 s at sf1). Per
-    # pair only the dot product fold remains.
-    prepped = bucketed.select(
-        "vec_id",
-        "table_id",
-        "bucket",
-        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
-    ).select(
-        "vec_id",
-        "table_id",
-        "bucket",
-        "e",
-        F.sqrt(
-            F.aggregate(
-                "e", F.lit(0.0), lambda acc, v: acc + v * v
-            )
-        ).alias("nrm"),
-    )
-    a = prepped.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("e").alias("e_a"),
-        F.col("nrm").alias("nrm_a"),
-        "table_id",
-        "bucket",
-    )
-    b = prepped.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("e").alias("e_b"),
-        F.col("nrm").alias("nrm_b"),
-        "table_id",
-        "bucket",
-    )
-    dot = F.aggregate(
-        F.zip_with("e_a", "e_b", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    pairs = (
-        a.join(b, ["table_id", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        # zero-norm guard: unguarded 0/0 is NaN, and Spark evaluates
-        # NaN >= t as TRUE (NaN sorts largest) — all-zero embeddings
-        # collide in every LSH bucket and would count as phantom
-        # near-dups at every threshold
-        .select(
-            "id_a",
-            "id_b",
-            F.when(
-                (F.col("nrm_a") > 0) & (F.col("nrm_b") > 0),
-                dot / (F.col("nrm_a") * F.col("nrm_b")),
-            ).alias("cosine"),
+
+    # Candidate scoring is one float64 X @ X.T per (table, bucket) group
+    # — the semdedup_drops Arrow-kernel shape (similarity.py). The prior
+    # form self-joined the bucketed rows and folded a per-pair SQL HOF
+    # dot product: that shuffles a 128-double array per candidate ROW
+    # and evaluates ~Σ bucket² interpreted lambda folds (BENCH r7:
+    # 43 s at sf1; this kernel: ~4 s). Zero-norm vectors are dropped in
+    # the kernel — their cosine is undefined, and they'd otherwise
+    # collide in every bucket as phantom NaN near-dups.
+    def bucket_pairs(key, pdf):
+        ids = np.sort(pdf["vec_id"].to_numpy())
+        X = np.stack(
+            pdf.sort_values("vec_id")["embedding"].to_numpy()
+        ).astype(np.float64)
+        n = np.sqrt((X * X).sum(axis=1))
+        ok = n > 0
+        ids, X, n = ids[ok], X[ok], n[ok]
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        S = (X @ X.T) / np.outer(n, n)
+        ai, bi = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame(
+            {"id_a": ids[ai], "id_b": ids[bi], "cosine": S[ai, bi]}
         )
-        .filter(F.col("cosine").isNotNull())
-        .distinct()
+
+    scored = bucketed.groupBy("table_id", "bucket").applyInPandas(
+        bucket_pairs, "id_a long, id_b long, cosine double"
     )
+    # A pair can surface from several tables/buckets; dedupe on the id
+    # pair alone (2 longs + 1 double through the shuffle — never the
+    # vectors). max() rather than first(): BLAS blocking may differ by
+    # a ulp between buckets, and max is deterministic over the set.
+    pairs = scored.groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine"))
     # Threshold-sweep summary instead of the raw pair listing: the
     # synthetic corpus has no true embedding near-dups (max cosine
     # ~0.49), so a bare `cosine >= 0.95` listing is always empty —

@@ -158,22 +158,32 @@ TPCH_Q14 = """
       AND l.l_shipdate < DATE '1997-10-01'
 """
 
+# Plan notes: (a) the textbook Q18 re-joins lineitem and re-aggregates
+# the same per-order quantity sum its IN/HAVING subquery already
+# computed — neither Catalyst nor DuckDB fuses the two, so the fact
+# table is scanned AND shuffled on l_orderkey twice. The outer grouping
+# keys are all per-order constants, so the re-aggregation is exactly
+# the subquery's sum: compute it once, keep only qualifying orders (a
+# tiny set), then join orders+customer. (b) l_quantity is integral by
+# the TPC-H spec (1–50, verified over the fixture) — SUM(CAST(...AS
+# BIGINT)) is exact in both engines and ~3× faster than the
+# DECIMAL(27,6) sum the generic exactness contract uses for genuinely
+# fractional doubles (11.7 s → 3.9 s for the 1.47M-group aggregate at
+# sf1). Together: 6.8 s → ~4 s at sf1.
 TPCH_Q18 = f"""
     SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
            CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
-           CAST(SUM(CAST(l.l_quantity AS DECIMAL(27,6))) AS DOUBLE)
-               AS total_qty
-    FROM customer c
-    JOIN orders o ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-    WHERE o.o_orderkey IN (
-        SELECT l_orderkey FROM lineitem
+           CAST(t.total_qty AS DOUBLE) AS total_qty
+    FROM (
+        SELECT l_orderkey,
+               SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+        FROM lineitem
         GROUP BY l_orderkey
-        HAVING SUM(CAST(l_quantity AS DECIMAL(27,6))) > 210
-    )
-    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
-             o.o_totalprice
-    ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+        HAVING SUM(CAST(l_quantity AS BIGINT)) > 210
+    ) t
+    JOIN orders o ON o.o_orderkey = t.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o_totalprice DESC, o.o_orderdate, o.o_orderkey
     LIMIT 100
 """
 
@@ -237,21 +247,32 @@ TPCH_Q9 = """
 # MULTIPLICATIONS only (v·n_parts > total·2): division would introduce
 # engine-specific decimal scales; products stay exact. Non-vacuous at
 # every SF (17 / 116 / 1172 / 11720 rows at sf0.001/0.01/0.1/1).
+#
+# Plan note: the global count/sum are OVER () window aggregates, not
+# scalar subqueries over a CTE. Catalyst INLINES `WITH` — a `t`
+# referenced three times runs the 4-table join+agg three times (BENCH
+# r7: 9.5 s vs 1.0 s at sf0.1); the window form computes t once by
+# construction in both engines. The OVER () exchange moves only the
+# one-nation part-value aggregate (#parts/25 rows), never lineitem.
 TPCH_Q11 = """
-    WITH t AS (
-        SELECT l.l_partkey AS l_partkey,
-               SUM(CAST(l.l_quantity * p.p_retailprice AS DECIMAL(27,6)))
-                   AS v
-        FROM lineitem l
-        JOIN part p ON p.p_partkey = l.l_partkey
-        JOIN supplier s ON s.s_suppkey = l.l_suppkey
-        JOIN nation n ON s.s_nationkey = n.n_nationkey
-        WHERE n.n_name = 'NATION_3'
-        GROUP BY l.l_partkey
-    )
     SELECT l_partkey, CAST(v AS DOUBLE) AS part_value
-    FROM t
-    WHERE v * (SELECT COUNT(*) FROM t) > (SELECT SUM(v) FROM t) * 2
+    FROM (
+        SELECT l_partkey, v,
+               COUNT(*) OVER () AS n_parts,
+               SUM(v) OVER () AS total_v
+        FROM (
+            SELECT l.l_partkey AS l_partkey,
+                   SUM(CAST(l.l_quantity * p.p_retailprice
+                            AS DECIMAL(27,6))) AS v
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE n.n_name = 'NATION_3'
+            GROUP BY l.l_partkey
+        ) t
+    )
+    WHERE v * n_parts > total_v * 2
     ORDER BY part_value DESC, l_partkey
 """
 
@@ -486,7 +507,8 @@ _sql_query(
 _sql_query(
     "tpch_q18",
     TPCH_Q18,
-    "TPC-H Q18 (large-volume customers): HAVING-subquery IN filter on "
-    "the fact table (Catalyst plans a semi join), then re-join and "
-    "re-aggregate.",
+    "TPC-H Q18 (large-volume customers): one per-order quantity "
+    "aggregate with a HAVING filter, qualifying orders joined to "
+    "orders+customer (the IN-subquery's re-aggregation fused away — "
+    "one fact-table pass instead of two).",
 )

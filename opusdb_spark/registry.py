@@ -205,6 +205,10 @@ _NEVER_SAMPLED = (
     "graph_triangle_count",
     # --- r7-rewritten ---
     "llm_decontaminate", "llm_winnowing_overlap",
+    # tpch_q18 (IN-subquery re-aggregation fused to one fact pass),
+    # llm_embedding_neardup (per-bucket Arrow matmul kernel): r7
+    # rewrites, prior verdicts describe the old plans
+    "tpch_q18", "llm_embedding_neardup",
 )
 
 

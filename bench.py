@@ -82,6 +82,11 @@ SF1_LADDER = [
     # decontamination
     "llm_winnowing_overlap",
     "llm_decontaminate",
+    # round-7: the histogram-banded theta join (pair work saturates at
+    # O(grid²)) and the bucket-kernel embedding near-dup sweep (one
+    # X@X.T per LSH bucket; ANN index is ingest-once, built in warmup)
+    "join_theta",
+    "llm_embedding_neardup",
 ]
 
 # TPC-H at sf1 (VERDICT r4 §7): representative shapes — pushdown scan

@@ -682,6 +682,32 @@ def components_stored(
 
 
 # ------------------------------------------------ winnowing (MOSS)
+def winnow_fingerprints_stored(
+    spark,
+    docs: DataFrame,
+    store_path: str,
+    fingerprint: dict,
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Winnow fingerprints as an INGEST artifact (same contract as
+    minhash_signatures_stored): the selection pass is corpus-shaped
+    compute written once per (corpus, k, w); every consumer — the
+    overlap share join, the corpus report — reads the ~2/(w+1)-density
+    parquet instead of re-hashing every gram. Fingerprint-guarded:
+    unchanged source → reuse."""
+    from opusdb_spark.sources.formats import ensure_written
+
+    ensure_written(
+        store_path,
+        {**fingerprint, "k": k, "w": w, "algo": "winnow_v1"},
+        lambda p: winnow_fingerprints(spread(docs), k=k, w=w)
+        .write.mode("overwrite")
+        .parquet(p),
+    )
+    return spark.read.parquet(store_path)
+
+
 def winnow_fingerprints(
     docs: DataFrame,
     k: int = 4,

@@ -48,11 +48,15 @@ def sub_in(spark, sf_dir):
     return spark.sql(_SUB_IN)
 
 
+# l_quantity is integral by the TPC-H spec (1–50, verified over the
+# fixture): SUM(CAST(... AS BIGINT)) is exact in both engines and ~3×
+# faster than the DECIMAL(27,6) sum needed for genuinely fractional
+# doubles (the 200k-group aggregate dominated the 4.4 s sf1 time).
 _SUB_CORRELATED = """
     SELECT l.l_orderkey, l.l_partkey, l.l_quantity
     FROM lineitem l
     WHERE l.l_quantity < (
-        SELECT 0.2 * CAST(SUM(CAST(l2.l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+        SELECT 0.2 * CAST(SUM(CAST(l2.l_quantity AS BIGINT)) AS DOUBLE)
                    / COUNT(*)
         FROM lineitem l2
         WHERE l2.l_partkey = l.l_partkey
@@ -69,6 +73,11 @@ def sub_correlated(spark, sf_dir):
     return spark.sql(_SUB_CORRELATED)
 
 
+# Plan note: the CTE is referenced ONCE and the global max is an
+# OVER () window — Catalyst inlines `WITH`, so the textbook form
+# (`WHERE total_revenue = (SELECT MAX(...) FROM revenue)`) re-runs the
+# lineitem aggregation per reference. The window exchange moves only
+# the supplier-count-sized aggregate, never lineitem.
 _CTE_QUERY = """
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
@@ -80,15 +89,21 @@ _CTE_QUERY = """
         GROUP BY l_suppkey
     )
     SELECT s_suppkey, s_name, total_revenue
-    FROM supplier JOIN revenue ON s_suppkey = supplier_no
-    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    FROM supplier
+    JOIN (
+        SELECT supplier_no, total_revenue,
+               MAX(total_revenue) OVER () AS max_revenue
+        FROM revenue
+    ) r ON s_suppkey = r.supplier_no
+    WHERE total_revenue = max_revenue
 """
 
 
 @register("cte_query", oracle=_CTE_QUERY, tags=("subquery", "cte"))
 def cte_query(spark, sf_dir):
-    """TPC-H Q15 shape: a revenue CTE referenced twice (top supplier by
-    exact revenue — equality on identical doubles is safe)."""
+    """TPC-H Q15 shape: a revenue CTE feeding a global-max filter (top
+    supplier by exact revenue — equality on identical doubles is safe).
+    The max is an OVER () window so the CTE body runs once."""
     register_views(spark, sf_dir)
     return spark.sql(_CTE_QUERY)
 

@@ -206,9 +206,11 @@ _NEVER_SAMPLED = (
     # --- r7-rewritten ---
     "llm_decontaminate", "llm_winnowing_overlap",
     # tpch_q18 (IN-subquery re-aggregation fused to one fact pass),
-    # llm_embedding_neardup (per-bucket Arrow matmul kernel): r7
-    # rewrites, prior verdicts describe the old plans
-    "tpch_q18", "llm_embedding_neardup",
+    # llm_embedding_neardup (per-bucket Arrow matmul kernel),
+    # sub_correlated (BIGINT quantity sum), cte_query (OVER () max so
+    # the CTE body runs once): r7 rewrites, prior verdicts describe
+    # the old plans
+    "tpch_q18", "llm_embedding_neardup", "sub_correlated", "cte_query",
 )
 
 

@@ -522,6 +522,17 @@ def test_tpch_q11_threshold_subquery_evaluated_once(spark):
     assert "Window" in p
 
 
+def test_cte_query_runs_cte_body_once(spark):
+    """Q15's revenue CTE feeds both the join and the global max —
+    Catalyst inlines CTEs, so the textbook scalar-subquery max would
+    re-run the lineitem aggregation. The OVER () form scans lineitem
+    exactly once."""
+    p = plan(_Q["cte_query"].fn(spark, SF))
+    assert p.count("lineitem.parquet") == 1, (
+        "cte_query must scan lineitem exactly once"
+    )
+
+
 def test_tpch_q20_nested_in_plans_as_semi_joins(spark):
     p = plan(_Q["tpch_q20"].fn(spark, SF))
     assert "LeftSemi" in p, "nested IN chain did not plan as semi joins"

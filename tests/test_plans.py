@@ -522,6 +522,40 @@ def test_tpch_q11_threshold_subquery_evaluated_once(spark):
     assert "Window" in p
 
 
+def test_tpch_q18_single_fact_pass(spark):
+    """Q18's per-order quantity sum is computed once and reused as the
+    output column — the textbook IN-subquery form re-aggregated
+    lineitem a second time (two fact scans + two l_orderkey
+    shuffles)."""
+    p = plan(_Q["tpch_q18"].fn(spark, SF))
+    assert p.count("lineitem.parquet") == 1, (
+        "q18 must scan lineitem exactly once"
+    )
+
+
+def test_winnowing_reads_fingerprint_store_not_documents(spark):
+    """The overlap query's plan consults the fingerprint stream three
+    times (DF count, semi probe, self-join) — every consultation must
+    hit the ingest-once parquet store, never re-run gram hashing over
+    documents."""
+    p = plan(_Q["llm_winnowing_overlap"].fn(spark, SF))
+    assert "winnow_fps_" in p, "plan does not read the fingerprint store"
+    assert "documents.parquet" not in p, (
+        "winnowing re-derived fingerprints from documents at query time"
+    )
+
+
+def test_decontaminate_broadcasts_bench_vocab(spark):
+    """Decontamination must filter the corpus gram stream with a
+    BROADCAST of the eval-sized benchmark vocabulary (map-side, before
+    any corpus-sized shuffle) — at 100 TB shuffling non-eval grams is
+    the dominant wasted byte volume."""
+    p = plan(_Q["llm_decontaminate"].fn(spark, SF))
+    assert "BroadcastExchange" in p or "BroadcastHashJoin" in p, (
+        "bench gram vocabulary is not broadcast"
+    )
+
+
 def test_cte_query_runs_cte_body_once(spark):
     """Q15's revenue CTE feeds both the join and the global max —
     Catalyst inlines CTEs, so the textbook scalar-subquery max would

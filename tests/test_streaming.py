@@ -256,6 +256,26 @@ def test_commit_ledger_commit_once_rollback_per_retry(spark):
     assert sink.select("event_id").distinct().count() == n_events
 
 
+def test_log_tail_incremental_exactly_once(spark):
+    """Tailing the opusdb log across an append must deliver every
+    record EXACTLY once: batch one reads the initial 80, the second
+    availableNow pass on the same checkpoint picks up ONLY the 40
+    appended records — no replays (n_records == n_distinct), no gaps
+    (min..max covers the full sequence)."""
+    from opusdb_spark.registry import registry
+    from tests.conftest import SF_SMALL
+
+    row = (
+        registry()["stream_opusdb_log_tail"].fn(spark, SF_SMALL).collect()[0]
+    )
+    assert (row.n_records, row.n_distinct, row.min_i, row.max_i) == (
+        120,
+        120,
+        0,
+        119,
+    ), "log tail replayed or dropped records across the append"
+
+
 def test_session_timeout_matches_batch_sessionizer(spark):
     """Every session the EventTimeTimeout sessionizer CLOSES must be
     bit-identical to a session the batch gap-sessionizer (same 30-min

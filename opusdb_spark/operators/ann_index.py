@@ -99,7 +99,7 @@ def source_fingerprint(sf_dir: str) -> dict:
         "n_tables": N_TABLES,
         "bits_per_table": adaptive_bits_per_table(n),
         "n_cells": N_CELLS,
-        "layout": 3,  # v3: numpy-plane LSH family; bump forces rebuild
+        "layout": 4,  # v4: lsh/ rows carry sig_all; bump forces rebuild
     }
 
 
@@ -142,14 +142,22 @@ def ensure_index(
     # lsh: one row per (vector, hash table), partitioned by bucket.
     # Bucket ids come from the Arrow/numpy signature kernel (one matmul
     # per batch) — the corpus-wide build never evaluates the
-    # interpreted HOF expression tree.
+    # interpreted HOF expression tree. Each row also carries the FULL
+    # signature array (`sig_all`, N_TABLES small longs — noise next to
+    # the 128-double vector): a bucket-local consumer can then decide
+    # cross-table questions (e.g. "is this table the pair's FIRST
+    # collision?") without joining back to sigs/, which is what lets
+    # the near-dup sweep emit every candidate pair exactly once and
+    # aggregate it map-side instead of shuffling a pair-count-sized
+    # stream to dedupe (layout v4).
     bits = int(fingerprint.get("bits_per_table", BITS_PER_TABLE))
-    lsh = base.select(
+    lsh = base.withColumn(
+        "sig_all", lsh_signatures_arrow(vec_col, bits)
+    ).select(
         id_col,
         vec_col,
-        F.posexplode(lsh_signatures_arrow(vec_col, bits)).alias(
-            "table_id", "bucket"
-        ),
+        "sig_all",
+        F.posexplode("sig_all").alias("table_id", "bucket"),
     )
     (
         # cluster by the partition key first: otherwise every write

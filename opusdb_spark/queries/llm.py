@@ -915,54 +915,139 @@ def llm_embedding_neardup(spark, sf_dir):
 
     idx = _ann_index(spark, sf_dir)
     bucketed = spark.read.parquet(os.path.join(idx, "lsh")).select(
-        "vec_id", "embedding", "table_id", "bucket"
+        "vec_id", "embedding", "sig_all", "table_id", "bucket"
     )
 
     # Candidate scoring is one float64 X @ X.T per (table, bucket) group
-    # — the semdedup_drops Arrow-kernel shape (similarity.py). The prior
-    # form self-joined the bucketed rows and folded a per-pair SQL HOF
-    # dot product: that shuffles a 128-double array per candidate ROW
-    # and evaluates ~Σ bucket² interpreted lambda folds (BENCH r7:
-    # 43 s at sf1; this kernel: ~4 s). Zero-norm vectors are dropped in
-    # the kernel — their cosine is undefined, and they'd otherwise
-    # collide in every bucket as phantom NaN near-dups.
-    def bucket_pairs(key, pdf):
-        ids = np.sort(pdf["vec_id"].to_numpy())
-        X = np.stack(
-            pdf.sort_values("vec_id")["embedding"].to_numpy()
-        ).astype(np.float64)
-        n = np.sqrt((X * X).sum(axis=1))
-        ok = n > 0
-        ids, X, n = ids[ok], X[ok], n[ok]
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        S = (X @ X.T) / np.outer(n, n)
-        ai, bi = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame(
-            {"id_a": ids[ai], "id_b": ids[bi], "cosine": S[ai, bi]}
-        )
+    # — the semdedup_drops Arrow-kernel shape (similarity.py). Two
+    # r7 plan properties keep this the 100 TB shape:
+    #   (a) OWNERSHIP, not dedupe: a pair colliding in several tables is
+    #       counted only by the FIRST table in which it collides (every
+    #       lsh/ row carries the full signature `sig_all`, layout v4,
+    #       so first-collision is decided bucket-locally). Distinctness
+    #       holds by construction, so nothing pair-sized ever shuffles —
+    #       the old shape shuffled ~Σ bucket²/2 (id, id, cos) rows
+    #       through a groupBy just to drop cross-table repeats (6.3 M
+    #       rows / ~5 s of the old 6.5 s at the 20k-vector ladder).
+    #   (b) THRESHOLD-SWEEP stats are folded per bucket inside the
+    #       kernel (one tiny row per group), so the post-kernel plan is
+    #       a map-side-combinable sum over ~#buckets rows.
+    # Zero-norm vectors are dropped in the kernel — their cosine is
+    # undefined, and they'd otherwise collide in every bucket as
+    # phantom NaN near-dups.
+    # mapInPandas DIRECTLY over the store's on-disk layout rather than
+    # grouped-map applyInPandas: lsh/ is partitionBy(table_id, bucket)
+    # with the build's repartition putting each bucket in exactly ONE
+    # small parquet file, so a scan task already delivers each bucket's
+    # rows contiguously — re-shuffling 1 KB embedding rows into
+    # per-bucket groups (JVM serialization + Arrow re-transfer) and the
+    # grouped-map path's per-GROUP pandas overhead together cost ~4 s
+    # of the old 6 s at the 20k-vector ladder; the numpy fold below is
+    # 0.7 s single-core on the same data. Each Arrow BATCH is stacked
+    # once and groups are numpy slices of it; a group split across a
+    # batch boundary is carried into the next batch (bucket files are
+    # ~125 rows — far below maxPartitionBytes — so a file, hence a
+    # group, never splits across TASKS; only the batch tail can be
+    # incomplete).
+    def part_stats(batches):
+        acc = {"n": 0, "mx": None, "n95": 0, "n80": 0, "n60": 0, "n40": 0}
 
-    scored = bucketed.groupBy("table_id", "bucket").applyInPandas(
-        bucket_pairs, "id_a long, id_b long, cosine double"
+        def fold(head):
+            tb = head["table_id"].to_numpy().astype(np.int64)
+            kv = tb * (np.int64(1) << 32) + head["bucket"].to_numpy().astype(
+                np.int64
+            )
+            X_all = np.stack(head["embedding"].to_numpy()).astype(np.float64)
+            G_all = np.stack(head["sig_all"].to_numpy()).astype(np.int64)
+            starts = np.flatnonzero(np.r_[True, kv[1:] != kv[:-1]])
+            bounds = np.r_[starts, len(kv)]
+            for gi in range(len(starts)):
+                lo, hi = bounds[gi], bounds[gi + 1]
+                if hi - lo < 2:
+                    continue
+                X = X_all[lo:hi]
+                nrm = np.sqrt((X * X).sum(axis=1))
+                ok = nrm > 0
+                if ok.sum() < 2:
+                    continue
+                X, nrm = X[ok], nrm[ok]
+                S = (X @ X.T) / np.outer(nrm, nrm)
+                ai, bi = np.triu_indices(len(nrm), k=1)
+                t0 = int(tb[lo])
+                # first-collision ownership: drop any pair that already
+                # collided in an earlier table (the bucket column is
+                # constant within this group, so every pair collides
+                # HERE; earlier-table equality is the only disqualifier)
+                if t0 > 0:
+                    G = G_all[lo:hi][ok]
+                    owned = np.ones(len(ai), dtype=bool)
+                    for t in range(t0):
+                        owned &= G[ai, t] != G[bi, t]
+                    cos = S[ai, bi][owned]
+                else:
+                    cos = S[ai, bi]
+                if cos.size == 0:
+                    continue
+                acc["n"] += int(cos.size)
+                m = float(cos.max())
+                acc["mx"] = m if acc["mx"] is None else max(acc["mx"], m)
+                acc["n95"] += int((cos >= 0.95).sum())
+                acc["n80"] += int((cos >= 0.80).sum())
+                acc["n60"] += int((cos >= 0.60).sum())
+                acc["n40"] += int((cos >= 0.40).sum())
+
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            kv = pdf["table_id"].to_numpy().astype(np.int64) * (
+                np.int64(1) << 32
+            ) + pdf["bucket"].to_numpy().astype(np.int64)
+            # last contiguous run of the tail key (groups are
+            # contiguous but NOT globally sorted across a task's
+            # files, so scan back rather than bisect)
+            ne = np.flatnonzero(kv != kv[-1])
+            cut = int(ne[-1]) + 1 if len(ne) else 0
+            carry = pdf.iloc[cut:]
+            if cut:
+                fold(pdf.iloc[:cut])
+        if carry is not None and len(carry):
+            fold(carry)
+        if acc["n"]:
+            yield pd.DataFrame(
+                {
+                    "n_pairs": [acc["n"]],
+                    "max_cos": [acc["mx"]],
+                    "n95": [acc["n95"]],
+                    "n80": [acc["n80"]],
+                    "n60": [acc["n60"]],
+                    "n40": [acc["n40"]],
+                }
+            )
+
+    stats = bucketed.mapInPandas(
+        part_stats,
+        "n_pairs long, max_cos double, n95 long, n80 long, n60 long, "
+        "n40 long",
     )
-    # A pair can surface from several tables/buckets; dedupe on the id
-    # pair alone (2 longs + 1 double through the shuffle — never the
-    # vectors). max() rather than first(): BLAS blocking may differ by
-    # a ulp between buckets, and max is deterministic over the set.
-    pairs = scored.groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine"))
     # Threshold-sweep summary instead of the raw pair listing: the
     # synthetic corpus has no true embedding near-dups (max cosine
     # ~0.49), so a bare `cosine >= 0.95` listing is always empty —
     # correct but zero-evidence. The sweep reports the candidate count
     # and how many pairs survive each threshold, so the result is
     # non-empty and pins the whole cosine pipeline deterministically.
-    return pairs.agg(
-        F.count(F.lit(1)).alias("n_candidate_pairs"),
-        F.max("cosine").alias("max_cosine"),
-        F.sum(F.when(F.col("cosine") >= 0.95, 1).otherwise(0)).alias("n_ge_095"),
-        F.sum(F.when(F.col("cosine") >= 0.80, 1).otherwise(0)).alias("n_ge_080"),
-        F.sum(F.when(F.col("cosine") >= 0.60, 1).otherwise(0)).alias("n_ge_060"),
-        F.sum(F.when(F.col("cosine") >= 0.40, 1).otherwise(0)).alias("n_ge_040"),
+    # (Each pair's cosine is computed once, in its owner bucket; the
+    # old cross-table max smoothed ulp-level BLAS blocking differences,
+    # which a rows-only sweep doesn't need.)
+    return stats.agg(
+        F.coalesce(F.sum("n_pairs"), F.lit(0)).alias("n_candidate_pairs"),
+        F.max("max_cos").alias("max_cosine"),
+        F.sum("n95").alias("n_ge_095"),
+        F.sum("n80").alias("n_ge_080"),
+        F.sum("n60").alias("n_ge_060"),
+        F.sum("n40").alias("n_ge_040"),
     )
 
 

@@ -22,6 +22,25 @@ RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     # Arrow for every pandas_udf / toPandas hop.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Several ingest stores are MANY-small-file by design (one parquet
+    # file per (table_id, bucket) partition in the ANN index, one per
+    # log segment in the opusdb log): the 4 MB default open-cost makes
+    # Spark treat each ~100 KB file as 4 MB when bin-packing scan
+    # tasks, fragmenting a full-store sweep into ~#files/30 tasks whose
+    # scheduling overhead dominates (measured 4.5 s → 0.9 s on the
+    # 2048-file lsh/ sweep at the 20k-vector ladder). 64 KB packs them
+    # into data-proportional tasks; large-file scans are unaffected
+    # (their split count is governed by maxPartitionBytes).
+    "spark.sql.files.openCostInBytes": "65536",
+    # Partition discovery over those same stores: above this many
+    # partition directories Spark launches a distributed listing JOB,
+    # whose ~#dirs scheduling overhead (measured 4-5 s per
+    # read.parquet() CALL on the 2048-dir lsh/ index — paid at plan
+    # time, before any data moves) dwarfs a driver-side local listing
+    # (~0.5 s). Local/POSIX listing is cheap at this scale; an
+    # object-store deployment with >>10k partitions should drop this
+    # back toward the 32 default so listing parallelizes.
+    "spark.sql.sources.parallelPartitionDiscovery.threshold": "16384",
 }
 
 

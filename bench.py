@@ -114,11 +114,20 @@ _KEY_COLS = {
 
 
 def ensure_sf1(spark, src_dir: str, replicas: int = 10) -> str:
+    return ensure_scaled(spark, src_dir, replicas, "bench_sf1")
+
+
+def ensure_scaled(
+    spark, src_dir: str, replicas: int, name: str
+) -> str:
+    """Replicate `src_dir` `replicas`× with a per-replica key stride
+    (see SF1_LADDER comment) into .scratch/<name> — the shared builder
+    for the sf1 ladder (10×) and scripts/scale_probe.py (100×)."""
     from pyspark.sql import functions as F
 
     from opusdb_spark.sources.formats import ensure_written
 
-    out_dir = os.path.join(_REPO, ".scratch", "bench_sf1")
+    out_dir = os.path.join(_REPO, ".scratch", name)
     # fingerprint the LAYOUT DEFINITION, not just existence: a stale
     # corpus built under an older _KEY_COLS (e.g. without the label
     # stride) would silently mis-measure the ladder
@@ -145,7 +154,8 @@ def ensure_sf1(spark, src_dir: str, replicas: int = 10) -> str:
                 f"{path}/{tname}.parquet"
             )
         print(
-            f"# sf1 corpus built in {time.perf_counter() - t0:.1f}s -> {path}",
+            f"# {name} corpus ({replicas}x) built in "
+            f"{time.perf_counter() - t0:.1f}s -> {path}",
             file=sys.stderr,
         )
 

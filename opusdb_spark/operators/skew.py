@@ -28,6 +28,9 @@ from pyspark.sql import functions as F
 DEFAULT_SALTS = 16
 
 
+_SPREAD_SMALL_BYTES = 512 * 1024 * 1024
+
+
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Widen a narrow scan before a compute-heavy map stage.
 
@@ -40,10 +43,43 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     defaultParallelism fixes that for the cost of shuffling the raw
     rows once — cheap exactly when the condition fires (the input is
     tiny). At cluster scale a 100 TB scan already has thousands of
-    splits, so this is a metadata-only no-op there: the guard compares
-    the plan's partition count, it never triggers a job."""
+    splits, so this is a metadata-only no-op there: the guards below
+    never trigger a job.
+
+    TWO guards, because split COUNT alone lies for small inputs: byte-
+    range splitting can report `target` partitions over a file whose
+    rows live in one or two parquet ROW GROUPS — a row group belongs to
+    the single split containing its midpoint, so the other splits are
+    EMPTY and the claimed parallelism is fictitious (the 100× scale
+    probe caught exactly this: a 4.9 MB corpus "split" 32 ways put all
+    500k rows in one task and serialized 25 minutes of gram hashing on
+    one core). So: when the scan's total input bytes are known and
+    small (< 512 MB — i.e. the one-shuffle cost is trivial next to the
+    ≥100× downstream map work every call site has), repartition
+    UNCONDITIONALLY; the partition-count guard remains the fallback
+    when input size is unknown (non-file sources, intermediate
+    frames). Inputs ≥ 512 MB have real row-group-bearing splits every
+    ~128 MB, where the count guard is truthful."""
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
+
+    total: int | None = 0
+    try:
+        from urllib.parse import urlparse
+
+        files = df.inputFiles()
+        if files:
+            import os
+
+            for f in files:
+                total += os.stat(urlparse(f).path).st_size
+        else:
+            total = None
+    except Exception:
+        total = None
+
+    if total is not None and total < _SPREAD_SMALL_BYTES:
+        return df.repartition(target)
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

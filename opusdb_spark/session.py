@@ -99,6 +99,18 @@ def get_spark(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or (int(cpus) if str(cpus).isdigit() else 32)),
         )
+        # Start shuffles WIDE and let AQE coalesce down: with a static
+        # 32, a corpus 100× the bench scale packs ~3M exploded gram
+        # rows per reduce partition and spills (scale probe:
+        # llm_substring_dedup 14.3 s → 9.7 s at 60 M lineitem / 500k
+        # docs just from this). Small queries are unaffected — AQE
+        # merges the tiny partitions back to ~the static number. Only
+        # set when the caller didn't pin shuffle_partitions (tests pin
+        # 8 for deterministic split counts).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(shuffle_partitions or 256),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )

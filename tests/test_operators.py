@@ -1607,3 +1607,60 @@ def test_logreg_classifier_matches_numpy(spark):
     assert np.allclose(model[:-1], w, atol=1e-6)
     assert abs(model[-1] - b) < 1e-6
     assert trace[-1]["accuracy"] >= trace[0]["accuracy"] - 1e-9
+
+
+# ------------------------------------------------ runtime bloom filter
+def test_bloom_semi_reduce_no_false_negatives_any_sizing(spark):
+    """The pruned fact must contain EVERY matching row regardless of
+    filter sizing — false positives only. Probe with a deliberately
+    tiny filter (high FP rate) and a generous one: both joins must
+    produce identical results, and the pruned row count must sit
+    between |matching rows| and |fact|."""
+    from opusdb_spark.operators import runtime_filter as rtf
+    from opusdb_spark.tables import table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    dim = (
+        table(spark, sf, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select("o_orderkey")
+    )
+    exact = li.join(
+        dim, li["l_orderkey"] == dim["o_orderkey"], "left_semi"
+    )
+    n_exact, n_fact = exact.count(), li.count()
+    assert 0 < n_exact < n_fact
+    n_dim = dim.count()
+    for bits_per_key in (2, 32):  # ~55% FP vs ~0.05% FP at k=4
+        m_bits = max(rtf._MIN_BITS, bits_per_key * n_dim)
+        bloom = rtf.bloom_build(dim, "o_orderkey", m_bits)
+        pruned = rtf.bloom_prune(li, "l_orderkey", bloom, m_bits)
+        n_pruned = pruned.count()
+        assert n_exact <= n_pruned <= n_fact
+        joined = pruned.join(
+            dim, pruned["l_orderkey"] == dim["o_orderkey"], "left_semi"
+        )
+        assert joined.count() == n_exact, (
+            f"bits_per_key={bits_per_key}: bloom dropped matching rows"
+        )
+
+
+def test_bloom_prune_empty_dim_prunes_everything(spark):
+    """An empty dimension must yield an all-zero filter that rejects
+    every fact row (the inner join would be empty anyway — the filter
+    may not crash or pass rows through)."""
+    from opusdb_spark.operators import runtime_filter as rtf
+    from opusdb_spark.tables import table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    li = table(spark, sf, "lineitem").select("l_orderkey")
+    dim = (
+        table(spark, sf, "orders")
+        .filter(F.col("o_totalprice") < -1)
+        .select("o_orderkey")
+    )
+    pruned = rtf.bloom_semi_reduce(li, "l_orderkey", dim, "o_orderkey")
+    assert pruned.count() == 0

@@ -701,7 +701,7 @@ def winnow_fingerprints_stored(
     ensure_written(
         store_path,
         {**fingerprint, "k": k, "w": w, "algo": "winnow_v1"},
-        lambda p: winnow_fingerprints(spread(docs), k=k, w=w)
+        lambda p: winnow_fingerprints(docs, k=k, w=w)
         .write.mode("overwrite")
         .parquet(p),
     )

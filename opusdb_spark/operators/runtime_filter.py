@@ -51,8 +51,17 @@ _MIN_BITS = 1024
 
 def _probe_bit(key: Column, seed: int, m_bits: int) -> Column:
     """Bit position of probe `seed` for `key` — shared by build and
-    apply so both sides hash identically."""
-    return F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(m_bits))
+    apply so both sides hash identically. The key is hashed through a
+    STRING cast because xxhash64 is type-sensitive (an INT 5 and a
+    BIGINT 5 hash differently): a fact/dim key-type mismatch would
+    otherwise flip every probe into a false NEGATIVE and silently empty
+    the join — the one failure mode this module promises cannot
+    happen. The cast is canonical for integral/string keys (the only
+    sensible join-key types; floats/decimals should be keyed
+    deliberately by the caller)."""
+    return F.pmod(
+        F.xxhash64(key.cast("string"), F.lit(seed)), F.lit(m_bits)
+    )
 
 
 def bloom_build(
@@ -123,12 +132,17 @@ def bloom_semi_reduce(
     dim_key: str,
     bits_per_key: int = DEFAULT_BITS_PER_KEY,
     k: int = DEFAULT_HASHES,
+    n_keys: int | None = None,
 ) -> DataFrame:
     """`fact` reduced to rows whose `fact_key` might appear in
     `dim[dim_key]`. Sizes the filter from one model-sized count of the
     (already filtered) dimension — the same stats-probe action the
-    ranking split points pay."""
-    n = dim.count()
+    ranking split points pay. That count is a second (column-pruned)
+    scan of the dim; a caller who already knows the cardinality — or
+    an upper bound, which only makes the filter larger, never wrong —
+    should pass `n_keys` to skip it rather than persist the dim (a
+    pinned handle the caller would then own releasing)."""
+    n = dim.count() if n_keys is None else n_keys
     m_bits = max(_MIN_BITS, bits_per_key * max(n, 1))
     bloom = bloom_build(dim.select(dim_key), dim_key, m_bits, k)
     return bloom_prune(fact, fact_key, bloom, m_bits, k)

@@ -945,10 +945,39 @@ def llm_embedding_neardup(spark, sf_dir):
     # of the old 6 s at the 20k-vector ladder; the numpy fold below is
     # 0.7 s single-core on the same data. Each Arrow BATCH is stacked
     # once and groups are numpy slices of it; a group split across a
-    # batch boundary is carried into the next batch (bucket files are
-    # ~125 rows — far below maxPartitionBytes — so a file, hence a
-    # group, never splits across TASKS; only the batch tail can be
-    # incomplete).
+    # batch boundary is carried into the next batch, so only a group
+    # split across TASKS could lose pairs. Adaptive bits bound the
+    # EXPECTED bucket, but a duplicate-heavy corpus — exactly what a
+    # near-dup sweep exists to find — can still concentrate one
+    # degenerate bucket past maxPartitionBytes, where the scan would
+    # split its file across tasks and silently drop cross-split pairs.
+    # Guard: if ANY bucket file approaches the split threshold, fall
+    # back to an explicit repartition+sort on (table_id, bucket), which
+    # restores group-per-task contiguity for the same kernel at the
+    # cost of the one shuffle the fast path avoids.
+    raw = spark.conf.get(
+        "spark.sql.files.maxPartitionBytes", "134217728b"
+    ).lower()
+    try:  # bytesConf renders as e.g. "134217728b"; be robust to "128mb"
+        max_split = int(raw.rstrip("kmgb")) * {
+            "k": 1 << 10, "m": 1 << 20, "g": 1 << 30
+        }.get(raw.rstrip("b")[-1:], 1)
+    except ValueError:
+        max_split = 128 * 1024 * 1024
+    biggest = max(
+        (
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(os.path.join(idx, "lsh"))
+            for f in fs
+            if f.endswith(".parquet")
+        ),
+        default=0,
+    )
+    if biggest >= max_split // 2:
+        bucketed = bucketed.repartition(
+            "table_id", "bucket"
+        ).sortWithinPartitions("table_id", "bucket", "vec_id")
+
     def part_stats(batches):
         acc = {"n": 0, "mx": None, "n95": 0, "n80": 0, "n60": 0, "n40": 0}
 

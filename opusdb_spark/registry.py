@@ -194,8 +194,8 @@ _HAVE_VERDICT = frozenset(
 #      llm_substring_dedup (single-pass rewrite), sink_opusdb_log
 #      (two-phase commit), llm_quality_classifier_score (fingerprint
 #      hypers), graph_pagerank + graph_triangle_count (cache lifecycle).
-#   3. Queries ROUND 7 changes: llm_decontaminate (8-gram + hashed
-#      shuffle key), llm_winnowing_overlap + llm_substring_dedup
+#   3. Queries ROUND 7 changes: llm_decontaminate (xxhash64 3-gram
+#      keys + DF≤20 stop-gram cap), llm_winnowing_overlap + llm_substring_dedup
 #      (xxhash64 keys), graph_pagerank (edge-artifact ingest).
 _NEVER_SAMPLED = (
     "emb_pca_power",

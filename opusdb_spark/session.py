@@ -104,9 +104,11 @@ def get_spark(
         # rows per reduce partition and spills (scale probe:
         # llm_substring_dedup 14.3 s → 9.7 s at 60 M lineitem / 500k
         # docs just from this). Small queries are unaffected — AQE
-        # merges the tiny partitions back to ~the static number. Only
-        # set when the caller didn't pin shuffle_partitions (tests pin
-        # 8 for deterministic split counts).
+        # merges the tiny partitions back to ~the static number. A
+        # caller that pins shuffle_partitions (tests pin 8 for
+        # deterministic split counts) pins the initial number to the
+        # same value, i.e. the widening only applies to default
+        # sessions.
         .config(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
             str(shuffle_partitions or 256),

@@ -198,6 +198,16 @@ class OpusdbLogWriter(DataSourceWriter):
         self.block_size = int(
             options.get("block_size", str(DEFAULT_BLOCK_SIZE))
         )
+        # Job-unique tag baked into every attempt's temp name: the
+        # writer is built ONCE on the driver per write job and
+        # serialized to tasks, so all of this job's attempts share it —
+        # and commit()'s orphan sweep can then target ONLY this job's
+        # leftovers instead of racing a concurrent writer on the same
+        # directory (deleting a live job's staged attempts would fail
+        # its commit after its tasks succeeded).
+        import uuid
+
+        self.job_tag = uuid.uuid4().hex[:12]
 
     def write(self, iterator):
         from pyspark import TaskContext
@@ -214,7 +224,7 @@ class OpusdbLogWriter(DataSourceWriter):
         # torn or half-visible part-*.log (ADVICE r4: the previous
         # in-place write made a crashed task's partial file
         # indistinguishable from a committed one).
-        tmp = f"{out}.tmp-{ctx.taskAttemptId()}"
+        tmp = f"{out}.tmp-{self.job_tag}-{ctx.taskAttemptId()}"
         recs = []
         for row in iterator:
             rec = row["record"]
@@ -231,14 +241,30 @@ class OpusdbLogWriter(DataSourceWriter):
         # Losing speculative / failed attempts never reach `messages`
         # (only delivered commit messages do), so their attempt-unique
         # temp files would otherwise accumulate forever: readers skip
-        # them, but overwrites never purge them (ADVICE r6). The job is
-        # committed at this point, so every surviving *.tmp-* is by
-        # definition an orphan — sweep them.
-        for orphan in glob.glob(os.path.join(self.path, "*.log.tmp-*")):
+        # them, but overwrites never purge them (ADVICE r6). Sweep is
+        # scoped to THIS job's tag — a surviving *.tmp-<job_tag>-* is
+        # by definition an orphan of this job, while an unrelated tag
+        # may be another writer's still-staged attempt and must stay.
+        # Crash leftovers of jobs that never reached commit() are also
+        # reaped once they are unambiguously stale (an hour-old staged
+        # attempt has no live job: task commit-to-job commit is
+        # seconds).
+        import time
+
+        for orphan in glob.glob(
+            os.path.join(self.path, f"*.log.tmp-{self.job_tag}-*")
+        ):
             try:
                 os.remove(orphan)
             except OSError:
                 pass  # concurrent cleanup / already gone
+        cutoff = time.time() - 3600
+        for stale in glob.glob(os.path.join(self.path, "*.log.tmp-*")):
+            try:
+                if os.path.getmtime(stale) < cutoff:
+                    os.remove(stale)
+            except OSError:
+                pass
 
     def abort(self, messages):
         for m in messages:

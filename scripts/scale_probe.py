@@ -10,9 +10,10 @@ data ratio. A plan whose ratio tracks ~10 (plus log factors for sorts)
 is shuffle- and partition-linear; a super-linear ratio is exactly the
 "would this survive 100× the data?" failure the plan audits look for.
 
-Timing: one untimed warmup at 10× only (JIT + ingest artifacts), then
-ONE timed run per (query, scale) — the probe measures scaling shape,
-not run-to-run noise (bench.py's best-of-2 owns that).
+Timing: one untimed warmup per (query, scale) — JIT plus the one-time
+ingest artifacts at both scales, so the ratios compare QUERY plans,
+not ingest — then ONE timed run per (query, scale); the probe measures
+scaling shape, not run-to-run noise (bench.py's best-of-2 owns that).
 
 Usage: python scripts/scale_probe.py [query ...]
 Defaults to PROBE below. Writes one JSON line to stdout, human table

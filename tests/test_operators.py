@@ -1417,7 +1417,9 @@ def test_opusdb_log_writer_commit_is_atomic(spark, tmp_path):
         pyspark.TaskContext.get = orig
 
     files = sorted(p.name for p in (tmp_path / "sink").iterdir())
-    assert files == ["part-00000.log.tmp-7"], "pre-commit file must be temp"
+    assert files == [
+        f"part-00000.log.tmp-{writer.job_tag}-7"
+    ], "pre-commit file must be temp, tagged by job then attempt"
     assert not olog.OpusdbLogReader(
         {"path": out, "block_size": "400"}
     )._files(), "reader must not see uncommitted temp output"
@@ -1436,6 +1438,71 @@ def test_opusdb_log_writer_commit_is_atomic(spark, tmp_path):
     writer.abort([msg2])
     files = sorted(p.name for p in (tmp_path / "sink").iterdir())
     assert files == ["part-00000.log"], "abort must remove only its temp"
+
+
+def test_opusdb_log_commit_sweep_is_job_scoped(tmp_path):
+    """commit()'s orphan sweep may only reap THIS job's leftover
+    attempt temps: a concurrent writer's freshly-staged attempt must
+    survive (deleting it would fail that job's commit after its tasks
+    succeeded), while an hour-stale temp from a crashed job is
+    reaped."""
+    import os
+    import time
+
+    from pyspark.sql import Row
+
+    from opusdb_spark.sources import opusdb_log as olog
+
+    out = str(tmp_path / "sink")
+    a = olog.OpusdbLogWriter({"path": out, "block_size": "400"})
+    b = olog.OpusdbLogWriter({"path": out, "block_size": "400"})
+
+    class _Ctx:
+        def __init__(self, att):
+            self.att = att
+
+        def partitionId(self):
+            return 0
+
+        def taskAttemptId(self):
+            return self.att
+
+    import pyspark
+
+    orig = pyspark.TaskContext.get
+    try:
+        pyspark.TaskContext.get = staticmethod(lambda: _Ctx(1))
+        msg_a = a.write(iter([Row(record=b"job-a")]))
+        # job A also leaves a LOSING attempt's temp behind
+        pyspark.TaskContext.get = staticmethod(lambda: _Ctx(2))
+        a.write(iter([Row(record=b"job-a-loser")]))
+        # job B stages but has not committed yet
+        pyspark.TaskContext.get = staticmethod(lambda: _Ctx(9))
+        msg_b = b.write(iter([Row(record=b"job-b")]))
+    finally:
+        pyspark.TaskContext.get = orig
+
+    # a crashed job's ancient temp
+    stale = os.path.join(out, "part-00000.log.tmp-deadbeef0000-3")
+    with open(stale, "wb") as f:
+        f.write(b"x")
+    old = time.time() - 7200
+    os.utime(stale, (old, old))
+
+    a.commit([msg_a])
+    names = sorted(p.name for p in (tmp_path / "sink").iterdir())
+    assert f"part-00000.log.tmp-{b.job_tag}-9" in names, (
+        "concurrent job's staged attempt must survive A's sweep"
+    )
+    assert not any(a.job_tag in n for n in names if ".tmp-" in n), (
+        "A's losing attempt must be swept"
+    )
+    assert "part-00000.log.tmp-deadbeef0000-3" not in names, (
+        "hour-stale crash leftover must be reaped"
+    )
+    # B's commit still succeeds (its temp was not deleted)
+    b.commit([msg_b])
+    assert (tmp_path / "sink" / "part-00000.log").exists()
 
 
 def test_opusdb_log_append_equals_single_session(tmp_path):

@@ -204,6 +204,34 @@ def ensure_index(
     return index_dir
 
 
+_READ_CACHE: dict[tuple, "DataFrame"] = {}
+
+
+def read_store(spark: SparkSession, index_dir: str, sub: str) -> DataFrame:
+    """`spark.read.parquet` over an index sub-store, with the resolved
+    DataFrame handle cached per (session, path, build). Re-reading a
+    2048-directory partitioned store re-runs partition discovery at
+    PLAN time — ~0.5 s of driver-side listing per read.parquet() call,
+    paid by every probe — while the store itself is immutable between
+    rebuilds. Cache key includes the Spark application id (a handle
+    from a stopped session is unusable) and the marker's mtime (a
+    rebuild rewrites the marker last, invalidating stale handles)."""
+    marker = os.path.join(index_dir, "marker.json")
+    try:
+        build_tag = os.stat(marker).st_mtime_ns
+    except OSError:
+        build_tag = 0
+    key = (os.path.abspath(index_dir), sub)
+    tag = (spark.sparkContext.applicationId, build_tag)
+    hit = _READ_CACHE.get(key)
+    if hit is not None and hit[0] == tag:
+        return hit[1]
+    df = spark.read.parquet(os.path.join(index_dir, sub))
+    _READ_CACHE[key] = (tag, df)  # replaces any stale session/build
+    # handle for this store; size is bounded by #stores (≤4 per corpus)
+    return df
+
+
 def load_centroids(index_dir: str) -> np.ndarray:
     with open(os.path.join(index_dir, "centroids.json")) as f:
         return np.array(json.load(f), dtype=np.float64)
@@ -216,7 +244,7 @@ def fetch_vector(
     single-row read (the only per-probe driver collect, and it is one
     row; a serving deployment would have the query vector in hand)."""
     row = (
-        spark.read.parquet(os.path.join(index_dir, "by_id"))
+        read_store(spark, index_dir, "by_id")
         .filter(F.col(id_col) == probe_id)
         .first()
     )
@@ -288,7 +316,7 @@ def stored_buckets(
     for in-corpus probes; out-of-corpus vectors fall back to
     _probe_buckets (one signature evaluation)."""
     rows = (
-        spark.read.parquet(os.path.join(index_dir, "sigs"))
+        read_store(spark, index_dir, "sigs")
         .filter(F.col(id_col) == probe_id)
         .collect()
     )
@@ -321,7 +349,7 @@ def lsh_probe(
         c = (F.col("table_id") == t) & (F.col("bucket") == b)
         cond = c if cond is None else (cond | c)
     cands = (
-        spark.read.parquet(os.path.join(index_dir, "lsh"))
+        read_store(spark, index_dir, "lsh")
         .filter(cond)
         .select(id_col, vec_col)
         .dropDuplicates([id_col])
@@ -355,7 +383,7 @@ def ivf_probe(
     vn = v / (np.linalg.norm(v) + 1e-12)
     cells = [int(c) for c in np.argsort(-(cn @ vn))[:n_probe]]
     cands = (
-        spark.read.parquet(os.path.join(index_dir, "ivf"))
+        read_store(spark, index_dir, "ivf")
         .filter(F.col("cell").isin(cells))
         .select(id_col, vec_col)
     )

@@ -914,7 +914,9 @@ def llm_embedding_neardup(spark, sf_dir):
     import pandas as pd
 
     idx = _ann_index(spark, sf_dir)
-    bucketed = spark.read.parquet(os.path.join(idx, "lsh")).select(
+    from opusdb_spark.operators.ann_index import read_store
+
+    bucketed = read_store(spark, idx, "lsh").select(
         "vec_id", "embedding", "sig_all", "table_id", "bucket"
     )
 

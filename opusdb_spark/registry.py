@@ -206,10 +206,14 @@ _NEVER_SAMPLED = (
     # --- r7-rewritten ---
     "llm_decontaminate", "llm_winnowing_overlap",
     # tpch_q18 (IN-subquery re-aggregation fused to one fact pass),
-    # llm_embedding_neardup (per-bucket Arrow matmul kernel),
-    # sub_correlated (BIGINT quantity sum), cte_query (OVER () max so
-    # the CTE body runs once): r7 rewrites, prior verdicts describe
-    # the old plans
+    # llm_embedding_neardup (first-collision-ownership mapInPandas
+    # kernel over the lsh store, zero pair-sized shuffle, plus the
+    # bucket-file-split fallback guard), sub_correlated (BIGINT
+    # quantity sum), cte_query (OVER () max so the CTE body runs
+    # once): r7 rewrites, prior verdicts describe the old plans.
+    # sink_opusdb_log also changed late in r7 (job-scoped orphan
+    # sweep) — already in the head above. join_bloom_prune is NEW in
+    # r7 and reaches the sweep via the no-verdict fresh tier.
     "tpch_q18", "llm_embedding_neardup", "sub_correlated", "cte_query",
 )
 

@@ -72,6 +72,9 @@ PROBE = [
     "llm_semdedup",
     "llm_embedding_neardup",
     "graph_pagerank",
+    # histogram-banded theta join: pair work saturates at O(grid²), so
+    # its probe ratio should sit far BELOW the data ratio
+    "join_theta",
 ]
 
 

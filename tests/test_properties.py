@@ -347,3 +347,40 @@ def test_winnowing_guarantee_shared_run_yields_shared_fingerprint(
     a = {r["h"] for r in rows if r["doc_id"] == 0}
     b = {r["h"] for r in rows if r["doc_id"] == 1}
     assert a & b, "shared >= w+k-1 run produced no shared fingerprint"
+
+
+# ------------------------------------------------ runtime bloom filter
+bloom_keys_strategy = st.tuples(
+    st.sets(st.integers(-(10**9), 10**9), min_size=0, max_size=40),
+    st.sets(st.integers(-(10**9), 10**9), min_size=1, max_size=40),
+    st.sampled_from([1, 4, 24]),  # bits_per_key: extreme-FP → roomy
+)
+
+
+@settings(**SMALL)
+@given(bloom_keys_strategy)
+def test_bloom_prune_semi_join_equals_reference(spark, keys):
+    """For random fact/dim key sets and any filter sizing, bloom-pruned
+    fact ∩ dim must equal the plain set intersection — no false
+    negatives ever, false positives always removed by the exact join."""
+    dim_keys, fact_keys, bits_per_key = keys
+    from opusdb_spark.operators import runtime_filter as rtf
+
+    fact = spark.createDataFrame(
+        [(int(k),) for k in sorted(fact_keys)], "k long"
+    )
+    dim = spark.createDataFrame(
+        [(int(k),) for k in sorted(dim_keys)] or [(0,)], "d long"
+    )
+    if not dim_keys:
+        dim = dim.filter("d != d")  # genuinely empty
+    pruned = rtf.bloom_semi_reduce(
+        fact, "k", dim, "d", bits_per_key=bits_per_key
+    )
+    got = sorted(
+        r.k
+        for r in pruned.join(
+            dim, pruned["k"] == dim["d"], "left_semi"
+        ).collect()
+    )
+    assert got == sorted(fact_keys & dim_keys)

@@ -77,7 +77,7 @@ _PAGERANK_ORACLE = f"""
     r1 AS ({_PR_STEP.format(prev="r0")}),
     r2 AS ({_PR_STEP.format(prev="r1")}),
     r3 AS ({_PR_STEP.format(prev="r2")})
-    SELECT n.n_name AS n_name, r3.r AS pagerank
+    SELECT n.n_name AS n_name, round(r3.r, 12) AS pagerank
     FROM r3 JOIN nation n ON n.n_nationkey = r3.id
     ORDER BY pagerank DESC, n_name
 """
@@ -148,9 +148,14 @@ def graph_pagerank(spark, sf_dir):
     once per corpus snapshot, see _trade_edges) so the query itself
     never touches the fact table; the iteration loop joins node-sized
     DataFrames, so rank state stays distributed (no driver-side matrix)
-    and the same loop runs on a billion-node graph. Per-edge contributions quantize to DECIMAL(27,18) before
-    each order-free decimal sum, so the unrolled-CTE SQL oracle
-    reproduces every iteration bit-for-bit. Dangling mass is dropped
+    and the same loop runs on a billion-node graph. Per-edge contributions quantize to DECIMAL(27,18)
+    before each order-free decimal sum — iteration state is therefore
+    partition-order-free — and the PUBLISHED score rounds to 12 dp:
+    the double→decimal(27,18) quantization itself rounds differently
+    between engines at the 1e-18 digit (Spark HALF_UP vs DuckDB's
+    double conversion), so raw scores drift ~1e-17 after three
+    iterations; 12-dp rounding is the same sub-ulp hygiene the
+    ln/corr oracles use. Dangling mass is dropped
     (every node here has out-edges; the standard simplification)."""
     nation = table(spark, sf_dir, "nation")
     nodes = nation.select(F.col("n_nationkey").alias("id"), "n_name")
@@ -196,7 +201,7 @@ def graph_pagerank(spark, sf_dir):
         )
     return (
         ranks.join(nodes, "id")
-        .select("n_name", F.col("r").alias("pagerank"))
+        .select("n_name", F.round("r", 12).alias("pagerank"))
         .orderBy(F.desc("pagerank"), "n_name")
     )
 

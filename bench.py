@@ -1,7 +1,11 @@
 #!/usr/bin/env python
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
-sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE compact JSON line to
+stdout (budgeted to the driver's ~2000-char tail capture — see
+`_compact`):
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+Full detail (spread maps, row counts, streaming metadata) goes to
+stderr as a `# detail:` line and to .scratch/bench_detail.json.
 
 Throughput context vs BASELINE.md: the reference's comparable numbers
 are rows/s through scan-agg pipelines; `rows_per_sec` reports the
@@ -210,9 +214,39 @@ def run_ladder(spark, qs, sf1_dir: str) -> dict:
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     lineitem_rows = spark.read.parquet(f"{sf1_dir}/lineitem.parquet").count()
+    # PREPARE PHASE (r8, the BENCH_r07 late-ladder anomaly): several
+    # ladder queries build multi-GB ingest-once artifacts (minhash
+    # signatures, winnowing fingerprints, trade edges, the sf1 ANN
+    # index) on their first run. In r7's driver bench — a fresh
+    # container with an empty .scratch — those builds ran inside the
+    # interleaved warmup, and the dirty-page writeback they queued
+    # landed in the immediately-following timed windows: every
+    # late-ladder query came in 2-6× over this VM's in-order replay
+    # (events_revenue_pareto 7.46 s vs 1.22 s, llm_substring_dedup
+    # 4.98 vs 1.19, tpch_q18 5.48 vs 3.20) while early-ladder and
+    # headline numbers matched to the millisecond (sf1 agg_q1 0.631 vs
+    # 0.629). Running every query once UP FRONT pays all artifact
+    # builds before any timing starts, and the sync() fence flushes
+    # their writeback out of the timed section.
     for name in SF1_LADDER:
+        t0 = time.perf_counter()
+        qs[name](spark, sf1_dir).count()
+        print(
+            f"# sf1 prepare {name}: {time.perf_counter() - t0:.3f}s",
+            file=sys.stderr,
+        )
+    try:
+        os.sync()
+    except (AttributeError, OSError):
+        pass  # non-POSIX: timing proceeds without the writeback fence
+    for name in SF1_LADDER:
+        # best-of-3 here (vs 2 elsewhere): the sf1 ladder carries the
+        # shuffle-heaviest plans, whose r7 run-to-run spreads (0.5-1.0 s
+        # on join_sort_merge / llm_semdedup) were wide enough to mask
+        # real regressions; a third sample tightens the minimum for
+        # ~30 s total.
         timings[name], n = time_query(
-            spark, lambda: qs[name](spark, sf1_dir)
+            spark, lambda: qs[name](spark, sf1_dir), runs=3
         )
         spreads[name] = LAST_SPREAD
         print(
@@ -231,6 +265,89 @@ def run_ladder(spark, qs, sf1_dir: str) -> dict:
     }
 
 
+# The driver tail-captures only the LAST ~2000 chars of stdout and
+# parses the final JSON line it finds there. Round 7's single combined
+# line (headline + tpch + sf1 + spreads) outgrew that window and the
+# leading `{"metric"...` was cut off -> BENCH_r07 `parsed: null`, the
+# round's headline total invisible to grading. Protocol since r8:
+# stdout carries EXACTLY ONE compact JSON line (budgeted below the
+# capture window); the full detail object goes to stderr and to
+# .scratch/bench_detail.json for humans and local diffing.
+_FINAL_LINE_BUDGET = 1800
+
+
+def _compact(out: dict) -> dict:
+    """Build the final stdout line from the full detail object,
+    dropping verbose sections until it fits `_FINAL_LINE_BUDGET`.
+
+    Drop order (least- to most-essential): spread maps first (stderr
+    detail keeps them), then per-query maps for the secondary loops
+    (their totals stay), then the headline per-query map — `metric`/
+    `value`/`q1_rows_per_sec`/section totals always survive."""
+    line = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "timing": out["timing"],
+        "sf": out["sf"],
+        "q1_rows_per_sec": out["q1_rows_per_sec"],
+        "queries": {k: round(v, 3) for k, v in out["queries"].items()},
+    }
+    if "tpch" in out:
+        line["tpch"] = {
+            "total": out["tpch"]["total"],
+            "queries": {
+                k: round(v, 3) for k, v in out["tpch"]["queries"].items()
+            },
+        }
+    if "streaming" in out:
+        line["streaming"] = {
+            "sec": out["streaming"]["sec"],
+            "rows_per_sec": out["streaming"]["rows_per_sec"],
+        }
+    if "sf1" in out:
+        line["sf1"] = {
+            "queries": {
+                k: round(v, 3) for k, v in out["sf1"]["queries"].items()
+            },
+            "q1_rows_per_sec": out["sf1"]["q1_rows_per_sec"],
+            "tpch_total": out["sf1"]["tpch"]["total"],
+            "tpch": {
+                k: round(v, 3)
+                for k, v in out["sf1"]["tpch"]["queries"].items()
+            },
+        }
+    # Progressive trim to budget — each step removes one verbose map.
+    trims = [
+        lambda: line.get("sf1", {}).pop("tpch", None),
+        lambda: line.get("tpch", {}).pop("queries", None),
+        lambda: line.get("sf1", {}).pop("queries", None),
+        lambda: line.pop("queries", None),
+    ]
+    for trim in trims:
+        if len(json.dumps(line)) <= _FINAL_LINE_BUDGET:
+            break
+        trim()
+    return line
+
+
+def emit(out: dict) -> None:
+    detail = json.dumps(out)
+    print(f"# detail: {detail}", file=sys.stderr)
+    try:
+        detail_path = os.path.join(_REPO, ".scratch", "bench_detail.json")
+        os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+        with open(detail_path, "w") as f:
+            f.write(detail + "\n")
+    except OSError:
+        pass  # detail file is best-effort; the stdout line is the contract
+    # The driver's tail window sees stdout and stderr interleaved by
+    # flush time — flush both so the compact line lands chronologically
+    # LAST and can never be split by buffered stderr draining late.
+    sys.stderr.flush()
+    print(json.dumps(_compact(out)), flush=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -242,10 +359,16 @@ def main() -> None:
     qs["agg_invariant"](spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     lineitem_rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     for name in HEADLINE:
         timings[name], n = time_query(spark, lambda: qs[name](spark, sf_dir))
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        spreads[name] = LAST_SPREAD
+        print(
+            f"# {name}: {timings[name]:.3f}s (spread {LAST_SPREAD:.3f}s, "
+            f"{n} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 4)
     q1_rows_per_sec = int(lineitem_rows / timings["agg_q1"]) if timings["agg_q1"] else 0
@@ -255,6 +378,7 @@ def main() -> None:
         "unit": "sec",
         "timing": TIMING,
         "queries": timings,
+        "spread": spreads,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "q1_rows_per_sec": q1_rows_per_sec,
     }
@@ -262,14 +386,18 @@ def main() -> None:
     # stays comparable across rounds). Same timing discipline.
     if os.environ.get("SPARK_GRAFT_TPCH", "1") != "0":
         tpch = {}
+        tpch_spreads = {}
         for name in sorted(k for k in qs if k.startswith("tpch_q")):
             tpch[name], n = time_query(spark, lambda: qs[name](spark, sf_dir))
+            tpch_spreads[name] = LAST_SPREAD
             print(
-                f"# tpch {name}: {tpch[name]:.3f}s ({n} rows)",
+                f"# tpch {name}: {tpch[name]:.3f}s (spread "
+                f"{LAST_SPREAD:.3f}s, {n} rows)",
                 file=sys.stderr,
             )
         out["tpch"] = {
             "queries": tpch,
+            "spread": tpch_spreads,
             "total": round(sum(tpch.values()), 4),
         }
     # Streaming at volume (VERDICT r5 §7): replay the full events table
@@ -319,7 +447,7 @@ def main() -> None:
             "queries": tpch_sf1,
             "total": round(sum(tpch_sf1.values()), 4),
         }
-    print(json.dumps(out))
+    emit(out)
     # Teardown: release the graph family's loop-invariant persisted
     # handles (one per sf_dir touched — sf0.1 AND sf1 here) before
     # stopping; clearCache() inside time_query drops cached *data* but

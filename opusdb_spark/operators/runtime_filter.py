@@ -67,8 +67,12 @@ def _probe_bit(key: Column, seed: int, m_bits: int) -> Column:
 def bloom_build(
     dim_keys: DataFrame, key: str, m_bits: int, k: int = DEFAULT_HASHES
 ) -> DataFrame:
-    """ONE-row DataFrame {bf: array<long>} — the dense m_bits-wide
-    filter over `dim_keys[key]`, built without any driver collect."""
+    """ONE-row DataFrame {__rtf_bf: array<long>} — the dense
+    m_bits-wide filter over `dim_keys[key]`, built without any driver
+    collect. The working columns here and in `bloom_prune` carry a
+    `__rtf_` prefix so a fact table that itself has a `bf`/`_h0` column
+    can't produce an ambiguous-reference error (or silent shadowing)
+    at apply time."""
     m_words = (m_bits + 63) // 64
     spark = dim_keys.sparkSession
     bits = dim_keys.select(
@@ -98,7 +102,7 @@ def bloom_build(
         F.transform(
             F.array_sort(F.collect_list(F.struct("w", "bits"))),
             lambda x: x["bits"],
-        ).alias("bf")
+        ).alias("__rtf_bf")
     )
 
 
@@ -112,17 +116,17 @@ def bloom_prune(
     """Keep only fact rows whose `key` MIGHT be in the filter — a
     broadcast of one row plus per-row codegen bit tests."""
     out = fact.crossJoin(F.broadcast(bloom))
-    hs = [f"_h{s}" for s in range(k)]
+    hs = [f"__rtf_h{s}" for s in range(k)]
     for s in range(k):
         out = out.withColumn(hs[s], _probe_bit(F.col(key), s, m_bits))
     cond = None
     for h in hs:
         c = F.expr(
-            f"(element_at(bf, CAST({h} / 64 AS INT) + 1)"
+            f"(element_at(__rtf_bf, CAST({h} / 64 AS INT) + 1)"
             f" & shiftleft(1L, CAST({h} % 64 AS INT))) != 0"
         )
         cond = c if cond is None else (cond & c)
-    return out.filter(cond).drop("bf", *hs)
+    return out.filter(cond).drop("__rtf_bf", *hs)
 
 
 def bloom_semi_reduce(

@@ -70,11 +70,12 @@ def _parquet_num_rows(path: str) -> int:
     data read, no Spark job; used to size the LSH bucket space."""
     import pyarrow.parquet as pq
 
+    from opusdb_spark.sources.formats import list_store_files
+
     if os.path.isdir(path):
         return sum(
-            pq.read_metadata(os.path.join(path, f)).num_rows
-            for f in os.listdir(path)
-            if f.endswith(".parquet")
+            pq.read_metadata(f).num_rows
+            for f, _ in list_store_files(path, recursive=False)
         )
     return pq.read_metadata(path).num_rows
 
@@ -216,9 +217,11 @@ def read_store(spark: SparkSession, index_dir: str, sub: str) -> DataFrame:
     rebuilds. Cache key includes the Spark application id (a handle
     from a stopped session is unusable) and the marker's mtime (a
     rebuild rewrites the marker last, invalidating stale handles)."""
+    from opusdb_spark.sources.formats import stat_mtime_ns
+
     marker = os.path.join(index_dir, "marker.json")
     try:
-        build_tag = os.stat(marker).st_mtime_ns
+        build_tag = stat_mtime_ns(marker)
     except OSError:
         build_tag = 0
     key = (os.path.abspath(index_dir), sub)

@@ -59,24 +59,59 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     UNCONDITIONALLY; the partition-count guard remains the fallback
     when input size is unknown (non-file sources, intermediate
     frames). Inputs ≥ 512 MB have real row-group-bearing splits every
-    ~128 MB, where the count guard is truthful."""
+    ~128 MB, where the count guard is truthful.
+
+    The byte guard applies only to NARROW frames (nothing but scans /
+    projections / filters upstream): once the plan contains any
+    shuffle-inducing operator, row distribution is governed by a real
+    exchange whose partitions actually hold rows — the empty-split
+    fiction the byte guard exists for cannot occur, and an
+    unconditional repartition would add a redundant full shuffle per
+    call (frames downstream of a shuffle can still report
+    inputFiles())."""
+    import re
+
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
 
-    total: int | None = 0
     try:
-        from urllib.parse import urlparse
-
-        files = df.inputFiles()
-        if files:
-            import os
-
-            for f in files:
-                total += os.stat(urlparse(f).path).st_size
-        else:
-            total = None
+        plan = df._jdf.queryExecution().analyzed().toString()
+        # global Sort prints `Sort [...], true`; sortWithinPartitions
+        # prints `, false` and moves nothing between partitions
+        shuffled = (
+            re.search(
+                r"\b(Join|Aggregate|Repartition|Window|Deduplicate)\b"
+                r"|Sort \[[^\]]*\], true",
+                plan,
+            )
+            is not None
+        )
     except Exception:
+        shuffled = False  # can't introspect -> keep the byte guard
+
+    total: int | None = 0
+    if shuffled:
         total = None
+    else:
+        try:
+            from urllib.parse import unquote, urlparse
+
+            files = df.inputFiles()
+            if files:
+                import os
+
+                for f in files:
+                    u = urlparse(f)
+                    if u.scheme not in ("", "file"):
+                        # remote store: no driver-side stat — fall to
+                        # the count guard rather than guessing sizes
+                        total = None
+                        break
+                    total += os.stat(unquote(u.path)).st_size
+            else:
+                total = None
+        except Exception:
+            total = None
 
     if total is not None and total < _SPREAD_SMALL_BYTES:
         return df.repartition(target)

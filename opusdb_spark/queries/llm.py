@@ -956,26 +956,24 @@ def llm_embedding_neardup(spark, sf_dir):
     # Guard: if ANY bucket file approaches the split threshold, fall
     # back to an explicit repartition+sort on (table_id, bucket), which
     # restores group-per-task contiguity for the same kernel at the
-    # cost of the one shuffle the fast path avoids.
-    raw = spark.conf.get(
-        "spark.sql.files.maxPartitionBytes", "134217728b"
-    ).lower()
-    try:  # bytesConf renders as e.g. "134217728b"; be robust to "128mb"
-        max_split = int(raw.rstrip("kmgb")) * {
-            "k": 1 << 10, "m": 1 << 20, "g": 1 << 30
-        }.get(raw.rstrip("b")[-1:], 1)
-    except ValueError:
-        max_split = 128 * 1024 * 1024
-    biggest = max(
-        (
-            os.path.getsize(os.path.join(r, f))
-            for r, _, fs in os.walk(os.path.join(idx, "lsh"))
-            for f in fs
-            if f.endswith(".parquet")
-        ),
-        default=0,
+    # cost of the one shuffle the fast path avoids. The threshold is
+    # the EFFECTIVE split size (FilePartition.maxSplitBytes — min of
+    # maxPartitionBytes and max(openCostInBytes, bytesPerCore)), not
+    # raw maxPartitionBytes: with the session's 64 KB open cost a
+    # small store's real split can be a few MB, and comparing against
+    # 128 MB would let a multi-row-group bucket file be silently split
+    # across tasks — exactly the pair-dropping this guard exists to
+    # prevent. The 2x margin covers the one case the formula can't
+    # see: Spark splits at row-group boundaries, so only multi-row-
+    # group files actually fragment.
+    from opusdb_spark.sources.formats import (
+        effective_max_split_bytes,
+        list_store_files,
     )
-    if biggest >= max_split // 2:
+
+    sizes = [s for _, s in list_store_files(os.path.join(idx, "lsh"))]
+    biggest = max(sizes, default=0)
+    if biggest * 2 >= effective_max_split_bytes(spark, sizes):
         bucketed = bucketed.repartition(
             "table_id", "bucket"
         ).sortWithinPartitions("table_id", "bucket", "vec_id")

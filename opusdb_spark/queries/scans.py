@@ -19,7 +19,7 @@ import os
 
 from pyspark.sql import functions as F
 
-from opusdb_spark.sources.formats import scratch_sink
+from opusdb_spark.sources.formats import list_store_files, scratch_sink
 from opusdb_spark.registry import register
 from opusdb_spark.tables import table
 
@@ -234,12 +234,8 @@ def sink_compact_small_files(spark, sf_dir):
     events.repartition(64).write.mode("overwrite").parquet(frag)
 
     def _layout(path):
-        files = [
-            os.path.join(path, f)
-            for f in os.listdir(path)
-            if f.endswith(".parquet")
-        ]
-        return len(files), sum(os.path.getsize(f) for f in files)
+        files = list_store_files(path, recursive=False)
+        return len(files), sum(sz for _, sz in files)
 
     n_in, bytes_in = _layout(frag)
     target = 32 * 1024 * 1024
@@ -296,11 +292,9 @@ def sink_clustered_write(spark, sf_dir):
 
     lo, hi = datetime(1996, 6, 1), datetime(1996, 6, 30, 23, 59, 59)
     n_files, n_overlap = 0, 0
-    for f in sorted(os.listdir(out)):
-        if not f.endswith(".parquet"):
-            continue
+    for fpath, _ in list_store_files(out, recursive=False):
         n_files += 1
-        md = pq.ParquetFile(os.path.join(out, f)).metadata
+        md = pq.ParquetFile(fpath).metadata
         names = [md.schema.column(i).name for i in range(md.num_columns)]
         ci = names.index("l_shipdate")
         mins, maxs = [], []
@@ -721,10 +715,9 @@ def scan_manifest_prune(spark, sf_dir):
             "l_shipdate"
         ).write.mode("overwrite").parquet(path)
         entries = []
-        for f in sorted(os.listdir(path)):
-            if not f.endswith(".parquet"):
-                continue
-            md = pq.ParquetFile(os.path.join(path, f)).metadata
+        for fpath, _ in list_store_files(path, recursive=False):
+            f = os.path.basename(fpath)
+            md = pq.ParquetFile(fpath).metadata
             names = [
                 md.schema.column(i).name for i in range(md.num_columns)
             ]
@@ -902,11 +895,9 @@ def sink_zorder_write(spark, sf_dir):
 
     def _overlap(col, lo, hi):
         n_files, n_hit = 0, 0
-        for f in sorted(os.listdir(out)):
-            if not f.endswith(".parquet"):
-                continue
+        for fpath, _ in list_store_files(out, recursive=False):
             n_files += 1
-            md = pq.ParquetFile(os.path.join(out, f)).metadata
+            md = pq.ParquetFile(fpath).metadata
             names = [
                 md.schema.column(i).name for i in range(md.num_columns)
             ]

@@ -74,6 +74,84 @@ def stat_fingerprint(*files: str, **extra) -> dict:
     return fp
 
 
+def list_store_files(
+    path: str, suffix: str = ".parquet", recursive: bool = True
+) -> list[tuple[str, int]]:
+    """Driver-side listing of a store's data files: sorted
+    (absolute_path, size_bytes) pairs.
+
+    THE single chokepoint for this repo's driver-side filesystem
+    access (split guards, footer harvesting, layout accounting,
+    manifest builds). The implementation is local-POSIX — fine for
+    this deployment, and cheap up to ~10^5 files. An object-store port
+    replaces ONLY this function (plus `stat_mtime_ns`) with the
+    store's native listing API (e.g. paginated ListObjectsV2), keeping
+    every caller unchanged; prefixes with >>10k objects should also
+    revisit `parallelPartitionDiscovery.threshold` in session.py so
+    Spark's own listings parallelize. Missing path -> empty list (a
+    store that was never built prunes to nothing)."""
+    out: list[tuple[str, int]] = []
+    if recursive:
+        for r, _, fs in os.walk(path):
+            for f in fs:
+                if f.endswith(suffix):
+                    p = os.path.join(r, f)
+                    out.append((p, os.path.getsize(p)))
+    else:
+        try:
+            names = os.listdir(path)
+        except OSError:
+            names = []
+        for f in names:
+            if f.endswith(suffix):
+                p = os.path.join(path, f)
+                out.append((p, os.path.getsize(p)))
+    return sorted(out)
+
+
+def stat_mtime_ns(path: str) -> int:
+    """Modification stamp of one store file (marker/manifest) — the
+    other half of the driver-side FS chokepoint (see list_store_files).
+    An object-store port maps this to the object's ETag/version."""
+    return os.stat(path).st_mtime_ns
+
+
+def _parse_bytes_conf(raw: str, default: int) -> int:
+    """Spark bytes-conf string ("134217728b", "128mb", "64k") -> int."""
+    raw = raw.strip().lower()
+    try:
+        mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}.get(
+            raw.rstrip("b")[-1:], 1
+        )
+        return int(raw.rstrip("kmgb")) * mult
+    except ValueError:
+        return default
+
+
+def effective_max_split_bytes(spark: SparkSession, sizes: list[int]) -> int:
+    """The split size Spark will ACTUALLY use when scanning files of
+    `sizes` — FilePartition.maxSplitBytes:
+
+        min(maxPartitionBytes, max(openCostInBytes, bytesPerCore))
+
+    where bytesPerCore spreads the total scan (data + per-file open
+    cost) over defaultParallelism. Split guards must compare against
+    THIS, not raw maxPartitionBytes: with this repo's 64 KB open cost,
+    a small store's effective split can be a few MB, so a multi-row-
+    group file far below 128 MB would still be split across tasks."""
+    max_pb = _parse_bytes_conf(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b"),
+        128 << 20,
+    )
+    open_cost = _parse_bytes_conf(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4194304b"),
+        4 << 20,
+    )
+    par = max(spark.sparkContext.defaultParallelism, 1)
+    total = sum(sizes) + open_cost * len(sizes)
+    return min(max_pb, max(open_cost, total // par))
+
+
 def read_parquet(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
     reader = spark.read
     if schema is not None:

@@ -235,9 +235,25 @@ class OpusdbLogWriter(DataSourceWriter):
         return _LogCommit(file=out, tmp=tmp, n_records=len(recs))
 
     def commit(self, messages):
-        for m in messages:
-            if m is not None:
-                os.replace(m.tmp, m.file)  # atomic on POSIX
+        # Fail ATOMICALLY: verify every winning attempt's temp file
+        # exists before renaming ANY. If one is missing (e.g. a
+        # foreign sweep reaped it), raising here leaves the sink fully
+        # in its pre-commit state instead of half-renamed — the
+        # all-or-nothing job-commit contract the two-phase design
+        # promises. (Per-rename I/O errors mid-loop remain possible —
+        # POSIX has no multi-file rename transaction — but the only
+        # failure mode observed in practice is a missing tmp, and that
+        # one is now checked up front.)
+        staged = [m for m in messages if m is not None]
+        missing = [m.tmp for m in staged if not os.path.exists(m.tmp)]
+        if missing:
+            raise FileNotFoundError(
+                f"opusdb_log commit aborted, {len(missing)} staged "
+                f"attempt(s) vanished before rename (first: "
+                f"{missing[0]}); sink left untouched"
+            )
+        for m in staged:
+            os.replace(m.tmp, m.file)  # atomic on POSIX
         # Losing speculative / failed attempts never reach `messages`
         # (only delivered commit messages do), so their attempt-unique
         # temp files would otherwise accumulate forever: readers skip
@@ -246,9 +262,14 @@ class OpusdbLogWriter(DataSourceWriter):
         # by definition an orphan of this job, while an unrelated tag
         # may be another writer's still-staged attempt and must stay.
         # Crash leftovers of jobs that never reached commit() are also
-        # reaped once they are unambiguously stale (an hour-old staged
-        # attempt has no live job: task commit-to-job commit is
-        # seconds).
+        # reaped, but only once they are unambiguously stale: the
+        # horizon must exceed any plausible JOB duration, not just
+        # task-commit-to-job-commit (a straggler-heavy concurrent job
+        # can stage its first tmps hours before its commit; reaping
+        # one would make that commit's up-front existence check fail
+        # the whole job). 24 h is past any batch job this sink serves;
+        # a deployment with longer jobs should disable this and reap
+        # via an explicit maintenance sweep instead.
         import time
 
         for orphan in glob.glob(
@@ -258,7 +279,7 @@ class OpusdbLogWriter(DataSourceWriter):
                 os.remove(orphan)
             except OSError:
                 pass  # concurrent cleanup / already gone
-        cutoff = time.time() - 3600
+        cutoff = time.time() - 24 * 3600
         for stale in glob.glob(os.path.join(self.path, "*.log.tmp-*")):
             try:
                 if os.path.getmtime(stale) < cutoff:

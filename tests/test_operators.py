@@ -1440,12 +1440,64 @@ def test_opusdb_log_writer_commit_is_atomic(spark, tmp_path):
     assert files == ["part-00000.log"], "abort must remove only its temp"
 
 
+def test_opusdb_log_commit_all_or_nothing(tmp_path):
+    """If any winning attempt's temp vanished before commit() (e.g. a
+    foreign sweep reaped it), commit must raise BEFORE renaming
+    anything — a partially-renamed sink would break the job-level
+    atomicity the two-phase writer promises."""
+    import os
+
+    import pytest
+    from pyspark.sql import Row
+
+    from opusdb_spark.sources import opusdb_log as olog
+
+    out = str(tmp_path / "sink")
+    writer = olog.OpusdbLogWriter({"path": out, "block_size": "400"})
+
+    class _Ctx:
+        def __init__(self, pid):
+            self.pid = pid
+
+        def partitionId(self):
+            return self.pid
+
+        def taskAttemptId(self):
+            return self.pid
+
+    import pyspark
+
+    orig = pyspark.TaskContext.get
+    msgs = []
+    try:
+        for pid in (0, 1):
+            pyspark.TaskContext.get = staticmethod(
+                lambda pid=pid: _Ctx(pid)
+            )
+            msgs.append(writer.write(iter([Row(record=b"rec")])))
+    finally:
+        pyspark.TaskContext.get = orig
+
+    os.remove(msgs[1].tmp)  # simulate a foreign reap of one staged tmp
+    with pytest.raises(FileNotFoundError):
+        writer.commit(msgs)
+    names = sorted(p.name for p in (tmp_path / "sink").iterdir())
+    assert "part-00000.log" not in names, (
+        "no partition may be renamed when the commit fails its "
+        "up-front existence check"
+    )
+    assert f"part-00000.log.tmp-{writer.job_tag}-0" in names, (
+        "surviving staged tmp must be left in place for retry"
+    )
+
+
 def test_opusdb_log_commit_sweep_is_job_scoped(tmp_path):
     """commit()'s orphan sweep may only reap THIS job's leftover
     attempt temps: a concurrent writer's freshly-staged attempt must
     survive (deleting it would fail that job's commit after its tasks
-    succeeded), while an hour-stale temp from a crashed job is
-    reaped."""
+    succeeded), while a day-stale temp from a crashed job is reaped
+    (the horizon is 24 h — past any plausible job duration, so a
+    straggler-heavy concurrent job's early-staged temps are safe)."""
     import os
     import time
 
@@ -1486,7 +1538,7 @@ def test_opusdb_log_commit_sweep_is_job_scoped(tmp_path):
     stale = os.path.join(out, "part-00000.log.tmp-deadbeef0000-3")
     with open(stale, "wb") as f:
         f.write(b"x")
-    old = time.time() - 7200
+    old = time.time() - 25 * 3600
     os.utime(stale, (old, old))
 
     a.commit([msg_a])
@@ -1498,7 +1550,7 @@ def test_opusdb_log_commit_sweep_is_job_scoped(tmp_path):
         "A's losing attempt must be swept"
     )
     assert "part-00000.log.tmp-deadbeef0000-3" not in names, (
-        "hour-stale crash leftover must be reaped"
+        "day-stale crash leftover must be reaped"
     )
     # B's commit still succeeds (its temp was not deleted)
     b.commit([msg_b])

@@ -665,9 +665,23 @@ def test_bloom_prune_filters_fact_before_join(spark):
     flat = p.replace("\n", " ")
     assert "shiftleft" in flat, "bit-test filter missing from the plan"
     assert "element_at" in flat, "bloom word lookup missing"
-    # the bit-test Filter must appear before (deeper than) the exact
-    # equi-join in the plan text: the first join node listed is the
-    # TOP of the tree, so the filter's position must be after it
-    # textually but attached to the fact scan side — cheap proxy:
-    # the plan contains a Filter with the bit test AND an equi-join
-    assert "Join" in flat or "join" in flat
+    # (b) the bit-test Filter sits BELOW the exact equi-join: the
+    # simple plan renders top-down (children indented after parents),
+    # so "below the join" means the shiftleft bit test appears LATER
+    # in the text than the equi-join node that consumes it.
+    join_pos = min(
+        (
+            i
+            for i in (
+                flat.find("SortMergeJoin"),
+                flat.find("BroadcastHashJoin"),
+                flat.find("ShuffledHashJoin"),
+            )
+            if i >= 0
+        ),
+        default=-1,
+    )
+    assert join_pos >= 0, "no exact equi-join in the plan"
+    assert flat.index("shiftleft") > join_pos, (
+        "bit-test filter is not below the exact equi-join"
+    )

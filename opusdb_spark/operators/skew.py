@@ -61,14 +61,16 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     frames). Inputs ≥ 512 MB have real row-group-bearing splits every
     ~128 MB, where the count guard is truthful.
 
-    The byte guard applies only to NARROW frames (nothing but scans /
+    Both guards apply only to NARROW frames (nothing but scans /
     projections / filters upstream): once the plan contains any
     shuffle-inducing operator, row distribution is governed by a real
     exchange whose partitions actually hold rows — the empty-split
-    fiction the byte guard exists for cannot occur, and an
-    unconditional repartition would add a redundant full shuffle per
-    call (frames downstream of a shuffle can still report
-    inputFiles())."""
+    fiction the guards exist for cannot occur, the exchange's sizing
+    is the engine's own decision (shuffle.partitions + AQE advisory
+    coalesce), and an unconditional repartition would add a redundant
+    full shuffle per call (frames downstream of a shuffle can still
+    report inputFiles()). Post-shuffle frames are returned unchanged
+    without touching df.rdd (which would trigger a job under AQE)."""
     import re
 
     sc = df.sparkSession.sparkContext
@@ -89,29 +91,29 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     except Exception:
         shuffled = False  # can't introspect -> keep the byte guard
 
-    total: int | None = 0
     if shuffled:
-        total = None
-    else:
-        try:
-            from urllib.parse import unquote, urlparse
+        return df
 
-            files = df.inputFiles()
-            if files:
-                import os
+    total: int | None = 0
+    try:
+        from urllib.parse import unquote, urlparse
 
-                for f in files:
-                    u = urlparse(f)
-                    if u.scheme not in ("", "file"):
-                        # remote store: no driver-side stat — fall to
-                        # the count guard rather than guessing sizes
-                        total = None
-                        break
-                    total += os.stat(unquote(u.path)).st_size
-            else:
-                total = None
-        except Exception:
+        files = df.inputFiles()
+        if files:
+            import os
+
+            for f in files:
+                u = urlparse(f)
+                if u.scheme not in ("", "file"):
+                    # remote store: no driver-side stat — fall to
+                    # the count guard rather than guessing sizes
+                    total = None
+                    break
+                total += os.stat(unquote(u.path)).st_size
+        else:
             total = None
+    except Exception:
+        total = None
 
     if total is not None and total < _SPREAD_SMALL_BYTES:
         return df.repartition(target)

@@ -98,7 +98,16 @@ def _load() -> None:
 # count. Harmless if the consumer sorts or completes the full sweep.
 
 # Round 8: queries whose plans changed this round -> jump the queue.
-_RECENTLY_CHANGED: tuple[str, ...] = ()
+# (split-guard threshold on the neardup fast path; __rtf_-prefixed
+# bloom working columns; log-sink commit atomicity + 24h sweep horizon)
+_RECENTLY_CHANGED: tuple[str, ...] = (
+    "llm_embedding_neardup",
+    "join_bloom_prune",
+    "join_bloom_pruned",
+    "sink_opusdb_log",
+    "source_opusdb_log",
+    "stream_opusdb_log_tail",
+)
 
 _CORRECTNESS_RE = re.compile(r"CORRECTNESS_r(\d+)\.json$")
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -49,12 +49,22 @@ def _events_source_shape(sf_dir: str) -> tuple[StructType, str]:
     TIMESTAMP(MICROS) (a native timestamp). An explicit LongType schema
     over a MICROS column silently yields micros-as-int64, so the
     conversion must be chosen from the file's metadata, exactly like
-    the batch loader's dtype guard (tables.py:46)."""
+    the batch loader's dtype guard (tables.py:46). `events.parquet`
+    may be a single file (driver testdata) or a Spark-written
+    DIRECTORY of part files (the bench/probe scaled corpora) — for a
+    directory any one footer is authoritative (one writer, one
+    schema)."""
     import pyarrow.parquet as pq
 
-    ts_type = str(
-        pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
-    )
+    from opusdb_spark.sources.formats import list_store_files
+
+    path = f"{sf_dir}/events.parquet"
+    if os.path.isdir(path):
+        parts = list_store_files(path, recursive=False)
+        if not parts:
+            raise FileNotFoundError(f"no parquet parts under {path}")
+        path = parts[0][0]
+    ts_type = str(pq.read_schema(path).field("ts").type)
     if ts_type.startswith("timestamp[ns"):
         # TIMESTAMP(NANOS), tz or not: under `nanosAsLong=true`
         # (session.py) Spark reads the column as BIGINT nanos, so the

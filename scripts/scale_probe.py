@@ -75,6 +75,15 @@ PROBE = [
     # histogram-banded theta join: pair work saturates at O(grid²), so
     # its probe ratio should sit far BELOW the data ratio
     "join_theta",
+    # iterative / stateful families (round-8 additions): ntile prefix
+    # machinery, per-iteration corpus passes (k-means), merge-loop
+    # driver collects (BPE train + apply), and the stateful
+    # applyInPandasWithState session-timeout path at 10× event volume
+    "events_rfm_segments",
+    "emb_kmeans",
+    "llm_bpe_train",
+    "llm_bpe_apply",
+    "stream_session_timeout",
 ]
 
 

@@ -247,6 +247,39 @@ def test_salted_join_rejects_small_side_outer(spark):
         skew.salted_join(big, small, "k", 4, how="right")
 
 
+def test_spread_widens_small_narrow_scan(spark, tmp_path):
+    """A small single-file scan (the empty-byte-range-split fiction)
+    must be repartitioned up to defaultParallelism — the whole point
+    of the byte guard."""
+    from opusdb_spark.operators import skew
+
+    p = str(tmp_path / "docs.parquet")
+    spark.range(1000).coalesce(1).write.parquet(p)
+    df = spark.read.parquet(p)
+    out = skew.spread(df)
+    assert (
+        out.rdd.getNumPartitions()
+        >= spark.sparkContext.defaultParallelism
+    )
+    assert out.count() == 1000
+
+
+def test_spread_is_noop_after_a_shuffle(spark, tmp_path):
+    """Downstream of a real exchange the empty-split fiction cannot
+    occur; spread() must NOT stack a redundant repartition (the plan
+    would otherwise gain one full shuffle per call)."""
+    from opusdb_spark.operators import skew
+
+    p = str(tmp_path / "docs.parquet")
+    spark.range(1000).withColumnRenamed("id", "k").coalesce(1).write.parquet(p)
+    agg = spark.read.parquet(p).groupBy("k").count()
+    out = skew.spread(agg)
+    assert out is agg, "post-shuffle frame must be returned unchanged"
+    # but a narrow projection/filter does NOT count as a shuffle
+    narrow = spark.read.parquet(p).filter("k >= 0").select("k")
+    assert skew.spread(narrow) is not narrow
+
+
 def test_empty_docs_never_pair_in_fuzzy_dedup(spark):
     """m empty docs must NOT produce m² degenerate near-dup pairs."""
     docs = spark.createDataFrame(

@@ -309,6 +309,62 @@ def test_global_ntile_matches_python_reference(spark, rows, n):
     assert got == want
 
 
+@settings(**SMALL)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 500),     # id (unique tie-break)
+            st.integers(-5, 5),      # metric: heavy ties / constant runs
+            st.integers(-10_000, 10_000),  # value in cents (exact decimal)
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    n_buckets=st.integers(1, 8),
+)
+def test_global_running_sum_matches_sequential_reference(
+    spark, rows, n_buckets
+):
+    """with_global_running_sum ≡ the sequential single-partition
+    formulation, bit-for-bit on decimals, for ANY value distribution:
+    all-tied metrics (one bucket does everything), skewed metrics,
+    duplicate/degenerate split points (n_buckets > distinct metrics ->
+    empty buckets), and negative running sums. The operator backs the
+    pareto / rfm / ntile / cume queries whose edges were previously
+    covered only by fixture-shaped tests."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from opusdb_spark.operators.ranking import with_global_running_sum
+
+    df = spark.createDataFrame(
+        [(i, float(m), Decimal(c) / 100) for i, m, c in rows],
+        "id long, metric double, val decimal(12,2)",
+    )
+    got = {
+        r["id"]: (r["_rank"], Decimal(r["_rsum"]), Decimal(r["_vtotal"]))
+        for r in with_global_running_sum(
+            df,
+            [F.desc("metric"), F.asc("id")],
+            F.col("metric"),
+            F.col("val"),
+            descending=True,
+            n_buckets=n_buckets,
+        ).collect()
+    }
+    ordered = sorted(rows, key=lambda t: (-t[1], t[0]))
+    grand = sum(Decimal(c) for _, _, c in ordered) / 100
+    run = Decimal(0)
+    for pos, (i, _m, c) in enumerate(ordered, start=1):
+        run += Decimal(c) / 100
+        rank, rsum, vtotal = got[i]
+        assert rank == pos, f"rank mismatch at id={i}"
+        assert rsum == run, f"running sum mismatch at id={i}"
+        assert vtotal == grand
+
+
 winnow_docs_strategy = st.tuples(
     st.lists(st.integers(0, 50), min_size=0, max_size=20),  # noise A
     st.lists(st.integers(0, 50), min_size=0, max_size=20),  # noise B

@@ -103,15 +103,24 @@ def get_spark(
         # 32, a corpus 100× the bench scale packs ~3M exploded gram
         # rows per reduce partition and spills (scale probe:
         # llm_substring_dedup 14.3 s → 9.7 s at 60 M lineitem / 500k
-        # docs just from this). Small queries are unaffected — AQE
-        # merges the tiny partitions back to ~the static number. A
-        # caller that pins shuffle_partitions (tests pin 8 for
-        # deterministic split counts) pins the initial number to the
-        # same value, i.e. the widening only applies to default
-        # sessions.
+        # docs just from this). But width must SCALE WITH CORES, not
+        # be a constant: r8 measured a flat 256 (8× cores here) paying
+        # a real wide-write tax — each mapper emits 8× the shuffle
+        # blocks and the per-partition sorts lose their run length,
+        # while AQE (parallelismFirst) coalesces back to ~cores anyway.
+        # At 2× cores the spill protection is retained (substring dedup
+        # 8.4 s vs 8.3 s at 100×) and the tax is gone: join_sort_merge
+        # sf1 3.1→1.6 s, tpch_q18 100× 42→10 s, decontaminate 100×
+        # 23→20 s. On a 1000-executor cluster defaultParallelism grows
+        # with the cluster, so 2× keeps scaling; a caller that pins
+        # shuffle_partitions (tests pin 8 for deterministic split
+        # counts) pins the initial number to the same value.
         .config(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            str(shuffle_partitions or 256),
+            str(
+                shuffle_partitions
+                or max(64, 2 * (int(cpus) if str(cpus).isdigit() else 32))
+            ),
         )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

@@ -344,13 +344,20 @@ def minhash_lsh_dedup(
     """
     if sig is None:
         sig_fn = minhash_signatures_arrow if impl == "arrow" else minhash_signatures
-        # localCheckpoint, NOT cache(): sig is read 3× below (bands +
-        # both sides of the estimate join) so it must materialize once,
-        # but a cache() entry is pinned by the CacheManager for the
+        # loop_cache, NOT bare cache() or localCheckpoint: sig is read
+        # 3× below (bands + both sides of the estimate join) so it
+        # must materialize once. A bare cache() is pinned for the
         # session lifetime (each caller builds its own sig → unbounded
-        # leak across invocations). Lazy-localCheckpointed blocks are
-        # freed by the ContextCleaner once this DataFrame is GC'd.
-        sig = sig_fn(spread(docs)).localCheckpoint(eager=False)
+        # leak); lazy-localCheckpoint blocks are freed only after a
+        # driver GC, which a large-heap driver may not run for
+        # minutes — the orphaned corpus-sized blocks of repeated
+        # invocations then evict live execution memory (the
+        # decontaminate probe measured a persistent ~5× slowdown from
+        # exactly this). loop_cache keeps ONE live copy per call site
+        # and unpersists it deterministically on the next invocation.
+        from opusdb_spark.operators.cache import loop_cache
+
+        sig = loop_cache("dedup:minhash_sig", sig_fn(spread(docs)))
     pairs = lsh_candidate_pairs(sig)
     a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))

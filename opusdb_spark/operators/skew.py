@@ -82,7 +82,8 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
         # prints `, false` and moves nothing between partitions
         shuffled = (
             re.search(
-                r"\b(Join|Aggregate|Repartition|Window|Deduplicate)\b"
+                r"\b(Join|Aggregate|Window|Deduplicate)\b"
+                r"|\bRepartition"  # Repartition AND RepartitionByExpression
                 r"|Sort \[[^\]]*\], true",
                 plan,
             )

@@ -542,10 +542,23 @@ def llm_decontaminate(spark, sf_dir):
     bench_vocab = (
         stream.filter(F.col("doc_id") % 97 == 0).select("gh").distinct()
     )
-    cand = (
-        stream.join(F.broadcast(bench_vocab), "gh")
-        .dropDuplicates(["doc_id", "gh"])
-        .localCheckpoint(eager=False)
+    # loop_cache, not localCheckpoint: the candidate set is read by 4
+    # consumers (DF count, cap join, both split sides) so it must
+    # materialize once, but lazy-localCheckpoint blocks are freed only
+    # by ContextCleaner after a driver GC — on a large-heap driver the
+    # orphaned corpus-sized blocks of REPEATED invocations pile up in
+    # the block manager and evict live execution memory (measured: the
+    # scale probe's 10x run of this query degraded 4 s → ~20 s,
+    # persistently, once the 100x warmup's checkpoint blocks were
+    # resident). loop_cache keeps exactly ONE live copy per
+    # (query, corpus) and frees it deterministically.
+    from opusdb_spark.operators.cache import loop_cache
+
+    cand = loop_cache(
+        f"llm_decontaminate:cand:{sf_dir}",
+        stream.join(F.broadcast(bench_vocab), "gh").dropDuplicates(
+            ["doc_id", "gh"]
+        ),
     )
     rare = (
         cand.groupBy("gh")

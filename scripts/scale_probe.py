@@ -113,12 +113,33 @@ def main() -> None:
         # bench.py's own warmup discipline)
         fn(spark, dir10).count()
         fn(spark, dir100).count()
-        t0 = time.perf_counter()
-        n10 = fn(spark, dir10).count()
-        s10 = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        n100 = fn(spark, dir100).count()
-        s100 = time.perf_counter() - t0
+
+        # Best-of-2 per scale (the probe's single-run r7 methodology
+        # produced occasional 2-3x outliers from page-cache eviction /
+        # JVM GC between the interleaved 10x and 100x corpora —
+        # measured: decontaminate 10x read 23s once, 4-6s on every
+        # repeat). A second 100x run is skipped when the first already
+        # cost >60s: the ratio error a single slow run introduces is
+        # smaller than doubling a minute-long probe.
+        def timed(d):
+            t0 = time.perf_counter()
+            n = fn(spark, d).count()
+            return time.perf_counter() - t0, n
+
+        s10, n10 = timed(dir10)
+        s10b, _ = timed(dir10)
+        s10 = min(s10, s10b)
+        s100, n100 = timed(dir100)
+        if s100 > 60.0:
+            print(
+                f"# {name}: 100x run took {s100:.0f}s — skipping the "
+                f"second sample",
+                file=sys.stderr,
+                flush=True,
+            )
+        else:
+            s100b, _ = timed(dir100)
+            s100 = min(s100, s100b)
         ratio = s100 / s10 if s10 > 0 else float("inf")
         out[name] = {
             "sec_10x": round(s10, 2),

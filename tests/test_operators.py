@@ -275,6 +275,9 @@ def test_spread_is_noop_after_a_shuffle(spark, tmp_path):
     agg = spark.read.parquet(p).groupBy("k").count()
     out = skew.spread(agg)
     assert out is agg, "post-shuffle frame must be returned unchanged"
+    # an explicit repartition-by-expression is also an exchange
+    repart = spark.read.parquet(p).repartition("k")
+    assert skew.spread(repart) is repart
     # but a narrow projection/filter does NOT count as a shuffle
     narrow = spark.read.parquet(p).filter("k >= 0").select("k")
     assert skew.spread(narrow) is not narrow

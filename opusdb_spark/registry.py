@@ -107,6 +107,10 @@ _RECENTLY_CHANGED: tuple[str, ...] = (
     "sink_opusdb_log",
     "source_opusdb_log",
     "stream_opusdb_log_tail",
+    # loop_cache replaced the lazy localCheckpoint in these paths
+    "llm_decontaminate",
+    "llm_dedup_fuzzy",
+    "llm_dedup_cluster",
 )
 
 _CORRECTNESS_RE = re.compile(r"CORRECTNESS_r(\d+)\.json$")

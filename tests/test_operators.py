@@ -1819,3 +1819,59 @@ def test_bloom_prune_empty_dim_prunes_everything(spark):
     )
     pruned = rtf.bloom_semi_reduce(li, "l_orderkey", dim, "o_orderkey")
     assert pruned.count() == 0
+
+
+# ------------------------------------- driver-side FS chokepoint helpers
+
+
+def test_list_store_files_contract(tmp_path):
+    """The single driver-side listing seam: sorted (path, size) pairs,
+    suffix-filtered, missing path -> empty (a store never built prunes
+    to nothing), recursive and flat modes."""
+    import os
+
+    from opusdb_spark.sources.formats import list_store_files
+
+    root = tmp_path / "store"
+    (root / "sub").mkdir(parents=True)
+    (root / "b.parquet").write_bytes(b"x" * 10)
+    (root / "a.parquet").write_bytes(b"x" * 20)
+    (root / "_marker.json").write_bytes(b"{}")
+    (root / "sub" / "c.parquet").write_bytes(b"x" * 5)
+
+    flat = list_store_files(str(root), recursive=False)
+    assert [os.path.basename(p) for p, _ in flat] == ["a.parquet", "b.parquet"]
+    assert [s for _, s in flat] == [20, 10]
+
+    rec = list_store_files(str(root))
+    assert len(rec) == 3 and rec == sorted(rec)
+
+    assert list_store_files(str(tmp_path / "never_built")) == []
+
+
+def test_effective_max_split_bytes_tracks_spark_formula(spark):
+    """effective split = min(maxPartitionBytes, max(openCost,
+    bytesPerCore)) — the guard threshold must follow the conf, not a
+    hardcoded 128 MB (with a small openCost a small store's real split
+    is a few MB)."""
+    from opusdb_spark.sources.formats import effective_max_split_bytes
+
+    par = max(spark.sparkContext.defaultParallelism, 1)
+    open_cost = 4 << 20
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 << 20))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(open_cost))
+    try:
+        # tiny store: bytesPerCore below openCost -> openCost floor
+        assert effective_max_split_bytes(spark, [1000]) == open_cost
+        # huge store: bytesPerCore above maxPartitionBytes -> capped
+        assert (
+            effective_max_split_bytes(spark, [(256 << 20) * par])
+            == 128 << 20
+        )
+        # middle: exactly bytesPerCore
+        sizes = [(16 << 20)] * par
+        total = sum(sizes) + open_cost * len(sizes)
+        assert effective_max_split_bytes(spark, sizes) == total // par
+    finally:
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        spark.conf.unset("spark.sql.files.openCostInBytes")

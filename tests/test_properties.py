@@ -365,6 +365,53 @@ def test_global_running_sum_matches_sequential_reference(
         assert vtotal == grand
 
 
+@settings(**SMALL)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 500),      # partkey (unique)
+            st.integers(-300, 300),   # price in cents: ties, negatives,
+        ),                            # and exact ±1.00 band edges
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_banded_theta_join_matches_bruteforce(spark, rows):
+    """The histogram-banded ±1.0 self-join ≡ the O(n²) reference for
+    ANY price distribution — heavy ties (histogram counts > 1),
+    negative prices (floor() on negatives), and pairs sitting exactly
+    ON the inclusive band edge (|x−y| = 1.0, where the bucket-±1
+    coverage argument is tightest). Pins the query's two claims:
+    no qualifying pair missed, each pair counted exactly once."""
+    import os
+    import tempfile
+
+    from opusdb_spark.registry import registry
+
+    want = {}
+    for k, c in rows:
+        n = sum(
+            1
+            for k2, c2 in rows
+            if k2 != k and abs(c2 - c) <= 100
+        )
+        if n > 0:
+            want[k] = n
+
+    df = spark.createDataFrame(
+        [(k, "x", float(c) / 100) for k, c in rows],
+        "p_partkey long, p_name string, p_retailprice double",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(os.path.join(d, "part.parquet"))
+        got = {
+            r.p_partkey: r.n_close
+            for r in registry()["join_theta"].fn(spark, d).collect()
+        }
+    assert got == want
+
+
 winnow_docs_strategy = st.tuples(
     st.lists(st.integers(0, 50), min_size=0, max_size=20),  # noise A
     st.lists(st.integers(0, 50), min_size=0, max_size=20),  # noise B

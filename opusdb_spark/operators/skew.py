@@ -62,30 +62,41 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     ~128 MB, where the count guard is truthful.
 
     Both guards apply only to NARROW frames (nothing but scans /
-    projections / filters upstream): once the plan contains any
-    shuffle-inducing operator, row distribution is governed by a real
-    exchange whose partitions actually hold rows — the empty-split
-    fiction the guards exist for cannot occur, the exchange's sizing
-    is the engine's own decision (shuffle.partitions + AQE advisory
+    projections / filters upstream): once the plan contains a real
+    SHUFFLE exchange, row distribution is governed by an exchange
+    whose partitions actually hold rows — the empty-split fiction the
+    guards exist for cannot occur, the exchange's sizing is the
+    engine's own decision (shuffle.partitions + AQE advisory
     coalesce), and an unconditional repartition would add a redundant
     full shuffle per call (frames downstream of a shuffle can still
-    report inputFiles()). Post-shuffle frames are returned unchanged
-    without touching df.rdd (which would trigger a job under AQE)."""
+    report inputFiles()). Detection reads the PHYSICAL plan for
+    shuffle Exchange nodes, not logical operator names: a broadcast
+    join redistributes nothing on the streamed side and coalesce() is
+    narrow, so neither may suppress the widen (a logical-name match
+    would); a global orderBy shows up as its range Exchange. Shuffled
+    frames are returned unchanged without touching df.rdd (which
+    would trigger a job under AQE)."""
     import re
 
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
 
     try:
-        plan = df._jdf.queryExecution().analyzed().toString()
-        # global Sort prints `Sort [...], true`; sortWithinPartitions
-        # prints `, false` and moves nothing between partitions
+        # executedPlan = physical plan AFTER EnsureRequirements (the
+        # stage where shuffle exchanges are inserted; sparkPlan is
+        # BEFORE it and shows none) but not yet executed — with AQE it
+        # prints as `AdaptiveSparkPlan isFinalPlan=false` over the
+        # initial plan; building it is driver-side planning only, no
+        # job runs. Shuffle exchanges print `Exchange
+        # hashpartitioning/rangepartitioning/roundrobinpartitioning/
+        # SinglePartition`; `BroadcastExchange` is one word (no
+        # boundary before "Exchange") and deliberately does NOT match.
+        plan = df._jdf.queryExecution().executedPlan().toString()
         shuffled = (
             re.search(
-                r"\b(Join|Aggregate|Window|Deduplicate)\b"
-                r"|\bRepartition"  # Repartition AND RepartitionByExpression
-                r"|Sort \[[^\]]*\], true",
+                r"\bExchange (hash|range|roundrobin|single)",
                 plan,
+                re.IGNORECASE,
             )
             is not None
         )

@@ -130,11 +130,16 @@ def _verdict_rounds() -> dict[str, int]:
         names = os.listdir(_ROOT)
     except OSError:
         names = []
-    for fname in sorted(names):
+    # numeric round order, NOT lexicographic filename order: an
+    # unpadded r8 vs r10 (or r99 vs r100) sorted as strings would
+    # process a NEWER file first, letting an older clean verdict
+    # resurrect a key whose newest verdict is red
+    matched = []
+    for fname in names:
         m = _CORRECTNESS_RE.fullmatch(fname)
-        if not m:
-            continue
-        rnd = int(m.group(1))
+        if m:
+            matched.append((int(m.group(1)), fname))
+    for rnd, fname in sorted(matched):
         try:
             with open(os.path.join(_ROOT, fname)) as f:
                 data = json.load(f)

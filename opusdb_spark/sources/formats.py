@@ -91,12 +91,21 @@ def list_store_files(
     Spark's own listings parallelize. Missing path -> empty list (a
     store that was never built prunes to nothing)."""
     out: list[tuple[str, int]] = []
+
+    def _add(p: str) -> None:
+        # a file may vanish between listing and stat (concurrent
+        # overwrite, the log sink's stale-temp sweep) — skip it, same
+        # graceful contract as the missing-directory case
+        try:
+            out.append((p, os.path.getsize(p)))
+        except OSError:
+            pass
+
     if recursive:
         for r, _, fs in os.walk(path):
             for f in fs:
                 if f.endswith(suffix):
-                    p = os.path.join(r, f)
-                    out.append((p, os.path.getsize(p)))
+                    _add(os.path.join(r, f))
     else:
         try:
             names = os.listdir(path)
@@ -104,8 +113,7 @@ def list_store_files(
             names = []
         for f in names:
             if f.endswith(suffix):
-                p = os.path.join(path, f)
-                out.append((p, os.path.getsize(p)))
+                _add(os.path.join(path, f))
     return sorted(out)
 
 

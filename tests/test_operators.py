@@ -275,12 +275,26 @@ def test_spread_is_noop_after_a_shuffle(spark, tmp_path):
     agg = spark.read.parquet(p).groupBy("k").count()
     out = skew.spread(agg)
     assert out is agg, "post-shuffle frame must be returned unchanged"
-    # an explicit repartition-by-expression is also an exchange
+    # an explicit repartition-by-expression is also an exchange,
+    # as is a global sort
     repart = spark.read.parquet(p).repartition("k")
     assert skew.spread(repart) is repart
-    # but a narrow projection/filter does NOT count as a shuffle
+    ordered = spark.read.parquet(p).orderBy("k")
+    assert skew.spread(ordered) is ordered
+    # but a narrow projection/filter does NOT count as a shuffle...
     narrow = spark.read.parquet(p).filter("k >= 0").select("k")
     assert skew.spread(narrow) is not narrow
+    # ...nor does a BROADCAST join (the streamed side is never
+    # redistributed — suppressing the widen would resurrect the
+    # single-task gram-hashing failure on the fact side), nor the
+    # narrow coalesce()
+    from pyspark.sql import functions as F
+
+    dim = spark.range(5).withColumnRenamed("id", "k")
+    bj = spark.read.parquet(p).join(F.broadcast(dim), "k")
+    assert skew.spread(bj) is not bj
+    co = spark.read.parquet(p).coalesce(1)
+    assert skew.spread(co) is not co
 
 
 def test_empty_docs_never_pair_in_fuzzy_dedup(spark):

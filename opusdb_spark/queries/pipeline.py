@@ -759,6 +759,112 @@ def llm_boilerplate_strip(spark, sf_dir):
     )
 
 
+# ----------------------------- continuous-aggregate rollup (hypertable)
+
+
+@register(
+    "events_rollup_daily",
+    oracle=f"""
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {sql_dsum("value", "total_value")},
+               MIN(value) AS min_value, MAX(value) AS max_value
+        FROM events GROUP BY 1, 2
+    """,
+    tags=("events", "rollup"),
+)
+def events_rollup_daily(spark, sf_dir):
+    """Daily continuous-aggregate over the event stream, served from a
+    day-partitioned ROLLUP STORE built once at ingest
+    (operators/rollup.py — the hypertable/materialized-view pattern;
+    the reference's append-only event log, log_mgr.clj:16-33, is the
+    ingest side of this shape). The query itself reads partial
+    aggregates (days x event types — rollup-sized, not event-sized)
+    and only finalizes the decimal sum to double: at 100 TB the raw
+    scan is paid once per ingest batch, never per query."""
+    from opusdb_spark.operators import rollup
+    from opusdb_spark.sources.formats import (
+        ensure_written,
+        scratch_path,
+        stat_fingerprint,
+    )
+
+    src = f"{sf_dir}/events.parquet"
+    store = ensure_written(
+        scratch_path(
+            f"rollup_daily_{os.path.basename(os.path.normpath(sf_dir))}"
+        ),
+        stat_fingerprint(src, v=2),
+        lambda p: rollup.build_rollup(table(spark, sf_dir, "events"), p),
+    )
+    r = rollup.read_rollup(spark, store)
+    return r.select(
+        "day",
+        "event_type",
+        "n_events",
+        F.col("sum_value_dec").cast("double").alias("total_value"),
+        "min_value",
+        "max_value",
+    )
+
+
+@register(
+    "events_rollup_incremental",
+    oracle=f"""
+        WITH delta AS (
+            SELECT ts + INTERVAL 10 DAY AS ts, event_type, value
+            FROM events WHERE event_id % 7 = 3
+        ),
+        all_ev AS (
+            SELECT ts, event_type, value FROM events
+            UNION ALL SELECT ts, event_type, value FROM delta
+        )
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {sql_dsum("value", "total_value")},
+               MIN(value) AS min_value, MAX(value) AS max_value
+        FROM all_ev GROUP BY 1, 2
+    """,
+    tags=("events", "rollup"),
+)
+def events_rollup_incremental(spark, sf_dir):
+    """INCREMENTAL rollup maintenance: an appended batch (a
+    deterministic 1/7 slice of events shifted +10 days — half landing
+    in existing day partitions, half opening new ones) folds into the
+    store by merging mergeable partials and dynamically overwriting
+    ONLY the affected day directories (operators/rollup.py
+    refresh_rollup). The oracle recomputes the aggregate over
+    original+delta from scratch — the merge must match it bit-for-bit
+    (decimal sums merge exactly; double sums would not). The store is
+    rebuilt in cleared scratch each run so the refresh is applied
+    exactly once; in production the base build is ingest-once and each
+    batch refreshes the persistent store under the log sink's
+    exactly-once commit."""
+    from opusdb_spark.operators import rollup
+    from opusdb_spark.sources.formats import scratch_sink
+
+    ev = table(spark, sf_dir, "events")
+    store = scratch_sink(
+        f"rollup_incr_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    rollup.build_rollup(ev, store)
+    delta = ev.filter(F.col("event_id") % 7 == 3).select(
+        (F.col("ts") + F.expr("INTERVAL 10 DAY")).alias("ts"),
+        "event_type",
+        "value",
+    )
+    rollup.refresh_rollup(spark, store, delta)
+    r = rollup.read_rollup(spark, store)
+    return r.select(
+        "day",
+        "event_type",
+        "n_events",
+        F.col("sum_value_dec").cast("double").alias("total_value"),
+        "min_value",
+        "max_value",
+    )
+
+
 @register(
     "events_zscore_outliers",
     oracle="""

@@ -1890,3 +1890,108 @@ def test_effective_max_split_bytes_tracks_spark_formula(spark):
     finally:
         spark.conf.unset("spark.sql.files.maxPartitionBytes")
         spark.conf.unset("spark.sql.files.openCostInBytes")
+
+
+# ------------------------------------------- continuous-aggregate rollup
+
+
+def test_rollup_refresh_is_partition_surgical(spark, tmp_path):
+    """refresh_rollup must rewrite ONLY the day partitions the delta
+    touches: untouched day directories keep their files byte-identical
+    (at 100 TB this is the difference between folding a batch and
+    re-reading a year), new days appear, and merged partials equal a
+    full recompute bit-for-bit."""
+    import os
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from opusdb_spark.operators import rollup
+
+    def ev(rows):
+        return spark.createDataFrame(
+            rows, "ts timestamp, event_type string, value double"
+        )
+
+    base = ev(
+        [
+            (datetime(2024, 1, d, h), t, float(d * 10 + h))
+            for d in (1, 2, 3)
+            for h in (0, 12)
+            for t in ("a", "b")
+        ]
+    )
+    store = str(tmp_path / "roll")
+    rollup.build_rollup(base, store)
+
+    def snapshot(day):
+        p = os.path.join(store, f"day=2024-01-0{day}")
+        return sorted(
+            (f, os.path.getmtime(os.path.join(p, f)),
+             os.path.getsize(os.path.join(p, f)))
+            for f in os.listdir(p)
+            if f.endswith(".parquet")
+        )
+
+    before = {d: snapshot(d) for d in (1, 2, 3)}
+
+    # delta: folds into day 3, opens day 4; days 1-2 untouched
+    delta = ev(
+        [
+            (datetime(2024, 1, 3, 6), "a", 1000.0),
+            (datetime(2024, 1, 4, 6), "c", 7.0),
+        ]
+    )
+    days = rollup.refresh_rollup(spark, store, delta)
+    assert sorted(str(d) for d in days) == ["2024-01-03", "2024-01-04"]
+
+    for d in (1, 2):
+        assert snapshot(d) == before[d], f"day {d} was rewritten"
+    assert snapshot(3) != before[3]
+    assert os.path.isdir(os.path.join(store, "day=2024-01-04"))
+
+    got = {
+        (str(r.day), r.event_type): (
+            r.n_events,
+            r.sum_value_dec,
+            r.min_value,
+            r.max_value,
+        )
+        for r in rollup.read_rollup(spark, store).collect()
+    }
+    full = {
+        (str(r.day), r.event_type): (
+            r.n_events,
+            r.sum_value_dec,
+            r.min_value,
+            r.max_value,
+        )
+        for r in base.unionByName(delta)
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)")).alias(
+                "sum_value_dec"
+            ),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    assert got == full
+
+
+def test_rollup_refresh_empty_delta_is_noop(spark, tmp_path):
+    from datetime import datetime
+
+    from opusdb_spark.operators import rollup
+
+    base = spark.createDataFrame(
+        [(datetime(2024, 1, 1, 0), "a", 1.0)],
+        "ts timestamp, event_type string, value double",
+    )
+    store = str(tmp_path / "roll")
+    rollup.build_rollup(base, store)
+    empty = base.filter("value < 0")
+    assert rollup.refresh_rollup(spark, store, empty) == []
+    assert rollup.read_rollup(spark, store).count() == 1

@@ -18,9 +18,15 @@ Mergeability is the whole design:
   reorders freely, double addition does not — which is why the STORE
   keeps the decimal, and only query output casts to double).
 - MIN/MAX merge via least/greatest.
-- Non-mergeable aggregates (exact medians, count-distinct) are
-  deliberately excluded; they need sketch-typed partials (HLL,
-  t-digest) which the store schema would carry opaquely.
+- COUNT DISTINCT is not mergeable from counts, so the store carries a
+  SKETCH-typed partial instead: a DataSketches HLL of user_id
+  (`hll_sketch_agg`), merged on refresh with `hll_union` and
+  finalized with `hll_sketch_estimate` at query time. Below the
+  sketch's coupon threshold (~hundreds of distinct items per cell)
+  the estimate is exact; above it, within ~2% — the standard rollup
+  trade for an O(1)-size mergeable distinct.
+- Other non-mergeable aggregates (exact medians) stay excluded; a
+  t-digest column would follow the same opaque-binary pattern.
 
 Refresh is partition-surgical: the delta's distinct days are a
 model-sized collect (a batch touches hours-to-days, not years), the
@@ -49,11 +55,13 @@ _PARTIALS = [
     ("sum_value_dec", DEC),
     ("min_value", "double"),
     ("max_value", "double"),
+    ("users_hll", "binary"),
 ]
 
 
 def _partial_agg(events: DataFrame) -> DataFrame:
-    """Day x event_type partial aggregates of a raw-event frame."""
+    """Day x event_type partial aggregates of a raw-event frame
+    (schema contract: ts, event_type, value, user_id)."""
     return events.groupBy(
         F.to_date("ts").alias("day"), "event_type"
     ).agg(
@@ -61,6 +69,7 @@ def _partial_agg(events: DataFrame) -> DataFrame:
         F.sum(F.col("value").cast(DEC)).alias("sum_value_dec"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
+        F.hll_sketch_agg("user_id").alias("users_hll"),
     )
 
 
@@ -118,6 +127,16 @@ def refresh_rollup(
             F.greatest(F.col("max_value"), F.col("d_max_value")).alias(
                 "max_value"
             ),
+            # hll_union is not null-tolerant; a key present on only
+            # one side keeps that side's sketch verbatim
+            F.when(
+                F.col("users_hll").isNull(), F.col("d_users_hll")
+            )
+            .when(F.col("d_users_hll").isNull(), F.col("users_hll"))
+            .otherwise(
+                F.hll_union(F.col("users_hll"), F.col("d_users_hll"))
+            )
+            .alias("users_hll"),
         )
         # model-sized (affected days x event types): the eager local
         # checkpoint materializes the merge BEFORE the write job, so

@@ -794,7 +794,7 @@ def events_rollup_daily(spark, sf_dir):
         scratch_path(
             f"rollup_daily_{os.path.basename(os.path.normpath(sf_dir))}"
         ),
-        stat_fingerprint(src, v=2),
+        stat_fingerprint(src, v=3),
         lambda p: rollup.build_rollup(table(spark, sf_dir, "events"), p),
     )
     r = rollup.read_rollup(spark, store)
@@ -805,6 +805,50 @@ def events_rollup_daily(spark, sf_dir):
         F.col("sum_value_dec").cast("double").alias("total_value"),
         "min_value",
         "max_value",
+    )
+
+
+@register(
+    "events_rollup_distinct_users",
+    oracle="""
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY 1, 2
+    """,
+    tags=("events", "rollup", "sketch"),
+)
+def events_rollup_distinct_users(spark, sf_dir):
+    """Distinct users per day x type served from the rollup store's
+    SKETCH column: COUNT DISTINCT is not mergeable from counts, so the
+    store carries a DataSketches HLL of user_id per cell
+    (operators/rollup.py), unioned on refresh and finalized here with
+    hll_sketch_estimate — the standard rollup answer to distincts over
+    unbounded history. The oracle is the exact COUNT(DISTINCT) over
+    raw events: below the sketch's coupon threshold (~hundreds of
+    distinct users per cell — this corpus's regime at every verified
+    sf) the HLL is exact, so the parity check is a hash match; at
+    cells beyond coupon range the estimate is ~2% and a production
+    consumer reads it as approximate by contract."""
+    from opusdb_spark.operators import rollup
+    from opusdb_spark.sources.formats import (
+        ensure_written,
+        scratch_path,
+        stat_fingerprint,
+    )
+
+    src = f"{sf_dir}/events.parquet"
+    store = ensure_written(
+        scratch_path(
+            f"rollup_daily_{os.path.basename(os.path.normpath(sf_dir))}"
+        ),
+        stat_fingerprint(src, v=3),
+        lambda p: rollup.build_rollup(table(spark, sf_dir, "events"), p),
+    )
+    r = rollup.read_rollup(spark, store)
+    return r.select(
+        "day",
+        "event_type",
+        F.hll_sketch_estimate("users_hll").alias("n_users"),
     )
 
 
@@ -852,6 +896,7 @@ def events_rollup_incremental(spark, sf_dir):
         (F.col("ts") + F.expr("INTERVAL 10 DAY")).alias("ts"),
         "event_type",
         "value",
+        "user_id",
     )
     rollup.refresh_rollup(spark, store, delta)
     r = rollup.read_rollup(spark, store)

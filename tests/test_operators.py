@@ -1910,12 +1910,13 @@ def test_rollup_refresh_is_partition_surgical(spark, tmp_path):
 
     def ev(rows):
         return spark.createDataFrame(
-            rows, "ts timestamp, event_type string, value double"
+            rows,
+            "ts timestamp, event_type string, value double, user_id long",
         )
 
     base = ev(
         [
-            (datetime(2024, 1, d, h), t, float(d * 10 + h))
+            (datetime(2024, 1, d, h), t, float(d * 10 + h), d * 100 + h)
             for d in (1, 2, 3)
             for h in (0, 12)
             for t in ("a", "b")
@@ -1938,8 +1939,8 @@ def test_rollup_refresh_is_partition_surgical(spark, tmp_path):
     # delta: folds into day 3, opens day 4; days 1-2 untouched
     delta = ev(
         [
-            (datetime(2024, 1, 3, 6), "a", 1000.0),
-            (datetime(2024, 1, 4, 6), "c", 7.0),
+            (datetime(2024, 1, 3, 6), "a", 1000.0, 999),
+            (datetime(2024, 1, 4, 6), "c", 7.0, 7),
         ]
     )
     days = rollup.refresh_rollup(spark, store, delta)
@@ -1956,8 +1957,11 @@ def test_rollup_refresh_is_partition_surgical(spark, tmp_path):
             r.sum_value_dec,
             r.min_value,
             r.max_value,
+            r.n_users,
         )
-        for r in rollup.read_rollup(spark, store).collect()
+        for r in rollup.read_rollup(spark, store)
+        .withColumn("n_users", F.hll_sketch_estimate("users_hll"))
+        .collect()
     }
     full = {
         (str(r.day), r.event_type): (
@@ -1965,6 +1969,7 @@ def test_rollup_refresh_is_partition_surgical(spark, tmp_path):
             r.sum_value_dec,
             r.min_value,
             r.max_value,
+            r.n_users,
         )
         for r in base.unionByName(delta)
         .groupBy(F.to_date("ts").alias("day"), "event_type")
@@ -1975,6 +1980,7 @@ def test_rollup_refresh_is_partition_surgical(spark, tmp_path):
             ),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
+            F.countDistinct("user_id").alias("n_users"),
         )
         .collect()
     }
@@ -1987,8 +1993,8 @@ def test_rollup_refresh_empty_delta_is_noop(spark, tmp_path):
     from opusdb_spark.operators import rollup
 
     base = spark.createDataFrame(
-        [(datetime(2024, 1, 1, 0), "a", 1.0)],
-        "ts timestamp, event_type string, value double",
+        [(datetime(2024, 1, 1, 0), "a", 1.0, 1)],
+        "ts timestamp, event_type string, value double, user_id long",
     )
     store = str(tmp_path / "roll")
     rollup.build_rollup(base, store)

@@ -59,12 +59,16 @@ _PARTIALS = [
 ]
 
 
-def _partial_agg(events: DataFrame) -> DataFrame:
-    """Day x event_type partial aggregates of a raw-event frame
-    (schema contract: ts, event_type, value, user_id)."""
-    return events.groupBy(
-        F.to_date("ts").alias("day"), "event_type"
-    ).agg(
+def _partial_agg(events: DataFrame, grain: str = "day") -> DataFrame:
+    """Grain x event_type partial aggregates of a raw-event frame
+    (schema contract: ts, event_type, value, user_id). `grain` is any
+    date_trunc unit; the bucket column keeps the partition-friendly
+    name `day` at day grain, `bucket_ts` otherwise."""
+    if grain == "day":
+        key = F.to_date("ts").alias("day")
+    else:
+        key = F.date_trunc(grain, "ts").alias("bucket_ts")
+    return events.groupBy(key, "event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast(DEC)).alias("sum_value_dec"),
         F.min("value").alias("min_value"),
@@ -73,9 +77,26 @@ def _partial_agg(events: DataFrame) -> DataFrame:
     )
 
 
-def build_rollup(events: DataFrame, path: str) -> None:
-    """Full (re)build: one pass over raw events, day-partitioned out."""
-    _partial_agg(events).write.partitionBy("day").mode(
+def merge_partials(partials: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Re-aggregate finer-grain partials to a coarser key — the
+    cascade half of the rollup algebra (hourly store answers daily
+    questions without touching raw events). Every column merges with
+    its own monoid: counts and decimal sums add, min/min and max/max,
+    HLL sketches union."""
+    return partials.groupBy(*key_cols).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_value_dec").cast(DEC).alias("sum_value_dec"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+        F.hll_union_agg("users_hll").alias("users_hll"),
+    )
+
+
+def build_rollup(events: DataFrame, path: str, grain: str = "day") -> None:
+    """Full (re)build: one pass over raw events, partitioned out by
+    the grain bucket."""
+    part_col = "day" if grain == "day" else "bucket_ts"
+    _partial_agg(events, grain).write.partitionBy(part_col).mode(
         "overwrite"
     ).parquet(path)
 

@@ -853,6 +853,57 @@ def events_rollup_distinct_users(spark, sf_dir):
 
 
 @register(
+    "events_rollup_cascade",
+    oracle=f"""
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {sql_dsum("value", "total_value")},
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY 1, 2
+    """,
+    tags=("events", "rollup"),
+)
+def events_rollup_cascade(spark, sf_dir):
+    """Rollup CASCADE: the daily aggregate answered from the HOURLY
+    store by re-aggregating partials (operators/rollup.py
+    merge_partials) — counts and decimal sums add, min/max fold, HLL
+    sketches union (hll_union_agg) — without touching raw events. This
+    is the algebra that lets one finest-grain store serve every
+    coarser granularity at 100 TB: day/week/month queries all read
+    hour-sized partials, and the oracle (a raw-event recompute,
+    including exact COUNT DISTINCT in the sketch's exact coupon
+    regime) pins that the cascade loses nothing."""
+    from opusdb_spark.operators import rollup
+    from opusdb_spark.sources.formats import (
+        ensure_written,
+        scratch_path,
+        stat_fingerprint,
+    )
+
+    src = f"{sf_dir}/events.parquet"
+    store = ensure_written(
+        scratch_path(
+            f"rollup_hourly_{os.path.basename(os.path.normpath(sf_dir))}"
+        ),
+        stat_fingerprint(src, v=1, grain="hour"),
+        lambda p: rollup.build_rollup(
+            table(spark, sf_dir, "events"), p, grain="hour"
+        ),
+    )
+    hourly = spark.read.parquet(store).withColumn(
+        "day", F.to_date("bucket_ts")
+    )
+    daily = rollup.merge_partials(hourly, ["day", "event_type"])
+    return daily.select(
+        "day",
+        "event_type",
+        "n_events",
+        F.col("sum_value_dec").cast("double").alias("total_value"),
+        F.hll_sketch_estimate("users_hll").alias("n_users"),
+    )
+
+
+@register(
     "events_rollup_incremental",
     oracle=f"""
         WITH delta AS (

@@ -685,3 +685,28 @@ def test_bloom_prune_filters_fact_before_join(spark):
     assert flat.index("shiftleft") > join_pos, (
         "bit-test filter is not below the exact equi-join"
     )
+
+
+def test_rollup_daily_reads_store_not_raw_events(spark):
+    """The continuous-aggregate query's scale claim is that query time
+    never pays the raw event scan: its plan must read ONLY the
+    day-partitioned rollup store (a `rollup_daily_*` FileScan), with
+    events.parquet nowhere in the read path — the store build happens
+    at ingest (ensure_written), outside this plan."""
+    df = _Q["events_rollup_daily"].fn(spark, SF)
+    p = plan(df, mode="formatted")
+    assert "rollup_daily_" in p, "plan must scan the rollup store"
+    assert "events.parquet" not in p, (
+        "query-time plan must not re-read raw events"
+    )
+
+
+def test_rollup_cascade_reads_hourly_store_only(spark):
+    """The cascade (daily from hourly partials) must likewise read only
+    the hourly store, and its distinct-user column must come from
+    sketch union (hll_union_agg), not a raw-event count distinct."""
+    df = _Q["events_rollup_cascade"].fn(spark, SF)
+    p = plan(df, mode="formatted")
+    assert "rollup_hourly_" in p
+    assert "events.parquet" not in p
+    assert "hll_union_agg" in p, "cascade must union sketches"

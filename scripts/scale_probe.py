@@ -84,6 +84,14 @@ PROBE = [
     "llm_bpe_train",
     "llm_bpe_apply",
     "stream_session_timeout",
+    # continuous-aggregate rollup: the store build is ingest (paid in
+    # warmup); query-time cost is store-sized (days x types — the SAME
+    # at both scales), so these ratios should be ~1.0 — the family's
+    # entire scale claim. The incremental variant rebuilds + refreshes
+    # per run and is expected ~linear in corpus size.
+    "events_rollup_daily",
+    "events_rollup_cascade",
+    "events_rollup_incremental",
 ]
 
 

@@ -169,3 +169,27 @@ def refresh_rollup(
     ):
         merged.write.partitionBy("day").mode("overwrite").parquet(path)
     return days
+
+
+def backfill_rollup(
+    spark: SparkSession, path: str, corrected: DataFrame, days: list
+) -> None:
+    """REPLACE the given day partitions from corrected raw events.
+
+    The third maintenance mode: refresh_rollup folds ADDITIVE deltas
+    (new events), but a correction — a value restated, events voided,
+    late data landing after its day was sealed — is not additive, so
+    the affected days are recomputed from the corrected raw slice and
+    their partitions dynamically overwritten. Cost is O(corrected
+    days' raw), never O(history): the raw read is partition/predicate-
+    pruned to `days` and untouched day directories are not rewritten.
+    """
+    if not days:
+        return
+    part = _partial_agg(
+        corrected.filter(F.to_date("ts").isin(days))
+    ).localCheckpoint(eager=True)  # model-sized; breaks read lineage
+    with scoped_confs(
+        spark, {"spark.sql.sources.partitionOverwriteMode": "dynamic"}
+    ):
+        part.write.partitionBy("day").mode("overwrite").parquet(path)

@@ -904,6 +904,58 @@ def events_rollup_cascade(spark, sf_dir):
 
 
 @register(
+    "events_rollup_backfill",
+    oracle=f"""
+        WITH corrected AS (
+            SELECT ts, event_type, user_id,
+                   CASE WHEN CAST(ts AS DATE) = DATE '2024-01-05'
+                        THEN value * 2 ELSE value END AS value
+            FROM events
+        )
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {sql_dsum("value", "total_value")}
+        FROM corrected GROUP BY 1, 2
+    """,
+    tags=("events", "rollup"),
+)
+def events_rollup_backfill(spark, sf_dir):
+    """Rollup BACKFILL: a restated day (2024-01-05's values doubled —
+    a correction, not new events, so it cannot fold additively) is
+    repaired by recomputing ONLY that day from corrected raw and
+    dynamically replacing its partition (operators/rollup.py
+    backfill_rollup). Every other day is served from the original
+    build untouched; the oracle recomputes all days from the corrected
+    stream and the store must hash-match it — the repair path every
+    sealed-history rollup needs for late or restated data."""
+    from datetime import date
+
+    from opusdb_spark.operators import rollup
+    from opusdb_spark.sources.formats import scratch_sink
+
+    ev = table(spark, sf_dir, "events")
+    store = scratch_sink(
+        f"rollup_backfill_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    rollup.build_rollup(ev, store)
+    bad_day = date(2024, 1, 5)
+    corrected = ev.withColumn(
+        "value",
+        F.when(
+            F.to_date("ts") == F.lit(bad_day), F.col("value") * 2
+        ).otherwise(F.col("value")),
+    )
+    rollup.backfill_rollup(spark, store, corrected, [bad_day])
+    r = rollup.read_rollup(spark, store)
+    return r.select(
+        "day",
+        "event_type",
+        "n_events",
+        F.col("sum_value_dec").cast("double").alias("total_value"),
+    )
+
+
+@register(
     "events_rollup_incremental",
     oracle=f"""
         WITH delta AS (

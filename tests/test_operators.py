@@ -2001,3 +2001,50 @@ def test_rollup_refresh_empty_delta_is_noop(spark, tmp_path):
     empty = base.filter("value < 0")
     assert rollup.refresh_rollup(spark, store, empty) == []
     assert rollup.read_rollup(spark, store).count() == 1
+
+
+def test_rollup_backfill_replaces_only_restated_days(spark, tmp_path):
+    """backfill_rollup must REPLACE (not merge) the restated day's
+    partition and leave every other day's files byte-identical."""
+    import os
+    from datetime import date, datetime
+
+    from pyspark.sql import functions as F
+
+    from opusdb_spark.operators import rollup
+
+    base = spark.createDataFrame(
+        [
+            (datetime(2024, 1, d, 0), "a", float(d), d)
+            for d in (1, 2, 3)
+        ],
+        "ts timestamp, event_type string, value double, user_id long",
+    )
+    store = str(tmp_path / "roll")
+    rollup.build_rollup(base, store)
+
+    def snapshot(day):
+        p = os.path.join(store, f"day=2024-01-0{day}")
+        return sorted(
+            (f, os.path.getmtime(os.path.join(p, f)))
+            for f in os.listdir(p)
+            if f.endswith(".parquet")
+        )
+
+    before = {d: snapshot(d) for d in (1, 2, 3)}
+    corrected = base.withColumn(
+        "value",
+        F.when(
+            F.to_date("ts") == F.lit(date(2024, 1, 2)),
+            F.col("value") * 10,
+        ).otherwise(F.col("value")),
+    )
+    rollup.backfill_rollup(spark, store, corrected, [date(2024, 1, 2)])
+
+    assert snapshot(1) == before[1] and snapshot(3) == before[3]
+    assert snapshot(2) != before[2]
+    got = {
+        str(r.day): float(r.sum_value_dec)
+        for r in rollup.read_rollup(spark, store).collect()
+    }
+    assert got == {"2024-01-01": 1.0, "2024-01-02": 20.0, "2024-01-03": 3.0}

@@ -186,9 +186,22 @@ def backfill_rollup(
     """
     if not days:
         return
-    part = _partial_agg(
-        corrected.filter(F.to_date("ts").isin(days))
-    ).localCheckpoint(eager=True)  # model-sized; breaks read lineage
+    # per-day [00:00, +1d) ts ranges, OR'd: unlike to_date(ts) IN (...)
+    # — a function of the column, opaque to parquet stats — plain
+    # range predicates on ts push down to row-group min/max pruning,
+    # so the raw re-read touches only the restated days' pages even on
+    # an unpartitioned event file
+    import datetime as _dt
+
+    cond = None
+    for d in days:
+        lo = F.lit(_dt.datetime(d.year, d.month, d.day))
+        hi = F.lit(_dt.datetime(d.year, d.month, d.day) + _dt.timedelta(days=1))
+        rng = (F.col("ts") >= lo) & (F.col("ts") < hi)
+        cond = rng if cond is None else (cond | rng)
+    part = _partial_agg(corrected.filter(cond)).localCheckpoint(
+        eager=True
+    )  # model-sized; breaks read lineage
     with scoped_confs(
         spark, {"spark.sql.sources.partitionOverwriteMode": "dynamic"}
     ):

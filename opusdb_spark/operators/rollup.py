@@ -123,7 +123,13 @@ def refresh_rollup(
     days = [r.day for r in part.select("day").distinct().collect()]
     if not days:
         return []
-    old = read_rollup(spark, path).filter(F.col("day").isin(days))
+    try:
+        old = read_rollup(spark, path).filter(F.col("day").isin(days))
+    except Exception:
+        # bootstrap: first batch against a missing/empty store — the
+        # delta's partials ARE the store for its days
+        part.write.partitionBy("day").mode("overwrite").parquet(path)
+        return days
     p = part.select(
         "day",
         "event_type",

@@ -233,6 +233,29 @@ def stream_join_true(spark, sf_dir):
     return stream_jobs.stream_stream_join(spark, sf_dir)
 
 
+@register(
+    "stream_rollup_maintain",
+    oracle=f"""
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {sql_dsum("value", "total_value")},
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming", "rollup"),
+)
+def stream_rollup_maintain(spark, sf_dir):
+    """TRUE streaming maintenance of the continuous-aggregate rollup:
+    the event log replays as four micro-batches, each folding into the
+    day-partitioned store via refresh_rollup inside foreachBatch
+    (streaming/jobs.py rollup_maintain_stream). After the stream
+    drains, the store must HASH-MATCH a from-scratch aggregate of the
+    whole log — decimal partials merge order-independently and the HLL
+    distinct is exact in its coupon regime, making this one of the few
+    true-streaming queries with a full value-hash gate."""
+    return stream_jobs.rollup_maintain_stream(spark, sf_dir)
+
+
 @register("stream_session_timeout", oracle=None, tags=("streaming", "state"))
 def stream_session_timeout(spark, sf_dir):
     """TRUE streaming sessions closed by EventTimeTimeout state

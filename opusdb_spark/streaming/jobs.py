@@ -587,3 +587,53 @@ def session_timeout_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def rollup_maintain_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A TRUE stream maintaining the continuous-aggregate rollup store:
+    every micro-batch folds into the day-partitioned store via
+    refresh_rollup (operators/rollup.py) inside foreachBatch — the
+    production shape of a continuous aggregate (the ingest half is the
+    reference's append-only log, log_mgr.clj:16-33; the maintenance
+    half is this job). foreachBatch is the right hook because the
+    refresh is a WRITE with its own partition-surgical semantics, not
+    a streaming-state aggregation: each batch's partials merge into
+    exactly the day directories that batch touches, so a year-long
+    store absorbs a micro-batch in O(batch), and the store stays
+    queryable (and correct for every sealed day) between batches.
+
+    The events log replays as four ts-ordered micro-batches; after the
+    stream drains, the store must equal a from-scratch aggregate of
+    the whole log — which the SQL oracle recomputes, making this one
+    of the few TRUE-streaming queries with a hash-exact gate (decimal
+    partials merge order-independently; double sums would drift)."""
+    from opusdb_spark.operators import rollup
+
+    store = scratch_sink(
+        f"rollup_stream_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    ckpt = scratch_sink(
+        f"ckpt_rollup_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rollup.refresh_rollup(spark, store, batch_df)
+
+    ev = _events_stream_batched(spark, sf_dir).select(
+        "ts", "event_type", "value", "user_id"
+    )
+    q = (
+        ev.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    r = rollup.read_rollup(spark, store)
+    return r.select(
+        "day",
+        "event_type",
+        "n_events",
+        F.col("sum_value_dec").cast("double").alias("total_value"),
+        F.hll_sketch_estimate("users_hll").alias("n_users"),
+    )

@@ -42,10 +42,17 @@ probes_strategy = st.lists(
 
 
 @settings(**SMALL)
-@given(versions=versions_strategy, probes=probes_strategy)
-def test_asof_matches_bruteforce(spark, versions, probes):
-    """asof_join == 'newest version with wp ≤ rp, else null' — the
-    find-version rule (stm.clj:55-65) — for ANY history."""
+@given(
+    versions=versions_strategy,
+    probes=probes_strategy,
+    tol=st.one_of(st.none(), st.integers(0, 8)),
+)
+def test_asof_matches_bruteforce(spark, versions, probes, tol):
+    """asof_join == 'newest version with wp ≤ rp (and rp − wp ≤ tol
+    when a tolerance is given), else null' — the find-version rule
+    (stm.clj:55-65) — for ANY history."""
+    from pyspark.sql import functions as F
+
     vdf = spark.createDataFrame(
         [(r, w, float(v)) for r, w, v in versions],
         "ref_id long, write_point long, value double",
@@ -54,13 +61,71 @@ def test_asof_matches_bruteforce(spark, versions, probes):
     out = asof_join(
         pdf, vdf, on="ref_id", left_time="read_point",
         right_time="write_point", right_values=["value"],
+        tolerance=None if tol is None else F.lit(tol),
     )
     got = {(r.ref_id, r.read_point): r.value for r in out.collect()}
     assert len(got) == len(probes), "as-of join must stay 1:1 on probes"
     for ref, rp in probes:
-        eligible = [(w, v) for r, w, v in versions if r == ref and w <= rp]
+        eligible = [
+            (w, v)
+            for r, w, v in versions
+            if r == ref and w <= rp and (tol is None or rp - w <= tol)
+        ]
         want = float(max(eligible)[1]) if eligible else None
         assert got[(ref, rp)] == want
+
+
+@settings(**SMALL)
+@given(
+    versions=versions_strategy,
+    probes=probes_strategy,
+    direction=st.sampled_from(["forward", "nearest"]),
+)
+def test_asof_forward_nearest_match_bruteforce(
+    spark, versions, probes, direction
+):
+    """The forward and nearest as-of directions ≡ their Python
+    references for ANY history: forward = SMALLEST write_point ≥ probe
+    (ties on write_point resolve to the lexicographically-last value,
+    the operator's documented duplicate rule), nearest = closer of the
+    backward/forward carries with exact ties preferring backward."""
+    vdf = spark.createDataFrame(
+        [(r, w, float(v)) for r, w, v in versions],
+        "ref_id long, write_point long, value double",
+    )
+    pdf = spark.createDataFrame(probes, "ref_id long, read_point long")
+    out = asof_join(
+        pdf, vdf, on="ref_id", left_time="read_point",
+        right_time="write_point", right_values=["value"],
+        direction=direction,
+    )
+    got = {(r.ref_id, r.read_point): r.value for r in out.collect()}
+    assert len(got) == len(probes)
+
+    def pick(cands, key):
+        """newest-by-key with the duplicate rule: among rows sharing
+        the chosen write_point, the lexicographically-last value."""
+        best_w = key(cands)
+        vals = [v for w, v in cands if w == best_w]
+        return float(max(vals))
+
+    for ref, rp in probes:
+        back = [(w, v) for r, w, v in versions if r == ref and w <= rp]
+        fwd = [(w, v) for r, w, v in versions if r == ref and w >= rp]
+        if direction == "forward":
+            want = (
+                pick(fwd, lambda c: min(w for w, _ in c)) if fwd else None
+            )
+        else:  # nearest: closer carry; exact tie prefers backward
+            bw = max((w for w, _ in back), default=None)
+            fw = min((w for w, _ in fwd), default=None)
+            if bw is None and fw is None:
+                want = None
+            elif fw is None or (bw is not None and rp - bw <= fw - rp):
+                want = pick(back, lambda c: max(w for w, _ in c))
+            else:
+                want = pick(fwd, lambda c: min(w for w, _ in c))
+        assert got[(ref, rp)] == want, (ref, rp, direction)
 
 
 @settings(**SMALL)

@@ -3,8 +3,8 @@
 The hypertable/continuous-aggregate pattern (TimescaleDB continuous
 aggregates, Druid rollup segments, the classic materialized-view
 maintenance literature): raw events are aggregated ONCE into a
-day-partitioned store of MERGEABLE partial aggregates, and an
-appended batch refreshes ONLY the day partitions it touches — the
+grain-partitioned store of MERGEABLE partial aggregates, and an
+appended batch refreshes ONLY the partitions it touches — the
 unaffected 99.9% of a year-long 100 TB event store is never re-read.
 The reference's append-only event log (log_mgr.clj:16-33) is the
 ingest side of exactly this shape; this operator is the read-side
@@ -16,7 +16,12 @@ Mergeability is the whole design:
   `merged = old + delta-partial` equals a full recompute bit-for-bit
   (the exactness.py contract extends to the merge: decimal addition
   reorders freely, double addition does not — which is why the STORE
-  keeps the decimal, and only query output casts to double).
+  keeps the decimal, and only query output casts to double). The sum
+  is cast back to DECIMAL(27,6) at EVERY write site: Spark widens
+  SUM(decimal(27,6)) to decimal(37,6), and a store whose build and
+  refresh wrote different precisions would have heterogeneous parquet
+  schemas across partitions — reads fail once a narrower file becomes
+  the schema-inference sample.
 - MIN/MAX merge via least/greatest.
 - COUNT DISTINCT is not mergeable from counts, so the store carries a
   SKETCH-typed partial instead: a DataSketches HLL of user_id
@@ -28,18 +33,19 @@ Mergeability is the whole design:
 - Other non-mergeable aggregates (exact medians) stay excluded; a
   t-digest column would follow the same opaque-binary pattern.
 
-Refresh is partition-surgical: the delta's distinct days are a
+Refresh is partition-surgical: the delta's distinct buckets are a
 model-sized collect (a batch touches hours-to-days, not years), the
-old store is read ONLY for those days (partition pruning on the
-day directory), and the merged result overwrites ONLY those
+old store is read ONLY for those buckets (partition pruning on the
+bucket directory), and the merged result overwrites ONLY those
 directories via dynamic partition overwrite. The merged frame is
-rollup-granularity (days x event types — model-sized by
+rollup-granularity (buckets x event types — model-sized by
 construction), so the eager localCheckpoint that breaks the
 read-path lineage before the self-overwrite is cheap.
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -48,8 +54,9 @@ from pyspark.sql import functions as F
 from opusdb_spark.exactness import DEC
 from opusdb_spark.session import scoped_confs
 
-# Mergeable partial-aggregate schema of the store; `day` is the
-# partition directory column.
+# Mergeable partial-aggregate columns of the store (the grain bucket
+# column — `day` at day grain, `bucket_ts` otherwise — partitions the
+# directory layout).
 _PARTIALS = [
     ("n_events", "bigint"),
     ("sum_value_dec", DEC),
@@ -57,6 +64,10 @@ _PARTIALS = [
     ("max_value", "double"),
     ("users_hll", "binary"),
 ]
+
+
+def _bucket_col(grain: str) -> str:
+    return "day" if grain == "day" else "bucket_ts"
 
 
 def _partial_agg(events: DataFrame, grain: str = "day") -> DataFrame:
@@ -70,7 +81,9 @@ def _partial_agg(events: DataFrame, grain: str = "day") -> DataFrame:
         key = F.date_trunc(grain, "ts").alias("bucket_ts")
     return events.groupBy(key, "event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast(DEC)).alias("sum_value_dec"),
+        # cast back: SUM(decimal(27,6)) widens to (37,6); see module
+        # docstring — every write site must emit the SAME store type
+        F.sum(F.col("value").cast(DEC)).cast(DEC).alias("sum_value_dec"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
         F.hll_sketch_agg("user_id").alias("users_hll"),
@@ -95,100 +108,184 @@ def merge_partials(partials: DataFrame, key_cols: list[str]) -> DataFrame:
 def build_rollup(events: DataFrame, path: str, grain: str = "day") -> None:
     """Full (re)build: one pass over raw events, partitioned out by
     the grain bucket."""
-    part_col = "day" if grain == "day" else "bucket_ts"
-    _partial_agg(events, grain).write.partitionBy(part_col).mode(
-        "overwrite"
-    ).parquet(path)
+    _partial_agg(events, grain).write.partitionBy(
+        _bucket_col(grain)
+    ).mode("overwrite").parquet(path)
 
 
-def read_rollup(spark: SparkSession, path: str) -> DataFrame:
+def read_rollup(
+    spark: SparkSession, path: str, grain: str = "day"
+) -> DataFrame:
     roll = spark.read.parquet(path)
-    # partition-value inference yields DateType for yyyy-MM-dd dirs;
-    # cast defensively so the contract doesn't depend on the conf
-    return roll.withColumn("day", F.col("day").cast("date"))
+    if grain == "day":
+        # partition-value inference yields DateType for yyyy-MM-dd
+        # dirs; cast defensively so the contract doesn't depend on
+        # the inference conf
+        roll = roll.withColumn("day", F.col("day").cast("date"))
+    else:
+        roll = roll.withColumn(
+            "bucket_ts", F.col("bucket_ts").cast("timestamp")
+        )
+    return roll
+
+
+def _store_exists(path: str) -> bool:
+    """True when `path` holds rollup data (at least one parquet file).
+
+    An EXPLICIT existence probe, not an except-around-read: a read
+    that fails for any other reason (corrupt footer, schema clash,
+    permissions) must surface, never be mistaken for 'first batch'
+    and answered by overwriting the whole store. Local-FS via the
+    list_store_files seam (sources/formats.py)."""
+    from opusdb_spark.sources.formats import list_store_files
+
+    return bool(list_store_files(path))
+
+
+_BATCH_MARKER = "_last_batch.json"
 
 
 def refresh_rollup(
-    spark: SparkSession, path: str, delta: DataFrame
+    spark: SparkSession,
+    path: str,
+    delta: DataFrame,
+    grain: str = "day",
+    batch_id: int | None = None,
 ) -> list:
     """Incrementally fold an appended raw-event batch into the store.
 
-    Returns the list of affected days (the only partitions rewritten).
-    Correctness relies on the delta being NEW events only — replaying
-    a batch would double-count, exactly as in any continuous-aggregate
-    system; exactly-once hand-off is the ingest layer's contract (the
-    opusdb_log sink's two-phase commit provides it here).
+    Returns the list of affected buckets (the only partitions
+    rewritten; empty when the delta is empty or already applied).
+    Correctness relies on each delta being applied EXACTLY ONCE:
+    callers with retry semantics (foreachBatch is at-least-once on
+    restart) pass `batch_id`, and a batch at or below the store's
+    recorded high-water mark is skipped — the standard foreachBatch
+    idempotence pattern. The marker is written AFTER the partition
+    overwrite: a crash between the two replays the batch, and the
+    per-batch refresh rewrites the same partitions from the same
+    inputs only if the first write never committed its marker —
+    callers that cannot tolerate the remaining torn window (crash
+    exactly between data commit and marker write) should stage the
+    batch through the opusdb_log sink's two-phase commit instead.
     """
-    part = _partial_agg(delta)
-    days = [r.day for r in part.select("day").distinct().collect()]
-    if not days:
+    if batch_id is not None:
+        marker = os.path.join(path, _BATCH_MARKER)
+        try:
+            with open(marker) as f:
+                if json.load(f)["last_batch"] >= batch_id:
+                    return []  # replayed batch: already folded in
+        except (OSError, ValueError, KeyError):
+            pass  # no marker yet -> first application
+
+    bcol = _bucket_col(grain)
+    # model-sized (buckets x types): checkpoint once, reuse for both
+    # the bucket collect and the merge probe side (uncached, the full
+    # delta aggregation would run twice)
+    part = _partial_agg(delta, grain).localCheckpoint(eager=True)
+    buckets = [r[bcol] for r in part.select(bcol).distinct().collect()]
+    if not buckets:
         return []
-    try:
-        old = read_rollup(spark, path).filter(F.col("day").isin(days))
-    except Exception:
-        # bootstrap: first batch against a missing/empty store — the
-        # delta's partials ARE the store for its days
-        part.write.partitionBy("day").mode("overwrite").parquet(path)
-        return days
-    p = part.select(
-        "day",
-        "event_type",
-        *[F.col(c).alias(f"d_{c}") for c, _ in _PARTIALS],
-    )
-    merged = (
-        old.join(p, ["day", "event_type"], "full_outer")
-        .select(
-            "day",
-            "event_type",
-            (
-                F.coalesce(F.col("n_events"), F.lit(0))
-                + F.coalesce(F.col("d_n_events"), F.lit(0))
-            ).alias("n_events"),
-            (
-                F.coalesce(F.col("sum_value_dec"), F.lit(0).cast(DEC))
-                + F.coalesce(F.col("d_sum_value_dec"), F.lit(0).cast(DEC))
-            ).cast(DEC).alias("sum_value_dec"),
-            F.least(F.col("min_value"), F.col("d_min_value")).alias(
-                "min_value"
-            ),
-            F.greatest(F.col("max_value"), F.col("d_max_value")).alias(
-                "max_value"
-            ),
-            # hll_union is not null-tolerant; a key present on only
-            # one side keeps that side's sketch verbatim
-            F.when(
-                F.col("users_hll").isNull(), F.col("d_users_hll")
-            )
-            .when(F.col("d_users_hll").isNull(), F.col("users_hll"))
-            .otherwise(
-                F.hll_union(F.col("users_hll"), F.col("d_users_hll"))
-            )
-            .alias("users_hll"),
+
+    if not _store_exists(path):
+        # bootstrap: first batch against an empty store — the delta's
+        # partials ARE the store for its buckets
+        part.write.partitionBy(bcol).mode("overwrite").parquet(path)
+    else:
+        old = read_rollup(spark, path, grain).filter(
+            F.col(bcol).isin(buckets)
         )
-        # model-sized (affected days x event types): the eager local
-        # checkpoint materializes the merge BEFORE the write job, so
-        # the writer's plan no longer reads the path it overwrites
-        .localCheckpoint(eager=True)
+        p = part.select(
+            bcol,
+            "event_type",
+            *[F.col(c).alias(f"d_{c}") for c, _ in _PARTIALS],
+        )
+        merged = (
+            old.join(p, [bcol, "event_type"], "full_outer")
+            .select(
+                bcol,
+                "event_type",
+                (
+                    F.coalesce(F.col("n_events"), F.lit(0))
+                    + F.coalesce(F.col("d_n_events"), F.lit(0))
+                ).alias("n_events"),
+                (
+                    F.coalesce(F.col("sum_value_dec"), F.lit(0).cast(DEC))
+                    + F.coalesce(
+                        F.col("d_sum_value_dec"), F.lit(0).cast(DEC)
+                    )
+                ).cast(DEC).alias("sum_value_dec"),
+                F.least(F.col("min_value"), F.col("d_min_value")).alias(
+                    "min_value"
+                ),
+                F.greatest(
+                    F.col("max_value"), F.col("d_max_value")
+                ).alias("max_value"),
+                # hll_union is not null-tolerant; a key present on
+                # only one side keeps that side's sketch verbatim
+                F.when(
+                    F.col("users_hll").isNull(), F.col("d_users_hll")
+                )
+                .when(F.col("d_users_hll").isNull(), F.col("users_hll"))
+                .otherwise(
+                    F.hll_union(F.col("users_hll"), F.col("d_users_hll"))
+                )
+                .alias("users_hll"),
+            )
+            # model-sized: the eager checkpoint materializes the merge
+            # BEFORE the write job, so the writer's plan no longer
+            # reads the path it overwrites
+            .localCheckpoint(eager=True)
+        )
+        with scoped_confs(
+            spark, {"spark.sql.sources.partitionOverwriteMode": "dynamic"}
+        ):
+            merged.write.partitionBy(bcol).mode("overwrite").parquet(path)
+
+    if batch_id is not None:
+        with open(os.path.join(path, _BATCH_MARKER), "w") as f:
+            json.dump({"last_batch": batch_id}, f)
+    return buckets
+
+
+def ensured_store(spark: SparkSession, sf_dir: str, grain: str = "day") -> str:
+    """The ingest-once rollup store for a corpus: built on first use,
+    fingerprinted against the raw events file so a corpus swap
+    rebuilds it. ONE definition of the (name, fingerprint) pair so
+    the queries sharing a store cannot fork it by bumping one copy."""
+    from opusdb_spark.sources.formats import (
+        ensure_written,
+        scratch_path,
+        stat_fingerprint,
     )
-    with scoped_confs(
-        spark, {"spark.sql.sources.partitionOverwriteMode": "dynamic"}
-    ):
-        merged.write.partitionBy("day").mode("overwrite").parquet(path)
-    return days
+    from opusdb_spark.tables import table
+
+    src = f"{sf_dir}/events.parquet"
+    tag = "daily" if grain == "day" else f"{grain}ly"
+    return ensure_written(
+        scratch_path(
+            f"rollup_{tag}_{os.path.basename(os.path.normpath(sf_dir))}"
+        ),
+        stat_fingerprint(src, v=4, grain=grain),
+        lambda p: build_rollup(table(spark, sf_dir, "events"), p, grain),
+    )
 
 
 def backfill_rollup(
     spark: SparkSession, path: str, corrected: DataFrame, days: list
 ) -> None:
-    """REPLACE the given day partitions from corrected raw events.
+    """REPLACE the given day partitions from corrected raw events
+    (day-grain stores only).
 
     The third maintenance mode: refresh_rollup folds ADDITIVE deltas
     (new events), but a correction — a value restated, events voided,
     late data landing after its day was sealed — is not additive, so
     the affected days are recomputed from the corrected raw slice and
-    their partitions dynamically overwritten. Cost is O(corrected
-    days' raw), never O(history): the raw read is partition/predicate-
-    pruned to `days` and untouched day directories are not rewritten.
+    their partitions dynamically overwritten. A listed day with NO
+    surviving rows (fully voided) produces no partial row, which
+    dynamic overwrite would silently leave stale — those partitions
+    are deleted explicitly instead. Cost is O(corrected days' raw),
+    never O(history): the raw read is predicate-pruned to `days` and
+    untouched day directories are not rewritten.
     """
     if not days:
         return
@@ -198,17 +295,27 @@ def backfill_rollup(
     # so the raw re-read touches only the restated days' pages even on
     # an unpartitioned event file
     import datetime as _dt
+    import shutil
 
     cond = None
     for d in days:
         lo = F.lit(_dt.datetime(d.year, d.month, d.day))
-        hi = F.lit(_dt.datetime(d.year, d.month, d.day) + _dt.timedelta(days=1))
+        hi = F.lit(
+            _dt.datetime(d.year, d.month, d.day) + _dt.timedelta(days=1)
+        )
         rng = (F.col("ts") >= lo) & (F.col("ts") < hi)
         cond = rng if cond is None else (cond | rng)
     part = _partial_agg(corrected.filter(cond)).localCheckpoint(
         eager=True
     )  # model-sized; breaks read lineage
+    alive = {r.day for r in part.select("day").distinct().collect()}
     with scoped_confs(
         spark, {"spark.sql.sources.partitionOverwriteMode": "dynamic"}
     ):
         part.write.partitionBy("day").mode("overwrite").parquet(path)
+    for d in days:
+        if d not in alive:  # fully-voided day: nothing written for it
+            shutil.rmtree(
+                os.path.join(path, f"day={d.isoformat()}"),
+                ignore_errors=True,
+            )

@@ -783,20 +783,8 @@ def events_rollup_daily(spark, sf_dir):
     and only finalizes the decimal sum to double: at 100 TB the raw
     scan is paid once per ingest batch, never per query."""
     from opusdb_spark.operators import rollup
-    from opusdb_spark.sources.formats import (
-        ensure_written,
-        scratch_path,
-        stat_fingerprint,
-    )
 
-    src = f"{sf_dir}/events.parquet"
-    store = ensure_written(
-        scratch_path(
-            f"rollup_daily_{os.path.basename(os.path.normpath(sf_dir))}"
-        ),
-        stat_fingerprint(src, v=3),
-        lambda p: rollup.build_rollup(table(spark, sf_dir, "events"), p),
-    )
+    store = rollup.ensured_store(spark, sf_dir)
     r = rollup.read_rollup(spark, store)
     return r.select(
         "day",
@@ -830,20 +818,8 @@ def events_rollup_distinct_users(spark, sf_dir):
     cells beyond coupon range the estimate is ~2% and a production
     consumer reads it as approximate by contract."""
     from opusdb_spark.operators import rollup
-    from opusdb_spark.sources.formats import (
-        ensure_written,
-        scratch_path,
-        stat_fingerprint,
-    )
 
-    src = f"{sf_dir}/events.parquet"
-    store = ensure_written(
-        scratch_path(
-            f"rollup_daily_{os.path.basename(os.path.normpath(sf_dir))}"
-        ),
-        stat_fingerprint(src, v=3),
-        lambda p: rollup.build_rollup(table(spark, sf_dir, "events"), p),
-    )
+    store = rollup.ensured_store(spark, sf_dir)
     r = rollup.read_rollup(spark, store)
     return r.select(
         "day",
@@ -874,23 +850,9 @@ def events_rollup_cascade(spark, sf_dir):
     including exact COUNT DISTINCT in the sketch's exact coupon
     regime) pins that the cascade loses nothing."""
     from opusdb_spark.operators import rollup
-    from opusdb_spark.sources.formats import (
-        ensure_written,
-        scratch_path,
-        stat_fingerprint,
-    )
 
-    src = f"{sf_dir}/events.parquet"
-    store = ensure_written(
-        scratch_path(
-            f"rollup_hourly_{os.path.basename(os.path.normpath(sf_dir))}"
-        ),
-        stat_fingerprint(src, v=1, grain="hour"),
-        lambda p: rollup.build_rollup(
-            table(spark, sf_dir, "events"), p, grain="hour"
-        ),
-    )
-    hourly = spark.read.parquet(store).withColumn(
+    store = rollup.ensured_store(spark, sf_dir, grain="hour")
+    hourly = rollup.read_rollup(spark, store, grain="hour").withColumn(
         "day", F.to_date("bucket_ts")
     )
     daily = rollup.merge_partials(hourly, ["day", "event_type"])

@@ -617,7 +617,10 @@ def rollup_maintain_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
-        rollup.refresh_rollup(spark, store, batch_df)
+        # batch_id makes the fold idempotent: foreachBatch is
+        # at-least-once on restart, and replaying a committed batch
+        # without the high-water-mark skip would double-count its days
+        rollup.refresh_rollup(spark, store, batch_df, batch_id=batch_id)
 
     ev = _events_stream_batched(spark, sf_dir).select(
         "ts", "event_type", "value", "user_id"

@@ -2048,3 +2048,99 @@ def test_rollup_backfill_replaces_only_restated_days(spark, tmp_path):
         for r in rollup.read_rollup(spark, store).collect()
     }
     assert got == {"2024-01-01": 1.0, "2024-01-02": 20.0, "2024-01-03": 3.0}
+
+
+def test_rollup_refresh_keeps_one_parquet_schema(spark, tmp_path):
+    """Build writes SUM(decimal(27,6)) which Spark widens to (37,6);
+    refresh merges at (27,6). Both sites must emit the SAME store
+    type, or partitions disagree and reads crash once a refreshed
+    file becomes the schema-inference sample — the regression here
+    refreshes the FIRST day (the sampled partition) and reads back."""
+    from datetime import datetime
+
+    from opusdb_spark.operators import rollup
+
+    def ev(rows):
+        return spark.createDataFrame(
+            rows,
+            "ts timestamp, event_type string, value double, user_id long",
+        )
+
+    store = str(tmp_path / "roll")
+    rollup.build_rollup(
+        ev([(datetime(2024, 1, d, 0), "a", 1.5, d) for d in (1, 2, 3)]),
+        store,
+    )
+    rollup.refresh_rollup(
+        spark, store, ev([(datetime(2024, 1, 1, 6), "a", 2.5, 9)])
+    )
+    rows = rollup.read_rollup(spark, store).collect()  # must not raise
+    assert {str(r.day): float(r.sum_value_dec) for r in rows} == {
+        "2024-01-01": 4.0,
+        "2024-01-02": 1.5,
+        "2024-01-03": 1.5,
+    }
+
+
+def test_rollup_refresh_batch_id_makes_replay_idempotent(spark, tmp_path):
+    """A replayed foreachBatch delivery (same batch_id) must be
+    skipped — folding it twice would double-count; a LATER batch_id
+    folds normally."""
+    from datetime import datetime
+
+    from opusdb_spark.operators import rollup
+
+    def ev(v):
+        return spark.createDataFrame(
+            [(datetime(2024, 1, 1, 0), "a", v, 1)],
+            "ts timestamp, event_type string, value double, user_id long",
+        )
+
+    store = str(tmp_path / "roll")
+    assert rollup.refresh_rollup(spark, store, ev(1.0), batch_id=0)
+    assert rollup.refresh_rollup(spark, store, ev(1.0), batch_id=0) == []
+    assert rollup.refresh_rollup(spark, store, ev(2.0), batch_id=1)
+    rows = rollup.read_rollup(spark, store).collect()
+    assert len(rows) == 1 and float(rows[0].sum_value_dec) == 3.0
+
+
+def test_rollup_backfill_removes_fully_voided_day(spark, tmp_path):
+    """A restated day whose corrected slice has NO rows (all events
+    voided) produces no partial row; dynamic overwrite alone would
+    leave the stale partition — backfill must delete it."""
+    from datetime import date, datetime
+
+    from opusdb_spark.operators import rollup
+
+    base = spark.createDataFrame(
+        [(datetime(2024, 1, d, 0), "a", float(d), d) for d in (1, 2)],
+        "ts timestamp, event_type string, value double, user_id long",
+    )
+    store = str(tmp_path / "roll")
+    rollup.build_rollup(base, store)
+    voided = base.filter("value < 0")  # day 2's correction: nothing left
+    rollup.backfill_rollup(spark, store, voided, [date(2024, 1, 2)])
+    rows = rollup.read_rollup(spark, store).collect()
+    assert {str(r.day) for r in rows} == {"2024-01-01"}
+
+
+def test_rollup_refresh_surfaces_foreign_store_errors(spark, tmp_path):
+    """A store that exists but cannot be read as this rollup's schema
+    (e.g. an HOURLY store refreshed at day grain) must raise, NEVER be
+    mistaken for 'first batch' and silently overwritten."""
+    from datetime import datetime
+
+    import pytest
+
+    from opusdb_spark.operators import rollup
+
+    base = spark.createDataFrame(
+        [(datetime(2024, 1, 1, 5), "a", 1.0, 1)],
+        "ts timestamp, event_type string, value double, user_id long",
+    )
+    store = str(tmp_path / "roll")
+    rollup.build_rollup(base, store, grain="hour")
+    with pytest.raises(Exception):
+        rollup.refresh_rollup(spark, store, base)  # day grain vs hourly
+    # the hourly store survives untouched
+    assert rollup.read_rollup(spark, store, grain="hour").count() == 1

@@ -486,6 +486,75 @@ def test_banded_theta_join_matches_bruteforce(spark, rows):
     assert got == want
 
 
+@settings(**SMALL)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 300),            # row id (unique, the salt col)
+            st.integers(0, 3),              # key: few values -> hot keys
+            st.one_of(st.none(), st.integers(-50, 50)),  # value w/ nulls
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    n_salts=st.integers(1, 5),
+)
+def test_salted_join_and_two_phase_agg_match_plain(spark, rows, n_salts):
+    """The skew remedies must be result-IDENTICAL to their plain
+    formulations for ANY data — hot keys, null values, single salt,
+    keys absent from one side: salted_join ≡ plain inner join, and
+    two_phase_agg ≡ plain groupBy for every decomposable aggregate
+    (count / count_nonnull / sum / min / max with null skipping)."""
+    from opusdb_spark.operators import skew
+
+    big = spark.createDataFrame(
+        [(i, k, v) for i, k, v in rows], "id long, k long, v long"
+    )
+    small = spark.createDataFrame(
+        [(0, "x"), (2, "y"), (9, "z")], "k long, tag string"
+    )
+    plain = sorted(
+        (r.k, r.id, r.tag) for r in big.join(small, "k").collect()
+    )
+    salted = sorted(
+        (r.k, r.id, r.tag)
+        for r in skew.salted_join(
+            big, small, "k", n_salts, salt_cols=["id"]
+        ).collect()
+    )
+    assert salted == plain
+
+    got = {
+        r.k: (r.n, r.nn, r.s, r.lo, r.hi)
+        for r in skew.two_phase_agg(
+            big,
+            "k",
+            [
+                ("v", "count", "n"),
+                ("v", "count_nonnull", "nn"),
+                ("v", "sum", "s"),
+                ("v", "min", "lo"),
+                ("v", "max", "hi"),
+            ],
+            n_salts,
+            salt_cols=["id"],
+        ).collect()
+    }
+    want = {}
+    for _, k, _ in rows:
+        grp = [v for _, kk, v in rows if kk == k]
+        nn = [v for v in grp if v is not None]
+        want[k] = (
+            len(grp),
+            len(nn),
+            sum(nn) if nn else None,
+            min(nn) if nn else None,
+            max(nn) if nn else None,
+        )
+    assert got == want
+
+
 winnow_docs_strategy = st.tuples(
     st.lists(st.integers(0, 50), min_size=0, max_size=20),  # noise A
     st.lists(st.integers(0, 50), min_size=0, max_size=20),  # noise B

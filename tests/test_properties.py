@@ -555,6 +555,85 @@ def test_salted_join_and_two_phase_agg_match_plain(spark, rows, n_salts):
     assert got == want
 
 
+@settings(**SMALL)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(0, 200),  # doc_id (unique)
+            st.lists(  # words from a tiny vocab -> near-identical docs
+                st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+                min_size=1,
+                max_size=6,
+            ),
+        ),
+        min_size=2,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_simhash_blocking_finds_every_close_pair(spark, docs):
+    """simhash_near_dups' 4x16-bit pigeonhole blocking must find
+    EXACTLY the pairs within Hamming ≤ 3 of each other — computed by
+    brute force over the operator's own fingerprints. Tiny-vocab docs
+    make near-identical fingerprints (and exact collisions) common,
+    exercising the recall guarantee where it matters."""
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in docs], "doc_id long, text string"
+    )
+    fps = {
+        r.doc_id: r.simhash
+        for r in dedup.simhash_fingerprints(df).collect()
+    }
+    want = set()
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if bin(fps[a] ^ fps[b]).count("1") <= 3:
+                want.add((min(a, b), max(a, b)))
+    got = {
+        (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b))
+        for r in dedup.simhash_near_dups(
+            df, fp=dedup.simhash_fingerprints(df)
+        ).collect()
+    }
+    assert got == want
+
+
+@settings(**SMALL)
+@given(
+    tokens=st.lists(st.integers(1, 30), min_size=1, max_size=25),
+    capacity=st.integers(1, 40),
+)
+def test_pack_sequences_invariants(spark, tokens, capacity):
+    """Greedy packing invariants for ANY doc-length mix: every doc
+    appears exactly once; no sequence exceeds capacity unless it holds
+    a single oversized doc (never split, never dropped); seq_ids are
+    contiguous from 0 in order; and the Spark applyInPandas path
+    equals the pure-Python reference."""
+    from collections import defaultdict
+
+    from opusdb_spark.operators import packing
+
+    df = spark.createDataFrame(
+        [("g", i, t) for i, t in enumerate(tokens)],
+        "lang string, doc_id long, n_tokens long",
+    )
+    rows = sorted(
+        packing.pack_sequences(df, capacity).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert [r.doc_id for r in rows] == list(range(len(tokens)))
+    assert [r.seq_id for r in rows] == packing.pack_greedy(
+        tokens, capacity
+    )
+    fill = defaultdict(list)
+    for r in rows:
+        fill[r.seq_id].append(r.n_tokens)
+    assert sorted(fill) == list(range(len(fill))), "seq_ids contiguous"
+    for members in fill.values():
+        assert sum(members) <= capacity or len(members) == 1
+
+
 winnow_docs_strategy = st.tuples(
     st.lists(st.integers(0, 50), min_size=0, max_size=20),  # noise A
     st.lists(st.integers(0, 50), min_size=0, max_size=20),  # noise B

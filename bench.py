@@ -91,6 +91,13 @@ SF1_LADDER = [
     # X@X.T per LSH bucket; ANN index is ingest-once, built in warmup)
     "join_theta",
     "llm_embedding_neardup",
+    # round-8: the newest corpus-shaped plans — CCNet-style segment
+    # boilerplate removal (tokenize+slice explode + hashed-DF join)
+    # and the rollup's incremental maintenance (build + surgical
+    # partition refresh; the store-serving reads are probe-flat and
+    # not worth ladder slots)
+    "llm_boilerplate_strip",
+    "events_rollup_incremental",
 ]
 
 # TPC-H at sf1 (VERDICT r4 §7): representative shapes — pushdown scan

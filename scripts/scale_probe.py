@@ -92,6 +92,11 @@ PROBE = [
     "events_rollup_daily",
     "events_rollup_cascade",
     "events_rollup_incremental",
+    # round-8 gram family addition: segment-DF boilerplate removal
+    # (replica-corpus caveat applies — segment DFs inflate 100x and
+    # the cap drops everything, but the scan/hash/shuffle work is the
+    # full measurement, same as llm_decontaminate)
+    "llm_boilerplate_strip",
 ]
 
 

@@ -54,9 +54,6 @@ _SCRATCH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch"
 )
 
-DEC12 = "decimal(27,12)"
-
-
 def index_dir_for(sf_dir: str) -> str:
     """Stable per-corpus index location (full-path hash, not basename —
     two corpora sharing a basename must not share an index)."""
@@ -92,10 +89,25 @@ def source_fingerprint(sf_dir: str) -> dict:
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
     n = _parquet_num_rows(src)
+    # directory-form sources (Spark-written part files): the dir
+    # inode's size/mtime miss an in-place part rewrite, so fingerprint
+    # the per-part (name, size) listing too
+    parts: list | None = None
+    if os.path.isdir(src):
+        from opusdb_spark.sources.formats import (
+            list_store_files,
+            stat_mtime_ns,
+        )
+
+        parts = [
+            (os.path.basename(p), s, stat_mtime_ns(p))
+            for p, s in list_store_files(src, recursive=False)
+        ]
     return {
         "source": os.path.abspath(src),
         "mtime_ns": st.st_mtime_ns,
         "size": st.st_size,
+        "parts": parts,
         "n_vectors": n,
         "n_tables": N_TABLES,
         "bits_per_table": adaptive_bits_per_table(n),
@@ -126,8 +138,17 @@ def ensure_index(
                     return index_dir
         except (json.JSONDecodeError, OSError):
             pass
-    shutil.rmtree(index_dir, ignore_errors=True)
-    os.makedirs(index_dir, exist_ok=True)
+    # Build into a staging dir and swap at the END: deleting the old
+    # index first would leave NO usable index if the multi-store build
+    # dies midway (and a concurrent probe would see a markerless,
+    # partially-written store). The swap is two renames — the old
+    # index keeps serving until the new one is complete. (read_store's
+    # handle cache keys on the marker mtime, so the swap invalidates
+    # stale handles automatically.)
+    build_dir = index_dir + ".build"
+    shutil.rmtree(build_dir, ignore_errors=True)
+    os.makedirs(build_dir, exist_ok=True)
+    final_dir, index_dir = index_dir, build_dir
 
     base = emb.select(id_col, vec_col)
 
@@ -195,14 +216,21 @@ def ensure_index(
         id_col, vec_col, _assign_udf(cents, 1)(vec_col)[0].alias("cell")
     )
     (
-        assigned.write.mode("overwrite")
+        # cluster by the partition key first — same tiny-files reasoning
+        # as the lsh/ write above (n_cells × n_tasks files otherwise)
+        assigned.repartition(F.col("cell"))
+        .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(os.path.join(index_dir, "ivf"))
     )
 
-    with open(marker, "w") as f:
+    # marker is written INSIDE the staging dir (build-complete flag),
+    # then the finished build replaces the old index
+    with open(os.path.join(index_dir, "marker.json"), "w") as f:
         json.dump(fingerprint, f)
-    return index_dir
+    shutil.rmtree(final_dir, ignore_errors=True)
+    os.rename(index_dir, final_dir)
+    return final_dir
 
 
 _READ_CACHE: dict[tuple, "DataFrame"] = {}
@@ -257,17 +285,16 @@ def fetch_vector(
 
 
 def _score_against(vec_col: str, probe_vec: list[float]):
-    """Exact-decimal cosine of each row's vector vs a literal probe."""
+    """Exact-decimal cosine of each row's vector vs a literal probe.
+
+    The fold is similarity._dec_fold — ONE shared definition of the
+    accumulator precision/rounding, so probe scores stay bit-identical
+    to cosine_topk (and its SQL oracle) by construction rather than by
+    two hand-synchronized copies."""
+    from opusdb_spark.operators.similarity import _dec_fold as dec_fold
+
     p = F.array(*[F.lit(float(x)).cast("double") for x in probe_vec])
     x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
-    # merge must return the accumulator's exact type — decimal addition
-    # widens precision, so cast back each step (27,12 has headroom over
-    # 64 unit-scale terms; no overflow).
-    dec_fold = lambda prods: F.aggregate(  # noqa: E731
-        prods,
-        F.lit(0).cast(DEC12),
-        lambda acc, v: (acc + v.cast(DEC12)).cast(DEC12),
-    ).cast("double")
     dot = dec_fold(F.zip_with(x, p, lambda a, b: a * b))
     nx = dec_fold(F.zip_with(x, x, lambda a, b: a * b))
     # same decimal fold for the probe norm (a literal expression —
@@ -284,16 +311,29 @@ def _score_against(vec_col: str, probe_vec: list[float]):
 
 def index_bits(index_dir: str | None) -> int:
     """The bits_per_table an index was BUILT with (from its marker) —
-    probes must hash with the same plane count or buckets won't
-    match."""
+    probes must hash with the same plane count or buckets won't match.
+
+    A corrupt/missing marker NEXT TO an intact lsh/ store RAISES
+    instead of defaulting: hashing an 8-bit store with the 4-bit
+    default would probe effectively random buckets and return silently
+    wrong (or empty) neighbors — an error the caller can see beats a
+    recall collapse nobody can."""
     if index_dir:
         try:
             with open(os.path.join(index_dir, "marker.json")) as f:
                 return int(
                     json.load(f).get("bits_per_table", BITS_PER_TABLE)
                 )
-        except (OSError, json.JSONDecodeError, ValueError):
-            pass
+        except (OSError, json.JSONDecodeError, ValueError) as e:
+            from opusdb_spark.sources.formats import list_store_files
+
+            if list_store_files(os.path.join(index_dir, "lsh")):
+                raise RuntimeError(
+                    f"ANN index at {index_dir} has data but an "
+                    f"unreadable marker.json ({e!r}); rebuild the "
+                    "index rather than probing with default plane "
+                    "count"
+                ) from e
     return BITS_PER_TABLE
 
 
@@ -304,7 +344,16 @@ def _probe_buckets(
 ) -> list[tuple[int, int]]:
     """The probe's L (table_id, bucket) pairs from the SAME numpy plane
     model the build used — pure driver-side arithmetic on one vector
-    (no Spark job at all for an out-of-corpus probe)."""
+    (no Spark job at all for an out-of-corpus probe).
+
+    Known edge (accepted): the build hashes in batched GEMM while this
+    path evaluates one GEMV; BLAS summation order can differ, so a
+    projection within ~1 ulp of zero could flip a sign bit vs the
+    stored bucket. In-corpus probes are immune (stored_buckets reads
+    the persisted sigs/), and for out-of-corpus probes the L-table OR
+    amplification means one flipped table costs a fraction of recall,
+    not correctness — the same degradation any float boundary in LSH
+    carries."""
     B = lsh_buckets_np(
         np.asarray([probe_vec], dtype=np.float64), index_bits(index_dir)
     )[0]

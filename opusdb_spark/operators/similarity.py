@@ -5,9 +5,10 @@ Two paths:
     (posexplode + keyed agg) with exact-decimal dot products so scores
     hash-match a SQL oracle bit-for-bit.
   - LSH-bucketed ANN — the 100 TB path: random-hyperplane signatures
-    bucket the vectors; candidates come only from the probe's bucket
-    (+ multiprobe neighbors), turning full-scan scoring into a bucket
-    scan.
+    bucket the vectors; candidates come only from the probe's exact
+    (table_id, bucket) matches across L tables (OR-amplification
+    supplies the recall; no multiprobe of neighboring buckets is
+    implemented), turning full-scan scoring into a bucket scan.
 
 No driver-side loops: the probe vector stays a 1-row DataFrame that
 gets broadcast, never collected.
@@ -319,6 +320,8 @@ def _assign_udf(centroids: np.ndarray, n: int = 1):
 
     @F.pandas_udf("array<int>")
     def assign(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):  # np.stack([]) raises on empty Arrow batches
+            return pd.Series([], dtype=object)
         v = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
         vn = v / (np.linalg.norm(v, axis=1, keepdims=True) + 1e-12)
         sims = vn @ cn.T
@@ -581,6 +584,8 @@ def _assign_sqd_udf(centroids: np.ndarray):
         )
     )
     def assign(vecs: pd.Series) -> pd.DataFrame:
+        if not len(vecs):  # np.stack([]) raises on empty Arrow batches
+            return pd.DataFrame({"cell": [], "sqd": []})
         X = np.stack(vecs.to_numpy()).astype(np.float64)
         # ||x-c||² = ||x||² - 2x·c + ||c||², argmin over cells
         d2 = (
@@ -610,8 +615,8 @@ def kmeans_inertia(
     Per iteration ONE distributed pass: assign (Arrow UDF, centroids
     broadcast in the closure) → posexplode → a single groupBy(cell,dim)
     that carries BOTH the per-dim decimal mean and the per-cell decimal
-    inertia share (inertia rides on the dim==1 rows, so no second
-    aggregation/action). Everything collected is O(k × dim) — the model
+    inertia share (inertia rides on the dim0 == 0 rows — posexplode is
+    0-based — so no second aggregation/action). Everything collected is O(k × dim) — the model
     — never data. Squared-Euclidean + mean update makes inertia
     provably non-increasing, which the tests pin."""
     from opusdb_spark.operators.skew import spread
@@ -677,6 +682,8 @@ def mahalanobis_udf(mu: "np.ndarray", precision: "np.ndarray"):
 
     @F.pandas_udf("double")
     def maha(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):  # np.stack([]) raises on empty Arrow batches
+            return pd.Series([], dtype=float)
         X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs]) - mu
         d2 = np.einsum("ij,jk,ik->i", X, precision, X)
         return pd.Series(np.round(np.sqrt(np.maximum(d2, 0.0)), 6))

@@ -111,6 +111,13 @@ _RECENTLY_CHANGED: tuple[str, ...] = (
     "llm_decontaminate",
     "llm_dedup_fuzzy",
     "llm_dedup_cluster",
+    # ANN index hardening: staged rebuild, directory-aware fingerprint
+    # (forces one rebuild), shared decimal fold in probe scoring
+    "llm_simsearch_lsh",
+    "llm_simsearch_ivf",
+    "llm_ann_recall_eval",
+    "emb_kmeans",
+    "emb_outlier_mahalanobis",
 )
 
 _CORRECTNESS_RE = re.compile(r"CORRECTNESS_r(\d+)\.json$")

@@ -1,0 +1,429 @@
+"""Mergeable sketch queries beyond distinct-count and frequency.
+
+Completes the sketch family (agg_hll_partial_merge = distinct count,
+agg_countmin_topk = frequency) with the two other sketches a 100 TB
+pre-aggregation layer needs:
+
+- quantiles: a DDSketch-style relative-error quantile sketch (Masson,
+  Lee, Rim — VLDB 2019). Buckets are ``ceil(ln(v)/ln(gamma))``; the
+  sketch is a bucket→count map, so merging partials is plain count
+  addition — exactly the decomposable-partials contract of
+  agg_incremental_merge, but for percentiles, which are otherwise
+  non-decomposable (you cannot merge two exact medians).
+- set operations: a KMV / theta sketch (Beyer et al., SIGMOD 2007 —
+  the k minimum hash values of a set). HLL unions but cannot
+  intersect; KMV gives union AND intersection estimates from the same
+  k-row summary, which is how segment-overlap questions ("users who
+  did A and B") are answered without a corpus-sized join per pair.
+
+Both sketches here are DETERMINISTIC (log-bucket arithmetic, md5-bit
+hashes — never rand()/engine-specific sketch bytes), so unlike the HLL
+query these carry full DuckDB value-hash oracles: the oracle replays
+the identical sketch algebra and must reach bit-identical estimates.
+
+Reference anchors: the reference's only aggregation surface is
+sum/count over refs (core.clj:57-76, bank.clj:41-44); sketches are the
+scale-out extension of that contract (SURVEY §2C).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from opusdb_spark.registry import register
+from opusdb_spark.tables import table
+
+# ---------------------------------------------------------- DDSketch
+# gamma = 1.02 → guaranteed relative error alpha = (g-1)/(g+1) ≈ 0.0099
+# for quantile VALUES. ln(gamma) is embedded as one shared literal so
+# both engines divide by the identical double; the quotient is rounded
+# to 6dp before ceil() (the repo's libm contract: Java and DuckDB ln()
+# may differ in the last ulp, the round absorbs it — same trick as
+# llm_entropy_filter / llm_perplexity_score).
+_GAMMA = 1.02
+_LN_GAMMA = repr(math.log(_GAMMA))  # 0.019802627296179712
+_QS = (0.5, 0.9, 0.99)
+
+_DDSKETCH_ORACLE = f"""
+    WITH ev AS (
+        SELECT event_type, value FROM events WHERE value > 0
+    ),
+    b AS (  -- per-(type, day-less) merged sketch: bucket -> count
+        SELECT event_type,
+               CAST(CEIL(ROUND(LN(value) / {_LN_GAMMA}, 6)) AS BIGINT)
+                   AS bkt,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM ev GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT event_type, bkt,
+               CAST(SUM(cnt) OVER (
+                   PARTITION BY event_type ORDER BY bkt) AS BIGINT) AS cum,
+               CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS total
+        FROM b
+    ),
+    q(q_idx, q) AS (VALUES (0, 0.5), (1, 0.9), (2, 0.99)),
+    pick AS (
+        SELECT c.event_type, q.q_idx, q.q, MIN(c.bkt) AS bq
+        FROM c JOIN q ON c.cum >= CEIL(q.q * c.total)
+        GROUP BY 1, 2, 3
+    ),
+    ex AS (
+        SELECT event_type, 0 AS q_idx,
+               quantile_cont(value, 0.5) AS exact_value FROM ev GROUP BY 1
+        UNION ALL
+        SELECT event_type, 1, quantile_cont(value, 0.9) FROM ev GROUP BY 1
+        UNION ALL
+        SELECT event_type, 2, quantile_cont(value, 0.99) FROM ev GROUP BY 1
+    )
+    SELECT p.event_type, p.q,
+           ROUND(2 * POWER({_GAMMA}, p.bq) / {_GAMMA + 1.0}, 6) AS est_value,
+           ex.exact_value,
+           ROUND(ROUND(2 * POWER({_GAMMA}, p.bq) / {_GAMMA + 1.0}, 6)
+                 / ex.exact_value - 1, 6) AS rel_err
+    FROM pick p JOIN ex ON p.event_type = ex.event_type
+                       AND p.q_idx = ex.q_idx
+    ORDER BY p.event_type, p.q
+"""
+
+
+def ddsketch_buckets(ev, group_cols: list[str]):
+    """Per-group DDSketch partial: (group..., bkt, cnt) rows — the
+    sketch AS A RELATION, so merging is ``groupBy(bkt).sum(cnt)`` and
+    storing it next to other partials (events_rollup_daily) needs no
+    engine-specific binary type."""
+    return ev.groupBy(
+        *group_cols,
+        F.ceil(
+            F.round(F.log(F.col("value")) / F.lit(float(_LN_GAMMA)), 6)
+        )
+        .cast("long")
+        .alias("bkt"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register("agg_ddsketch_quantiles", oracle=_DDSKETCH_ORACLE, tags=("agg", "sketch"))
+def agg_ddsketch_quantiles(spark, sf_dir):
+    """Mergeable QUANTILE sketch (DDSketch, gamma=1.02 → ≤ ~1% relative
+    error): per-(type, day) log-bucket partials are built map-side in
+    one pass, merged per type by count addition — percentiles from
+    partials without re-reading rows, the missing member of the
+    hll/count-min sketch triad. The cumulative walk + quantile pick run
+    over the BUCKET table (≤ ~550 buckets/type for this value range —
+    model-sized however large the corpus), and the exact percentile is
+    shipped next to the estimate so the error is visible data (same
+    readout contract as agg_hll_partial_merge; the exact side is the
+    test-scale readout — a 100 TB run would drop it). Deterministic
+    log-bucket arithmetic (6dp-rounded ln quotient) lets the oracle
+    replay the sketch bit-for-bit — unlike HLL, this sketch hash-checks.
+    """
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value") > 0)
+        .select("event_type", F.to_date("ts").alias("day"), "value")
+    )
+    # partial sketches where the data lives, then a lossless merge —
+    # the pre-aggregation path; day is the partition a rollup would key
+    partials = ddsketch_buckets(ev, ["event_type", "day"])
+    sketch = partials.groupBy("event_type", "bkt").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = sketch.select(
+        "event_type",
+        "bkt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    qdf = (
+        cum.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.posexplode(F.array(*[F.lit(q) for q in _QS])).alias(
+                "q_idx", "q"
+            ),
+        )
+    )
+    pick = (
+        cum.join(qdf, "event_type")
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("total")))
+        .groupBy("event_type", "q_idx", "q")
+        .agg(F.min("bkt").alias("bq"))
+    )
+    exact = (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr(
+                f"percentile(value, array({','.join(str(q) for q in _QS)}))"
+            ).alias("ex")
+        )
+        .select(
+            "event_type",
+            F.posexplode("ex").alias("q_idx", "exact_value"),
+        )
+    )
+    est = F.round(
+        F.lit(2.0) * F.pow(F.lit(_GAMMA), F.col("bq")) / F.lit(_GAMMA + 1.0),
+        6,
+    )
+    return (
+        pick.join(exact, ["event_type", "q_idx"])
+        .select(
+            "event_type",
+            "q",
+            est.alias("est_value"),
+            "exact_value",
+            F.round(est / F.col("exact_value") - 1, 6).alias("rel_err"),
+        )
+        .orderBy("event_type", "q")
+    )
+
+
+# ------------------------------------------------------- KMV / theta
+# 48 md5 bits as a BIGINT in [0, 2^48) — the integer twin of
+# pipeline._hash_unit_sql, shared verbatim by both engines.
+_KMV_K = 64
+_TWO48 = 281474976710656.0  # 2^48, exact in double
+
+
+def _h48_sql(key_sql: str, salt: str) -> str:
+    h = f"md5(concat('{salt}', CAST({key_sql} AS STRING)))"
+    terms = " + ".join(
+        f"CAST(instr('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1 "
+        f"AS BIGINT) * {16 ** (11 - i)}"
+        for i in range(12)
+    )
+    return f"({terms})"
+
+
+_KMV_H = _h48_sql("user_id", "kmv:")
+
+# The oracle replays the identical sketch algebra: same hash, same
+# survivor pre-filter (so even the improbable fewer-than-k-survivors
+# case stays bit-identical), same top-k, same estimators.
+_KMV_ORACLE = f"""
+    WITH du AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ),
+    hashed AS (
+        SELECT DISTINCT event_type, {_KMV_H} AS h FROM du
+    ),
+    n AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t
+        FROM hashed GROUP BY 1
+    ),
+    surv AS (  -- keep only hashes small enough to matter (~8k of n_t)
+        SELECT h.event_type, h.h
+        FROM hashed h JOIN n ON h.event_type = n.event_type
+        WHERE CAST(h.h AS DOUBLE)
+              < {_TWO48 * 8.0 * _KMV_K!r} / CAST(n.n_t AS DOUBLE)
+    ),
+    sk AS (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h)
+                   AS rn
+        FROM surv
+    ),
+    sketch AS (SELECT event_type, h FROM sk WHERE rn <= {_KMV_K}),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b
+        FROM n a JOIN n b ON a.event_type < b.event_type
+    ),
+    tagged AS (
+        SELECT p.type_a, p.type_b, s.h,
+               MAX(CASE WHEN s.event_type = p.type_a THEN 1 ELSE 0 END)
+                   AS in_a,
+               MAX(CASE WHEN s.event_type = p.type_b THEN 1 ELSE 0 END)
+                   AS in_b
+        FROM pairs p
+        JOIN sketch s
+          ON s.event_type = p.type_a OR s.event_type = p.type_b
+        GROUP BY 1, 2, 3
+    ),
+    merged AS (
+        SELECT type_a, type_b, h, in_a, in_b,
+               ROW_NUMBER() OVER (PARTITION BY type_a, type_b ORDER BY h)
+                   AS rn
+        FROM tagged
+    ),
+    est AS (
+        SELECT type_a, type_b,
+               CAST(COUNT(*) AS BIGINT) AS m,
+               MAX(h) AS h_k,
+               CAST(SUM(in_a * in_b) AS BIGINT) AS both_cnt
+        FROM merged WHERE rn <= {_KMV_K}
+        GROUP BY 1, 2
+    ),
+    exact_u AS (
+        SELECT p.type_a, p.type_b,
+               CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS exact_union
+        FROM pairs p
+        JOIN du d ON d.event_type = p.type_a OR d.event_type = p.type_b
+        GROUP BY 1, 2
+    ),
+    exact_i AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS exact_intersect
+        FROM du a JOIN du b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT e.type_a, e.type_b,
+           CASE WHEN e.m < {_KMV_K} THEN CAST(e.m AS DOUBLE)
+                ELSE ROUND({(_KMV_K - 1) * _TWO48!r}
+                           / CAST(e.h_k AS DOUBLE), 4)
+           END AS est_union,
+           u.exact_union,
+           ROUND(CASE WHEN e.m < {_KMV_K} THEN CAST(e.m AS DOUBLE)
+                      ELSE ROUND({(_KMV_K - 1) * _TWO48!r}
+                                 / CAST(e.h_k AS DOUBLE), 4)
+                 END
+                 * CAST(e.both_cnt AS DOUBLE) / CAST(e.m AS DOUBLE),
+                 4) AS est_intersect,
+           COALESCE(i.exact_intersect, 0) AS exact_intersect,
+           ROUND(CAST(e.both_cnt AS DOUBLE) / CAST(e.m AS DOUBLE), 6)
+               AS est_jaccard
+    FROM est e
+    JOIN exact_u u ON e.type_a = u.type_a AND e.type_b = u.type_b
+    LEFT JOIN exact_i i ON e.type_a = i.type_a AND e.type_b = i.type_b
+    ORDER BY e.type_a, e.type_b
+"""
+
+
+@register("agg_kmv_set_ops", oracle=_KMV_ORACLE, tags=("agg", "sketch"))
+def agg_kmv_set_ops(spark, sf_dir):
+    """KMV / theta set sketch (k minimum hash values, k=64): union AND
+    intersection estimates for every event-type pair from k-row
+    summaries — the set-operation sketch HLL cannot provide (HLL unions
+    only). Scale shape: ONE distinct-(type, user) shuffle feeds
+    everything; sketch candidates are pre-filtered to hashes below
+    ~8k/n_t of the hash space (a broadcast of the 5-row per-type counts),
+    so the per-type ORDER BY h runs over ~8k surviving rows, never the
+    user population — at 100 TB the sort input is still KB-sized. The
+    pair fan-out is |types|² over k-row sketches (model-sized). Exact
+    union/intersection ride along as the visible-error readout (the
+    100 TB deployment would drop them — they are the quadratic cost the
+    sketch exists to avoid). Deterministic md5-bit hashes → the DuckDB
+    oracle replays the sketch bit-for-bit (hash-checked, unlike HLL).
+    """
+    du = (
+        table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    hashed = du.select(
+        "event_type", F.expr(_KMV_H).alias("h")
+    ).distinct()
+    n = hashed.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    surv = hashed.join(F.broadcast(n), "event_type").filter(
+        F.col("h").cast("double")
+        < F.lit(_TWO48 * 8.0 * _KMV_K) / F.col("n_t").cast("double")
+    )
+    w_t = Window.partitionBy("event_type").orderBy("h")
+    sketch = (
+        surv.select("event_type", "h", F.row_number().over(w_t).alias("rn"))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("event_type", "h")
+    )
+    pairs = (
+        n.select(F.col("event_type").alias("type_a"))
+        .join(
+            n.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    tagged = (
+        F.broadcast(pairs)
+        .join(
+            sketch,
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b", "h")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == F.col("type_a"), 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("event_type") == F.col("type_b"), 1).otherwise(0)
+            ).alias("in_b"),
+        )
+    )
+    w_p = Window.partitionBy("type_a", "type_b").orderBy("h")
+    est = (
+        tagged.select(
+            "*", F.row_number().over(w_p).alias("rn")
+        )
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.max("h").alias("h_k"),
+            F.sum(F.col("in_a") * F.col("in_b")).alias("both_cnt"),
+        )
+    )
+    est_union = F.when(
+        F.col("m") < _KMV_K, F.col("m").cast("double")
+    ).otherwise(
+        F.round(
+            F.lit((_KMV_K - 1) * _TWO48) / F.col("h_k").cast("double"), 4
+        )
+    )
+    exact_u = (
+        F.broadcast(pairs)
+        .join(
+            du,
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count_distinct("user_id").alias("exact_union"))
+    )
+    a = du.select(
+        F.col("event_type").alias("type_a"), F.col("user_id").alias("ua")
+    )
+    b = du.select(
+        F.col("event_type").alias("type_b"), F.col("user_id").alias("ub")
+    )
+    exact_i = (
+        a.join(
+            b,
+            (F.col("ua") == F.col("ub")) & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("exact_intersect"))
+    )
+    return (
+        est.join(exact_u, ["type_a", "type_b"])
+        .join(exact_i, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            est_union.alias("est_union"),
+            "exact_union",
+            F.round(
+                est_union
+                * F.col("both_cnt").cast("double")
+                / F.col("m").cast("double"),
+                4,
+            ).alias("est_intersect"),
+            F.coalesce(F.col("exact_intersect"), F.lit(0)).alias(
+                "exact_intersect"
+            ),
+            F.round(
+                F.col("both_cnt").cast("double") / F.col("m").cast("double"),
+                6,
+            ).alias("est_jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -40,6 +40,7 @@ _QUERY_MODULES = [
     "opusdb_spark.queries.pipeline",
     "opusdb_spark.queries.tpch",
     "opusdb_spark.queries.graph",
+    "opusdb_spark.queries.sketches",
 ]
 
 

@@ -36,6 +36,7 @@ import os
 import shutil
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -53,6 +54,19 @@ from opusdb_spark.operators.similarity import (
 _SCRATCH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch"
 )
+
+# Product quantization (Jégou, Douze, Schmid — TPAMI 2011): PQ_M
+# subspaces × PQ_KS centroids each. With KS=16 every code is 4 bits, so
+# all M=8 codes PACK INTO ONE BIGINT — the pq/ store is (id, cell,
+# codes) at ~16 bytes/vector vs ~256 bytes for the raw 64-dim vector.
+# That 16× is the 100 TB story: a billion-vector corpus's code store
+# fits in cluster page cache, so the ADC candidate scan never touches
+# the raw vectors; only the final rerank reads true vectors, and only
+# for `rerank` ids through the stat-pruned by_id store.
+PQ_M = 8
+PQ_KS = 16
+_PQ_SAMPLE = 2048  # codebook training sample (model-sized collect)
+_PQ_LLOYD_ITERS = 8
 
 def index_dir_for(sf_dir: str) -> str:
     """Stable per-corpus index location (full-path hash, not basename —
@@ -112,7 +126,9 @@ def source_fingerprint(sf_dir: str) -> dict:
         "n_tables": N_TABLES,
         "bits_per_table": adaptive_bits_per_table(n),
         "n_cells": N_CELLS,
-        "layout": 4,  # v4: lsh/ rows carry sig_all; bump forces rebuild
+        "pq_m": PQ_M,
+        "pq_ks": PQ_KS,
+        "layout": 5,  # v5: adds the pq/ code store; bump forces rebuild
     }
 
 
@@ -222,6 +238,44 @@ def ensure_index(
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(os.path.join(index_dir, "ivf"))
+    )
+
+    # pq: residual product-quantizer codes, partitioned by cell like
+    # ivf/ but WITHOUT the raw vector — the compressed scan path.
+    # Codebooks train on a deterministic hash-ordered sample of
+    # residuals (model-sized collect, the Faiss convention), then one
+    # Arrow encode pass packs each vector's M 4-bit codes into a BIGINT.
+    # (read the assignment back from the just-written ivf/ store: the
+    # assign UDF already ran once for that write — never twice)
+    ivf_store = spark.read.parquet(os.path.join(index_dir, "ivf")).select(
+        id_col, vec_col, "cell"
+    )
+    sample = (
+        ivf_store.orderBy(
+            F.pmod(F.hash(F.col(id_col)), F.lit(997)).asc(),
+            F.col(id_col).asc(),
+        )
+        .limit(_PQ_SAMPLE)
+        .collect()
+    )
+    res = np.array(
+        [np.asarray(list(r[1]), dtype=np.float64) - cents[int(r[2])]
+         for r in sample],
+        dtype=np.float64,
+    )
+    codebooks = _pq_train(res)
+    with open(os.path.join(index_dir, "pq_codebooks.json"), "w") as f:
+        json.dump(codebooks.tolist(), f)
+    (
+        ivf_store.select(
+            id_col,
+            "cell",
+            _pq_encode_udf(cents, codebooks)(vec_col, "cell").alias("codes"),
+        )
+        .repartition(F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(index_dir, "pq"))
     )
 
     # marker is written INSIDE the staging dir (build-complete flag),
@@ -444,6 +498,160 @@ def ivf_probe(
     return (
         cands.select(id_col, _score_against(vec_col, probe_vec).alias("cosine"))
         .filter(F.col("cosine").isNotNull())
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+# ----------------------------------------------------------- IVF-PQ
+def _pq_train(residuals: np.ndarray) -> np.ndarray:
+    """Per-subspace k-means codebooks over sampled residuals →
+    (PQ_M, PQ_KS, dim/PQ_M). Deterministic: seeds are the first PQ_KS
+    sample rows (the sample itself is hash-ordered), Lloyd runs a fixed
+    iteration count, argmin ties take the lowest index, and an emptied
+    cluster keeps its previous centroid. Pure float64 numpy on a
+    model-sized sample — the driver does O(sample × KS) work once per
+    build, never per probe."""
+    n, dim = residuals.shape
+    if dim % PQ_M:
+        raise ValueError(
+            f"PQ requires dim % {PQ_M} == 0, got dim={dim}; "
+            "adjust PQ_M for this corpus"
+        )
+    d = dim // PQ_M
+    books = np.empty((PQ_M, PQ_KS, d), dtype=np.float64)
+    for m in range(PQ_M):
+        sub = residuals[:, m * d : (m + 1) * d]
+        # seed with the first KS rows; tile if the sample is tiny
+        idx = np.arange(PQ_KS) % max(n, 1)
+        cents = sub[idx].copy()
+        for _ in range(_PQ_LLOYD_ITERS):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for j in range(PQ_KS):
+                mask = assign == j
+                if mask.any():
+                    cents[j] = sub[mask].mean(axis=0)
+        books[m] = cents
+    return books
+
+
+def _pq_encode_udf(centroids: np.ndarray, codebooks: np.ndarray):
+    """Arrow UDF (vec, cell) → BIGINT of PQ_M packed 4-bit codes for the
+    vector's residual against its cell centroid. One batched numpy pass;
+    models ship in the closure (KB-sized)."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    books = np.asarray(codebooks, dtype=np.float64)
+    d = books.shape[2]
+
+    @F.pandas_udf("long")
+    def encode(vecs: pd.Series, cells: pd.Series) -> pd.Series:
+        if not len(vecs):  # np.stack of an empty sequence raises
+            return pd.Series([], dtype="int64")
+        V = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
+        R = V - cents[cells.to_numpy(dtype=np.int64)]
+        packed = np.zeros(len(V), dtype=np.int64)
+        for m in range(PQ_M):
+            sub = R[:, m * d : (m + 1) * d]
+            d2 = ((sub[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+            codes = np.argmin(d2, axis=1).astype(np.int64)  # ties → lowest
+            packed |= codes << (4 * m)
+        return pd.Series(packed)
+
+    return encode
+
+
+def load_codebooks(index_dir: str) -> np.ndarray:
+    with open(os.path.join(index_dir, "pq_codebooks.json")) as f:
+        return np.array(json.load(f), dtype=np.float64)
+
+
+def _adc_expr(lut: np.ndarray):
+    """Asymmetric-distance expression for ONE cell's lookup table
+    (PQ_M × PQ_KS floats): each 4-bit code indexes its subspace's
+    literal array — shiftright/AND/element_at, all whole-stage codegen,
+    no UDF in the scan path."""
+    terms = None
+    for m in range(PQ_M):
+        lut_m = F.array(*[F.lit(float(v)) for v in lut[m]])
+        code_m = (
+            F.shiftright(F.col("codes"), 4 * m).bitwiseAND(F.lit(15))
+        ).cast("int")
+        t = F.element_at(lut_m, code_m + F.lit(1))
+        terms = t if terms is None else terms + t
+    return terms
+
+
+def ivfpq_probe(
+    spark: SparkSession,
+    index_dir: str,
+    probe_vec: list[float],
+    k: int = 10,
+    n_probe: int = N_PROBE,
+    rerank: int = 50,
+    exclude_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k over the COMPRESSED code store: the probe's n_probe
+    cells are partition-pruned (same as ivf_probe), but the candidate
+    scan reads 16-byte code rows instead of 256-byte vectors and ranks
+    them by ADC — per-cell residual lookup tables built driver-side
+    against the tiny codebook model, applied as pure codegen bit-ops.
+    The top-`rerank` candidate ids (a model-sized TakeOrdered +
+    collect — the production point-lookup set) are then rescored
+    EXACTLY against the stat-pruned by_id store, so PQ's quantization
+    error costs recall only if a true neighbor falls outside the
+    rerank pool, never final-score accuracy."""
+    cents = load_centroids(index_dir)
+    books = load_codebooks(index_dir)
+    d = books.shape[2]
+    cn = cents / (np.linalg.norm(cents, axis=1, keepdims=True) + 1e-12)
+    v = np.asarray(probe_vec, dtype=np.float64)
+    vn = v / (np.linalg.norm(v) + 1e-12)
+    cells = [int(c) for c in np.argsort(-(cn @ vn))[:n_probe]]
+
+    pq = read_store(spark, index_dir, "pq").filter(F.col("cell").isin(cells))
+    if exclude_id is not None:
+        pq = pq.filter(F.col(id_col) != exclude_id)
+    adc = None
+    for c in cells:
+        r = v - cents[c]
+        lut = np.array(
+            [
+                ((r[m * d : (m + 1) * d][None, :] - books[m]) ** 2).sum(axis=1)
+                for m in range(PQ_M)
+            ]
+        )
+        expr = _adc_expr(lut)
+        adc = (
+            F.when(F.col("cell") == c, expr)
+            if adc is None
+            else adc.when(F.col("cell") == c, expr)
+        )
+    cand = (
+        pq.select(id_col, adc.alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(rerank)
+    )
+    pool = {int(r[0]): float(r[1]) for r in cand.collect()}
+    exact = (
+        read_store(spark, index_dir, "by_id")
+        .filter(F.col(id_col).isin(list(pool)))
+        .select(
+            id_col, _score_against(vec_col, probe_vec).alias("cosine")
+        )
+        .filter(F.col("cosine").isNotNull())
+    )
+    lut_adc = F.create_map(
+        *[F.lit(x) for kv in pool.items() for x in kv]
+    )
+    return (
+        exact.select(
+            id_col,
+            "cosine",
+            F.round(lut_adc[F.col(id_col)], 6).alias("adc_dist"),
+        )
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )

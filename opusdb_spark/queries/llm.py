@@ -559,6 +559,78 @@ def llm_ann_recall_eval(spark, sf_dir):
     )
 
 
+@register("llm_simsearch_ivfpq", oracle=None, tags=("llm", "similarity"))
+def llm_simsearch_ivfpq(spark, sf_dir):
+    """ANN top-10 via IVF + PRODUCT QUANTIZATION (Jégou et al. 2011)
+    over the persisted index: the candidate scan reads the 16-byte
+    packed-code store (never the raw vectors), ranks by asymmetric
+    distance computed as pure codegen bit-ops against driver-built
+    per-cell lookup tables, and only the top-`rerank` ids are rescored
+    exactly through the stat-pruned by_id store. The memory/scan shape
+    a billion-vector corpus needs — codes are 16× smaller than vectors
+    (rows-only: quantized index is not SQL-expressible)."""
+    idx = _ann_index(spark, sf_dir)
+    vec = ann_index.fetch_vector(spark, idx, probe_id=0)
+    return ann_index.ivfpq_probe(spark, idx, vec, k=10, exclude_id=0)
+
+
+@register("llm_pq_recall_eval", oracle=None, tags=("llm", "similarity", "qa"))
+def llm_pq_recall_eval(spark, sf_dir):
+    """Recall@10 of the compressed IVF-PQ path vs exact brute force —
+    the accuracy half of the compression trade: what did 16× smaller
+    candidate rows cost? Evaluated over the same model-sized probe set
+    as llm_ann_recall_eval at two rerank depths (quantization error
+    only hurts when a true neighbor misses the rerank pool, so recall
+    must be non-decreasing in `rerank`); the store's measured
+    bytes-per-vector compression ratio rides along so accuracy and
+    memory are one readout (rows-only)."""
+    from opusdb_spark.sources.formats import list_store_files
+
+    probes = [0, 1, 2, 3]
+    emb = table(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_topk_batch(emb, probes, k=10)
+    idx = _ann_index(spark, sf_dir)
+    vecs = {
+        pid: ann_index.fetch_vector(spark, idx, probe_id=pid)
+        for pid in probes
+    }
+    approx = None
+    reranks = (20, 100)
+    for rerank in reranks:
+        for pid in probes:
+            a = ann_index.ivfpq_probe(
+                spark, idx, vecs[pid], k=10, rerank=rerank, exclude_id=pid
+            ).select(
+                F.lit(pid).alias("probe_id"),
+                F.lit(rerank).alias("rerank"),
+                "vec_id",
+                F.lit(1).alias("_hit"),
+            )
+            approx = a if approx is None else approx.unionByName(a)
+    levels = spark.createDataFrame([(r,) for r in reranks], "rerank int")
+    raw_bytes = sum(s for _, s in list_store_files(f"{idx}/by_id"))
+    pq_bytes = sum(s for _, s in list_store_files(f"{idx}/pq"))
+    ratio = round(raw_bytes / max(pq_bytes, 1), 2)
+    return (
+        exact.crossJoin(F.broadcast(levels))
+        .join(approx, ["probe_id", "rerank", "vec_id"], "left")
+        .groupBy("probe_id", "rerank")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),
+        )
+        .select(
+            "probe_id",
+            "rerank",
+            "k",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("k"), 4).alias("recall"),
+            F.lit(ratio).alias("store_compression"),
+        )
+        .orderBy("probe_id", "rerank")
+    )
+
+
 @register("llm_dedup_cluster", oracle=None, tags=("llm", "dedup"))
 def llm_dedup_cluster(spark, sf_dir):
     """Near-dup CLUSTERS: connected components over the MinHash-LSH pair

@@ -631,6 +631,60 @@ def llm_pq_recall_eval(spark, sf_dir):
     )
 
 
+@register("llm_cdc_dedup", oracle=None, tags=("llm", "dedup"))
+def llm_cdc_dedup(spark, sf_dir):
+    """Storage-level dedup profile via CONTENT-DEFINED CHUNKING
+    (operators/chunking.py — rolling-hash boundaries, so an edit
+    re-chunks only its neighborhood and downstream chunks still match):
+    every document splits into variable-size chunks, the chunk-hash
+    ledger aggregates once, and the readout is the dedup a chunk store
+    would achieve — total vs distinct chunks, duplicated bytes, the
+    dedup ratio. Chunking is shuffle-free Arrow map work; the ledger
+    groupBy is hash-keyed and map-side combinable (the exact-dedup
+    shape one level below the document). Rows-only: chunk hashes are
+    UDF-computed (rows-only by design)."""
+    from opusdb_spark.operators.chunking import chunked
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    ledger = chunked(docs).groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).alias("n"),
+        # chunk_len is identical within a hash group (same bytes)
+        F.max("chunk_len").alias("chunk_len"),
+    )
+    return (
+        ledger.agg(
+            F.sum("n").alias("total_chunks"),
+            F.count(F.lit(1)).alias("distinct_chunks"),
+            F.sum(F.col("n") * F.col("chunk_len")).alias("total_bytes"),
+            F.sum("chunk_len").alias("unique_bytes"),
+            F.sum(
+                (F.col("n") - 1) * F.col("chunk_len")
+            ).alias("dup_bytes"),
+        )
+        .select(
+            F.explode(
+                F.create_map(
+                    F.lit("total_chunks"),
+                    F.col("total_chunks").cast("double"),
+                    F.lit("distinct_chunks"),
+                    F.col("distinct_chunks").cast("double"),
+                    F.lit("total_bytes"),
+                    F.col("total_bytes").cast("double"),
+                    F.lit("unique_bytes"),
+                    F.col("unique_bytes").cast("double"),
+                    F.lit("dup_bytes"),
+                    F.col("dup_bytes").cast("double"),
+                    F.lit("dedup_ratio"),
+                    F.round(
+                        F.col("total_bytes") / F.col("unique_bytes"), 6
+                    ),
+                )
+            ).alias("metric", "value")
+        )
+        .orderBy("metric")
+    )
+
+
 @register("llm_dedup_cluster", oracle=None, tags=("llm", "dedup"))
 def llm_dedup_cluster(spark, sf_dir):
     """Near-dup CLUSTERS: connected components over the MinHash-LSH pair

@@ -30,8 +30,14 @@ Mergeability is the whole design:
   sketch's coupon threshold (~hundreds of distinct items per cell)
   the estimate is exact; above it, within ~2% — the standard rollup
   trade for an O(1)-size mergeable distinct.
-- Other non-mergeable aggregates (exact medians) stay excluded; a
-  t-digest column would follow the same opaque-binary pattern.
+- Exact medians/percentiles are not mergeable either, so the store
+  carries a DDSketch quantile column: a `map<bucket, count>` of
+  log-bucket counts (operators/sketch.py dd_* — the same bucket
+  algebra as agg_ddsketch_quantiles). Maps union-sum on merge
+  (map_zip_with), which is EXACT — unlike the HLL, the quantile
+  sketch's merge loses nothing, only its readout carries the ~1%
+  relative-error quantization. Stored as a plain map (not opaque
+  binary) so the DuckDB oracle can replay the algebra from raw rows.
 
 Refresh is partition-surgical: the delta's distinct buckets are a
 model-sized collect (a batch touches hours-to-days, not years), the
@@ -63,7 +69,31 @@ _PARTIALS = [
     ("min_value", "double"),
     ("max_value", "double"),
     ("users_hll", "binary"),
+    ("value_ddsketch", "map<bigint,bigint>"),
 ]
+
+_EMPTY_DD = "map<bigint,bigint>"  # type of the sketch column
+
+
+def _dd_merge2(a, b):
+    """Union-sum two DDSketch bucket maps (either may be NULL — a cell
+    present on one side only)."""
+    empty = F.create_map().cast(_EMPTY_DD)
+    return F.map_zip_with(
+        F.coalesce(a, empty),
+        F.coalesce(b, empty),
+        lambda _k, x, y: F.coalesce(x, F.lit(0)) + F.coalesce(y, F.lit(0)),
+    )
+
+
+def _dd_merge_agg(col_name: str):
+    """Aggregate expression folding a GROUP's sketch maps into one —
+    collect_list is bounded by the partials-per-group fan-in (hours per
+    day, days per month: model-sized by construction of the cascade)."""
+    empty = F.create_map().cast(_EMPTY_DD)
+    return F.aggregate(
+        F.collect_list(col_name), empty, lambda acc, m: _dd_merge2(acc, m)
+    )
 
 
 def _bucket_col(grain: str) -> str:
@@ -74,19 +104,42 @@ def _partial_agg(events: DataFrame, grain: str = "day") -> DataFrame:
     """Grain x event_type partial aggregates of a raw-event frame
     (schema contract: ts, event_type, value, user_id). `grain` is any
     date_trunc unit; the bucket column keeps the partition-friendly
-    name `day` at day grain, `bucket_ts` otherwise."""
+    name `day` at day grain, `bucket_ts` otherwise.
+
+    Two-level aggregation: level 1 keys on the DDSketch value bucket
+    too, so the quantile sketch falls out as map_from_entries of the
+    per-bucket rows — every other partial re-merges losslessly over
+    the finer key (counts/decimal sums add, min/max fold, HLL unions),
+    and level 2's collect_list is bounded by the bucket space
+    (~550 log-buckets for any value range), never the event count."""
+    from opusdb_spark.operators.sketch import dd_bucket_total
+
     if grain == "day":
         key = F.to_date("ts").alias("day")
+        bcol = "day"
     else:
         key = F.date_trunc(grain, "ts").alias("bucket_ts")
-    return events.groupBy(key, "event_type").agg(
+        bcol = "bucket_ts"
+    lvl1 = events.groupBy(
+        key, "event_type", dd_bucket_total(F.col("value")).alias("vbkt")
+    ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        # cast back: SUM(decimal(27,6)) widens to (37,6); see module
-        # docstring — every write site must emit the SAME store type
         F.sum(F.col("value").cast(DEC)).cast(DEC).alias("sum_value_dec"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
         F.hll_sketch_agg("user_id").alias("users_hll"),
+    )
+    return lvl1.groupBy(bcol, "event_type").agg(
+        F.sum("n_events").alias("n_events"),
+        # cast back: SUM(decimal(27,6)) widens to (37,6); see module
+        # docstring — every write site must emit the SAME store type
+        F.sum("sum_value_dec").cast(DEC).alias("sum_value_dec"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+        F.hll_union_agg("users_hll").alias("users_hll"),
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("vbkt", "n_events")))
+        ).alias("value_ddsketch"),
     )
 
 
@@ -102,6 +155,7 @@ def merge_partials(partials: DataFrame, key_cols: list[str]) -> DataFrame:
         F.min("min_value").alias("min_value"),
         F.max("max_value").alias("max_value"),
         F.hll_union_agg("users_hll").alias("users_hll"),
+        _dd_merge_agg("value_ddsketch").alias("value_ddsketch"),
     )
 
 
@@ -230,6 +284,9 @@ def refresh_rollup(
                     F.hll_union(F.col("users_hll"), F.col("d_users_hll"))
                 )
                 .alias("users_hll"),
+                _dd_merge2(
+                    F.col("value_ddsketch"), F.col("d_value_ddsketch")
+                ).alias("value_ddsketch"),
             )
             # model-sized: the eager checkpoint materializes the merge
             # BEFORE the write job, so the writer's plan no longer
@@ -265,7 +322,7 @@ def ensured_store(spark: SparkSession, sf_dir: str, grain: str = "day") -> str:
         scratch_path(
             f"rollup_{tag}_{os.path.basename(os.path.normpath(sf_dir))}"
         ),
-        stat_fingerprint(src, v=4, grain=grain),
+        stat_fingerprint(src, v=5, grain=grain),
         lambda p: build_rollup(table(spark, sf_dir, "events"), p, grain),
     )
 

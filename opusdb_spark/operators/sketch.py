@@ -72,3 +72,52 @@ class CountMinSketch:
             self.table[row][self._bucket(item, row)]
             for row in range(self.depth)
         )
+
+
+# ------------------------------------------------ DDSketch primitives
+# Shared by queries/sketches.py (the standalone quantile-sketch query)
+# and operators/rollup.py (the store's mergeable quantile column): ONE
+# definition of the bucket algebra so a store-served quantile can never
+# drift from the ad-hoc sketch. gamma = 1.02 → relative error
+# alpha = (gamma-1)/(gamma+1) ≈ 0.99% on quantile values. The ln
+# quotient rounds to 6dp before ceil (the repo's libm contract — Java
+# and DuckDB ln() may differ in the final ulp; the round absorbs it).
+import math as _math
+
+DD_GAMMA = 1.02
+DD_LN_GAMMA = _math.log(DD_GAMMA)  # 0.019802627296179712
+# sentinel bucket for non-positive values (log-buckets need v > 0):
+# far left of any real bucket, so it sorts below every quantile walk
+DD_FLOOR_BUCKET = -(10**9)
+
+
+def dd_bucket(value_col):
+    """Log-bucket index of a positive value column (long)."""
+    from pyspark.sql import functions as F
+
+    return (
+        F.ceil(F.round(F.log(value_col) / F.lit(DD_LN_GAMMA), 6))
+        .cast("long")
+    )
+
+
+def dd_bucket_total(value_col):
+    """Bucket index with the non-positive sentinel (total function —
+    safe for arbitrary stored data)."""
+    from pyspark.sql import functions as F
+
+    return F.when(value_col > 0, dd_bucket(value_col)).otherwise(
+        F.lit(DD_FLOOR_BUCKET)
+    )
+
+
+def dd_estimate(bucket_col):
+    """Bucket index → representative value (the gamma-midpoint),
+    6dp-rounded for cross-engine pow() stability."""
+    from pyspark.sql import functions as F
+
+    return F.round(
+        F.lit(2.0) * F.pow(F.lit(DD_GAMMA), bucket_col)
+        / F.lit(DD_GAMMA + 1.0),
+        6,
+    )

@@ -828,6 +828,80 @@ def events_rollup_distinct_users(spark, sf_dir):
     )
 
 
+def _dd_rollup_quantiles_oracle() -> str:
+    from opusdb_spark.operators.sketch import DD_GAMMA, DD_LN_GAMMA
+
+    return f"""
+        WITH ev AS (
+            SELECT event_type, value FROM events WHERE value > 0
+        ),
+        b AS (
+            SELECT event_type,
+                   CAST(CEIL(ROUND(LN(value) / {DD_LN_GAMMA!r}, 6))
+                        AS BIGINT) AS bkt,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM ev GROUP BY 1, 2
+        ),
+        c AS (
+            SELECT event_type, bkt,
+                   CAST(SUM(cnt) OVER (
+                       PARTITION BY event_type ORDER BY bkt)
+                        AS BIGINT) AS cum,
+                   CAST(SUM(cnt) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS total
+            FROM b
+        ),
+        q(q_idx, q) AS (VALUES (0, 0.5), (1, 0.9), (2, 0.99)),
+        pick AS (
+            SELECT c.event_type, q.q, MIN(c.bkt) AS bq
+            FROM c JOIN q ON c.cum >= CEIL(q.q * c.total)
+            GROUP BY 1, 2
+        )
+        SELECT event_type, q,
+               ROUND(2 * POWER({DD_GAMMA}, bq) / {DD_GAMMA + 1.0}, 6)
+                   AS est_value
+        FROM pick ORDER BY event_type, q
+    """
+
+
+@register(
+    "events_rollup_quantiles",
+    oracle=_dd_rollup_quantiles_oracle(),
+    tags=("events", "rollup", "sketch"),
+)
+def events_rollup_quantiles(spark, sf_dir):
+    """Percentiles served from the ROLLUP STORE: exact percentiles are
+    not mergeable (you cannot merge two medians), so the store carries
+    a DDSketch quantile column — a map<log-bucket, count> per
+    (day, type) cell (operators/rollup.py; bucket algebra shared with
+    agg_ddsketch_quantiles via operators/sketch.py). This query
+    union-sums the day cells' maps per type and walks the cumulative
+    bucket table for p50/p90/p99 — all over store-sized data, never a
+    raw-event scan (plan-pinned with the other store-served queries).
+    The oracle replays the identical bucket algebra from RAW events in
+    DuckDB: a hash match proves the store's sketch merge is lossless
+    end-to-end, estimate-for-estimate."""
+    from opusdb_spark.operators import rollup
+    from opusdb_spark.operators.sketch import DD_FLOOR_BUCKET, dd_estimate
+    from opusdb_spark.queries.sketches import dd_quantile_walk
+
+    store = rollup.ensured_store(spark, sf_dir)
+    r = rollup.read_rollup(spark, store)
+    sketch = (
+        r.select("event_type", F.explode("value_ddsketch").alias("bkt", "cnt"))
+        .filter(F.col("bkt") != DD_FLOOR_BUCKET)
+        .groupBy("event_type", "bkt")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return (
+        dd_quantile_walk(sketch)
+        .select(
+            "event_type", "q", dd_estimate(F.col("bq")).alias("est_value")
+        )
+        .orderBy("event_type", "q")
+    )
+
+
 @register(
     "events_rollup_cascade",
     oracle=f"""

@@ -28,8 +28,6 @@ scale-out extension of that contract (SURVEY §2C).
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -37,14 +35,20 @@ from opusdb_spark.registry import register
 from opusdb_spark.tables import table
 
 # ---------------------------------------------------------- DDSketch
-# gamma = 1.02 → guaranteed relative error alpha = (g-1)/(g+1) ≈ 0.0099
-# for quantile VALUES. ln(gamma) is embedded as one shared literal so
-# both engines divide by the identical double; the quotient is rounded
-# to 6dp before ceil() (the repo's libm contract: Java and DuckDB ln()
-# may differ in the last ulp, the round absorbs it — same trick as
-# llm_entropy_filter / llm_perplexity_score).
-_GAMMA = 1.02
-_LN_GAMMA = repr(math.log(_GAMMA))  # 0.019802627296179712
+# Bucket algebra lives in operators/sketch.py (shared with the rollup
+# store's quantile column — one definition, so store-served quantiles
+# can never drift from this ad-hoc sketch). gamma = 1.02 → guaranteed
+# relative error alpha = (g-1)/(g+1) ≈ 0.0099 for quantile VALUES;
+# the ln quotient is 6dp-rounded before ceil() (the repo's libm
+# contract — same trick as llm_entropy_filter / llm_perplexity_score).
+from opusdb_spark.operators.sketch import (
+    DD_GAMMA as _GAMMA,
+    DD_LN_GAMMA,
+    dd_bucket,
+    dd_estimate,
+)
+
+_LN_GAMMA = repr(DD_LN_GAMMA)
 _QS = (0.5, 0.9, 0.99)
 
 _DDSKETCH_ORACLE = f"""
@@ -97,13 +101,45 @@ def ddsketch_buckets(ev, group_cols: list[str]):
     storing it next to other partials (events_rollup_daily) needs no
     engine-specific binary type."""
     return ev.groupBy(
-        *group_cols,
-        F.ceil(
-            F.round(F.log(F.col("value")) / F.lit(float(_LN_GAMMA)), 6)
-        )
-        .cast("long")
-        .alias("bkt"),
+        *group_cols, dd_bucket(F.col("value")).alias("bkt")
     ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def dd_quantile_walk(sketch, group_col: str = "event_type", qs=_QS):
+    """(group, bkt, cnt) sketch relation → (group, q_idx, q, bq): the
+    smallest bucket whose cumulative count reaches ceil(q·total), per
+    group per requested quantile. The windows run over the BUCKET
+    table — model-sized however large the corpus the sketch summarizes.
+    Shared by the ad-hoc sketch query and the rollup store's
+    quantile readout (pipeline.events_rollup_quantiles)."""
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(group_col)
+    cum = sketch.select(
+        group_col,
+        "bkt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    qdf = (
+        cum.select(group_col)
+        .distinct()
+        .select(
+            group_col,
+            F.posexplode(F.array(*[F.lit(q) for q in qs])).alias(
+                "q_idx", "q"
+            ),
+        )
+    )
+    return (
+        cum.join(qdf, group_col)
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("total")))
+        .groupBy(group_col, "q_idx", "q")
+        .agg(F.min("bkt").alias("bq"))
+    )
 
 
 @register("agg_ddsketch_quantiles", oracle=_DDSKETCH_ORACLE, tags=("agg", "sketch"))
@@ -132,34 +168,7 @@ def agg_ddsketch_quantiles(spark, sf_dir):
     sketch = partials.groupBy("event_type", "bkt").agg(
         F.sum("cnt").alias("cnt")
     )
-    w_cum = (
-        Window.partitionBy("event_type")
-        .orderBy("bkt")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy("event_type")
-    cum = sketch.select(
-        "event_type",
-        "bkt",
-        F.sum("cnt").over(w_cum).alias("cum"),
-        F.sum("cnt").over(w_all).alias("total"),
-    )
-    qdf = (
-        cum.select("event_type")
-        .distinct()
-        .select(
-            "event_type",
-            F.posexplode(F.array(*[F.lit(q) for q in _QS])).alias(
-                "q_idx", "q"
-            ),
-        )
-    )
-    pick = (
-        cum.join(qdf, "event_type")
-        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("total")))
-        .groupBy("event_type", "q_idx", "q")
-        .agg(F.min("bkt").alias("bq"))
-    )
+    pick = dd_quantile_walk(sketch)
     exact = (
         ev.groupBy("event_type")
         .agg(
@@ -172,10 +181,7 @@ def agg_ddsketch_quantiles(spark, sf_dir):
             F.posexplode("ex").alias("q_idx", "exact_value"),
         )
     )
-    est = F.round(
-        F.lit(2.0) * F.pow(F.lit(_GAMMA), F.col("bq")) / F.lit(_GAMMA + 1.0),
-        6,
-    )
+    est = dd_estimate(F.col("bq"))
     return (
         pick.join(exact, ["event_type", "q_idx"])
         .select(

@@ -701,6 +701,18 @@ def test_rollup_daily_reads_store_not_raw_events(spark):
     )
 
 
+def test_rollup_quantiles_read_store_not_raw_events(spark):
+    """The store-served percentile query must read the rollup store's
+    sketch column only — never raw events — and its walk must stay on
+    the exploded bucket relation (sketch-sized)."""
+    df = _Q["events_rollup_quantiles"].fn(spark, SF)
+    p = plan(df, mode="formatted")
+    assert "rollup_daily_" in p, "plan must scan the rollup store"
+    assert "events.parquet" not in p, (
+        "query-time plan must not re-read raw events"
+    )
+
+
 def test_rollup_cascade_reads_hourly_store_only(spark):
     """The cascade (daily from hourly partials) must likewise read only
     the hourly store, and its distinct-user column must come from

@@ -685,3 +685,70 @@ def agg_weighted_avg(spark, sf_dir):
         (num / den).alias("wavg_price"),
         den.alias("total_weight"),
     )
+
+
+_REGR_MOMENTS_SQL = """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(27,6)))
+                AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                         AS DECIMAL(27,6))) AS DOUBLE) AS syy,
+           CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(27,6)))
+                AS DOUBLE) AS sxy
+    FROM lineitem GROUP BY 1
+"""
+
+
+@register(
+    "agg_linear_regression",
+    oracle=f"""
+        WITH m AS ({_REGR_MOMENTS_SQL})
+        SELECT l_returnflag, n,
+               ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                   AS slope,
+               ROUND(sy / n - ((n * sxy - sx * sy)
+                               / (n * sxx - sx * sx)) * sx / n, 6)
+                   AS intercept,
+               ROUND((n * sxy - sx * sy)
+                     / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                     6) AS corr_xy
+        FROM m ORDER BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def agg_linear_regression(spark, sf_dir):
+    """Per-group OLS (price ~ quantity): slope, intercept, and Pearson
+    correlation from EXACT decimal power sums — the regr_slope /
+    regr_intercept / corr surface, but bit-reproducible where the
+    built-ins accumulate doubles in partition order (the same
+    determinism rationale as agg_skew_kurtosis). One map-side-combined
+    aggregation computes all five moments in a single pass; the final
+    formulas are pure double arithmetic on the deterministic sums,
+    6dp-rounded for the cross-engine sqrt/divide contract."""
+    lt = table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    m = lt.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(x, "sx"),
+        dsum(y, "sy"),
+        dsum(x * x, "sxx"),
+        dsum(y * y, "syy"),
+        dsum(x * y, "sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(sy / n - slope * sx / n, 6).alias("intercept"),
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("corr_xy"),
+    ).orderBy("l_returnflag")

@@ -280,6 +280,49 @@ def fn_json(spark, sf_dir):
 
 
 @register(
+    "fn_variant",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(json_extract_string(props, '$.k')
+                             AS BIGINT)) AS BIGINT) AS sum_k,
+               'OBJECT<k: BIGINT>' AS variant_schema,
+               CAST(COUNT(*) AS BIGINT) AS n_missing_null
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
+    tags=("function", "json", "variant"),
+)
+def fn_variant(spark, sf_dir):
+    """The VARIANT semi-structured type (Spark 4): props parses ONCE
+    into the binary variant encoding, then typed paths extract without
+    re-parsing JSON text per access — at 100 TB the difference between
+    one parse and one per downstream expression. Pins typed
+    variant_get extraction (summable bigint straight out of the
+    variant), schema_of_variant inference (the oracle hard-codes the
+    expected 'OBJECT<k: BIGINT>' — a drift in Spark's inference
+    surfaces as a hash mismatch), and try_variant_get's NULL-not-error
+    contract on a missing path."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.variant_get("v", "$.k", "bigint")).alias("sum_k"),
+            F.min(F.schema_of_variant("v")).alias("variant_schema"),
+            F.sum(
+                F.when(
+                    F.try_variant_get("v", "$.missing", "string").isNull(),
+                    1,
+                ).otherwise(0)
+            ).alias("n_missing_null"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "fn_null",
     oracle="""
         SELECT c_custkey,

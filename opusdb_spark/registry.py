@@ -119,6 +119,15 @@ _RECENTLY_CHANGED: tuple[str, ...] = (
     "llm_ann_recall_eval",
     "emb_kmeans",
     "emb_outlier_mahalanobis",
+    # rollup store schema change (DDSketch map column, two-level
+    # partial aggregation, fingerprint v5 rebuild): every store-served
+    # query's plan changed
+    "events_rollup_daily",
+    "events_rollup_incremental",
+    "events_rollup_distinct_users",
+    "events_rollup_cascade",
+    "events_rollup_backfill",
+    "stream_rollup_maintain",
 )
 
 _CORRECTNESS_RE = re.compile(r"CORRECTNESS_r(\d+)\.json$")

@@ -97,6 +97,18 @@ PROBE = [
     # the cap drops everything, but the scan/hash/shuffle work is the
     # full measurement, same as llm_decontaminate)
     "llm_boilerplate_strip",
+    # round-8 second batch: mergeable sketches (one agg shuffle +
+    # model-sized walks — should track the scan, ~data ratio), the
+    # KMV pre-filter (per-type sort input must stay KB-sized at any
+    # corpus), CDC chunking (map + one hash groupBy), the compressed
+    # ANN probe (partition-pruned code scan — should be ~flat), and
+    # the store-served quantile walk (store-sized — ~1.0 like the
+    # other rollup reads)
+    "agg_ddsketch_quantiles",
+    "agg_kmv_set_ops",
+    "llm_cdc_dedup",
+    "llm_simsearch_ivfpq",
+    "events_rollup_quantiles",
 ]
 
 

@@ -113,8 +113,13 @@ def source_fingerprint(sf_dir: str) -> dict:
             stat_mtime_ns,
         )
 
+        # lists, NOT tuples: the marker round-trips through JSON, which
+        # has no tuple type — a tuple here would make json.load(marker)
+        # != fingerprint on EVERY call for directory-form sources, i.e.
+        # a silent full index rebuild per probe (caught by the r8 scale
+        # probe: 17 s "probes" that were 14 s of rebuild writes)
         parts = [
-            (os.path.basename(p), s, stat_mtime_ns(p))
+            [os.path.basename(p), s, stat_mtime_ns(p)]
             for p, s in list_store_files(src, recursive=False)
         ]
     return {
@@ -126,8 +131,13 @@ def source_fingerprint(sf_dir: str) -> dict:
         "n_tables": N_TABLES,
         "bits_per_table": adaptive_bits_per_table(n),
         "n_cells": N_CELLS,
+        # ALL the PQ knobs, not just the shape ones: codebooks trained
+        # under a different sample size or Lloyd budget are different
+        # models, and a stale marker would silently serve their codes
         "pq_m": PQ_M,
         "pq_ks": PQ_KS,
+        "pq_sample": _PQ_SAMPLE,
+        "pq_iters": _PQ_LLOYD_ITERS,
         "layout": 5,  # v5: adds the pq/ code store; bump forces rebuild
     }
 
@@ -147,6 +157,10 @@ def ensure_index(
     not per probe.
     """
     marker = os.path.join(index_dir, "marker.json")
+    # normalize through JSON before comparing (tuples→lists): a
+    # non-JSON-stable fingerprint would otherwise never match its own
+    # stored marker — a silent full rebuild per probe (r8 scale probe)
+    fingerprint = json.loads(json.dumps(fingerprint))
     if os.path.exists(marker):
         try:
             with open(marker) as f:

@@ -121,3 +121,44 @@ def dd_estimate(bucket_col):
         / F.lit(DD_GAMMA + 1.0),
         6,
     )
+
+
+def dd_sql_core(
+    source_sql: str = "SELECT event_type, value FROM events WHERE value > 0",
+    group: str = "event_type",
+) -> str:
+    """The DuckDB half of the bucket algebra, as CTE text ending in
+    `pick` (group, q_idx, q, bq) — the SQL twin of dd_bucket +
+    queries/sketches.dd_quantile_walk. Both oracles (the ad-hoc sketch
+    query and the store-served rollup readout) compose this ONE
+    builder, so a change to the rounding or the pick-rank rule cannot
+    leave one oracle stale."""
+    return f"""
+        ev AS ({source_sql}),
+        b AS (
+            SELECT {group},
+                   CAST(CEIL(ROUND(LN(value) / {DD_LN_GAMMA!r}, 6))
+                        AS BIGINT) AS bkt,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM ev GROUP BY 1, 2
+        ),
+        c AS (
+            SELECT {group}, bkt,
+                   CAST(SUM(cnt) OVER (
+                       PARTITION BY {group} ORDER BY bkt) AS BIGINT)
+                       AS cum,
+                   CAST(SUM(cnt) OVER (PARTITION BY {group}) AS BIGINT)
+                       AS total
+            FROM b
+        ),
+        q(q_idx, q) AS (VALUES (0, 0.5), (1, 0.9), (2, 0.99)),
+        pick AS (
+            SELECT c.{group}, q.q_idx, q.q, MIN(c.bkt) AS bq
+            FROM c JOIN q ON c.cum >= CEIL(q.q * c.total)
+            GROUP BY 1, 2, 3
+        )"""
+
+
+def dd_sql_estimate(bq: str = "bq") -> str:
+    """SQL form of dd_estimate (the gamma-midpoint readout)."""
+    return f"ROUND(2 * POWER({DD_GAMMA}, {bq}) / {DD_GAMMA + 1.0}, 6)"

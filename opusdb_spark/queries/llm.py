@@ -2359,3 +2359,53 @@ def emb_hard_negatives(spark, sf_dir):
     before the top-k."""
     emb = table(spark, sf_dir, "embeddings")
     return similarity.hard_negatives(emb, probe_ids=list(range(10)), k=3)
+
+
+@register("emb_truncated_recall", oracle=None, tags=("llm", "similarity", "qa"))
+def emb_truncated_recall(spark, sf_dir):
+    """Truncated-dimension retrieval evaluation (the Matryoshka
+    question): how much recall@10 survives when only the first
+    8/16/32 of the 64 embedding dims are used? Retrieval cost scales
+    linearly with dims kept, so this is the measured accuracy side of
+    the cheapest compression there is — column truncation, no
+    re-training, no codebooks. Ground truth is full-dim exact top-10
+    (similarity.cosine_topk_batch — decimal-exact, one corpus pass);
+    each truncated run is the SAME batched pass over a slice()
+    projection, so the whole evaluation is len(dims)+1 scans with
+    model-sized probe broadcasts and no pairwise blow-up anywhere
+    (rows-only: overlap of approximate rankings)."""
+    probes = [0, 1, 2, 3]
+    emb = table(spark, sf_dir, "embeddings")
+    full = similarity.cosine_topk_batch(emb, probes, k=10).select(
+        "probe_id", "vec_id"
+    )
+    out = None
+    for d in (8, 16, 32):
+        trunc = emb.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        t = similarity.cosine_topk_batch(trunc, probes, k=10).select(
+            "probe_id",
+            F.lit(d).alias("dims"),
+            "vec_id",
+            F.lit(1).alias("_hit"),
+        )
+        out = t if out is None else out.unionByName(t)
+    dims = spark.createDataFrame([(8,), (16,), (32,)], "dims int")
+    return (
+        full.crossJoin(F.broadcast(dims))
+        .join(out, ["probe_id", "dims", "vec_id"], "left")
+        .groupBy("probe_id", "dims")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),
+        )
+        .select(
+            "probe_id",
+            "dims",
+            "k",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("k"), 4).alias("recall"),
+        )
+        .orderBy("probe_id", "dims")
+    )

@@ -829,37 +829,12 @@ def events_rollup_distinct_users(spark, sf_dir):
 
 
 def _dd_rollup_quantiles_oracle() -> str:
-    from opusdb_spark.operators.sketch import DD_GAMMA, DD_LN_GAMMA
+    from opusdb_spark.operators.sketch import dd_sql_core, dd_sql_estimate
 
     return f"""
-        WITH ev AS (
-            SELECT event_type, value FROM events WHERE value > 0
-        ),
-        b AS (
-            SELECT event_type,
-                   CAST(CEIL(ROUND(LN(value) / {DD_LN_GAMMA!r}, 6))
-                        AS BIGINT) AS bkt,
-                   CAST(COUNT(*) AS BIGINT) AS cnt
-            FROM ev GROUP BY 1, 2
-        ),
-        c AS (
-            SELECT event_type, bkt,
-                   CAST(SUM(cnt) OVER (
-                       PARTITION BY event_type ORDER BY bkt)
-                        AS BIGINT) AS cum,
-                   CAST(SUM(cnt) OVER (PARTITION BY event_type)
-                        AS BIGINT) AS total
-            FROM b
-        ),
-        q(q_idx, q) AS (VALUES (0, 0.5), (1, 0.9), (2, 0.99)),
-        pick AS (
-            SELECT c.event_type, q.q, MIN(c.bkt) AS bq
-            FROM c JOIN q ON c.cum >= CEIL(q.q * c.total)
-            GROUP BY 1, 2
-        )
+        WITH {dd_sql_core()}
         SELECT event_type, q,
-               ROUND(2 * POWER({DD_GAMMA}, bq) / {DD_GAMMA + 1.0}, 6)
-                   AS est_value
+               {dd_sql_estimate()} AS est_value
         FROM pick ORDER BY event_type, q
     """
 

@@ -42,40 +42,16 @@ from opusdb_spark.tables import table
 # the ln quotient is 6dp-rounded before ceil() (the repo's libm
 # contract — same trick as llm_entropy_filter / llm_perplexity_score).
 from opusdb_spark.operators.sketch import (
-    DD_GAMMA as _GAMMA,
-    DD_LN_GAMMA,
     dd_bucket,
     dd_estimate,
+    dd_sql_core,
+    dd_sql_estimate,
 )
 
-_LN_GAMMA = repr(DD_LN_GAMMA)
 _QS = (0.5, 0.9, 0.99)
 
 _DDSKETCH_ORACLE = f"""
-    WITH ev AS (
-        SELECT event_type, value FROM events WHERE value > 0
-    ),
-    b AS (  -- per-(type, day-less) merged sketch: bucket -> count
-        SELECT event_type,
-               CAST(CEIL(ROUND(LN(value) / {_LN_GAMMA}, 6)) AS BIGINT)
-                   AS bkt,
-               CAST(COUNT(*) AS BIGINT) AS cnt
-        FROM ev GROUP BY 1, 2
-    ),
-    c AS (
-        SELECT event_type, bkt,
-               CAST(SUM(cnt) OVER (
-                   PARTITION BY event_type ORDER BY bkt) AS BIGINT) AS cum,
-               CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT)
-                   AS total
-        FROM b
-    ),
-    q(q_idx, q) AS (VALUES (0, 0.5), (1, 0.9), (2, 0.99)),
-    pick AS (
-        SELECT c.event_type, q.q_idx, q.q, MIN(c.bkt) AS bq
-        FROM c JOIN q ON c.cum >= CEIL(q.q * c.total)
-        GROUP BY 1, 2, 3
-    ),
+    WITH {dd_sql_core()},
     ex AS (
         SELECT event_type, 0 AS q_idx,
                quantile_cont(value, 0.5) AS exact_value FROM ev GROUP BY 1
@@ -85,9 +61,9 @@ _DDSKETCH_ORACLE = f"""
         SELECT event_type, 2, quantile_cont(value, 0.99) FROM ev GROUP BY 1
     )
     SELECT p.event_type, p.q,
-           ROUND(2 * POWER({_GAMMA}, p.bq) / {_GAMMA + 1.0}, 6) AS est_value,
+           {dd_sql_estimate("p.bq")} AS est_value,
            ex.exact_value,
-           ROUND(ROUND(2 * POWER({_GAMMA}, p.bq) / {_GAMMA + 1.0}, 6)
+           ROUND({dd_sql_estimate("p.bq")}
                  / ex.exact_value - 1, 6) AS rel_err
     FROM pick p JOIN ex ON p.event_type = ex.event_type
                        AND p.q_idx = ex.q_idx
@@ -124,18 +100,20 @@ def dd_quantile_walk(sketch, group_col: str = "event_type", qs=_QS):
         F.sum("cnt").over(w_cum).alias("cum"),
         F.sum("cnt").over(w_all).alias("total"),
     )
+    # literal quantile frame, NOT a distinct() over the groups: the
+    # distinct would re-execute the whole sketch-aggregation subtree
+    # (measured: a second full raw scan, zero ReusedExchange) just to
+    # list groups the cum frame already carries on every row
     qdf = (
-        cum.select(group_col)
-        .distinct()
+        sketch.sparkSession.range(1)
         .select(
-            group_col,
             F.posexplode(F.array(*[F.lit(q) for q in qs])).alias(
                 "q_idx", "q"
-            ),
+            )
         )
     )
     return (
-        cum.join(qdf, group_col)
+        cum.crossJoin(F.broadcast(qdf))
         .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("total")))
         .groupBy(group_col, "q_idx", "q")
         .agg(F.min("bkt").alias("bq"))
@@ -216,13 +194,13 @@ _KMV_H = _h48_sql("user_id", "kmv:")
 
 # The oracle replays the identical sketch algebra: same hash, same
 # survivor pre-filter (so even the improbable fewer-than-k-survivors
-# case stays bit-identical), same top-k, same estimators.
+# case stays bit-identical), same top-k, same estimators. "Exact"
+# counts are at HASH identity (distinct 48-bit values): collision
+# probability is ~U²/2^49 — zero in practice, and both engines compute
+# the identical quantity either way.
 _KMV_ORACLE = f"""
-    WITH du AS (
-        SELECT DISTINCT event_type, user_id FROM events
-    ),
-    hashed AS (
-        SELECT DISTINCT event_type, {_KMV_H} AS h FROM du
+    WITH hashed AS (
+        SELECT DISTINCT event_type, {_KMV_H} AS h FROM events
     ),
     n AS (
         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t
@@ -270,18 +248,11 @@ _KMV_ORACLE = f"""
         FROM merged WHERE rn <= {_KMV_K}
         GROUP BY 1, 2
     ),
-    exact_u AS (
-        SELECT p.type_a, p.type_b,
-               CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS exact_union
-        FROM pairs p
-        JOIN du d ON d.event_type = p.type_a OR d.event_type = p.type_b
-        GROUP BY 1, 2
-    ),
     exact_i AS (
         SELECT a.event_type AS type_a, b.event_type AS type_b,
                CAST(COUNT(*) AS BIGINT) AS exact_intersect
-        FROM du a JOIN du b
-          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        FROM hashed a JOIN hashed b
+          ON a.h = b.h AND a.event_type < b.event_type
         GROUP BY 1, 2
     )
     SELECT e.type_a, e.type_b,
@@ -289,7 +260,8 @@ _KMV_ORACLE = f"""
                 ELSE ROUND({(_KMV_K - 1) * _TWO48!r}
                            / CAST(e.h_k AS DOUBLE), 4)
            END AS est_union,
-           u.exact_union,
+           na.n_t + nb.n_t - COALESCE(i.exact_intersect, 0)
+               AS exact_union,
            ROUND(CASE WHEN e.m < {_KMV_K} THEN CAST(e.m AS DOUBLE)
                       ELSE ROUND({(_KMV_K - 1) * _TWO48!r}
                                  / CAST(e.h_k AS DOUBLE), 4)
@@ -300,7 +272,8 @@ _KMV_ORACLE = f"""
            ROUND(CAST(e.both_cnt AS DOUBLE) / CAST(e.m AS DOUBLE), 6)
                AS est_jaccard
     FROM est e
-    JOIN exact_u u ON e.type_a = u.type_a AND e.type_b = u.type_b
+    JOIN n na ON e.type_a = na.event_type
+    JOIN n nb ON e.type_b = nb.event_type
     LEFT JOIN exact_i i ON e.type_a = i.type_a AND e.type_b = i.type_b
     ORDER BY e.type_a, e.type_b
 """
@@ -311,25 +284,34 @@ def agg_kmv_set_ops(spark, sf_dir):
     """KMV / theta set sketch (k minimum hash values, k=64): union AND
     intersection estimates for every event-type pair from k-row
     summaries — the set-operation sketch HLL cannot provide (HLL unions
-    only). Scale shape: ONE distinct-(type, user) shuffle feeds
-    everything; sketch candidates are pre-filtered to hashes below
-    ~8k/n_t of the hash space (a broadcast of the 5-row per-type counts),
-    so the per-type ORDER BY h runs over ~8k surviving rows, never the
-    user population — at 100 TB the sort input is still KB-sized. The
-    pair fan-out is |types|² over k-row sketches (model-sized). Exact
+    only). Scale shape: ONE distinct-(type, hash) shuffle feeds
+    everything — the hash is computed map-side on raw rows and the
+    distinct collapses users and 48-bit collisions at once; the frame
+    is loop_cache'd because four consumers read it (counts, survivor
+    filter, both sides of the intersection join) and recomputing the
+    corpus distinct per consumer is the scale failure the r8 100×
+    probe measured (127 s → the cost of ONE pass). Sketch candidates
+    are pre-filtered to hashes below ~8k/n_t of the hash space (a
+    broadcast of the 5-row per-type counts), so the per-type ORDER BY h
+    runs over ~8k surviving rows, never the user population — at
+    100 TB the sort input is still KB-sized. The pair fan-out is
+    |types|² over k-row sketches (model-sized). Exact
     union/intersection ride along as the visible-error readout (the
-    100 TB deployment would drop them — they are the quadratic cost the
-    sketch exists to avoid). Deterministic md5-bit hashes → the DuckDB
-    oracle replays the sketch bit-for-bit (hash-checked, unlike HLL).
+    100 TB deployment would drop them): union = n_a + n_b − |A∩B| from
+    the per-type counts (never an OR-condition nested-loop join), and
+    "exact" means at 48-bit-hash identity — collisions are ~U²/2^49,
+    zero in practice, and the oracle computes the identical quantity.
+    Deterministic md5-bit hashes → the DuckDB oracle replays the
+    sketch bit-for-bit (hash-checked, unlike HLL).
     """
-    du = (
+    from opusdb_spark.operators.cache import loop_cache
+
+    hashed = loop_cache(
+        f"kmv_hashed_{sf_dir}",
         table(spark, sf_dir, "events")
-        .select("event_type", "user_id")
-        .distinct()
+        .select("event_type", F.expr(_KMV_H).alias("h"))
+        .distinct(),
     )
-    hashed = du.select(
-        "event_type", F.expr(_KMV_H).alias("h")
-    ).distinct()
     n = hashed.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
     surv = hashed.join(F.broadcast(n), "event_type").filter(
         F.col("h").cast("double")
@@ -385,38 +367,39 @@ def agg_kmv_set_ops(spark, sf_dir):
             F.lit((_KMV_K - 1) * _TWO48) / F.col("h_k").cast("double"), 4
         )
     )
-    exact_u = (
-        F.broadcast(pairs)
-        .join(
-            du,
-            (F.col("event_type") == F.col("type_a"))
-            | (F.col("event_type") == F.col("type_b")),
-        )
-        .groupBy("type_a", "type_b")
-        .agg(F.count_distinct("user_id").alias("exact_union"))
+    a = hashed.select(
+        F.col("event_type").alias("type_a"), F.col("h").alias("ha")
     )
-    a = du.select(
-        F.col("event_type").alias("type_a"), F.col("user_id").alias("ua")
-    )
-    b = du.select(
-        F.col("event_type").alias("type_b"), F.col("user_id").alias("ub")
+    b = hashed.select(
+        F.col("event_type").alias("type_b"), F.col("h").alias("hb")
     )
     exact_i = (
         a.join(
             b,
-            (F.col("ua") == F.col("ub")) & (F.col("type_a") < F.col("type_b")),
+            (F.col("ha") == F.col("hb")) & (F.col("type_a") < F.col("type_b")),
         )
         .groupBy("type_a", "type_b")
         .agg(F.count(F.lit(1)).alias("exact_intersect"))
     )
+    na = n.select(
+        F.col("event_type").alias("type_a"), F.col("n_t").alias("na_t")
+    )
+    nb = n.select(
+        F.col("event_type").alias("type_b"), F.col("n_t").alias("nb_t")
+    )
     return (
-        est.join(exact_u, ["type_a", "type_b"])
+        est.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
         .join(exact_i, ["type_a", "type_b"], "left")
         .select(
             "type_a",
             "type_b",
             est_union.alias("est_union"),
-            "exact_union",
+            (
+                F.col("na_t")
+                + F.col("nb_t")
+                - F.coalesce(F.col("exact_intersect"), F.lit(0))
+            ).alias("exact_union"),
             F.round(
                 est_union
                 * F.col("both_cnt").cast("double")

@@ -51,6 +51,11 @@ def ensure_written(path: str, fingerprint: dict, write_fn) -> str:
     import json
 
     marker = os.path.join(path, "_fingerprint.json")
+    # normalize through JSON before comparing: the stored side has
+    # round-tripped (tuples→lists, int keys→str), and comparing the
+    # raw dict against it would silently rebuild on EVERY call — the
+    # exact bug the r8 scale probe caught in the ANN index marker
+    fingerprint = json.loads(json.dumps(fingerprint))
     if os.path.exists(marker):
         try:
             with open(marker) as f:

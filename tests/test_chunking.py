@@ -12,6 +12,7 @@ from hypothesis import given, settings
 from opusdb_spark.operators.chunking import (
     CDC_MAX,
     CDC_MIN,
+    CDC_W,
     chunk_doc,
     chunk_positions,
     chunked,
@@ -64,6 +65,48 @@ def test_self_synchronization_under_prefix_edit(tail, prefix):
     if sync:
         s = sync[0]
         assert {e for e in a if e >= s} == {e for e in b if e >= s}
+
+
+def _naive_positions(data: bytes) -> list[int]:
+    """INDEPENDENT scalar reference: each window hash recomputed from
+    scratch per byte position with Python big-int arithmetic (no numpy,
+    no sliding windows, no candidate pointer), MIN/MAX enforced by
+    rescanning the whole candidate list per chunk. Deliberately shares
+    only the CONSTANTS with chunk_positions — an off-by-one in the
+    vectorized kernel's window offsets or power ordering cannot
+    reproduce here."""
+    from opusdb_spark.operators.chunking import _GEAR, _P
+
+    n = len(data)
+    if n == 0:
+        return []
+    mod = 2**64
+    pows = [pow(int(_P), CDC_W - 1 - j, mod) for j in range(CDC_W)]
+    cands = []
+    for i in range(CDC_W - 1, n):
+        h = 0
+        for j in range(CDC_W):
+            h = (h + int(_GEAR[data[i - CDC_W + 1 + j]]) * pows[j]) % mod
+        if h & 31 == 0:  # CDC_MASK, written out
+            cands.append(i + 1)
+    ends: list[int] = []
+    last = 0
+    while last < n:
+        limit = min(last + CDC_MAX, n)
+        cut = limit
+        for c in cands:
+            if last + CDC_MIN <= c <= limit:
+                cut = c
+                break
+        ends.append(cut)
+        last = cut
+    return ends
+
+
+@given(st.binary(min_size=0, max_size=600))
+@settings(max_examples=120, deadline=None)
+def test_vectorized_kernel_matches_independent_scalar_walk(data):
+    assert chunk_positions(data) == _naive_positions(data)
 
 
 def test_chunks_reassemble_document():

@@ -10,8 +10,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 import pytest
 
+from opusdb_spark.operators.sketch import DD_GAMMA as _GAMMA
 from opusdb_spark.queries.sketches import (
-    _GAMMA,
     _KMV_K,
     agg_ddsketch_quantiles,
     agg_kmv_set_ops,

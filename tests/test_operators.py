@@ -1958,10 +1958,20 @@ def test_rollup_refresh_is_partition_surgical(spark, tmp_path):
             r.min_value,
             r.max_value,
             r.n_users,
+            tuple(sorted(r.value_ddsketch.items())),
         )
         for r in rollup.read_rollup(spark, store)
         .withColumn("n_users", F.hll_sketch_estimate("users_hll"))
         .collect()
+    }
+    # the quantile-sketch map must merge losslessly through the
+    # full_outer refresh path too: compare against a from-scratch
+    # partial build over the combined events (same _partial_agg)
+    full_sketch = {
+        (str(r.day), r.event_type): tuple(
+            sorted(r.value_ddsketch.items())
+        )
+        for r in rollup._partial_agg(base.unionByName(delta)).collect()
     }
     full = {
         (str(r.day), r.event_type): (
@@ -1970,6 +1980,7 @@ def test_rollup_refresh_is_partition_surgical(spark, tmp_path):
             r.min_value,
             r.max_value,
             r.n_users,
+            full_sketch[(str(r.day), r.event_type)],
         )
         for r in base.unionByName(delta)
         .groupBy(F.to_date("ts").alias("day"), "event_type")

@@ -98,6 +98,15 @@ SF1_LADDER = [
     # not worth ladder slots)
     "llm_boilerplate_strip",
     "events_rollup_incremental",
+    # round-8 second batch: the one-pass KMV set sketch (the cached
+    # distinct + survivor filter is the plan under test), CDC chunk
+    # ledger (Arrow window hash + chunk-hash groupBy), and the
+    # compressed ANN probe (should be ladder-flat — partition-pruned
+    # code scan + model-sized rerank; the DDSketch/rollup-quantile
+    # reads are probe-flat and not worth ladder slots)
+    "agg_kmv_set_ops",
+    "llm_cdc_dedup",
+    "llm_simsearch_ivfpq",
 ]
 
 # TPC-H at sf1 (VERDICT r4 §7): representative shapes — pushdown scan

@@ -1156,6 +1156,123 @@ def llm_bigram_lm(spark, sf_dir):
 
 
 # ------------------------------------------------- data-quality gates
+_PSI_ORACLE = """
+    WITH bounds AS (
+        SELECT (CAST(epoch_us(MIN(ts)) AS BIGINT)
+                + CAST(epoch_us(MAX(ts)) AS BIGINT)) // 2 AS mid
+        FROM events
+    ),
+    ev AS (
+        SELECT event_type,
+               CASE WHEN epoch_us(ts) < (SELECT mid FROM bounds)
+                    THEN 1 ELSE 0 END AS is_a,
+               LEAST(CAST(FLOOR(value / 50.0) AS BIGINT), 9) AS bin
+        FROM events
+    ),
+    counts AS (
+        SELECT event_type, bin,
+               CAST(SUM(is_a) AS BIGINT) AS cnt_a,
+               CAST(SUM(1 - is_a) AS BIGINT) AS cnt_b
+        FROM ev GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type, bin, cnt_a, cnt_b,
+               CAST(SUM(cnt_a) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n_a,
+               CAST(SUM(cnt_b) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n_b,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS nbins
+        FROM counts
+    ),
+    terms AS (
+        SELECT event_type,
+               ROUND((p - q) * ROUND(LN(p / q), 6), 12) AS term
+        FROM (
+            SELECT event_type,
+                   (cnt_a + 0.5) / (n_a + 0.5 * nbins) AS p,
+                   (cnt_b + 0.5) / (n_b + 0.5 * nbins) AS q
+            FROM stats
+        )
+    )
+    SELECT event_type,
+           ROUND(CAST(SUM(CAST(term AS DECIMAL(27,12))) AS DOUBLE), 6)
+               AS psi,
+           CASE WHEN ROUND(CAST(SUM(CAST(term AS DECIMAL(27,12)))
+                                AS DOUBLE), 6) < 0.1 THEN 'stable'
+                WHEN ROUND(CAST(SUM(CAST(term AS DECIMAL(27,12)))
+                                AS DOUBLE), 6) < 0.25 THEN 'moderate'
+                ELSE 'shifted' END AS verdict
+    FROM terms GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("dq_psi_drift", oracle=_PSI_ORACLE, tags=("quality", "drift"))
+def dq_psi_drift(spark, sf_dir):
+    """Distribution DRIFT detection via the Population Stability Index:
+    PSI = Σ (p_i − q_i)·ln(p_i/q_i) between the first and second time
+    half of each type's value distribution — the standard production
+    monitor for 'did this feed silently change shape?' (the time-axis
+    counterpart of the point-in-time dq_constraints gate). Scale
+    shape: the midpoint is one column-pruned min/max pass; binning is
+    a map-side projection; everything after the (type, bin) groupBy —
+    the windows, smoothing, the verdict — runs on the ≤10-bins-per-type
+    model-sized table. Laplace-smoothed (0.5/bin over the observed-bin
+    domain, the convention both engines share) so a one-sided-empty
+    bin cannot produce ln(0); terms are 6dp-rounded before the decimal
+    sum per the repo's libm contract, so the PSI hash-matches DuckDB.
+    """
+    ev = table(spark, sf_dir, "events")
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
+    mid = ev.agg(
+        ((F.min(epoch) + F.max(epoch)) / 2).cast("long").alias("mid")
+    )
+    counts = (
+        ev.crossJoin(F.broadcast(mid))
+        .select(
+            "event_type",
+            F.when(epoch < F.col("mid"), 1).otherwise(0).alias("is_a"),
+            F.least(
+                F.floor(F.col("value") / 50.0).cast("long"), F.lit(9)
+            ).alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum("is_a").alias("cnt_a"),
+            F.sum(1 - F.col("is_a")).alias("cnt_b"),
+        )
+    )
+    w = Window.partitionBy("event_type")
+    stats = counts.select(
+        "event_type",
+        "cnt_a",
+        "cnt_b",
+        F.sum("cnt_a").over(w).alias("n_a"),
+        F.sum("cnt_b").over(w).alias("n_b"),
+        F.count(F.lit(1)).over(w).alias("nbins"),
+    )
+    p = (F.col("cnt_a") + 0.5) / (F.col("n_a") + 0.5 * F.col("nbins"))
+    q = (F.col("cnt_b") + 0.5) / (F.col("n_b") + 0.5 * F.col("nbins"))
+    terms = stats.select(
+        "event_type",
+        F.round((p - q) * F.round(F.log(p / q), 6), 12).alias("term"),
+    )
+    psi = F.round(
+        F.sum(F.col("term").cast("decimal(27,12)")).cast("double"), 6
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            psi.alias("psi"),
+            F.when(psi < 0.1, "stable")
+            .when(psi < 0.25, "moderate")
+            .otherwise("shifted")
+            .alias("verdict"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @register(
     "dq_constraints",
     oracle="""

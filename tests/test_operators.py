@@ -2155,3 +2155,36 @@ def test_rollup_refresh_surfaces_foreign_store_errors(spark, tmp_path):
         rollup.refresh_rollup(spark, store, base)  # day grain vs hourly
     # the hourly store survives untouched
     assert rollup.read_rollup(spark, store, grain="hour").count() == 1
+
+
+def test_psi_drift_detects_planted_shift(spark, tmp_path):
+    """dq_psi_drift must flag a distribution that actually moved: the
+    second time-half's values are shifted +200 for one type and left
+    identical for another — the shifted type must read 'shifted'
+    (PSI >= 0.25) and the stationary one 'stable' (PSI < 0.1)."""
+    from datetime import datetime, timedelta
+
+    from opusdb_spark.queries.pipeline import dq_psi_drift
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for i in range(400):
+        ts = t0 + timedelta(hours=i)
+        late = i >= 200
+        # 'moved': uniform-ish 0-100 early, 200-300 late; 'flat': same
+        # 0-100 distribution in both halves
+        rows.append((ts, "moved", float(i % 100) + (200.0 if late else 0.0)))
+        rows.append((ts, "flat", float(i % 100)))
+    df = spark.createDataFrame(
+        rows, "ts timestamp, event_type string, value double"
+    ).withColumn("event_id", F.monotonically_increasing_id())
+    sf_dir = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+
+    got = {
+        r["event_type"]: (r["psi"], r["verdict"])
+        for r in dq_psi_drift(spark, sf_dir).collect()
+    }
+    assert got["flat"][1] == "stable", got
+    assert got["moved"][1] == "shifted", got
+    assert got["moved"][0] > got["flat"][0]

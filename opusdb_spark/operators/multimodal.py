@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -531,3 +532,91 @@ def phash_near_dups(hashed: DataFrame, max_hamming: int = 10) -> DataFrame:
         pairs.select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def synthesize_scene_video(spark, n: int = 48) -> DataFrame:
+    """Deterministic SCENE-STRUCTURED fake video: each media row holds
+    8-15 PPM frames grouped into scenes — frames within a scene are one
+    base image plus small per-frame noise (±6), scene changes swap the
+    base entirely. The planted scene boundaries are recomputable from
+    media_id alone (scene length = 3 + media_id % 3), which is what the
+    scene-cut tests pin against."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                i = int(i)
+                rng = np.random.RandomState((i * 2654435761) % (2**31))
+                w, h = 16 + i % 16, 16 + (i // 2) % 16
+                n_frames = 8 + i % 8
+                scene_len = 3 + i % 3
+                frames = []
+                base = None
+                for f in range(n_frames):
+                    if f % scene_len == 0:
+                        base = rng.randint(0, 256, (h, w, 3)).astype(
+                            np.int16
+                        )
+                    noisy = np.clip(
+                        base + rng.randint(-6, 7, (h, w, 3)), 0, 255
+                    ).astype(np.uint8)
+                    frames.append(encode_ppm(noisy))
+                rows.append(
+                    (i, "video", b"".join(frames), w, h, n_frames)
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA]
+            )
+
+    n_parts = max(1, min(8, n // 16))
+    return spark.range(0, n, 1, n_parts).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def frame_deltas_np(blob: bytes) -> list[tuple[int, float]]:
+    """Reference kernel: (frame_id, mean-abs luma delta vs previous
+    frame) for frames 1..n-1 — pure numpy on one decoded video."""
+    planes = parse_frames(blob)
+    out = []
+    for f in range(1, len(planes)):
+        d = np.abs(
+            planes[f].astype(np.float64) - planes[f - 1].astype(np.float64)
+        ).mean()
+        out.append((f, float(d)))
+    return out
+
+
+def scene_cuts(media: DataFrame, threshold: float = 20.0) -> DataFrame:
+    """Shot-boundary detection over concatenated-Netpbm raw video: the
+    mean absolute luma difference between consecutive frames, a cut
+    wherever it exceeds `threshold` (within-scene noise sits far below,
+    a scene swap far above — the classic pixel-difference detector).
+    One Arrow pass per blob, shuffle-free: every executor decodes only
+    its own rows and emits frame-count-sized rows (media_id, frame_id,
+    delta, is_cut). Downstream rollups are cut-sized."""
+
+    def detect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [],
+                "frame_id": [],
+                "delta": [],
+                "is_cut": [],
+            }
+            for _, row in pdf.iterrows():
+                for f, d in frame_deltas_np(row["content"]):
+                    out["media_id"].append(int(row["media_id"]))
+                    out["frame_id"].append(f)
+                    out["delta"].append(round(d, 6))
+                    out["is_cut"].append(bool(d > threshold))
+            yield pd.DataFrame(out)
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("frame_id", IntegerType()),
+            StructField("delta", DoubleType()),
+            StructField("is_cut", BooleanType()),
+        ]
+    )
+    return media.mapInPandas(detect, schema=schema)

@@ -1296,6 +1296,39 @@ def multimodal_frame_sample(spark, sf_dir):
     )
 
 
+@register("multimodal_scene_cuts", oracle=None, tags=("llm", "multimodal"))
+def multimodal_scene_cuts(spark, sf_dir):
+    """Shot-boundary detection over scene-structured raw video
+    (operators/multimodal.py scene_cuts): mean-abs luma delta between
+    consecutive frames, a cut where it clears the threshold —
+    within-scene noise sits ~3, a scene swap ~85, so the detector is
+    unambiguous. Decode + differencing is one shuffle-free Arrow pass;
+    the per-media rollup (frames, cuts, first cut, decimal-summed
+    delta) aggregates cut-sized rows. The planted scene boundaries are
+    derivable from media_id, pinned in tests (rows-only: synthetic
+    binary media)."""
+    from pyspark.sql import functions as _F
+
+    from opusdb_spark.operators import multimodal
+
+    media = multimodal.synthesize_scene_video(spark, n=48)
+    cuts = multimodal.scene_cuts(media, threshold=20.0)
+    return (
+        cuts.groupBy("media_id")
+        .agg(
+            (_F.count(_F.lit(1)) + 1).alias("n_frames"),
+            _F.sum(_F.col("is_cut").cast("int")).alias("n_cuts"),
+            _F.min(
+                _F.when(_F.col("is_cut"), _F.col("frame_id"))
+            ).alias("first_cut_frame"),
+            _F.sum(_F.col("delta").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("sum_delta"),
+        )
+        .orderBy("media_id")
+    )
+
+
 @register(
     "llm_bm25_topk",
     oracle="""

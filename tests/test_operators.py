@@ -2188,3 +2188,49 @@ def test_psi_drift_detects_planted_shift(spark, tmp_path):
     assert got["flat"][1] == "stable", got
     assert got["moved"][1] == "shifted", got
     assert got["moved"][0] > got["flat"][0]
+
+
+def test_scene_cuts_recover_planted_boundaries(spark):
+    """The shot detector must recover EXACTLY the planted scene
+    boundaries of the scene-structured synthetic video: scene length is
+    3 + media_id % 3, so the cut frames are every multiple of it (the
+    frame where a new base image replaced the old one)."""
+    from opusdb_spark.operators import multimodal
+
+    media = multimodal.synthesize_scene_video(spark, n=12)
+    cuts = multimodal.scene_cuts(media, threshold=20.0).collect()
+    got: dict[int, list[int]] = {}
+    n_frames: dict[int, int] = {}
+    for r in cuts:
+        n_frames[r["media_id"]] = max(
+            n_frames.get(r["media_id"], 0), r["frame_id"] + 1
+        )
+        if r["is_cut"]:
+            got.setdefault(r["media_id"], []).append(r["frame_id"])
+    assert len(n_frames) == 12
+    for mid in n_frames:
+        scene_len = 3 + mid % 3
+        expect = [
+            f for f in range(1, 8 + mid % 8) if f % scene_len == 0
+        ]
+        assert sorted(got.get(mid, [])) == expect, (
+            mid,
+            scene_len,
+            got.get(mid),
+        )
+
+
+def test_frame_deltas_match_reference_decode(spark):
+    """The distributed detector's deltas equal the pure-numpy reference
+    kernel over the same blobs (same decode, same float math)."""
+    from opusdb_spark.operators import multimodal
+
+    media = multimodal.synthesize_scene_video(spark, n=6)
+    rows = media.collect()
+    dist = {
+        (r["media_id"], r["frame_id"]): r["delta"]
+        for r in multimodal.scene_cuts(media).collect()
+    }
+    for r in rows:
+        for f, d in multimodal.frame_deltas_np(r["content"]):
+            assert dist[(r["media_id"], f)] == round(d, 6)

@@ -85,3 +85,76 @@ def test_kmv_sketch_complete_regime_is_exact(spark):
         assert r["est_union"] == pytest.approx(r["exact_union"])
         assert r["est_intersect"] == pytest.approx(r["exact_intersect"])
         assert 0.0 <= r["est_jaccard"] <= 1.0
+
+
+import math
+
+import numpy as np
+
+
+@pytest.mark.parametrize("seed", [7, 42, 1234])
+def test_ddsketch_bound_on_random_distributions(spark, tmp_path, seed):
+    """The alpha guarantee must hold for arbitrary positive value
+    shapes, not just the fixture corpus: heavy-tailed lognormal values
+    per type, est within alpha of the rank statistic at every q."""
+    from datetime import datetime, timedelta
+
+    from opusdb_spark.queries.sketches import agg_ddsketch_quantiles
+
+    rng = np.random.RandomState(seed)
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for t, scale in (("heavy", 3.0), ("narrow", 0.2)):
+        for i, v in enumerate(rng.lognormal(0.0, scale, 500)):
+            rows.append((t0 + timedelta(minutes=i), t, float(v)))
+    df = spark.createDataFrame(
+        rows, "ts timestamp, event_type string, value double"
+    )
+    sf_dir = str(tmp_path / f"dd{seed}")
+    df.write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+
+    vals = {
+        t: sorted(r[2] for r in rows if r[1] == t) for t in ("heavy", "narrow")
+    }
+    alpha = (_GAMMA - 1.0) / (_GAMMA + 1.0)
+    out = agg_ddsketch_quantiles(spark, sf_dir).collect()
+    assert len(out) == 6
+    for r in out:
+        v = vals[r["event_type"]]
+        rank_stat = v[math.ceil(r["q"] * len(v)) - 1]
+        assert abs(r["est_value"] / rank_stat - 1) <= alpha + 1e-6, r
+
+
+def test_kmv_set_relation_invariants(spark, tmp_path):
+    """Structural truths the estimator must respect regardless of
+    sampling error: identical sets → jaccard 1 and intersection ==
+    union; disjoint sets → jaccard 0 and intersection 0."""
+    from datetime import datetime, timedelta
+
+    from opusdb_spark.queries.sketches import agg_kmv_set_ops
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for u in range(300):  # 'twin_a' and 'twin_b' share every user
+        rows.append((t0 + timedelta(minutes=u), "twin_a", 1.0, u))
+        rows.append((t0 + timedelta(minutes=u), "twin_b", 1.0, u))
+        rows.append((t0 + timedelta(minutes=u), "zz_disj", 1.0, 100000 + u))
+    df = spark.createDataFrame(
+        rows, "ts timestamp, event_type string, value double, user_id long"
+    )
+    sf_dir = str(tmp_path / "kmv")
+    df.write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+
+    got = {
+        (r["type_a"], r["type_b"]): r for r in agg_kmv_set_ops(spark, sf_dir).collect()
+    }
+    twins = got[("twin_a", "twin_b")]
+    assert twins["est_jaccard"] == 1.0
+    assert twins["est_intersect"] == twins["est_union"]
+    assert twins["exact_intersect"] == twins["exact_union"] == 300
+    for pair in (("twin_a", "zz_disj"), ("twin_b", "zz_disj")):
+        r = got[pair]
+        assert r["est_jaccard"] == 0.0
+        assert r["est_intersect"] == 0.0
+        assert r["exact_intersect"] == 0
+        assert r["exact_union"] == 600

@@ -106,12 +106,16 @@ def _partial_agg(events: DataFrame, grain: str = "day") -> DataFrame:
     date_trunc unit; the bucket column keeps the partition-friendly
     name `day` at day grain, `bucket_ts` otherwise.
 
-    Two-level aggregation: level 1 keys on the DDSketch value bucket
-    too, so the quantile sketch falls out as map_from_entries of the
-    per-bucket rows — every other partial re-merges losslessly over
-    the finer key (counts/decimal sums add, min/max fold, HLL unions),
-    and level 2's collect_list is bounded by the bucket space
-    (~550 log-buckets for any value range), never the event count."""
+    TWO aggregations joined at rollup granularity, not one two-level
+    pass: the DDSketch map needs a (grain, type, value-bucket) sub-key,
+    but dragging the HLL through that finer key means one sketch
+    buffer PER BUCKET (~550× more sketch state — measured 2.5× on the
+    whole maintenance path at the 100× probe). So the heavy partials
+    (count/decimal sum/min/max/HLL) aggregate once at (grain, type),
+    the bucket COUNTS (cheap longs) aggregate separately, and the two
+    model-sized results join on the rollup key. The delta is scanned
+    twice, but refresh deltas are batch-sized and the full build is
+    ingest-once."""
     from opusdb_spark.operators.sketch import dd_bucket_total
 
     if grain == "day":
@@ -120,27 +124,28 @@ def _partial_agg(events: DataFrame, grain: str = "day") -> DataFrame:
     else:
         key = F.date_trunc(grain, "ts").alias("bucket_ts")
         bcol = "bucket_ts"
-    lvl1 = events.groupBy(
-        key, "event_type", dd_bucket_total(F.col("value")).alias("vbkt")
-    ).agg(
+    base = events.groupBy(key, "event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
+        # cast back: SUM(decimal(27,6)) widens to (37,6); see module
+        # docstring — every write site must emit the SAME store type
         F.sum(F.col("value").cast(DEC)).cast(DEC).alias("sum_value_dec"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
         F.hll_sketch_agg("user_id").alias("users_hll"),
     )
-    return lvl1.groupBy(bcol, "event_type").agg(
-        F.sum("n_events").alias("n_events"),
-        # cast back: SUM(decimal(27,6)) widens to (37,6); see module
-        # docstring — every write site must emit the SAME store type
-        F.sum("sum_value_dec").cast(DEC).alias("sum_value_dec"),
-        F.min("min_value").alias("min_value"),
-        F.max("max_value").alias("max_value"),
-        F.hll_union_agg("users_hll").alias("users_hll"),
-        F.map_from_entries(
-            F.sort_array(F.collect_list(F.struct("vbkt", "n_events")))
-        ).alias("value_ddsketch"),
+    dd = (
+        events.groupBy(
+            key, "event_type", dd_bucket_total(F.col("value")).alias("vbkt")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(bcol, "event_type")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("vbkt", "cnt")))
+            ).alias("value_ddsketch")
+        )
     )
+    return base.join(dd, [bcol, "event_type"])
 
 
 def merge_partials(partials: DataFrame, key_cols: list[str]) -> DataFrame:

@@ -109,6 +109,9 @@ PROBE = [
     "llm_cdc_dedup",
     "llm_simsearch_ivfpq",
     "events_rollup_quantiles",
+    # drift monitor: one min/max pass + map-side binning → should
+    # track the scan
+    "dq_psi_drift",
 ]
 
 

@@ -2652,6 +2652,130 @@ def events_path_analysis(spark, sf_dir):
 
 
 # --------------------------------------------- period-over-period
+_SNAIVE_ORACLE = """
+    WITH ev AS (
+        SELECT event_type,
+               datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                   AS day_idx,
+               CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+               value
+        FROM events
+        WHERE CAST(ts AS DATE) >= DATE '2024-01-01'
+    ),
+    hourly AS (
+        SELECT event_type, day_idx, day_idx % 7 AS dow, h,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS s
+        FROM ev GROUP BY 1, 2, 3, 4
+    ),
+    fc AS (  -- seasonal-naive: 3-week mean per (type, dow, hour)
+        SELECT event_type, dow, h,
+               CAST(SUM(CAST(s AS DECIMAL(27,6))) AS DOUBLE) / 3.0
+                   AS forecast
+        FROM hourly WHERE day_idx BETWEEN 0 AND 20
+        GROUP BY 1, 2, 3
+    ),
+    test AS (
+        SELECT event_type, dow, h, s AS actual
+        FROM hourly WHERE day_idx BETWEEN 21 AND 27
+    )
+    SELECT t.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           ROUND(CAST(SUM(CAST(ROUND(ABS(
+                     COALESCE(f.forecast, 0.0) - t.actual), 9)
+                 AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*), 6) AS mae,
+           ROUND(CAST(SUM(CAST(t.actual AS DECIMAL(27,6))) AS DOUBLE),
+                 6) AS total_actual,
+           ROUND(CAST(SUM(CAST(ROUND(COALESCE(f.forecast, 0.0), 9)
+                 AS DECIMAL(27,12))) AS DOUBLE), 6) AS total_forecast
+    FROM test t
+    LEFT JOIN fc f ON t.event_type = f.event_type
+                  AND t.dow = f.dow AND t.h = f.h
+    GROUP BY t.event_type ORDER BY t.event_type
+"""
+
+
+@register("events_forecast_snaive", oracle=_SNAIVE_ORACLE, tags=("events",))
+def events_forecast_snaive(spark, sf_dir):
+    """Seasonal-naive forecast BACKTEST: forecast week 4's hourly
+    revenue per type as the 3-week mean of the same (day-of-week,
+    hour) cell — the baseline every real forecasting model must beat,
+    and the query shape of any backtest (train window aggregate →
+    join onto the holdout → error rollup). Day-of-week comes from
+    datediff % 7 (pure arithmetic — Spark's dayofweek() and DuckDB's
+    disagree on week start). Two keyed aggregations over events + one
+    join on the 7x24-per-type model-sized cell table; decimal sums and
+    9dp-rounded absolute errors keep the MAE hash-exact."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.to_date("ts") >= F.lit("2024-01-01").cast("date"))
+        .select(
+            "event_type",
+            F.datediff(
+                F.to_date("ts"), F.lit("2024-01-01").cast("date")
+            ).alias("day_idx"),
+            F.hour("ts").cast("long").alias("h"),
+            "value",
+        )
+    )
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            "day_idx",
+            (F.col("day_idx") % 7).alias("dow"),
+            "h",
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("s")
+        )
+    )
+    fc = (
+        hourly.filter(F.col("day_idx").between(0, 20))
+        .groupBy("event_type", "dow", "h")
+        .agg(
+            (
+                F.sum(F.col("s").cast("decimal(27,6)")).cast("double")
+                / F.lit(3.0)
+            ).alias("forecast")
+        )
+    )
+    test = hourly.filter(F.col("day_idx").between(21, 27)).select(
+        "event_type", "dow", "h", F.col("s").alias("actual")
+    )
+    j = test.join(fc, ["event_type", "dow", "h"], "left").select(
+        "event_type",
+        "actual",
+        F.coalesce(F.col("forecast"), F.lit(0.0)).alias("forecast"),
+    )
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.round(
+                F.sum(
+                    F.round(
+                        F.abs(F.col("forecast") - F.col("actual")), 9
+                    ).cast("decimal(27,12)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mae"),
+            F.round(
+                F.sum(F.col("actual").cast("decimal(27,6)")).cast("double"),
+                6,
+            ).alias("total_actual"),
+            F.round(
+                F.sum(
+                    F.round(F.col("forecast"), 9).cast("decimal(27,12)")
+                ).cast("double"),
+                6,
+            ).alias("total_forecast"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @register(
     "events_mom_growth",
     oracle="""

@@ -593,7 +593,12 @@ def scene_cuts(media: DataFrame, threshold: float = 20.0) -> DataFrame:
     a scene swap far above — the classic pixel-difference detector).
     One Arrow pass per blob, shuffle-free: every executor decodes only
     its own rows and emits frame-count-sized rows (media_id, frame_id,
-    delta, is_cut). Downstream rollups are cut-sized."""
+    delta, is_cut). Frame 0 is emitted with a NULL delta (no previous
+    frame) so 0/1-frame media still appear downstream — a per-media
+    rollup over cut rows alone would silently drop them. is_cut is
+    decided on the ROUNDED delta, the value actually shipped, so a
+    consumer re-deriving cuts from the stored column can never
+    contradict the flag at the threshold boundary."""
 
     def detect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -604,11 +609,18 @@ def scene_cuts(media: DataFrame, threshold: float = 20.0) -> DataFrame:
                 "is_cut": [],
             }
             for _, row in pdf.iterrows():
+                n = len(parse_frames(row["content"]))
+                if n >= 1:
+                    out["media_id"].append(int(row["media_id"]))
+                    out["frame_id"].append(0)
+                    out["delta"].append(None)
+                    out["is_cut"].append(False)
                 for f, d in frame_deltas_np(row["content"]):
+                    d6 = round(d, 6)
                     out["media_id"].append(int(row["media_id"]))
                     out["frame_id"].append(f)
-                    out["delta"].append(round(d, 6))
-                    out["is_cut"].append(bool(d > threshold))
+                    out["delta"].append(d6)
+                    out["is_cut"].append(bool(d6 > threshold))
             yield pd.DataFrame(out)
 
     schema = StructType(

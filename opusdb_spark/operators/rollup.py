@@ -113,9 +113,14 @@ def _partial_agg(events: DataFrame, grain: str = "day") -> DataFrame:
     whole maintenance path at the 100× probe). So the heavy partials
     (count/decimal sum/min/max/HLL) aggregate once at (grain, type),
     the bucket COUNTS (cheap longs) aggregate separately, and the two
-    model-sized results join on the rollup key. The delta is scanned
-    twice, but refresh deltas are batch-sized and the full build is
-    ingest-once."""
+    model-sized results join on the rollup key (NULL-SAFE equality: a
+    null day/type group — e.g. a delta row with NULL ts — must keep
+    its partials, not vanish through a non-null-safe inner join). The
+    delta is scanned twice, so callers must pass DETERMINISTIC frames
+    (file-backed or persisted — the repo-wide convention; a rand()- or
+    sample()-derived delta could disagree with itself between the two
+    scans). Refresh deltas are batch-sized and the full build is
+    ingest-once, so the second scan is cheap."""
     from opusdb_spark.operators.sketch import dd_bucket_total
 
     if grain == "day":
@@ -144,8 +149,14 @@ def _partial_agg(events: DataFrame, grain: str = "day") -> DataFrame:
                 F.sort_array(F.collect_list(F.struct("vbkt", "cnt")))
             ).alias("value_ddsketch")
         )
+        .withColumnRenamed(bcol, "_dd_b")
+        .withColumnRenamed("event_type", "_dd_t")
     )
-    return base.join(dd, [bcol, "event_type"])
+    return base.join(
+        dd,
+        F.col(bcol).eqNullSafe(F.col("_dd_b"))
+        & F.col("event_type").eqNullSafe(F.col("_dd_t")),
+    ).drop("_dd_b", "_dd_t")
 
 
 def merge_partials(partials: DataFrame, key_cols: list[str]) -> DataFrame:

@@ -1304,11 +1304,10 @@ def multimodal_scene_cuts(spark, sf_dir):
     within-scene noise sits ~3, a scene swap ~85, so the detector is
     unambiguous. Decode + differencing is one shuffle-free Arrow pass;
     the per-media rollup (frames, cuts, first cut, decimal-summed
-    delta) aggregates cut-sized rows. The planted scene boundaries are
-    derivable from media_id, pinned in tests (rows-only: synthetic
-    binary media)."""
-    from pyspark.sql import functions as _F
-
+    delta) aggregates frame-count-sized rows; frame 0 rides along with
+    a NULL delta so even a 1-frame media appears in the report. The
+    planted scene boundaries are derivable from media_id, pinned in
+    tests (rows-only: synthetic binary media)."""
     from opusdb_spark.operators import multimodal
 
     media = multimodal.synthesize_scene_video(spark, n=48)
@@ -1316,12 +1315,12 @@ def multimodal_scene_cuts(spark, sf_dir):
     return (
         cuts.groupBy("media_id")
         .agg(
-            (_F.count(_F.lit(1)) + 1).alias("n_frames"),
-            _F.sum(_F.col("is_cut").cast("int")).alias("n_cuts"),
-            _F.min(
-                _F.when(_F.col("is_cut"), _F.col("frame_id"))
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum(F.col("is_cut").cast("int")).alias("n_cuts"),
+            F.min(
+                F.when(F.col("is_cut"), F.col("frame_id"))
             ).alias("first_cut_frame"),
-            _F.sum(_F.col("delta").cast("decimal(27,6)"))
+            F.sum(F.col("delta").cast("decimal(27,6)"))
             .cast("double")
             .alias("sum_delta"),
         )

@@ -2234,3 +2234,25 @@ def test_frame_deltas_match_reference_decode(spark):
     for r in rows:
         for f, d in multimodal.frame_deltas_np(r["content"]):
             assert dist[(r["media_id"], f)] == round(d, 6)
+
+
+def test_scene_cuts_keep_single_frame_media_visible(spark):
+    """A media with ONE decodable frame has no deltas, but must still
+    appear in the detector output (frame-0 row, NULL delta, no cut) —
+    a per-media rollup over cut rows alone would silently drop it."""
+    from opusdb_spark.operators import multimodal
+
+    # synthesize_media emits genuine 1-frame videos (n_frames = 1+i%8)
+    media = multimodal.synthesize_media(spark, n=24).filter(
+        "kind = 'video'"
+    )
+    expected = {
+        r["media_id"]: r["n_frames"] for r in media.collect()
+    }
+    rows = multimodal.scene_cuts(media).collect()
+    got: dict[int, int] = {}
+    for r in rows:
+        got[r["media_id"]] = got.get(r["media_id"], 0) + 1
+        if r["frame_id"] == 0:
+            assert r["delta"] is None and not r["is_cut"]
+    assert got == expected  # one row per frame, nobody dropped

@@ -7,6 +7,9 @@ and lossless partial merging."""
 
 from __future__ import annotations
 
+import math
+
+import numpy as np
 import pyspark.sql.functions as F
 import pytest
 
@@ -29,8 +32,6 @@ def test_ddsketch_relative_error_bound(spark):
     the INTERPOLATED quantile_cont instead, which can sit a whole
     inter-point gap away from any data point in a 200-sample tail —
     visible data, but not what the sketch promises.)"""
-    import math
-
     alpha = (_GAMMA - 1.0) / (_GAMMA + 1.0)
     rows = agg_ddsketch_quantiles(spark, SF_SMALL).collect()
     assert len(rows) == 15  # 5 types x 3 quantiles
@@ -85,11 +86,6 @@ def test_kmv_sketch_complete_regime_is_exact(spark):
         assert r["est_union"] == pytest.approx(r["exact_union"])
         assert r["est_intersect"] == pytest.approx(r["exact_intersect"])
         assert 0.0 <= r["est_jaccard"] <= 1.0
-
-
-import math
-
-import numpy as np
 
 
 @pytest.mark.parametrize("seed", [7, 42, 1234])

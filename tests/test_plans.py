@@ -713,6 +713,21 @@ def test_rollup_quantiles_read_store_not_raw_events(spark):
     )
 
 
+def test_kmv_set_ops_reads_sketch_state_not_raw_events(spark):
+    """The KMV set-operation query's scale claim (the r8 weak-item
+    fix) is the ingest/query split: union/intersection/Jaccard for
+    every type pair are served from the ingest-once sketch state
+    (counts + k-row sketches + precomputed exact intersects), with
+    events.parquet nowhere in the read path — the single corpus pass
+    happens at ingest (ensure_written), outside this plan."""
+    df = _Q["agg_kmv_set_ops"].fn(spark, SF)
+    p = plan(df, mode="formatted")
+    assert "kmv_state_" in p, "plan must scan the KMV sketch state"
+    assert "events.parquet" not in p, (
+        "query-time plan must not re-read raw events"
+    )
+
+
 def test_rollup_cascade_reads_hourly_store_only(spark):
     """The cascade (daily from hourly partials) must likewise read only
     the hourly store, and its distinct-user column must come from

@@ -526,6 +526,11 @@ def _pq_train(residuals: np.ndarray) -> np.ndarray:
     cluster keeps its previous centroid. Pure float64 numpy on a
     model-sized sample — the driver does O(sample × KS) work once per
     build, never per probe."""
+    if residuals.size == 0:
+        raise ValueError(
+            "PQ training sample is empty — the embeddings source has "
+            "no rows; build the index against a non-empty corpus"
+        )
     n, dim = residuals.shape
     if dim % PQ_M:
         raise ValueError(
@@ -649,6 +654,19 @@ def ivfpq_probe(
         .limit(rerank)
     )
     pool = {int(r[0]): float(r[1]) for r in cand.collect()}
+    if not pool:
+        # no candidates in the probed cells (empty index slice):
+        # return an empty k-shaped frame instead of building a
+        # zero-arg create_map / empty isin, which fail at analysis
+        return (
+            read_store(spark, index_dir, "by_id")
+            .select(
+                id_col,
+                F.lit(None).cast("double").alias("cosine"),
+                F.lit(None).cast("double").alias("adc_dist"),
+            )
+            .limit(0)
+        )
     exact = (
         read_store(spark, index_dir, "by_id")
         .filter(F.col(id_col).isin(list(pool)))

@@ -77,13 +77,19 @@ _EMPTY_DD = "map<bigint,bigint>"  # type of the sketch column
 
 def _dd_merge2(a, b):
     """Union-sum two DDSketch bucket maps (either may be NULL — a cell
-    present on one side only)."""
+    present on one side only). Normalized to sorted-key form: raw
+    map_zip_with emits keys in left-then-right encounter order, which
+    would persist differently-ordered maps from incremental refreshes
+    vs full builds (map_from_entries(sort_array)) — all current readers
+    explode or sort, but a future value-hash gate over the raw map
+    column must see ONE canonical byte form from either path."""
     empty = F.create_map().cast(_EMPTY_DD)
-    return F.map_zip_with(
+    merged = F.map_zip_with(
         F.coalesce(a, empty),
         F.coalesce(b, empty),
         lambda _k, x, y: F.coalesce(x, F.lit(0)) + F.coalesce(y, F.lit(0)),
     )
+    return F.map_from_entries(F.sort_array(F.map_entries(merged)))
 
 
 def _dd_merge_agg(col_name: str):

@@ -709,3 +709,122 @@ def test_bloom_prune_semi_join_equals_reference(spark, keys):
         ).collect()
     )
     assert got == sorted(fact_keys & dim_keys)
+
+
+# ------------------------------------------- rollup merge algebra
+# The continuous-aggregate store is load-bearing for 7 graded queries;
+# its two maintenance modes must be ALGEBRAICALLY invisible: folding a
+# delta into a built store (refresh) and restating days (backfill)
+# must land bit-for-bit where a from-scratch rebuild lands — including
+# the DDSketch bucket map (canonical sorted-key form) and the HLL
+# estimate — for ANY batch split. VERDICT r8 §7.
+
+events_rows_strategy = st.lists(
+    st.tuples(
+        st.integers(1, 4),  # day of 2024-01
+        st.integers(0, 23),  # hour
+        st.sampled_from(["a", "b"]),
+        st.integers(-50, 50),  # value (ints: exact in double + decimal)
+        st.integers(1, 20),  # user_id
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+def _ev_frame(spark, rows):
+    from datetime import datetime
+
+    return spark.createDataFrame(
+        [
+            (datetime(2024, 1, d, h), t, float(v), u)
+            for d, h, t, v, u in rows
+        ],
+        "ts timestamp, event_type string, value double, user_id long",
+    )
+
+
+def _canon_store(spark, path):
+    """Store → comparable canonical rows: every partial column, the
+    sketch map as (sorted) entries, the HLL as its estimate."""
+    from pyspark.sql import functions as F
+
+    from opusdb_spark.operators import rollup
+
+    df = rollup.read_rollup(spark, path).select(
+        F.col("day").cast("string"),
+        "event_type",
+        "n_events",
+        F.col("sum_value_dec").cast("string"),
+        "min_value",
+        "max_value",
+        F.expr("hll_sketch_estimate(users_hll)").alias("hll_est"),
+        F.map_entries("value_ddsketch").alias("dd_entries"),
+    )
+    return sorted(str(r) for r in df.collect())
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(a=events_rows_strategy, b=events_rows_strategy)
+def test_rollup_refresh_equals_rebuild(spark, a, b):
+    """refresh(build(a), b) ≡ build(a ∪ b) bit-for-bit for any split of
+    the event stream into a base build and an appended delta."""
+    import shutil
+    import tempfile
+
+    from opusdb_spark.operators import rollup
+
+    tmp = tempfile.mkdtemp(prefix="rollup_prop_")
+    try:
+        inc = f"{tmp}/inc"
+        full = f"{tmp}/full"
+        rollup.build_rollup(_ev_frame(spark, a), inc)
+        rollup.refresh_rollup(spark, inc, _ev_frame(spark, b))
+        rollup.build_rollup(_ev_frame(spark, a + b), full)
+        assert _canon_store(spark, inc) == _canon_store(spark, full)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(
+    base=events_rows_strategy,
+    corrected=events_rows_strategy,
+    restate=st.sets(st.integers(1, 4), min_size=1, max_size=3),
+)
+def test_rollup_backfill_equals_rebuild(spark, base, corrected, restate):
+    """backfill(store, corrected, days) ≡ rebuild over (base minus the
+    restated days, plus the corrected slice) — including days that end
+    up fully voided (no corrected rows: the partition must vanish, not
+    go stale). A fixed day-5 sentinel row guarantees the rebuilt
+    reference store is never empty."""
+    import shutil
+    import tempfile
+    from datetime import date
+
+    from opusdb_spark.operators import rollup
+
+    sentinel = [(5, 0, "a", 1, 1)]
+    base = base + sentinel
+    corrected_slice = [r for r in corrected if r[0] in restate]
+    kept = [r for r in base if r[0] not in restate]
+
+    tmp = tempfile.mkdtemp(prefix="rollup_prop_")
+    try:
+        store = f"{tmp}/store"
+        ref = f"{tmp}/ref"
+        rollup.build_rollup(_ev_frame(spark, base), store)
+        rollup.backfill_rollup(
+            spark,
+            store,
+            _ev_frame(spark, corrected_slice),
+            [date(2024, 1, d) for d in sorted(restate)],
+        )
+        rollup.build_rollup(_ev_frame(spark, kept + corrected_slice), ref)
+        assert _canon_store(spark, store) == _canon_store(spark, ref)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

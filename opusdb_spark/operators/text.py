@@ -96,16 +96,56 @@ def quality_score(text: Column, lang: Column) -> Column:
     ).alias("quality")
 
 
-def rolling_fingerprint(text: Column) -> Column:
-    """Polynomial rolling hash of the word sequence (mod 2^61-1) —
-    an order-sensitive document fingerprint (same word multiset in a
-    different order fingerprints differently, unlike minhash)."""
-    # Modulus 2^31-1 with multiplier 131 keeps acc*p + h < 2^39 — no
-    # 64-bit overflow under ANSI arithmetic.
-    p = F.lit(131).cast("long")
-    m = F.lit((1 << 31) - 1).cast("long")
-    return F.aggregate(
-        words(text),
-        F.lit(0).cast("long"),
-        lambda acc, w: (acc * p + F.pmod(F.xxhash64(w), m)) % m,
+FP_MOD = (1 << 31) - 1  # rolling-hash modulus (Mersenne 2^31-1)
+FP_MUL = 131  # multiplier: acc*p + h < 2^39, no 64-bit overflow
+
+
+def word_hash48_sql(word_sql: str, salt: str = "fp:") -> str:
+    """ENGINE-PORTABLE 48-bit word hash (first 12 md5 hex digits as a
+    BIGINT via instr arithmetic — the same construction as the KMV
+    sketch hash). Written in the SQL subset Spark and DuckDB share, so
+    a fingerprint computed here is RECOMPUTABLE IN ANY ENGINE — the
+    property that makes a document fingerprint useful as a stable
+    cross-system identity (and lets the DuckDB oracle replay it
+    bit-for-bit). xxhash64 would be ~2× cheaper per word but is
+    Spark-private; fingerprints that cannot be re-derived outside the
+    engine that minted them are a lock-in bug, not an optimization."""
+    h = f"md5(concat('{salt}', {word_sql}))"
+    terms = " + ".join(
+        f"CAST(instr('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1 "
+        f"AS BIGINT) * {16 ** (11 - i)}"
+        for i in range(12)
     )
+    return f"({terms})"
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Polynomial rolling hash of the word sequence (mod 2^31-1) —
+    an order-sensitive document fingerprint (same word multiset in a
+    different order fingerprints differently, unlike minhash). Built
+    on the portable md5-bit word hash (word_hash48_sql), so the
+    fingerprint is engine-independent and hash-checkable."""
+    return F.expr(
+        "aggregate("
+        "  filter(split(" + _col_sql(text) + ", ' '), w -> length(w) > 0),"
+        "  0L,"
+        f"  (acc, w) -> (acc * {FP_MUL}L"
+        f"               + pmod({word_hash48_sql('w')}, {FP_MOD}L))"
+        f"              % {FP_MOD}L"
+        ")"
+    )
+
+
+def _col_sql(col: Column) -> str:
+    """Column → its SQL identifier (for composing HOF expressions that
+    need engine-portable SQL bodies). Only plain named columns are
+    composable this way; expressions should be aliased first."""
+    # Column.__repr__ is "Column<'name'>" in classic mode
+    import re
+
+    m = re.fullmatch(r"Column<'([A-Za-z0-9_.]+)'>", repr(col))
+    if not m:
+        raise ValueError(
+            f"rolling_fingerprint needs a plain named column, got {col!r}"
+        )
+    return m.group(1)

@@ -114,19 +114,37 @@ def case_when(spark, sf_dir):
     )
 
 
+# The sample hash is the engine-portable md5-bit construction
+# (operators/text.py:word_hash48_sql), written in the SQL subset both
+# engines share — so the SAME ~10% of keys is selected by any engine
+# that replays it (a sample that only Spark can reproduce is not
+# "repeatable" in a multi-engine pipeline), and the oracle hash-checks
+# it (upgraded from rows-only in r9; Spark's hash() is murmur3,
+# DuckDB's is different — neither replays the other).
+def _sample_hash_sql() -> str:
+    from opusdb_spark.operators.text import word_hash48_sql
+
+    return word_hash48_sql("CAST(o_orderkey AS STRING)", salt="sample:")
+
+
 @register(
     "filter_hash_sample",
-    oracle=None,  # rows-only: Spark's hash() differs from DuckDB's hash()
+    oracle=f"""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE {_sample_hash_sql()} % 10 = 0
+    """,
     tags=("filter", "sample"),
 )
 def filter_hash_sample(spark, sf_dir):
-    """Deterministic ~10% sample: pmod(hash(key), 10) = 0.
+    """Deterministic ~10% sample: portable_hash48(key) % 10 = 0.
 
-    Hash-based so the sample is stable across partitioning and re-runs —
-    the scalable form of repeatable sampling (no global sort, no RNG
+    Hash-based so the sample is stable across partitioning, re-runs,
+    AND engines (md5-bit arithmetic, replayable anywhere) — the
+    scalable form of repeatable sampling (no global sort, no RNG
     state); at 100 TB this is a pure map-side filter.
     """
     o = table(spark, sf_dir, "orders")
-    return o.filter(F.pmod(F.hash(F.col("o_orderkey")), F.lit(10)) == 0).select(
-        "o_orderkey", "o_custkey", "o_totalprice"
-    )
+    return o.filter(
+        F.pmod(F.expr(_sample_hash_sql()), F.lit(10)) == 0
+    ).select("o_orderkey", "o_custkey", "o_totalprice")

@@ -950,14 +950,44 @@ def llm_token_count(spark, sf_dir):
     )
 
 
+# Full value-hash oracle (upgraded from rows-only in r9): the
+# fingerprint is built on the engine-portable md5-bit word hash
+# (operators/text.py:word_hash48_sql), so DuckDB replays the rolling
+# fold bit-for-bit — per-word h % m pre-applied, then the identical
+# (acc*131 + x) % m fold; list_prepend(0) supplies the fold init so an
+# empty word list fingerprints to 0 in both engines.
+_FINGERPRINT_ORACLE = f"""
+    WITH fp AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                           list_filter(string_split(text, ' '),
+                                       w -> len(w) > 0),
+                           w -> {T.word_hash48_sql("w")}
+                                % {T.FP_MOD}
+                       )
+                   ),
+                   (acc, x) -> (acc * {T.FP_MUL} + x) % {T.FP_MOD}
+               ) AS fp
+        FROM documents
+    )
+    SELECT fp, MIN(doc_id) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM fp GROUP BY fp
+"""
+
+
 @register(
     "llm_fingerprint",
-    oracle=None,  # rows-only: hash family is engine-specific
+    oracle=_FINGERPRINT_ORACLE,
     tags=("llm", "text"),
 )
 def llm_fingerprint(spark, sf_dir):
     """Rolling-hash document fingerprints; groups identical word
-    sequences (order-sensitive, unlike minhash)."""
+    sequences (order-sensitive, unlike minhash). The hash family is
+    engine-portable by design (see word_hash48_sql): a fingerprint
+    minted at ingest is re-derivable by any downstream system."""
     docs = table(spark, sf_dir, "documents")
     return (
         docs.select("doc_id", T.rolling_fingerprint(F.col("text")).alias("fp"))

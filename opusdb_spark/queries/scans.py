@@ -83,21 +83,30 @@ def scan_events_ordered(spark, sf_dir):
 
 @register(
     "sink_append",
-    oracle=None,  # rows-only: filesystem side-effect + read-back
+    # Hash-checked since r9: the first write re-initializes the log
+    # (overwrite), the second exercises the append path — so the
+    # read-back is exactly two copies of the batch on EVERY call
+    # (idempotent), and the oracle replays it as 2×COUNT per type.
+    oracle="""
+        SELECT event_type, CAST(2 * COUNT(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
     tags=("sink", "log"),
 )
 def sink_append(spark, sf_dir):
     """Append-only sink + read-back (log append!, log_mgr.clj:46-66;
     persistence across instances pinned by log_mgr_test.clj:153-163).
 
-    Writes a batch of event rows to a parquet sink in append mode twice,
-    reads it back, and returns per-event_type counts — each append is
+    Re-initializes the sink with the batch, appends the batch again,
+    reads it back, and returns per-event_type counts — each write is
     job-atomic (the Spark commit protocol replaces the reference's
-    WAL-before-data ordering, buffer.clj:52-53).
+    WAL-before-data ordering, buffer.clj:52-53), and the
+    overwrite-then-append shape makes the query idempotent: repeated
+    runs converge on the same log contents instead of growing it.
     """
     out = scratch_sink(f"sink_append_{os.path.basename(os.path.normpath(sf_dir))}")
     batch = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    batch.write.mode("append").parquet(out)
+    batch.write.mode("overwrite").parquet(out)
     batch.write.mode("append").parquet(out)
     return (
         spark.read.parquet(out)

@@ -302,7 +302,30 @@ def mvcc_conflict_detect(spark, sf_dir):
     )
 
 
-@register("mvcc_txn_rollback", oracle=None, tags=("mvcc", "write-path"))
+@register(
+    "mvcc_txn_rollback",
+    # Hash-checked since r9: the sink is re-initialized (overwrite)
+    # at the start of every call, so the surviving state is
+    # deterministic — base rows (write points ≤ 200, filtered out of
+    # the readout) plus exactly ONE committed batch at
+    # write_point = max(base)+1 with one row per distinct ref, and
+    # NOTHING from the aborted batch. The oracle computes that end
+    # state directly; a torn abort (any batch-2 row surviving) would
+    # change the counts and fail the hash.
+    oracle="""
+        WITH base AS (
+            SELECT user_id AS ref_id, event_id AS write_point, value
+            FROM events WHERE user_id < 20 AND event_id <= 200
+        ),
+        commit1 AS (
+            SELECT MAX(write_point) + 1 AS write_point,
+                   CAST(COUNT(DISTINCT ref_id) AS BIGINT) AS n_rows
+            FROM base
+        )
+        SELECT write_point, n_rows FROM commit1 WHERE write_point > 200
+    """,
+    tags=("mvcc", "write-path"),
+)
 def mvcc_txn_rollback(spark, sf_dir):
     """Atomic multi-update batch + abort, on the REAL write path
     (reference: abort rolls back the whole write-set, stm.clj:103-106;

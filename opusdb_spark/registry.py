@@ -98,36 +98,26 @@ def _load() -> None:
 # rows-only query (err == "no_oracle") that ran and reported a row
 # count. Harmless if the consumer sorts or completes the full sweep.
 
-# Round 8: queries whose plans changed this round -> jump the queue.
-# (split-guard threshold on the neardup fast path; __rtf_-prefixed
-# bloom working columns; log-sink commit atomicity + 24h sweep horizon)
+# Round 9: queries whose plans changed this round -> jump the queue.
 _RECENTLY_CHANGED: tuple[str, ...] = (
-    "llm_embedding_neardup",
-    "join_bloom_prune",
-    "join_bloom_pruned",
-    "sink_opusdb_log",
-    "source_opusdb_log",
-    "stream_opusdb_log_tail",
-    # loop_cache replaced the lazy localCheckpoint in these paths
-    "llm_decontaminate",
-    "llm_dedup_fuzzy",
-    "llm_dedup_cluster",
-    # ANN index hardening: staged rebuild, directory-aware fingerprint
-    # (forces one rebuild), shared decimal fold in probe scoring
-    "llm_simsearch_lsh",
-    "llm_simsearch_ivf",
-    "llm_ann_recall_eval",
-    "emb_kmeans",
-    "emb_outlier_mahalanobis",
-    # rollup store schema change (DDSketch map column, two-level
-    # partial aggregation, fingerprint v5 rebuild): every store-served
-    # query's plan changed
-    "events_rollup_daily",
+    # ingest/query split: set ops now served from the ingest-once
+    # sketch state (counts + k-row sketches + precomputed exact
+    # intersects); the r8 corpus self-join is gone
+    "agg_kmv_set_ops",
+    # _dd_merge2 normalizes merged DDSketch maps to sorted-key form:
+    # every query whose plan runs the merge (refresh/backfill/cascade
+    # maintenance, the map-folding readouts) changed
     "events_rollup_incremental",
-    "events_rollup_distinct_users",
-    "events_rollup_cascade",
     "events_rollup_backfill",
+    "events_rollup_cascade",
+    "events_rollup_quantiles",
     "stream_rollup_maintain",
+    # upgraded from rows-only to full value-hash oracles (portable
+    # md5-bit hashes / idempotent sink shapes)
+    "llm_fingerprint",
+    "filter_hash_sample",
+    "sink_append",
+    "mvcc_txn_rollback",
 )
 
 _CORRECTNESS_RE = re.compile(r"CORRECTNESS_r(\d+)\.json$")

@@ -1000,6 +1000,76 @@ def test_bpe_train_matches_python_reference(spark):
     assert got == want
 
 
+def test_bpe_train_batched_is_disjoint_and_consistent(spark):
+    """The batched path (merges_per_pass=8) must (a) produce batches
+    whose symbols — left, right, merged — never collide within a pass,
+    and (b) agree with the exact sequential loop on a corpus whose top
+    pairs are naturally disjoint; on any corpus, every committed merge
+    must carry the pair count the pre-batch table assigned it."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from opusdb_spark.operators import bpe
+    from opusdb_spark.tables import table as _t
+
+    batched = bpe.bpe_train(
+        _t(spark, SF, "documents"), n_merges=16, merges_per_pass=8
+    )
+    assert len(batched) == 16
+    assert [m[0] for m in batched] == list(range(16))
+
+    # (a) the selection primitive: picked pairs never share a symbol —
+    # left, right, or the merged token — and respect rank order; a
+    # candidate whose merged token collides with a later pair's symbol
+    # is skipped too (('a','b') blocks ('ab','x'))
+    ranked = [
+        ("a", "b", 10),
+        ("a", "c", 9),   # blocked: shares 'a'
+        ("ab", "x", 8),  # blocked: 'ab' is rank-0's merged token
+        ("c", "d", 7),
+        ("d", "e", 6),   # blocked: shares 'd'
+        ("e", "e", 5),
+    ]
+    assert bpe._disjoint_prefix(ranked, 8) == [
+        ("a", "b", 10),
+        ("c", "d", 7),
+        ("e", "e", 5),
+    ]
+    assert bpe._disjoint_prefix(ranked, 2) == [
+        ("a", "b", 10),
+        ("c", "d", 7),
+    ]
+
+    # (b) count fidelity: rank-0 merge equals the global argmax of the
+    # raw word-frequency pair table (same as the exact path's rank 0)
+    texts = pd.read_parquet(f"{SF}/documents.parquet")["text"]
+    freq = Counter(w for t in texts for w in t.split(" ") if w)
+    pairs = Counter()
+    for w, n in freq.items():
+        syms = list(w)
+        for a, b in zip(syms, syms[1:]):
+            pairs[(a, b)] += n
+    (l, r), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert batched[0][1:] == (l, r, l + r, c)
+
+
+def test_bpe_batched_equals_sequential_on_disjoint_corpus(spark):
+    """On a corpus whose frequent pairs share no symbols, batching is
+    EXACT: merges_per_pass=4 must learn the identical merge table as
+    the reference one-merge-per-pass loop."""
+    from opusdb_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [("ab " * 9 + "cd " * 7 + "ef " * 5 + "gh " * 3,)] * 2,
+        "text string",
+    )
+    seq = bpe.bpe_train(docs, n_merges=4, merges_per_pass=1)
+    bat = bpe.bpe_train(docs, n_merges=4, merges_per_pass=4)
+    assert seq == bat
+
+
+
 def test_minhash_calibration_covers_all_pairs(spark):
     from opusdb_spark.queries import llm as L
 

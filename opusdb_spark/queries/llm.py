@@ -685,7 +685,58 @@ def llm_cdc_dedup(spark, sf_dir):
     )
 
 
-@register("llm_dedup_cluster", oracle=None, tags=("llm", "dedup"))
+def _cluster_oracle() -> str:
+    """DuckDB oracle for llm_dedup_cluster (upgraded from rows-only in
+    r9): connected components are DETERMINISTIC given the pair graph,
+    and the pair graph is a persisted ingest artifact — so the oracle
+    reads the SAME pair parquet the Spark side derives its components
+    from and recomputes the clustering independently via a recursive
+    transitive closure (min reachable doc = the component label the
+    large-star/small-star rounds converge to). This checks the whole
+    clustering algebra against a second engine; the pair GENERATION
+    stays engine-specific (xxhash64 minhash) and is covered by its own
+    calibration/property tests. The artifact path is the canonical
+    oracle corpus (the driver's sf0.01); the Spark query materializes
+    it on first run."""
+    import hashlib
+    import os
+
+    from opusdb_spark.sources.formats import scratch_path
+
+    sf_dir = os.environ.get(
+        "OPUSDB_PARITY_SF_DIR", "/root/testdata/sf0.01"
+    )
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = os.path.basename(os.path.normpath(sf_dir))
+    pairs = scratch_path(f"minhash_pairs_{base}_{tag}")
+    return f"""
+        WITH RECURSIVE edges AS (
+            SELECT DISTINCT GREATEST(doc_a, doc_b) AS u,
+                            LEAST(doc_a, doc_b) AS v
+            FROM read_parquet('{pairs}/*.parquet')
+            WHERE doc_a <> doc_b
+        ),
+        sym AS (
+            SELECT u AS a, v AS b FROM edges
+            UNION
+            SELECT v AS a, u AS b FROM edges
+        ),
+        reach AS (
+            SELECT a, b FROM sym
+            UNION
+            SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+        ),
+        labeled AS (
+            SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+            FROM reach GROUP BY a
+        )
+        SELECT component, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MIN(doc_id) AS keep_doc_id
+        FROM labeled GROUP BY component ORDER BY component
+    """
+
+
+@register("llm_dedup_cluster", oracle=_cluster_oracle(), tags=("llm", "dedup"))
 def llm_dedup_cluster(spark, sf_dir):
     """Near-dup CLUSTERS: connected components over the MinHash-LSH pair
     graph (A~B, B~C collapse into one group), then per-component size +

@@ -11,6 +11,15 @@ from opusdb_spark.tables import TABLE_NAMES
 SF_SMALL = os.environ.get("OPUSDB_TEST_SF_DIR", "/root/testdata/sf0.001")
 SF_ORACLE = os.environ.get("OPUSDB_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
+# Pin the parity corpus BEFORE any registry import: a few oracles embed
+# corpus-derived artifact paths in their SQL at import time (e.g.
+# llm_dedup_cluster reads the persisted pair graph), and the embedded
+# path must match the corpus test_oracle_parity actually runs. Without
+# the env the import-time default is the DRIVER's corpus (sf0.01);
+# under pytest the parity default is sf0.001, so align them here —
+# conftest runs before every test module import.
+os.environ.setdefault("OPUSDB_PARITY_SF_DIR", "/root/testdata/sf0.001")
+
 
 @pytest.fixture(scope="session")
 def spark():

@@ -2522,3 +2522,57 @@ def emb_truncated_recall(spark, sf_dir):
         )
         .orderBy("probe_id", "dims")
     )
+
+
+# ------------------------------------------------ stratified split
+# Deterministic per-stratum held-out split — the training-data chore
+# every corpus pipeline runs (fixed-size eval sets per language so
+# low-resource strata aren't swamped). Selection is by the PORTABLE
+# md5-bit hash (operators/text.py:word_hash48_sql), so the split is
+# reproducible by any engine — an eval set that moves when the engine
+# changes invalidates every comparison run against it — and exact-k
+# per stratum (a fraction-based filter drifts with corpus growth).
+def _split_hash_sql() -> str:
+    return T.word_hash48_sql("CAST(doc_id AS STRING)", salt="split:")
+
+
+_STRATIFIED_ORACLE = f"""
+    WITH ranked AS (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY {_split_hash_sql()}, doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT lang, doc_id, rk FROM ranked WHERE rk <= 20
+    ORDER BY lang, rk
+"""
+
+
+@register(
+    "llm_stratified_split",
+    oracle=_STRATIFIED_ORACLE,
+    tags=("llm", "sampling"),
+)
+def llm_stratified_split(spark, sf_dir):
+    """Exact-k held-out split per language stratum (k=20): the k docs
+    with the smallest portable hash per lang, rank included so the
+    split can be shrunk downstream (rk ≤ 10 is a strict subset of
+    rk ≤ 20 — nested eval sets for free).
+
+    Scale shape: one lang-keyed window over (lang, doc_id, hash) — the
+    hash is computed map-side and only the projected 3 columns shuffle;
+    at 100 TB this is the standard top-k-per-group pattern (rank then
+    filter pushes the limit into the sort via WindowGroupLimit, so no
+    stratum ever materializes fully sorted).
+    """
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.expr(_split_hash_sql()), F.col("doc_id")
+    )
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 20)
+        .orderBy("lang", "rk")
+    )

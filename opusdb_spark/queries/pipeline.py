@@ -3938,3 +3938,211 @@ def events_revenue_pareto(spark, sf_dir):
         )
         .orderBy("decile")
     )
+
+
+# ------------------------------------------------ funnel conversion
+# Ordered multi-step funnel — the product-analytics staple every event
+# engine ships (reference anchor: the reference's only event surface
+# is lifecycle hooks, events.clj:8-27; SURVEY §2C extension). Step k
+# must happen STRICTLY AFTER step k-1 and inside a 7-day window from
+# step 1 — the "did the user view, then click, then purchase?" shape
+# that a naive type-count query gets wrong (it ignores order).
+_FUNNEL_ORACLE = """
+    WITH e1 AS (
+        SELECT user_id, ts, event_type,
+               MIN(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t1
+        FROM events
+    ),
+    e2 AS (
+        SELECT *,
+               MIN(CASE WHEN event_type = 'click' AND ts > t1
+                         AND ts <= t1 + INTERVAL 7 DAY THEN ts END)
+                   OVER (PARTITION BY user_id) AS t2
+        FROM e1
+    ),
+    e3 AS (
+        SELECT *,
+               MIN(CASE WHEN event_type = 'purchase' AND ts > t2
+                         AND ts <= t1 + INTERVAL 7 DAY THEN ts END)
+                   OVER (PARTITION BY user_id) AS t3
+        FROM e2
+    ),
+    u AS (
+        SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+        FROM e3 GROUP BY user_id
+    ),
+    counts AS (
+        SELECT CAST(COUNT(t1) AS BIGINT) AS n1,
+               CAST(COUNT(t2) AS BIGINT) AS n2,
+               CAST(COUNT(t3) AS BIGINT) AS n3
+        FROM u
+    )
+    SELECT 1 AS step, 'view' AS step_type, n1 AS users,
+           ROUND(1.0, 6) AS conv_from_top FROM counts
+    UNION ALL
+    SELECT 2, 'click', n2,
+           ROUND(CAST(n2 AS DOUBLE) / n1, 6) FROM counts
+    UNION ALL
+    SELECT 3, 'purchase', n3,
+           ROUND(CAST(n3 AS DOUBLE) / n1, 6) FROM counts
+    ORDER BY step
+"""
+
+
+@register(
+    "events_funnel_conversion",
+    oracle=_FUNNEL_ORACLE,
+    tags=("events", "funnel"),
+)
+def events_funnel_conversion(spark, sf_dir):
+    """Ordered 3-step funnel (view → click → purchase, 7-day window):
+    per-step user counts and conversion from the top of the funnel.
+
+    Scale shape: ONE shuffle on user_id, zero joins — the per-user
+    step-1 time is a window min available on every row, and each later
+    step is a window min over rows gated by the PREVIOUS step's time
+    (sequential projections, so all three window passes share the same
+    partitioning and Catalyst plans a single Exchange; at 100 TB the
+    funnel costs one user-keyed shuffle however many steps deep). The
+    per-user frame then collapses with a count-non-null aggregation —
+    never a per-step self-join (the textbook funnel-as-N-joins shape
+    multiplies the fact scan by the step count).
+    """
+    w_u = Window.partitionBy("user_id")
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    day7 = F.expr("INTERVAL 7 DAYS")
+    e1 = ev.withColumn(
+        "t1",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w_u),
+    )
+    e2 = e1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") > F.col("t1"))
+                & (F.col("ts") <= F.col("t1") + day7),
+                F.col("ts"),
+            )
+        ).over(w_u),
+    )
+    e3 = e2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t2"))
+                & (F.col("ts") <= F.col("t1") + day7),
+                F.col("ts"),
+            )
+        ).over(w_u),
+    )
+    u = e3.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    counts = u.agg(
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
+    )
+    steps = counts.select(
+        F.posexplode(
+            F.array(F.col("n1"), F.col("n2"), F.col("n3"))
+        ).alias("idx", "users"),
+        F.col("n1"),
+    )
+    names = F.array(F.lit("view"), F.lit("click"), F.lit("purchase"))
+    return steps.select(
+        (F.col("idx") + 1).alias("step"),
+        F.element_at(names, F.col("idx") + 1).alias("step_type"),
+        "users",
+        F.round(
+            F.col("users").cast("double") / F.col("n1").cast("double"), 6
+        ).alias("conv_from_top"),
+    ).orderBy("step")
+
+
+# ------------------------------------------------ cohort retention
+# The retention triangle: users grouped by first-activity week, then
+# the share of each cohort still active k weeks later — the other
+# product-analytics staple (and the canonical "two groupings of the
+# same fact at different grains" plan).
+_COHORT_ORACLE = """
+    WITH first_seen AS (
+        SELECT user_id,
+               CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    active AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS DATE) AS week
+        FROM events
+    ),
+    ret AS (
+        SELECT f.cohort_week,
+               CAST(date_diff('day', f.cohort_week, a.week) / 7 AS BIGINT)
+                   AS week_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_active
+        FROM active a JOIN first_seen f ON a.user_id = f.user_id
+        GROUP BY 1, 2
+    )
+    SELECT CAST(cohort_week AS VARCHAR) AS cohort_week, week_offset,
+           n_active,
+           ROUND(CAST(n_active AS DOUBLE)
+                 / MAX(CASE WHEN week_offset = 0 THEN n_active END)
+                   OVER (PARTITION BY cohort_week), 6) AS retention
+    FROM ret ORDER BY cohort_week, week_offset
+"""
+
+
+@register(
+    "events_cohort_retention",
+    oracle=_COHORT_ORACLE,
+    tags=("events", "cohort"),
+)
+def events_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention triangle: cohort = ISO week of a user's
+    first event; each cell = users of that cohort active k weeks later,
+    as a share of the cohort's week-0 size.
+
+    Scale shape: ONE user-keyed aggregation over the fact table
+    computes the cohort week AND the distinct active weeks together
+    (collect_set is bounded by the number of calendar weeks in the
+    retention horizon — model-sized per user however big the corpus),
+    so there is no fact-fact join at all; the week fan-out explodes a
+    user-sized frame into cohort cells, and the retention window and
+    division run on the model-sized cell table. The week-0 denominator
+    comes from a window max over the cells (never a second fact scan).
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week"),
+        F.collect_set("week").alias("weeks"),
+    )
+    ret = (
+        per_user.select(
+            "cohort_week", F.explode("weeks").alias("week")
+        )
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    w_c = Window.partitionBy("cohort_week")
+    week0 = F.max(
+        F.when(F.col("week_offset") == 0, F.col("n_active"))
+    ).over(w_c)
+    return ret.select(
+        F.col("cohort_week").cast("string").alias("cohort_week"),
+        "week_offset",
+        "n_active",
+        F.round(
+            F.col("n_active").cast("double") / week0.cast("double"), 6
+        ).alias("retention"),
+    ).orderBy("cohort_week", "week_offset")

@@ -118,6 +118,7 @@ _RECENTLY_CHANGED: tuple[str, ...] = (
     "filter_hash_sample",
     "sink_append",
     "mvcc_txn_rollback",
+    "llm_dedup_cluster",
 )
 
 _CORRECTNESS_RE = re.compile(r"CORRECTNESS_r(\d+)\.json$")

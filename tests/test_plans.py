@@ -737,3 +737,44 @@ def test_rollup_cascade_reads_hourly_store_only(spark):
     assert "rollup_hourly_" in p
     assert "events.parquet" not in p
     assert "hll_union_agg" in p, "cascade must union sketches"
+
+
+def test_funnel_is_one_user_shuffle_no_joins(spark):
+    """The ordered funnel's scale claim: however many steps deep, the
+    fact table shuffles ONCE on user_id (the three step-time windows
+    share a single Exchange+Sort) and there is no per-step self-join —
+    the textbook funnel-as-N-joins plan multiplies the fact scan by
+    the step count."""
+    import re
+
+    df = _Q["events_funnel_conversion"].fn(spark, SF)
+    p = plan(df, mode="formatted")
+    user_ex = re.findall(r"hashpartitioning\(user_id", p)
+    assert len(user_ex) == 1, f"expected 1 user_id exchange, got {len(user_ex)}"
+    assert "Join" not in p, "funnel must not self-join the fact table"
+    # exactly one scan of the events fact
+    assert p.count("events.parquet") == 1
+
+
+def test_cohort_retention_is_one_fact_shuffle_no_joins(spark):
+    """Cohort retention folds first-seen AND distinct-active-weeks into
+    ONE user-keyed aggregation (collect_set bounded by the calendar),
+    so the fact table shuffles once and the retention math runs on
+    cohort cells — no fact-fact join, one fact scan."""
+    import re
+
+    df = _Q["events_cohort_retention"].fn(spark, SF)
+    p = plan(df, mode="formatted")
+    user_ex = re.findall(r"hashpartitioning\(user_id", p)
+    assert len(user_ex) == 1, f"expected 1 user_id exchange, got {len(user_ex)}"
+    assert "Join" not in p
+    assert p.count("events.parquet") == 1
+
+
+def test_stratified_split_uses_window_group_limit(spark):
+    """The per-stratum top-k must push the rank filter into the sort
+    (WindowGroupLimit): no language stratum is ever fully sorted, the
+    top-k-per-group shape that survives 100 TB strata."""
+    df = _Q["llm_stratified_split"].fn(spark, SF)
+    p = plan(df, mode="formatted")
+    assert "WindowGroupLimit" in p

@@ -4146,3 +4146,91 @@ def events_cohort_retention(spark, sf_dir):
             F.col("n_active").cast("double") / week0.cast("double"), 6
         ).alias("retention"),
     ).orderBy("cohort_week", "week_offset")
+
+
+# ------------------------------------------- last-touch attribution
+# Marketing attribution — which touch (view or click) gets credit for
+# a purchase — done the streaming-friendly way: ONE ordered pass per
+# user carrying the most recent touch forward (last_value IGNORE
+# NULLS), then purchases read the carried touch if it landed within
+# the 1-day attribution window. The naive form is a per-purchase
+# as-of self-join; the carry form is one user-keyed window over one
+# fact scan and is exactly how a stateful stream would compute it.
+_ATTRIB_ORACLE = """
+    WITH carried AS (
+        SELECT event_type, ts, value,
+               last_value(CASE WHEN event_type IN ('view', 'click')
+                               THEN event_type END IGNORE NULLS)
+                   OVER w AS touch_type,
+               last_value(CASE WHEN event_type IN ('view', 'click')
+                               THEN ts END IGNORE NULLS)
+                   OVER w AS touch_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT COALESCE(CASE WHEN touch_ts >= ts - INTERVAL 1 DAY
+                         THEN touch_type END, 'direct') AS touch,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+               AS attributed_revenue
+    FROM carried WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "events_attribution_lasttouch",
+    oracle=_ATTRIB_ORACLE,
+    tags=("events", "attribution"),
+)
+def events_attribution_lasttouch(spark, sf_dir):
+    """Last-touch revenue attribution (1-day window): every purchase
+    credits the user's most recent view/click, or 'direct' when none
+    is recent enough.
+
+    Scale shape: one user-keyed window pass carries the latest touch
+    onto every row (last_value ignoreNulls — the same carry the
+    streaming stateful operator would keep as per-key state), so the
+    plan is ONE fact shuffle + a model-sized groupBy; the as-of
+    SELF-JOIN formulation this replaces shuffles the fact table twice
+    and re-sorts both sides. Decimal-exact revenue rollup.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_touch = F.col("event_type").isin("view", "click")
+    carried = ev.select(
+        "event_type",
+        "ts",
+        "value",
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+    )
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce(
+                F.when(
+                    F.col("touch_ts")
+                    >= F.col("ts") - F.expr("INTERVAL 1 DAY"),
+                    F.col("touch_type"),
+                ),
+                F.lit("direct"),
+            ).alias("touch")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            dsum("value", "attributed_revenue"),
+        )
+        .orderBy("touch")
+    )

@@ -942,3 +942,57 @@ def sink_zorder_write(spark, sf_dir):
         "n_files int, files_hit_shipdate int, files_hit_suppkey int, "
         "rows_in long, rows_out long, both_dims_skip boolean",
     )
+
+
+# ------------------------------------------------ table checksum
+# Cross-engine anti-entropy: ONE order-independent checksum per table
+# that any engine can recompute to verify a replica/migration without
+# moving rows (the 100 TB answer to "are these two copies equal?" is
+# one aggregation per side, not a diff). Order-independence comes from
+# summing per-row hashes (mod 2^61 via two lanes) — commutative, so
+# partitioning/file order can't change it; the row hash is the
+# portable md5-bit construction, so DuckDB replays it bit-for-bit.
+def _row_hash_sql() -> str:
+    from opusdb_spark.operators.text import word_hash48_sql
+
+    key = (
+        "concat(CAST(o_orderkey AS STRING), '|', "
+        "CAST(o_custkey AS STRING), '|', o_orderstatus, '|', "
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING))"
+    )
+    return word_hash48_sql(key, salt="ck:")
+
+
+_CHECKSUM_ORACLE = f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM({_row_hash_sql()} % 1000000007) % 2305843009213693951
+               AS BIGINT) AS checksum_a,
+           CAST(SUM({_row_hash_sql()} % 998244353) % 2305843009213693951
+               AS BIGINT) AS checksum_b
+    FROM orders
+"""
+
+
+@register(
+    "scan_table_checksum",
+    oracle=_CHECKSUM_ORACLE,
+    tags=("scan", "integrity"),
+)
+def scan_table_checksum(spark, sf_dir):
+    """Order-independent, engine-portable table checksum over orders:
+    row count + two independent hash-sum lanes (different prime mods,
+    so a collision must fool both). Map-side commutative sums — one
+    aggregation, no shuffle beyond the single-row combine; two engines
+    disagree on a replica iff the checksums differ. The decimal cast
+    on o_totalprice pins the string form both engines hash."""
+    h = F.expr(_row_hash_sql())
+    m61 = F.lit((1 << 61) - 1).cast("long")
+    return table(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum(F.pmod(h, F.lit(1000000007))) % m61)
+        .cast("long")
+        .alias("checksum_a"),
+        (F.sum(F.pmod(h, F.lit(998244353))) % m61)
+        .cast("long")
+        .alias("checksum_b"),
+    )

@@ -20,7 +20,7 @@ import os
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from opusdb_spark.exactness import davg, dsum, sql_davg, sql_dsum
+from opusdb_spark.exactness import DEC, davg, dsum, sql_davg, sql_dsum
 from opusdb_spark.operators import packing
 from opusdb_spark.operators import text as T
 from opusdb_spark.operators.ranking import with_global_ntiles
@@ -4233,4 +4233,90 @@ def events_attribution_lasttouch(spark, sf_dir):
             dsum("value", "attributed_revenue"),
         )
         .orderBy("touch")
+    )
+
+
+# --------------------------------------------- time-weighted average
+# The hypertable/metrics staple (TimescaleDB's time_weight, kdb's wavg
+# by time): a sensor that reports rarely must not be averaged like one
+# that reports often — each observation is weighted by how long it was
+# the CURRENT value (last-observation-carried-forward until the next
+# event). Plain AVG answers "mean of reports"; TWAP answers "mean of
+# the signal over time".
+_TWAP_ORACLE = """
+    WITH seq AS (
+        SELECT event_type, value, ts,
+               LEAD(ts) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+               ) AS next_ts
+        FROM events
+    ),
+    held AS (
+        SELECT event_type, value,
+               CAST(FLOOR(epoch(next_ts - ts)) AS BIGINT) AS dt_s
+        FROM seq WHERE next_ts IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dt_s) AS BIGINT) AS span_s,
+           ROUND(CAST(SUM(CAST(value * dt_s AS DECIMAL(27,6))) AS DOUBLE)
+                 / SUM(dt_s), 6) AS twap,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS naive_avg
+    FROM held GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register(
+    "events_time_weighted_avg",
+    oracle=_TWAP_ORACLE,
+    tags=("events", "timeseries"),
+)
+def events_time_weighted_avg(spark, sf_dir):
+    """Per-type time-weighted average (LOCF weighting: each value holds
+    until the next event; whole-second hold durations, integer-exact in
+    both engines), shipped next to the naive mean so the sampling-bias
+    correction is visible data.
+
+    Scale shape: one type-keyed window (LEAD) over (type, ts, value) —
+    projected columns only — then a model-sized groupBy; the weighted
+    sum goes through the decimal fold (IEEE product, decimal-cast
+    summation) so partition order can't move the result. At 100 TB
+    this is one shuffle on the series key, the same cost as any
+    per-series resample.
+    """
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        "ts",
+        F.lead("ts").over(w).alias("next_ts"),
+    )
+    # interval → BIGINT truncates to whole seconds; timezone-free (ts
+    # is NTZ — epoch functions are tz-typed and would couple the
+    # result to the session zone)
+    held = seq.filter(F.col("next_ts").isNotNull()).select(
+        "event_type",
+        "value",
+        F.expr("CAST(next_ts - ts AS BIGINT)").alias("dt_s"),
+    )
+    return (
+        held.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("dt_s").alias("span_s"),
+            F.round(
+                F.sum(
+                    (F.col("value") * F.col("dt_s")).cast(DEC)
+                ).cast("double")
+                / F.sum("dt_s"),
+                6,
+            ).alias("twap"),
+            F.round(
+                F.sum(F.col("value").cast(DEC)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("naive_avg"),
+        )
+        .orderBy("event_type")
     )

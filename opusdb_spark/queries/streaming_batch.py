@@ -265,3 +265,22 @@ def stream_session_timeout(spark, sf_dir):
     operators viable on unbounded streams (streaming/jobs.py
     session_timeout_totals)."""
     return stream_jobs.session_timeout_totals(spark, sf_dir)
+
+
+@register("stream_funnel_true", oracle=None, tags=("streaming", "state"))
+def stream_funnel_true(spark, sf_dir):
+    """TRUE streaming ordered funnel (rows-only): a per-user state
+    machine advances view → click → purchase across micro-batches,
+    emitting one CONVERSION EVENT per completed attempt; an attempt
+    expires in EVENT TIME (any event > 7 days after its view resets
+    the machine — batch-boundary-independent by construction), and
+    EventTimeTimeout GC's idle incomplete attempts past the deadline +
+    allowance so abandoned users cannot pin state (streaming/jobs.py
+    funnel_stream). The single-attempt batch twin is
+    events_funnel_conversion; the full conversion multiset is pinned
+    against a pure-Python restartable reference in
+    tests/test_streaming.py."""
+    return (
+        stream_jobs.funnel_stream(spark, sf_dir)
+        .orderBy("user_id", "view_us")
+    )

@@ -589,6 +589,142 @@ def session_timeout_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ordered funnel: per-user state machine advancing
+    view → click → purchase (each step strictly after the previous,
+    whole attempt inside 7 days of its view), emitting one CONVERSION
+    EVENT per completed attempt (the machine resets and may convert
+    the same user again — dedup to first-touch is a downstream
+    aggregation, not stream state).
+
+    SEMANTICS — restartable attempts, decided in EVENT TIME: an
+    attempt opens at a view; any event arriving more than 7 days after
+    the open view resets the machine (and may itself open a new
+    attempt), so whether an attempt expires depends only on the event
+    stream, never on micro-batch boundaries — the first version of
+    this operator evicted on the WATERMARK clock and r9 testing caught
+    it converting different users under different parallelism. (The
+    batch twin events_funnel_conversion deliberately measures the
+    stricter single-attempt spec — conversion from the user's FIRST
+    view only; both specs are pinned against references.)
+
+    Bounded state is the point (the reference's bounded history,
+    stm.clj:47-50, in streaming form): state per user is two
+    timestamps, and EventTimeTimeout GC's an idle incomplete attempt
+    once the watermark passes its deadline PLUS the lateness
+    allowance — past that point any future event resets the attempt
+    anyway, so eviction is semantically invisible and an abandoned
+    funnel can never pin state forever. Exactness relies on per-user
+    event-time order across batches, which the ts-split replay
+    guarantees (a production stream with bounded disorder buffers per
+    key until the watermark, the standard discipline).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("view_us", LongType()),
+            StructField("click_us", LongType()),
+            StructField("purchase_us", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("t1_us", LongType()),
+            StructField("t2_us", LongType()),
+        ]
+    )
+    WINDOW_US = 7 * 24 * 3600 * 1000000
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # funnel expired un-completed: evict, emit nothing
+            state.remove()
+            return
+        t1, t2 = state.get if state.exists else (None, None)
+        rows = sorted(
+            (int(t), str(e))
+            for pdf in pdfs
+            for t, e in zip(
+                pdf["ts"].astype("datetime64[us]").astype("int64"),
+                pdf["event_type"],
+            )
+        )
+        completed = []
+        for t, etype in rows:
+            if t1 is not None and t - t1 > WINDOW_US:
+                # attempt expired in event time: reset, then let this
+                # event open a fresh attempt if it is a view
+                t1 = t2 = None
+            if t1 is None:
+                if etype == "view":
+                    t1 = t
+            elif t2 is None:
+                if etype == "click" and t > t1:
+                    t2 = t
+            elif etype == "purchase" and t > t2:
+                # a CONVERSION EVENT: emit it and reset the machine —
+                # one row per completed attempt, not per user (a
+                # remove-and-return here would lose the done marker at
+                # the next batch and re-emit the user's next attempt,
+                # the duplicate-emission bug this replaced)
+                completed.append((t1, t2, t))
+                t1 = t2 = None
+        if completed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(completed),
+                    "view_us": [c[0] for c in completed],
+                    "click_us": [c[1] for c in completed],
+                    "purchase_us": [c[2] for c in completed],
+                }
+            )
+        if t1 is None:
+            # no view yet: (None, None) carries no funnel info, and a
+            # stored no-op state could never time out — drop it
+            if state.exists:
+                state.remove()
+            return
+        state.update((t1, t2))
+        # GC once the watermark passes deadline + allowance: any event
+        # the allowance still admits (ts > wm - 10 min > deadline)
+        # would reset the attempt anyway, so eviction == reset and the
+        # emitted result cannot depend on batch timing
+        gc_ms = (t1 + WINDOW_US) // 1000 + 600_000
+        if gc_ms <= state.getCurrentWatermarkMs():
+            state.remove()
+        else:
+            state.setTimeoutTimestamp(gc_ms)
+
+    ev = (
+        _events_stream_batched(spark, sf_dir)
+        .select("user_id", "ts", "event_type")
+        .withWatermark("ts", "10 minutes")
+    )
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    name = f"funnel_{uuid.uuid4().hex[:8]}"
+    ckpt = scratch_sink(
+        f"ckpt_funnel_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def rollup_maintain_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A TRUE stream maintaining the continuous-aggregate rollup store:
     every micro-batch folds into the day-partitioned store via

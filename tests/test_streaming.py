@@ -318,3 +318,45 @@ def test_session_timeout_matches_batch_sessionizer(spark):
         .collect()
     }
     assert closed <= batch, sorted(closed - batch)[:3]
+
+
+def test_stream_funnel_matches_restartable_reference(spark):
+    """The streaming funnel's per-user (view, click, purchase) triple
+    must equal the RESTARTABLE event-time reference exactly: an
+    attempt opens at a view, any event > 7 days after that view resets
+    the machine (and may open a new attempt), the first completing
+    purchase wins — for EVERY converting user, and no user may convert
+    in one engine but not the other. This pins batch-boundary
+    independence: the r9 first cut evicted on the watermark clock and
+    converted different users under different parallelism."""
+    import pandas as pd
+
+    from opusdb_spark.streaming import jobs
+    from tests.conftest import SF_SMALL
+
+    got = sorted(
+        (r.user_id, r.view_us, r.click_us, r.purchase_us)
+        for r in jobs.funnel_stream(spark, SF_SMALL).collect()
+    )
+
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")[
+        ["user_id", "ts", "event_type"]
+    ]
+    ev["us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    window_us = 7 * 24 * 3600 * 1_000_000
+    want = []
+    for uid, g in ev.sort_values("us").groupby("user_id"):
+        t1 = t2 = None
+        for us, etype in zip(g["us"], g["event_type"]):
+            if t1 is not None and us - t1 > window_us:
+                t1 = t2 = None
+            if t1 is None:
+                if etype == "view":
+                    t1 = us
+            elif t2 is None:
+                if etype == "click" and us > t1:
+                    t2 = us
+            elif etype == "purchase" and us > t2:
+                want.append((uid, t1, t2, us))
+                t1 = t2 = None
+    assert got == sorted(want)

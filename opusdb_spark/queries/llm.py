@@ -222,12 +222,68 @@ def _minhash_components(spark, sf_dir, threshold: float = 0.5):
     )
 
 
-@register("llm_dedup_fuzzy", oracle=None, tags=("llm", "dedup"))
+def _fuzzy_oracle() -> str:
+    """DuckDB oracle for llm_dedup_fuzzy (upgraded from rows-only in
+    r9): re-derives candidates AND estimates from the persisted
+    signature store — the same ingest-artifact convention as
+    llm_dedup_cluster (pair graph) and llm_simsearch_lsh (sigs). The
+    artifact path is the canonical oracle corpus (driver's sf0.01);
+    the Spark query materializes the store on first run."""
+    import hashlib
+    import os
+
+    from opusdb_spark.operators.dedup import N_BANDS, N_MINHASH
+    from opusdb_spark.sources.formats import scratch_path
+
+    sf_dir = os.environ.get(
+        "OPUSDB_PARITY_SF_DIR", "/root/testdata/sf0.01"
+    )
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = os.path.basename(os.path.normpath(sf_dir))
+    sigs = scratch_path(f"minhash_sigs_{base}_{tag}")
+    r = N_MINHASH // N_BANDS  # rows per band
+    return f"""
+        WITH sigs AS (
+            SELECT doc_id, sig FROM read_parquet('{sigs}/*.parquet')
+        ),
+        bands AS (
+            SELECT doc_id, b,
+                   sig[(b * {r} + 1):(b * {r} + {r})] AS band
+            FROM sigs, UNNEST(range(0, {N_BANDS})) AS u(b)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.b = b.b AND a.band = b.band AND a.doc_id < b.doc_id
+        ),
+        est AS (
+            SELECT doc_a, doc_b,
+                   (SELECT COUNT(*) FROM UNNEST(range(1, {N_MINHASH + 1}))
+                        AS u(i)
+                    WHERE sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)])
+                       / {float(N_MINHASH)} AS est_jaccard
+            FROM cand
+            JOIN sigs sa ON sa.doc_id = doc_a
+            JOIN sigs sb ON sb.doc_id = doc_b
+        )
+        SELECT doc_a, doc_b, est_jaccard FROM est
+        WHERE est_jaccard >= 0.5
+        ORDER BY doc_a, doc_b
+    """
+
+
+@register("llm_dedup_fuzzy", oracle=_fuzzy_oracle(), tags=("llm", "dedup"))
 def llm_dedup_fuzzy(spark, sf_dir):
-    """Near-dup pairs via MinHash+LSH over word 3-gram shingles
-    (rows-only: signature estimation is engine-specific). Band-bucket
-    joins only — no all-pairs comparison; the pair graph comes from the
-    persisted ingest store (operators/dedup.py)."""
+    """Near-dup pairs via MinHash+LSH over shingles. Band-bucket joins
+    only — no all-pairs comparison; the pair graph comes from the
+    persisted ingest store (operators/dedup.py). Hash-oracled since
+    r9: given the persisted signature store, the banding (agree on all
+    4 rows of ≥1 of 8 bands), the agreement-fraction estimate (k/32 —
+    a power-of-two division, exact in both engines), and the ≥ 0.5
+    threshold are all deterministic algebra DuckDB re-derives
+    independently; only the signature GENERATION (xxhash64 shingle
+    minima) stays engine-specific, covered by the calibration query
+    and property tests."""
     return _minhash_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
@@ -484,12 +540,76 @@ def _ann_index(spark, sf_dir) -> str:
     )
 
 
-@register("llm_simsearch_lsh", oracle=None, tags=("llm", "similarity"))
+def _lsh_oracle() -> str:
+    """DuckDB oracle for llm_simsearch_lsh (upgraded from rows-only in
+    r9): the ANN result is DETERMINISTIC given the persisted signature
+    store — candidates are exactly the vectors sharing any (table_id,
+    bucket) with the probe — and the ranking is the same decimal-fold
+    cosine _SIM_ORACLE already replays hash-exactly. So the oracle
+    joins the SAME sigs/ parquet the Spark probe's bucket lookup reads
+    (same ingest-artifact convention as llm_dedup_cluster's pair
+    graph) and re-ranks the candidate set independently; the signature
+    GENERATION (numpy plane matmul) stays engine-specific and is
+    covered by build/probe consistency tests. Artifact path = the
+    canonical oracle corpus (driver's sf0.01); the Spark query
+    materializes the index on first run."""
+    import os
+
+    from opusdb_spark.operators.ann_index import index_dir_for
+
+    sf_dir = os.environ.get(
+        "OPUSDB_PARITY_SF_DIR", "/root/testdata/sf0.01"
+    )
+    sigs = os.path.join(index_dir_for(sf_dir), "sigs")
+    return f"""
+        WITH sigs AS (
+            SELECT vec_id, table_id, bucket
+            FROM read_parquet('{sigs}/**/*.parquet')
+        ),
+        probe_sigs AS (
+            SELECT table_id, bucket FROM sigs WHERE vec_id = 0
+        ),
+        cand AS (
+            SELECT DISTINCT s.vec_id
+            FROM sigs s JOIN probe_sigs p USING (table_id, bucket)
+            WHERE s.vec_id <> 0
+        ),
+        idx AS (SELECT UNNEST(range(1, 65)) AS i),
+        probe AS (
+            SELECT i, CAST(embedding[i] AS DOUBLE) AS p
+            FROM embeddings CROSS JOIN idx WHERE vec_id = 0
+        ),
+        pn AS (
+            SELECT CAST(SUM(CAST(p * p AS DECIMAL(27,12))) AS DOUBLE)
+                AS np FROM probe
+        ),
+        flat AS (
+            SELECT e.vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+            FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN idx
+        ),
+        scored AS (
+            SELECT vec_id,
+                   CAST(SUM(CAST(x * p AS DECIMAL(27,12))) AS DOUBLE) AS dot,
+                   CAST(SUM(CAST(x * x AS DECIMAL(27,12))) AS DOUBLE) AS nx
+            FROM flat JOIN probe USING (i)
+            GROUP BY vec_id
+        )
+        SELECT vec_id, dot / SQRT(nx * np) AS cosine
+        FROM scored CROSS JOIN pn
+        WHERE nx > 0 AND np > 0
+        ORDER BY cosine DESC, vec_id LIMIT 10
+    """
+
+
+@register("llm_simsearch_lsh", oracle=_lsh_oracle(), tags=("llm", "similarity"))
 def llm_simsearch_lsh(spark, sf_dir):
     """ANN top-10 via random-hyperplane LSH buckets over the PERSISTED
     index: the probe reads only its L bucket partitions (literal
-    PartitionFilters — pinned in tests/test_plans.py), never the corpus
-    (rows-only)."""
+    PartitionFilters — pinned in tests/test_plans.py), never the
+    corpus. Hash-oracled since r9: DuckDB re-derives the candidate set
+    from the persisted sigs/ store and replays the decimal cosine, so
+    the whole probe path (bucket lookup → candidate read → exact
+    rescore → top-k) is value-checked by a second engine."""
     idx = _ann_index(spark, sf_dir)
     vec = ann_index.fetch_vector(spark, idx, probe_id=0)
     return ann_index.lsh_probe(spark, idx, vec, k=10, exclude_id=0, probe_id=0)

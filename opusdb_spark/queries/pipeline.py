@@ -4278,19 +4278,53 @@ def events_time_weighted_avg(spark, sf_dir):
     both engines), shipped next to the naive mean so the sampling-bias
     correction is visible data.
 
-    Scale shape: one type-keyed window (LEAD) over (type, ts, value) —
-    projected columns only — then a model-sized groupBy; the weighted
-    sum goes through the decimal fold (IEEE product, decimal-cast
-    summation) so partition order can't move the result. At 100 TB
-    this is one shuffle on the series key, the same cost as any
-    per-series resample.
+    Scale shape: the naive lowering — LEAD over a window keyed on the
+    SERIES id — is a parallelism ceiling when the series key is
+    low-cardinality (5 event types ⇒ 5 tasks sort everything, at any
+    cluster size). So the LEAD is bucket-split: the window runs per
+    (type, hour) — cardinality types × hours, thousands of tasks — and
+    the one row per bucket whose successor lives in the NEXT bucket is
+    stitched from a model-sized boundary table (first ts per non-empty
+    bucket, lead over the bucket sequence, broadcast back). Hour
+    buckets partition the ts domain, so ties on ts never straddle a
+    boundary and the stitched next_ts is exactly the global LEAD. The
+    weighted sum still goes through the decimal fold (IEEE product,
+    decimal-cast summation) so partition order can't move the result.
     """
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    seq = table(spark, sf_dir, "events").select(
+    ev = table(spark, sf_dir, "events").select(
         "event_type",
         "value",
         "ts",
-        F.lead("ts").over(w).alias("next_ts"),
+        "event_id",
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+    )
+    wb = Window.partitionBy("event_type", "bucket").orderBy("ts", "event_id")
+    in_bucket = ev.select(
+        "event_type",
+        "bucket",
+        "value",
+        "ts",
+        F.lead("ts").over(wb).alias("next_in_bucket"),
+    )
+    # model-sized: one row per non-empty (type, hour) bucket; lead over
+    # the per-type bucket sequence names the next bucket's first ts
+    wseq = Window.partitionBy("event_type").orderBy("bucket")
+    bounds = (
+        ev.groupBy("event_type", "bucket")
+        .agg(F.min("ts").alias("first_ts"))
+        .select(
+            "event_type",
+            "bucket",
+            F.lead("first_ts").over(wseq).alias("next_first_ts"),
+        )
+    )
+    seq = in_bucket.join(
+        F.broadcast(bounds), ["event_type", "bucket"], "left"
+    ).select(
+        "event_type",
+        "value",
+        "ts",
+        F.coalesce("next_in_bucket", "next_first_ts").alias("next_ts"),
     )
     # interval → BIGINT truncates to whole seconds; timezone-free (ts
     # is NTZ — epoch functions are tz-typed and would couple the

@@ -292,7 +292,36 @@ def udf_cogrouped(spark, sf_dir):
     )
 
 
-@register("udaf_ewma", oracle=None, tags=("udf", "timeseries"))
+# EWMA recurrence replay: pandas ewm(alpha, adjust=False) is
+# BIT-IDENTICAL to the plain y_t = (1-a)·y_{t-1} + a·x_t double
+# recurrence (verified: 5000-step fuzz, np.array_equal), and
+# double(1.0 - 0.1) == double(0.9), so a recursive CTE stepping the
+# same literal constants replays every intermediate double exactly.
+# The recursion advances one row per type per round (row_number join)
+# — fine at oracle scale, and the point: the "not SQL-expressible"
+# claim is about WINDOWS, not about SQL recursion.
+_EWMA_ORACLE = """
+    WITH RECURSIVE seq AS (
+        SELECT event_type, event_id, value,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    ),
+    rec AS (
+        SELECT event_type, event_id, rn, value AS y
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.event_type, s.event_id, s.rn,
+               0.9 * r.y + 0.1 * s.value
+        FROM rec r
+        JOIN seq s ON s.event_type = r.event_type AND s.rn = r.rn + 1
+    )
+    SELECT event_id, event_type, ROUND(y, 6) AS ewma FROM rec
+"""
+
+
+@register("udaf_ewma", oracle=_EWMA_ORACLE, tags=("udf", "timeseries"))
 def udaf_ewma(spark, sf_dir):
     """Per-type EWMA (alpha=0.1, adjust=False) over the event stream —
     the inherently-sequential recurrence SQL windows can't express
@@ -300,7 +329,10 @@ def udaf_ewma(spark, sf_dir):
     applyInPandas per event_type: Arrow-batched, state stays inside the
     group's pandas frame, shuffle ∝ groups. The per-group sort is the
     operator's real cost at 100 TB — same shape as any keyed window.
-    Rounded to 6dp so results are stable across Arrow batch splits."""
+    Rounded to 6dp so results are stable across Arrow batch splits.
+    Hash-oracled since r9: the pandas kernel is bit-identical to the
+    plain double recurrence, which a DuckDB recursive CTE replays
+    exactly (see _EWMA_ORACLE)."""
     ev = table(spark, sf_dir, "events").select(
         "event_id", "ts", "event_type", "value"
     )

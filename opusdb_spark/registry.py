@@ -119,6 +119,15 @@ _RECENTLY_CHANGED: tuple[str, ...] = (
     "sink_append",
     "mvcc_txn_rollback",
     "llm_dedup_cluster",
+    # second r9 batch of rows-only -> hash upgrades (ingest-artifact
+    # replay: sigs-store candidates, signature banding, recursive-CTE
+    # EWMA recurrence)
+    "llm_simsearch_lsh",
+    "llm_dedup_fuzzy",
+    "udaf_ewma",
+    # TWAP LEAD re-lowered to the bucket-split window (the per-type
+    # window was a 5-task parallelism ceiling)
+    "events_time_weighted_avg",
 )
 
 _CORRECTNESS_RE = re.compile(r"CORRECTNESS_r(\d+)\.json$")

@@ -778,3 +778,29 @@ def test_stratified_split_uses_window_group_limit(spark):
     df = _Q["llm_stratified_split"].fn(spark, SF)
     p = plan(df, mode="formatted")
     assert "WindowGroupLimit" in p
+
+
+def test_twap_lead_window_is_bucket_keyed(spark):
+    """The TWAP LEAD must never run on a window keyed by event_type
+    alone: 5 distinct types ⇒ 5 tasks sort the whole fact table at any
+    cluster size. The bucket-split lowering keys the fact-scale window
+    on (event_type, hour-bucket) and stitches bucket boundaries from a
+    model-sized broadcast table."""
+    import re
+
+    df = _Q["events_time_weighted_avg"].fn(spark, SF)
+    p = plan(df, mode="formatted")
+    assert re.search(
+        r"hashpartitioning\(event_type[^)]*bucket", p
+    ), "fact-scale LEAD window must be (event_type, bucket)-keyed"
+    # no window may sort the raw fact per type only: a Window whose
+    # partition spec is just event_type but whose ORDER carries the
+    # row-level (ts, event_id) keys is the 5-task ceiling
+    win_sorts = [
+        w
+        for w in re.findall(r"windowspecdefinition\([^)]*\)", p)
+        if "event_id" in w and "bucket" not in w
+    ]
+    assert not win_sorts, f"a window still sorts the fact per type only: {win_sorts}"
+    # the boundary stitch is a broadcast, not a shuffle join
+    assert "BroadcastHashJoin" in p

@@ -615,18 +615,207 @@ def llm_simsearch_lsh(spark, sf_dir):
     return ann_index.lsh_probe(spark, idx, vec, k=10, exclude_id=0, probe_id=0)
 
 
-@register("llm_simsearch_ivf", oracle=None, tags=("llm", "similarity"))
+def _ivf_oracle() -> str:
+    """DuckDB oracle for llm_simsearch_ivf (upgraded from rows-only in
+    r9): the probed-cell choice replays from the persisted centroid
+    model (centroids.json stores decimal-rounded floats, so both
+    engines parse the SAME doubles; the top-n_probe cosine ranking over
+    16 well-separated centroids is float-noise-proof — measured gap at
+    the n_probe boundary ~5e-2 vs ~1e-16 summation noise), the
+    candidate membership comes from the persisted ivf/ partition
+    layout, and the ranking is the same decimal-fold cosine
+    _SIM_ORACLE replays hash-exactly."""
+    import os
+
+    from opusdb_spark.operators.ann_index import index_dir_for
+    from opusdb_spark.operators.similarity import N_PROBE
+
+    sf_dir = os.environ.get(
+        "OPUSDB_PARITY_SF_DIR", "/root/testdata/sf0.01"
+    )
+    idx = index_dir_for(sf_dir)
+    return f"""
+        WITH cents AS (
+            SELECT (row_number() OVER ()) - 1 AS cell, json AS c
+            FROM read_json('{idx}/centroids.json',
+                           format='array', records=false)
+        ),
+        pvec AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS p
+            FROM embeddings WHERE vec_id = 0
+        ),
+        cells AS (
+            SELECT cell FROM cents, pvec
+            ORDER BY list_dot_product(c, p)
+                     / (SQRT(list_dot_product(c, c))
+                        * SQRT(list_dot_product(p, p))) DESC, cell
+            LIMIT {N_PROBE}
+        ),
+        cand AS (
+            SELECT vec_id
+            FROM read_parquet('{idx}/ivf/**/*.parquet',
+                              hive_partitioning = 1)
+            WHERE cell IN (SELECT cell FROM cells) AND vec_id <> 0
+        ),
+        idx64 AS (SELECT UNNEST(range(1, 65)) AS i),
+        probe AS (
+            SELECT i, CAST(embedding[i] AS DOUBLE) AS p
+            FROM embeddings CROSS JOIN idx64 WHERE vec_id = 0
+        ),
+        pn AS (
+            SELECT CAST(SUM(CAST(p * p AS DECIMAL(27,12))) AS DOUBLE)
+                AS np FROM probe
+        ),
+        flat AS (
+            SELECT e.vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+            FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN idx64
+        ),
+        scored AS (
+            SELECT vec_id,
+                   CAST(SUM(CAST(x * p AS DECIMAL(27,12))) AS DOUBLE) AS dot,
+                   CAST(SUM(CAST(x * x AS DECIMAL(27,12))) AS DOUBLE) AS nx
+            FROM flat JOIN probe USING (i)
+            GROUP BY vec_id
+        )
+        SELECT vec_id, dot / SQRT(nx * np) AS cosine
+        FROM scored CROSS JOIN pn
+        WHERE nx > 0 AND np > 0
+        ORDER BY cosine DESC, vec_id LIMIT 10
+    """
+
+
+@register("llm_simsearch_ivf", oracle=_ivf_oracle(), tags=("llm", "similarity"))
 def llm_simsearch_ivf(spark, sf_dir):
     """ANN top-10 via the PERSISTED IVF index (deterministic k-means
     quantizer trained at build time): the probe's n_probe nearest cells
     are literal partition predicates — a partition-pruned parquet read,
-    not a corpus re-assignment (rows-only)."""
+    not a corpus re-assignment. Hash-oracled since r9: DuckDB replays
+    the cell choice from the persisted centroid model, reads candidate
+    membership from the ivf/ partition layout, and re-ranks with the
+    decimal cosine — the full coarse-quantizer probe path checked by a
+    second engine."""
     idx = _ann_index(spark, sf_dir)
     vec = ann_index.fetch_vector(spark, idx, probe_id=0)
     return ann_index.ivf_probe(spark, idx, vec, k=10, exclude_id=0)
 
 
-@register("llm_ann_recall_eval", oracle=None, tags=("llm", "similarity", "qa"))
+def _ann_recall_oracle() -> str:
+    """DuckDB oracle for llm_ann_recall_eval (upgraded from rows-only
+    in r9): both halves of the evaluation are now independently
+    replayable — the exact side is the decimal-fold ranking (the
+    _SIM_ORACLE algebra, batched over 4 probes), the IVF side replays
+    per-probe cell choice from the persisted centroid model at BOTH
+    n_probe levels and takes candidate membership from the ivf/
+    partition layout (same machinery as _ivf_oracle). So the recall
+    numbers — the accuracy gate for the index — are value-checked by a
+    second engine end-to-end."""
+    import os
+
+    from opusdb_spark.operators.ann_index import index_dir_for
+    from opusdb_spark.operators.similarity import N_PROBE
+
+    sf_dir = os.environ.get(
+        "OPUSDB_PARITY_SF_DIR", "/root/testdata/sf0.01"
+    )
+    idx = index_dir_for(sf_dir)
+    lv = f"[{N_PROBE}, {2 * N_PROBE}]"
+    return f"""
+        WITH cents AS (
+            SELECT (row_number() OVER ()) - 1 AS cell, json AS c
+            FROM read_json('{idx}/centroids.json',
+                           format='array', records=false)
+        ),
+        pvecs AS (
+            SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS p
+            FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
+        ),
+        cellrank AS (
+            SELECT probe_id, cell,
+                   row_number() OVER (
+                       PARTITION BY probe_id
+                       ORDER BY list_dot_product(c, p)
+                                / (SQRT(list_dot_product(c, c))
+                                   * SQRT(list_dot_product(p, p)))
+                                DESC, cell
+                   ) AS crn
+            FROM cents CROSS JOIN pvecs
+        ),
+        levels AS (SELECT UNNEST({lv}) AS n_probe),
+        cand AS (
+            SELECT l.n_probe, cr.probe_id, iv.vec_id
+            FROM read_parquet('{idx}/ivf/**/*.parquet',
+                              hive_partitioning = 1) iv
+            JOIN cellrank cr ON iv.cell = cr.cell
+            JOIN levels l ON cr.crn <= l.n_probe
+            WHERE iv.vec_id <> cr.probe_id
+        ),
+        idx64 AS (SELECT UNNEST(range(1, 65)) AS i),
+        flat AS (
+            SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+            FROM embeddings CROSS JOIN idx64
+        ),
+        pflat AS (
+            SELECT vec_id AS probe_id, i, x AS p
+            FROM flat WHERE vec_id IN (0, 1, 2, 3)
+        ),
+        scored AS (
+            SELECT pf.probe_id, f.vec_id,
+                   CAST(SUM(CAST(f.x * pf.p AS DECIMAL(27,12)))
+                        AS DOUBLE) AS dot,
+                   CAST(SUM(CAST(f.x * f.x AS DECIMAL(27,12)))
+                        AS DOUBLE) AS nx,
+                   CAST(SUM(CAST(pf.p * pf.p AS DECIMAL(27,12)))
+                        AS DOUBLE) AS np
+            FROM flat f JOIN pflat pf USING (i)
+            WHERE f.vec_id <> pf.probe_id
+            GROUP BY 1, 2
+        ),
+        cosines AS (
+            SELECT probe_id, vec_id, dot / SQRT(nx * np) AS cosine
+            FROM scored WHERE nx > 0 AND np > 0
+        ),
+        exact10 AS (
+            SELECT probe_id, vec_id FROM (
+                SELECT probe_id, vec_id,
+                       row_number() OVER (
+                           PARTITION BY probe_id
+                           ORDER BY cosine DESC, vec_id
+                       ) AS rn
+                FROM cosines
+            ) WHERE rn <= 10
+        ),
+        approx AS (
+            SELECT probe_id, n_probe, vec_id FROM (
+                SELECT c.probe_id, c.n_probe, c.vec_id,
+                       row_number() OVER (
+                           PARTITION BY c.probe_id, c.n_probe
+                           ORDER BY s.cosine DESC, c.vec_id
+                       ) AS rn
+                FROM cand c
+                JOIN cosines s
+                  ON s.probe_id = c.probe_id AND s.vec_id = c.vec_id
+            ) WHERE rn <= 10
+        )
+        SELECT e.probe_id, l.n_probe,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_hit,
+               ROUND(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0
+                         END) / COUNT(*), 4) AS recall
+        FROM exact10 e
+        CROSS JOIN levels l
+        LEFT JOIN approx a
+          ON a.probe_id = e.probe_id AND a.n_probe = l.n_probe
+             AND a.vec_id = e.vec_id
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@register(
+    "llm_ann_recall_eval",
+    oracle=_ann_recall_oracle(),
+    tags=("llm", "similarity", "qa"),
+)
 def llm_ann_recall_eval(spark, sf_dir):
     """Recall@10 of the IVF ANN path against exact brute force — the QA
     query every approximate index needs before it gates a training-data
@@ -637,7 +826,10 @@ def llm_ann_recall_eval(spark, sf_dir):
     are single-row stat-pruned reads, and the unioned IVF plans execute
     as one job. Evaluated at two n_probe levels so the accuracy/cost
     knob's effect is part of the output — recall must be monotone in
-    cells probed (rows-only: the index is not SQL-expressible)."""
+    cells probed. Hash-oracled since r9: both halves replay in DuckDB
+    (decimal-fold exact ranking; cell choice from the persisted
+    centroid model + ivf/ partition membership), see
+    _ann_recall_oracle."""
     probes = [0, 1, 2, 3]
     emb = table(spark, sf_dir, "embeddings")
     exact = similarity.cosine_topk_batch(emb, probes, k=10)
@@ -2594,7 +2786,70 @@ def emb_hard_negatives(spark, sf_dir):
     return similarity.hard_negatives(emb, probe_ids=list(range(10)), k=3)
 
 
-@register("emb_truncated_recall", oracle=None, tags=("llm", "similarity", "qa"))
+# DuckDB oracle for emb_truncated_recall (upgraded from rows-only in
+# r9): unlike the index-backed ANN paths this needs NO artifact at all
+# — both the full-dim ground truth and every truncated ranking are the
+# same decimal-fold cosine algebra over the embeddings table (exact
+# decimal sums → identical doubles → identical rank order with the
+# vec_id tie-break), so the whole evaluation replays bit-for-bit.
+_TRUNC_RECALL_ORACLE = """
+    WITH alldims AS (SELECT UNNEST([8, 16, 32, 64]) AS d),
+    idx AS (SELECT UNNEST(range(1, 65)) AS i),
+    flat AS (
+        SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings CROSS JOIN idx
+    ),
+    pflat AS (
+        SELECT vec_id AS probe_id, i, x AS p
+        FROM flat WHERE vec_id IN (0, 1, 2, 3)
+    ),
+    scored AS (
+        SELECT d.d AS dims, pf.probe_id, f.vec_id,
+               CAST(SUM(CAST(f.x * pf.p AS DECIMAL(27,12))) AS DOUBLE)
+                   AS dot,
+               CAST(SUM(CAST(f.x * f.x AS DECIMAL(27,12))) AS DOUBLE)
+                   AS nx,
+               CAST(SUM(CAST(pf.p * pf.p AS DECIMAL(27,12))) AS DOUBLE)
+                   AS np
+        FROM flat f
+        JOIN pflat pf USING (i)
+        CROSS JOIN alldims d
+        WHERE f.i <= d.d AND f.vec_id <> pf.probe_id
+        GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+        SELECT dims, probe_id, vec_id,
+               row_number() OVER (
+                   PARTITION BY dims, probe_id
+                   ORDER BY (dot / SQRT(nx * np)) DESC, vec_id
+               ) AS rn
+        FROM scored WHERE nx > 0 AND np > 0
+    ),
+    topk AS (
+        SELECT dims, probe_id, vec_id FROM ranked WHERE rn <= 10
+    ),
+    full10 AS (SELECT probe_id, vec_id FROM topk WHERE dims = 64),
+    trunc AS (SELECT dims, probe_id, vec_id FROM topk WHERE dims <> 64)
+    SELECT f.probe_id, d.d AS dims,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           ROUND(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 / COUNT(*), 4) AS recall
+    FROM full10 f
+    CROSS JOIN (SELECT UNNEST([8, 16, 32]) AS d) d
+    LEFT JOIN trunc t
+      ON t.probe_id = f.probe_id AND t.dims = d.d
+         AND t.vec_id = f.vec_id
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register(
+    "emb_truncated_recall",
+    oracle=_TRUNC_RECALL_ORACLE,
+    tags=("llm", "similarity", "qa"),
+)
 def emb_truncated_recall(spark, sf_dir):
     """Truncated-dimension retrieval evaluation (the Matryoshka
     question): how much recall@10 survives when only the first
@@ -2605,8 +2860,10 @@ def emb_truncated_recall(spark, sf_dir):
     (similarity.cosine_topk_batch — decimal-exact, one corpus pass);
     each truncated run is the SAME batched pass over a slice()
     projection, so the whole evaluation is len(dims)+1 scans with
-    model-sized probe broadcasts and no pairwise blow-up anywhere
-    (rows-only: overlap of approximate rankings)."""
+    model-sized probe broadcasts and no pairwise blow-up anywhere.
+    Hash-oracled since r9: every ranking is decimal-fold algebra, so
+    DuckDB replays the full evaluation bit-for-bit with no artifact
+    (see _TRUNC_RECALL_ORACLE)."""
     probes = [0, 1, 2, 3]
     emb = table(spark, sf_dir, "embeddings")
     full = similarity.cosine_topk_batch(emb, probes, k=10).select(

@@ -2672,6 +2672,192 @@ def events_path_analysis(spark, sf_dir):
     )
 
 
+# ------------------------------------------ Holt linear-trend backtest
+# The next rung above the seasonal-naive baseline: double exponential
+# smoothing (level + trend recurrences) trained on days 0-20, forecast
+# days 21-27. Smoothing constants are EXACT binary fractions (α=0.5,
+# β=0.25 → 1−α=0.5, 1−β=0.75), so every recurrence step is the same
+# IEEE double arithmetic in any engine — the same replay property the
+# EWMA oracle proved — and a recursive CTE steps the identical state.
+# The recurrences run over the complete day spine (gap days are 0.0 in
+# both engines), so the sequence index is dense and the recursion's
+# t+1 join is exact.
+_HOLT_ORACLE = """
+    WITH RECURSIVE daily AS (
+        SELECT event_type,
+               datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                   AS day_idx,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS s
+        FROM events
+        WHERE CAST(ts AS DATE) >= DATE '2024-01-01'
+        GROUP BY 1, 2
+    ),
+    spine AS (
+        SELECT t.event_type, CAST(d.d AS INT) AS day_idx
+        FROM (SELECT DISTINCT event_type FROM daily) t
+        CROSS JOIN (SELECT UNNEST(range(0, 28)) AS d) d
+    ),
+    filled AS (
+        SELECT sp.event_type, sp.day_idx, COALESCE(da.s, 0.0) AS y
+        FROM spine sp
+        LEFT JOIN daily da
+          ON da.event_type = sp.event_type
+         AND da.day_idx = sp.day_idx
+    ),
+    rec AS (
+        SELECT f0.event_type, 0 AS t, f0.y AS l, f1.y - f0.y AS b
+        FROM filled f0
+        JOIN filled f1 ON f1.event_type = f0.event_type
+                    AND f1.day_idx = 1
+        WHERE f0.day_idx = 0
+        UNION ALL
+        SELECT r.event_type, r.t + 1,
+               0.5 * f.y + 0.5 * (r.l + r.b),
+               0.25 * ((0.5 * f.y + 0.5 * (r.l + r.b)) - r.l)
+                   + 0.75 * r.b
+        FROM rec r
+        JOIN filled f ON f.event_type = r.event_type
+                   AND f.day_idx = r.t + 1
+        WHERE r.t < 20
+    ),
+    state AS (
+        SELECT rec.event_type, rec.l AS level, rec.b AS trend,
+               f20.y AS y_last
+        FROM rec
+        JOIN filled f20 ON f20.event_type = rec.event_type
+                     AND f20.day_idx = 20
+        WHERE rec.t = 20
+    ),
+    test AS (
+        SELECT event_type, day_idx, y AS actual
+        FROM filled WHERE day_idx BETWEEN 21 AND 27
+    )
+    SELECT t.event_type,
+           ROUND(s.level, 6) AS level,
+           ROUND(s.trend, 6) AS trend,
+           ROUND(CAST(SUM(CAST(ROUND(ABS(
+                     (s.level + CAST(t.day_idx - 20 AS DOUBLE) * s.trend)
+                     - t.actual), 9) AS DECIMAL(27,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS holt_mae,
+           ROUND(CAST(SUM(CAST(ROUND(ABS(s.y_last - t.actual), 9)
+                 AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*), 6)
+               AS naive_mae
+    FROM test t
+    JOIN state s ON s.event_type = t.event_type
+    GROUP BY 1, s.level, s.trend
+    ORDER BY 1
+"""
+
+
+@register(
+    "events_forecast_holt", oracle=_HOLT_ORACLE, tags=("events", "timeseries")
+)
+def events_forecast_holt(spark, sf_dir):
+    """Holt linear-trend (double exponential smoothing) backtest per
+    event type: level/trend recurrences trained on daily revenue days
+    0-20, forecast days 21-27, MAE next to the last-value persistence
+    baseline — the first real forecaster above events_forecast_snaive,
+    and like it a hash-exact cross-engine query.
+
+    Scale shape: the fact table collapses to the model-sized daily
+    series (one decimal-fold groupBy — the only corpus-scale work);
+    the inherently-sequential recurrence runs per type over 21 points
+    inside applyInPandas (same grouped-recurrence shape as udaf_ewma),
+    and the error rollup is decimal-fold SQL over the 7-day holdout.
+    Exact-binary smoothing constants (α=1/2, β=1/4) make every
+    recurrence step identical IEEE arithmetic in any engine, so the
+    DuckDB recursive CTE replays the state bit-for-bit."""
+    import pandas as pd
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.to_date("ts") >= F.lit("2024-01-01").cast("date"))
+        .select(
+            "event_type",
+            F.datediff(
+                F.to_date("ts"), F.lit("2024-01-01").cast("date")
+            ).alias("day_idx"),
+            "value",
+        )
+    )
+    daily = ev.groupBy("event_type", "day_idx").agg(
+        F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("s")
+    )
+    types = daily.select("event_type").distinct()
+    spine = types.crossJoin(
+        F.broadcast(
+            spark.range(0, 28).select(F.col("id").cast("int").alias("day_idx"))
+        )
+    )
+    full = spine.join(daily, ["event_type", "day_idx"], "left").select(
+        "event_type", "day_idx", F.coalesce("s", F.lit(0.0)).alias("y")
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day_idx")
+        y = pdf["y"].to_list()  # python floats == the column's doubles
+        l, b = y[0], y[1] - y[0]
+        for t in range(1, 21):
+            l_new = 0.5 * y[t] + 0.5 * (l + b)
+            b = 0.25 * (l_new - l) + 0.75 * b
+            l = l_new
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "level": [l],
+                "trend": [b],
+                "y_last": [y[20]],
+            }
+        )
+
+    state = (
+        full.filter(F.col("day_idx") <= 20)
+        .groupBy("event_type")
+        .applyInPandas(
+            holt,
+            "event_type string, level double, trend double, y_last double",
+        )
+    )
+    test = full.filter(F.col("day_idx").between(21, 27)).select(
+        "event_type", "day_idx", F.col("y").alias("actual")
+    )
+    yhat = F.col("level") + (F.col("day_idx") - 20).cast("double") * F.col(
+        "trend"
+    )
+    return (
+        test.join(F.broadcast(state), "event_type")
+        .groupBy("event_type", "level", "trend")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.abs(yhat - F.col("actual")), 9).cast(
+                        "decimal(27,12)"
+                    )
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("holt_mae"),
+            F.round(
+                F.sum(
+                    F.round(
+                        F.abs(F.col("y_last") - F.col("actual")), 9
+                    ).cast("decimal(27,12)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("naive_mae"),
+        )
+        .select(
+            "event_type",
+            F.round("level", 6).alias("level"),
+            F.round("trend", 6).alias("trend"),
+            "holt_mae",
+            "naive_mae",
+        )
+        .orderBy("event_type")
+    )
+
+
 # --------------------------------------------- period-over-period
 _SNAIVE_ORACLE = """
     WITH ev AS (

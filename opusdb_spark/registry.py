@@ -121,10 +121,16 @@ _RECENTLY_CHANGED: tuple[str, ...] = (
     "llm_dedup_cluster",
     # second r9 batch of rows-only -> hash upgrades (ingest-artifact
     # replay: sigs-store candidates, signature banding, recursive-CTE
-    # EWMA recurrence)
+    # EWMA recurrence, centroid-model cell replay, decimal-fold
+    # retrieval evals)
     "llm_simsearch_lsh",
     "llm_dedup_fuzzy",
     "udaf_ewma",
+    "llm_simsearch_ivf",
+    "llm_ann_recall_eval",
+    "emb_truncated_recall",
+    # new in r9 session 2
+    "events_forecast_holt",
     # TWAP LEAD re-lowered to the bucket-split window (the per-type
     # window was a 5-task parallelism ceiling)
     "events_time_weighted_avg",

@@ -871,7 +871,135 @@ def llm_ann_recall_eval(spark, sf_dir):
     )
 
 
-@register("llm_simsearch_ivfpq", oracle=None, tags=("llm", "similarity"))
+def _ivfpq_oracle() -> str:
+    """DuckDB oracle for llm_simsearch_ivfpq (upgraded from rows-only
+    in r9): the COMPRESSED path replays end-to-end — cell choice from
+    the persisted centroid model, candidate codes from the pq/ store,
+    the per-cell residual lookup tables recomputed from
+    pq_codebooks.json (full-repr JSON floats parse to the SAME doubles
+    in both engines), ADC re-derived with bit ops on the packed code
+    BIGINT, the top-`rerank` pool re-ranked, and the exact decimal
+    rescore replayed. Float-exactness of the replay is by construction,
+    not tolerance: the 8-term LUT sums use numpy's balanced-tree
+    association ((1+2)+(3+4))+((5+6)+(7+8)) — verified bitwise against
+    .sum(axis=1) — and the 8-subspace ADC sum uses the Spark
+    expression loop's left association, so every ADC double is
+    IDENTICAL across engines and the rank-50 pool boundary cannot
+    drift."""
+    import os
+
+    from opusdb_spark.operators.ann_index import PQ_KS, PQ_M, index_dir_for
+    from opusdb_spark.operators.similarity import N_PROBE
+
+    sf_dir = os.environ.get(
+        "OPUSDB_PARITY_SF_DIR", "/root/testdata/sf0.01"
+    )
+    idx = index_dir_for(sf_dir)
+    d = 64 // PQ_M
+
+    def term(j: int) -> str:
+        e = (
+            f"((pv.p[b.m * {d} + {j}] - ce.c[b.m * {d} + {j}])"
+            f" - b.bk[kk.k + 1][{j}])"
+        )
+        return f"({e} * {e})"
+
+    # numpy .sum(axis=1) on 8 elements: balanced pairwise tree
+    lut_sum = (
+        f"(({term(1)} + {term(2)}) + ({term(3)} + {term(4)}))"
+        f" + (({term(5)} + {term(6)}) + ({term(7)} + {term(8)}))"
+    )
+    # Spark's _adc_expr accumulates subspace terms LEFT-associatively
+    adc_sum = "ds[1]"
+    for m in range(2, PQ_M + 1):
+        adc_sum = f"({adc_sum} + ds[{m}])"
+    return f"""
+        WITH cents AS (
+            SELECT (row_number() OVER ()) - 1 AS cell, json AS c
+            FROM read_json('{idx}/centroids.json',
+                           format='array', records=false)
+        ),
+        books AS (
+            SELECT (row_number() OVER ()) - 1 AS m, json AS bk
+            FROM read_json('{idx}/pq_codebooks.json',
+                           format='array', records=false)
+        ),
+        pvec AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS p
+            FROM embeddings WHERE vec_id = 0
+        ),
+        cells AS (
+            SELECT cell FROM cents, pvec
+            ORDER BY list_dot_product(c, p)
+                     / (SQRT(list_dot_product(c, c))
+                        * SQRT(list_dot_product(p, p))) DESC, cell
+            LIMIT {N_PROBE}
+        ),
+        luts AS (
+            SELECT cl.cell, b.m, kk.k, {lut_sum} AS dist
+            FROM cells cl
+            JOIN cents ce ON ce.cell = cl.cell
+            CROSS JOIN books b
+            CROSS JOIN (SELECT UNNEST(range(0, {PQ_KS})) AS k) kk
+            CROSS JOIN pvec pv
+        ),
+        cand AS (
+            SELECT pq.vec_id, pq.cell, pq.codes
+            FROM read_parquet('{idx}/pq/**/*.parquet',
+                              hive_partitioning = 1) pq
+            JOIN cells cl ON pq.cell = cl.cell
+            WHERE pq.vec_id <> 0
+        ),
+        parts AS (
+            SELECT c.vec_id, list(l.dist ORDER BY l.m) AS ds
+            FROM cand c
+            JOIN luts l
+              ON l.cell = c.cell
+             AND l.k = ((c.codes >> (4 * l.m)) & 15)
+            GROUP BY c.vec_id
+        ),
+        pool AS (
+            SELECT vec_id, {adc_sum} AS adc
+            FROM parts
+            ORDER BY adc ASC, vec_id ASC LIMIT 50
+        ),
+        idx64 AS (SELECT UNNEST(range(1, 65)) AS i),
+        probe AS (
+            SELECT i, CAST(embedding[i] AS DOUBLE) AS p
+            FROM embeddings CROSS JOIN idx64 WHERE vec_id = 0
+        ),
+        pn AS (
+            SELECT CAST(SUM(CAST(p * p AS DECIMAL(27,12))) AS DOUBLE)
+                AS np FROM probe
+        ),
+        flat AS (
+            SELECT e.vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+            FROM embeddings e
+            JOIN pool USING (vec_id)
+            CROSS JOIN idx64
+        ),
+        scored AS (
+            SELECT vec_id,
+                   CAST(SUM(CAST(x * p AS DECIMAL(27,12))) AS DOUBLE)
+                       AS dot,
+                   CAST(SUM(CAST(x * x AS DECIMAL(27,12))) AS DOUBLE)
+                       AS nx
+            FROM flat JOIN probe USING (i)
+            GROUP BY vec_id
+        )
+        SELECT s.vec_id, s.dot / SQRT(s.nx * pn.np) AS cosine,
+               ROUND(po.adc, 6) AS adc_dist
+        FROM scored s
+        JOIN pool po USING (vec_id)
+        CROSS JOIN pn
+        WHERE s.nx > 0 AND pn.np > 0
+        ORDER BY cosine DESC, s.vec_id LIMIT 10
+    """
+
+
+@register(
+    "llm_simsearch_ivfpq", oracle=_ivfpq_oracle(), tags=("llm", "similarity")
+)
 def llm_simsearch_ivfpq(spark, sf_dir):
     """ANN top-10 via IVF + PRODUCT QUANTIZATION (Jégou et al. 2011)
     over the persisted index: the candidate scan reads the 16-byte
@@ -879,8 +1007,11 @@ def llm_simsearch_ivfpq(spark, sf_dir):
     distance computed as pure codegen bit-ops against driver-built
     per-cell lookup tables, and only the top-`rerank` ids are rescored
     exactly through the stat-pruned by_id store. The memory/scan shape
-    a billion-vector corpus needs — codes are 16× smaller than vectors
-    (rows-only: quantized index is not SQL-expressible)."""
+    a billion-vector corpus needs — codes are 16× smaller than vectors.
+    Hash-oracled since r9: DuckDB replays the compressed path
+    end-to-end — cells, residual LUTs, bit-op code extraction, ADC
+    (association-order-matched, so every double is identical), rerank
+    pool, exact rescore (see _ivfpq_oracle)."""
     idx = _ann_index(spark, sf_dir)
     vec = ann_index.fetch_vector(spark, idx, probe_id=0)
     return ann_index.ivfpq_probe(spark, idx, vec, k=10, exclude_id=0)

@@ -10,6 +10,23 @@ stderr as a `# detail:` line and to .scratch/bench_detail.json.
 Throughput context vs BASELINE.md: the reference's comparable numbers
 are rows/s through scan-agg pipelines; `rows_per_sec` reports the
 lineitem-scan throughput of the flagship Q1.
+
+Noise floor (the r8 "+70 ms uniform adder", measured r9): on this VM a
+NO-OP Spark job (`spark.range(10).count()`, warm session) costs
+~160 ms median / ~100-140 min / ~220-300 p90 PER JOB, reproduced
+across three fresh JVMs; a vanilla `local[32]` session (no repo confs)
+shows the same floor (~123 ms), so it is task-launch/scheduler
+overhead of 32-slot local mode on this virtualized box, not session
+configuration. Every sub-second headline query runs 2-3 jobs (AQE
+stage materialization), so its wall time carries a 0.3-0.5 s
+scheduling floor whose run-to-run spread is itself ~2x — a
+near-constant absolute delta of tens of ms across ALL small keys
+between two round snapshots (r7: 3.28 s -> r8: 3.96 s over the 10
+shared keys) is one floor-jitter step, not a plan regression: the
+plan-pinned suites (tests/test_plans.py) held across those rounds, and
+the big-query/TPC-H entries — where compute dominates scheduling —
+were flat-to-better. At cluster scale the floor amortizes to nothing;
+locally it bounds how small a per-query number can meaningfully be.
 """
 
 from __future__ import annotations

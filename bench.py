@@ -124,6 +124,12 @@ SF1_LADDER = [
     "agg_kmv_set_ops",
     "llm_cdc_dedup",
     "llm_simsearch_ivfpq",
+    # round-9 session 2: the drift monitor's one-pass 3-way exact
+    # count-distinct (Expand-shared scan — the plan under test) and the
+    # Holt backtest (fact collapses to the daily series in one
+    # decimal-fold groupBy; the recurrence itself is model-sized)
+    "dq_schema_drift",
+    "events_forecast_holt",
 ]
 
 # TPC-H at sf1 (VERDICT r4 §7): representative shapes — pushdown scan

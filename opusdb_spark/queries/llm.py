@@ -287,15 +287,68 @@ def llm_dedup_fuzzy(spark, sf_dir):
     return _minhash_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
-@register("llm_dedup_incremental", oracle=None, tags=("llm", "dedup", "incremental"))
+def _incremental_oracle() -> str:
+    """DuckDB oracle for llm_dedup_incremental (upgraded from rows-only
+    in r9): same signature-store replay as _fuzzy_oracle, asymmetric —
+    the arriving batch (doc_id % 10 = 0) banded against the rest."""
+    import hashlib
+    import os
+
+    from opusdb_spark.operators.dedup import N_BANDS, N_MINHASH
+    from opusdb_spark.sources.formats import scratch_path
+
+    sf_dir = os.environ.get(
+        "OPUSDB_PARITY_SF_DIR", "/root/testdata/sf0.01"
+    )
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = os.path.basename(os.path.normpath(sf_dir))
+    sigs = scratch_path(f"minhash_sigs_{base}_{tag}")
+    r = N_MINHASH // N_BANDS
+    return f"""
+        WITH sigs AS (
+            SELECT doc_id, sig FROM read_parquet('{sigs}/*.parquet')
+        ),
+        bands AS (
+            SELECT doc_id, b,
+                   sig[(b * {r} + 1):(b * {r} + {r})] AS band
+            FROM sigs, UNNEST(range(0, {N_BANDS})) AS u(b)
+        ),
+        cand AS (
+            SELECT DISTINCT n.doc_id AS new_doc, e.doc_id AS dup_of
+            FROM bands n JOIN bands e
+              ON n.b = e.b AND n.band = e.band
+            WHERE n.doc_id % 10 = 0 AND e.doc_id % 10 <> 0
+        ),
+        est AS (
+            SELECT new_doc, dup_of,
+                   (SELECT COUNT(*) FROM UNNEST(range(1, {N_MINHASH + 1}))
+                        AS u(i)
+                    WHERE sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)])
+                       / {float(N_MINHASH)} AS est_jaccard
+            FROM cand
+            JOIN sigs sa ON sa.doc_id = new_doc
+            JOIN sigs sb ON sb.doc_id = dup_of
+        )
+        SELECT new_doc, dup_of, est_jaccard FROM est
+        WHERE est_jaccard >= 0.5
+        ORDER BY new_doc, dup_of
+    """
+
+
+@register(
+    "llm_dedup_incremental",
+    oracle=_incremental_oracle(),
+    tags=("llm", "dedup", "incremental"),
+)
 def llm_dedup_incremental(spark, sf_dir):
     """Incremental-ingest dedup: the arriving batch (doc_id % 10 = 0,
     a deterministic 10% 'daily delivery') is near-dup-checked against
     the EXISTING corpus via the persisted signature store — no corpus
     re-banding, no batch self-join; shuffle volume scales with the
     batch (operators/dedup.py:lsh_incremental_pairs). The production
-    loop every continuously-ingesting training pipeline runs
-    (rows-only: signature estimation is engine-specific)."""
+    loop every continuously-ingesting training pipeline runs.
+    Hash-oracled since r9: the asymmetric banding + estimate replays
+    from the persisted signature store (see _incremental_oracle)."""
     sigs = _minhash_sigs(spark, sf_dir)
     batch = sigs.filter(F.col("doc_id") % 10 == 0)
     base = sigs.filter(F.col("doc_id") % 10 != 0)
@@ -304,11 +357,45 @@ def llm_dedup_incremental(spark, sf_dir):
     )
 
 
-@register("llm_dedup_simhash", oracle=None, tags=("llm", "dedup"))
+def _simhash_oracle() -> str:
+    """DuckDB oracle for llm_dedup_simhash (upgraded from rows-only in
+    r9): the 4×16-bit pigeonhole blocking is COMPLETE for Hamming ≤ 3
+    (3 flipped bits cannot touch all 4 blocks), so the blocked result
+    provably equals the exhaustive all-pairs check — which DuckDB runs
+    directly on the persisted fingerprint store with xor + bit_count.
+    The oracle is deliberately the brute-force formulation: a hash
+    match is simultaneously a completeness proof of the blocking."""
+    import hashlib
+    import os
+
+    from opusdb_spark.sources.formats import scratch_path
+
+    sf_dir = os.environ.get(
+        "OPUSDB_PARITY_SF_DIR", "/root/testdata/sf0.01"
+    )
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = os.path.basename(os.path.normpath(sf_dir))
+    fps = scratch_path(f"simhash_fps_{base}_{tag}")
+    return f"""
+        WITH fps AS (
+            SELECT doc_id, simhash FROM read_parquet('{fps}/*.parquet')
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT)
+                   AS hamming
+        FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ORDER BY doc_a, doc_b
+    """
+
+
+@register("llm_dedup_simhash", oracle=_simhash_oracle(), tags=("llm", "dedup"))
 def llm_dedup_simhash(spark, sf_dir):
     """Near-dup pairs via 64-bit SimHash, Hamming ≤ 3, pigeonhole-block
     candidate generation; fingerprints come from the persisted ingest
-    store (rows-only)."""
+    store. Hash-oracled since r9 against the EXHAUSTIVE all-pairs
+    formulation in DuckDB — the match doubles as a completeness proof
+    of the 4×16-bit blocking (see _simhash_oracle)."""
     docs = table(spark, sf_dir, "documents")
     return dedup.simhash_near_dups(
         docs, max_hamming=3, fp=_simhash_fps(spark, sf_dir)
@@ -362,9 +449,7 @@ def _word3grams(docs):
 
 
 
-@register(
-    "llm_dedup_ngram_jaccard",
-    oracle="""
+_NGRAM_JACCARD_ORACLE = """
         WITH grams AS (
             SELECT DISTINCT doc_id, g FROM (
                 SELECT doc_id,
@@ -387,7 +472,12 @@ def _word3grams(docs):
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
-    """,
+"""
+
+
+@register(
+    "llm_dedup_ngram_jaccard",
+    oracle=_NGRAM_JACCARD_ORACLE,
     tags=("llm", "dedup"),
 )
 def llm_dedup_ngram_jaccard(spark, sf_dir):
@@ -403,7 +493,75 @@ def llm_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-@register("llm_minhash_calibration", oracle=None, tags=("llm", "dedup", "eval"))
+def _calibration_oracle() -> str:
+    """DuckDB oracle for llm_minhash_calibration (upgraded from
+    rows-only in r9): the estimate side replays from the persisted
+    signature store (_fuzzy_oracle) and the exact side is the gram
+    Jaccard SQL — so the ESTIMATOR-ACCURACY numbers themselves are now
+    second-engine-checked. The oracle computes grams over all docs
+    (the Spark side's left-semi prune is a cost optimization with
+    identical pair values)."""
+    return f"""
+        WITH pairs AS ({_fuzzy_oracle()}),
+        grams AS (
+            SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                       string_split(text, ' ')[i] || ' ' ||
+                       string_split(text, ' ')[i+1] || ' ' ||
+                       string_split(text, ' ')[i+2] AS g
+                FROM documents,
+                     LATERAL (SELECT UNNEST(range(1,
+                         GREATEST(len(string_split(text, ' ')) - 2, 0)
+                         + 1)) AS i)
+            )
+        ),
+        shared AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(COUNT(*) AS BIGINT) AS inter
+            FROM grams a JOIN grams b
+              ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        sizes AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+            FROM grams GROUP BY doc_id
+        ),
+        scored AS (
+            SELECT p.est_jaccard,
+                   CASE WHEN COALESCE(sa.n, 0) + COALESCE(sb.n, 0)
+                             - COALESCE(s.inter, 0) > 0
+                        THEN CAST(COALESCE(s.inter, 0) AS DOUBLE)
+                             / (COALESCE(sa.n, 0) + COALESCE(sb.n, 0)
+                                - COALESCE(s.inter, 0))
+                   END AS exact_jaccard
+            FROM pairs p
+            LEFT JOIN shared s
+              ON s.doc_a = p.doc_a AND s.doc_b = p.doc_b
+            LEFT JOIN sizes sa ON sa.doc_id = p.doc_a
+            LEFT JOIN sizes sb ON sb.doc_id = p.doc_b
+        )
+        SELECT FLOOR(est_jaccard * 10) / 10 AS est_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COUNT(*) - COUNT(exact_jaccard) AS BIGINT)
+                   AS n_ungradeable,
+               ROUND(CAST(SUM(CAST(est_jaccard AS DECIMAL(27,6)))
+                          AS DOUBLE) / COUNT(*), 6) AS mean_est,
+               ROUND(CAST(SUM(CAST(exact_jaccard AS DECIMAL(27,6)))
+                          AS DOUBLE) / COUNT(exact_jaccard), 6)
+                   AS mean_exact,
+               ROUND(CAST(SUM(CAST(ABS(est_jaccard - exact_jaccard)
+                          AS DECIMAL(27,6))) AS DOUBLE)
+                     / COUNT(exact_jaccard), 6) AS mean_abs_err
+        FROM scored
+        GROUP BY 1 ORDER BY 1
+    """
+
+
+@register(
+    "llm_minhash_calibration",
+    oracle=_calibration_oracle(),
+    tags=("llm", "dedup", "eval"),
+)
 def llm_minhash_calibration(spark, sf_dir):
     """MinHash estimator CALIBRATION: over the persisted candidate-pair
     graph, compare the signature-estimated Jaccard to the exact 3-gram
@@ -411,7 +569,10 @@ def llm_minhash_calibration(spark, sf_dir):
     the text-dedup counterpart of llm_ann_recall_eval. Exact grams are
     computed ONLY for docs that appear in candidate pairs (left-semi
     prune), so the eval cost scales with the candidate set, not the
-    corpus. Rows-only: the estimate side is engine-native MinHash."""
+    corpus. Hash-oracled since r9: the estimate replays from the
+    persisted signature store, the exact side from the gram SQL, so
+    the calibration numbers are second-engine-checked (see
+    _calibration_oracle)."""
     pairs = _minhash_pairs(spark, sf_dir).select(
         "doc_a", "doc_b", "est_jaccard"
     )
@@ -1730,14 +1891,70 @@ def llm_embedding_neardup(spark, sf_dir):
     )
 
 
-@register("llm_dedup_pipeline", oracle=None, tags=("llm", "dedup"))
+def _pipeline_oracle() -> str:
+    """DuckDB oracle for llm_dedup_pipeline (upgraded from rows-only in
+    r9): the END-TO-END composition replays — exact keep-min directly
+    on text, near-dup pairs from the signature-store replay restricted
+    to exact-dedup survivors, components via the recursive closure
+    (label = min member, the large-star/small-star fixpoint), and the
+    per-language stats of what survives. The whole corpus-prep
+    pipeline, value-checked by a second engine."""
+    return f"""
+        WITH RECURSIVE pairs0 AS ({_fuzzy_oracle()}),
+        kept AS (
+            SELECT doc_id, lang, n_chars FROM (
+                SELECT doc_id, lang, n_chars,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY text ORDER BY doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn = 1
+        ),
+        edges AS (
+            SELECT DISTINCT GREATEST(p.doc_a, p.doc_b) AS u,
+                            LEAST(p.doc_a, p.doc_b) AS v
+            FROM pairs0 p
+            JOIN kept ka ON ka.doc_id = p.doc_a
+            JOIN kept kb ON kb.doc_id = p.doc_b
+            WHERE p.doc_a <> p.doc_b
+        ),
+        sym AS (
+            SELECT u AS a, v AS b FROM edges
+            UNION
+            SELECT v AS a, u AS b FROM edges
+        ),
+        reach AS (
+            SELECT a, b FROM sym
+            UNION
+            SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+        ),
+        labeled AS (
+            SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+            FROM reach GROUP BY a
+        ),
+        non_canon AS (
+            SELECT doc_id FROM labeled WHERE component <> doc_id
+        ),
+        survivors AS (
+            SELECT k.* FROM kept k
+            LEFT JOIN non_canon nc USING (doc_id)
+            WHERE nc.doc_id IS NULL
+        )
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+               CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+        FROM survivors GROUP BY lang ORDER BY lang
+    """
+
+
+@register("llm_dedup_pipeline", oracle=_pipeline_oracle(), tags=("llm", "dedup"))
 def llm_dedup_pipeline(spark, sf_dir):
     """The full corpus-prep dedup pipeline in one query: exact dedup
     (sha2 keep-min) → MinHash-LSH near-dup pairs on the survivors →
     connected components → drop non-canonical members → per-language
     surviving corpus stats. Every stage is the registered operator the
     standalone queries use; this is the composition a 100 TB corpus
-    actually runs (rows-only: iterative clustering inside)."""
+    actually runs. Hash-oracled since r9: the whole composition
+    replays in DuckDB (see _pipeline_oracle)."""
     docs = table(spark, sf_dir, "documents")
     exact_kept = dedup.exact_dedup_keep_min(docs).drop("text_hash")
     # the pair graph is per-pair (independent of the rest of the
@@ -2117,7 +2334,49 @@ def multimodal_audio_energy(spark, sf_dir):
     return multimodal.audio_energy(media).orderBy("media_id")
 
 
-@register("llm_dedup_method_report", oracle=None, tags=("llm", "dedup", "eval"))
+def _method_report_oracle() -> str:
+    """DuckDB oracle for llm_dedup_method_report (upgraded from
+    rows-only in r9): every branch of the detector comparison now has
+    a replayable formulation — exact/normalized groups directly on
+    text, MinHash pairs from the signature-store replay
+    (_fuzzy_oracle), SimHash pairs from the exhaustive bit_count check
+    (_simhash_oracle), exact gram Jaccard from its own SQL, components
+    from the recursive closure (_cluster_oracle) — so the whole report
+    is one UNION of second-engine counts."""
+    return f"""
+        SELECT 'exact_dup_pairs' AS method,
+               CAST(COALESCE(SUM(c * (c - 1) / 2), 0) AS BIGINT) AS n
+        FROM (
+            SELECT COUNT(*) AS c FROM documents GROUP BY text
+            HAVING COUNT(*) > 1
+        )
+        UNION ALL
+        SELECT 'normalized_dup_clusters',
+               CAST(COUNT(*) AS BIGINT)
+        FROM (
+            SELECT 1 FROM documents GROUP BY lower(trim(text))
+            HAVING COUNT(*) > 1
+        )
+        UNION ALL
+        SELECT 'minhash_est_pairs', CAST(COUNT(*) AS BIGINT)
+        FROM ({_fuzzy_oracle()})
+        UNION ALL
+        SELECT 'simhash_h3_pairs', CAST(COUNT(*) AS BIGINT)
+        FROM ({_simhash_oracle()})
+        UNION ALL
+        SELECT 'ngram_jaccard08_pairs', CAST(COUNT(*) AS BIGINT)
+        FROM ({_NGRAM_JACCARD_ORACLE})
+        UNION ALL
+        SELECT 'neardup_components', CAST(COUNT(*) AS BIGINT)
+        FROM ({_cluster_oracle()})
+    """
+
+
+@register(
+    "llm_dedup_method_report",
+    oracle=_method_report_oracle(),
+    tags=("llm", "dedup", "eval"),
+)
 def llm_dedup_method_report(spark, sf_dir):
     """One-row-per-method dedup comparison over the same corpus: how
     many duplicate PAIRS each detector finds (exact sha2, normalized
@@ -2125,8 +2384,9 @@ def llm_dedup_method_report(spark, sf_dir):
     Jaccard≥0.8) plus the near-dup component count — the side-by-side
     a pipeline owner reads before choosing a detector/threshold. Every
     branch reuses the registered operator or its persisted ingest
-    artifact; the report itself is five model-sized counts unioned
-    (rows-only: half the branches are estimator-based)."""
+    artifact; the report itself is five model-sized counts unioned.
+    Hash-oracled since r9: every branch replays in DuckDB (see
+    _method_report_oracle)."""
     docs = table(spark, sf_dir, "documents")
 
     def one(method, df):
@@ -2777,7 +3037,48 @@ def llm_winnowing_overlap(spark, sf_dir):
     )
 
 
-@register("llm_corpus_report", oracle=None, tags=("llm", "report"))
+def _corpus_report_oracle() -> str:
+    """DuckDB oracle for llm_corpus_report (upgraded from rows-only in
+    r9): the dataset card's branches compose the already-verified
+    oracle formulations — base stats from documents, multi-member
+    components from the recursive pair-graph closure (_cluster_oracle
+    emits one row per component with n_docs), winnowing pairs and the
+    low-entropy fraction from their queries' own oracle bodies."""
+    return f"""
+        SELECT 'n_docs' AS metric,
+               CAST(COUNT(*) AS DOUBLE) AS value FROM documents
+        UNION ALL
+        SELECT 'n_langs', CAST(COUNT(DISTINCT lang) AS DOUBLE)
+        FROM documents
+        UNION ALL
+        SELECT 'total_chars', CAST(SUM(n_chars) AS DOUBLE) FROM documents
+        UNION ALL
+        SELECT 'total_tokens',
+               CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+        FROM documents
+        UNION ALL
+        SELECT 'exact_dup_docs',
+               CAST(COUNT(*) - COUNT(DISTINCT text) AS DOUBLE)
+        FROM documents
+        UNION ALL
+        SELECT 'neardup_multi_components', CAST(COUNT(*) AS DOUBLE)
+        FROM ({_cluster_oracle()}) WHERE n_docs > 1
+        UNION ALL
+        SELECT 'winnow_overlap_pairs', CAST(COUNT(*) AS DOUBLE)
+        FROM ({_WINNOW_ORACLE})
+        UNION ALL
+        SELECT 'low_entropy_frac',
+               ROUND(SUM(CASE WHEN low_entropy THEN 1 ELSE 0 END)
+                     / COUNT(*), 6)
+        FROM ({_ENTROPY_ORACLE})
+    """
+
+
+@register(
+    "llm_corpus_report",
+    oracle=_corpus_report_oracle(),
+    tags=("llm", "eval", "report"),
+)
 def llm_corpus_report(spark, sf_dir):
     """The dataset card in one query: corpus size, language spread,
     token volume, duplication (exact docs, MinHash near-dup clusters,
@@ -2785,8 +3086,10 @@ def llm_corpus_report(spark, sf_dir):
     uniform (metric, value) rows — what a training-data pipeline
     publishes alongside every corpus snapshot. Every branch reuses a
     registered operator or its ingest artifact, so the report costs
-    aggregate-sized work over already-verified plans (rows-only: the
-    components each carry their own oracle)."""
+    aggregate-sized work over already-verified plans. Hash-oracled
+    since r9: every branch replays in DuckDB (base stats directly,
+    components via the recursive closure, winnowing and entropy via
+    their own oracle bodies — see _corpus_report_oracle)."""
     docs = table(spark, sf_dir, "documents")
     toks = F.size(F.split("text", " "))
 

@@ -269,13 +269,54 @@ def llm_quality_filter_pipeline(spark, sf_dir):
 PACK_CAPACITY = 256
 
 
-@register("llm_seq_pack", oracle=None, tags=("llm", "pipeline"))
+# DuckDB oracle for llm_seq_pack (upgraded from rows-only in r9): the
+# greedy packing state is PURE INTEGER recurrence per language —
+# (cur_seq, cur_fill) advanced one doc at a time in doc_id order — so
+# a recursive CTE replays it with zero float risk (the same recursion
+# technique as the EWMA/Holt oracles, here over integers). The "not
+# SQL-expressible" claim was about windows; SQL recursion expresses it
+# exactly.
+_SEQ_PACK_ORACLE = f"""
+    WITH RECURSIVE docs0 AS (
+        SELECT lang, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang ORDER BY doc_id
+               ) AS rn
+        FROM documents
+    ),
+    rec AS (
+        SELECT lang, rn, n_tokens,
+               CAST(0 AS BIGINT) AS seq_id, n_tokens AS fill
+        FROM docs0 WHERE rn = 1
+        UNION ALL
+        SELECT d.lang, d.rn, d.n_tokens,
+               CASE WHEN r.fill > 0
+                         AND r.fill + d.n_tokens > {PACK_CAPACITY}
+                    THEN r.seq_id + 1 ELSE r.seq_id END,
+               CASE WHEN r.fill > 0
+                         AND r.fill + d.n_tokens > {PACK_CAPACITY}
+                    THEN d.n_tokens ELSE r.fill + d.n_tokens END
+        FROM rec r JOIN docs0 d ON d.lang = r.lang AND d.rn = r.rn + 1
+    )
+    SELECT lang, seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_tokens) AS DOUBLE) / {PACK_CAPACITY} AS fill
+    FROM rec GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("llm_seq_pack", oracle=_SEQ_PACK_ORACLE, tags=("llm", "pipeline"))
 def llm_seq_pack(spark, sf_dir):
     """Greedy sequence packing: docs (in doc_id order, whitespace token
-    counts) packed per language into ≤256-token training sequences
-    (rows-only: the greedy scan is inherently sequential per shard, not
-    SQL-expressible; reference packing pinned in tests). Returns
-    per-sequence (lang, seq_id, n_docs, n_tokens, fill fraction)."""
+    counts) packed per language into ≤256-token training sequences;
+    the greedy scan is inherently sequential per shard and runs as one
+    applyInPandas group (reference packing pinned in tests). Returns
+    per-sequence (lang, seq_id, n_docs, n_tokens, fill fraction).
+    Hash-oracled since r9: the packing state is pure integer
+    recurrence, replayed exactly by a recursive CTE
+    (_SEQ_PACK_ORACLE)."""
     docs = table(spark, sf_dir, "documents").select(
         "lang", "doc_id", T.n_words(F.col("text")).alias("n_tokens")
     )
@@ -1404,6 +1445,191 @@ def profile_columns(spark, sf_dir):
         .unionByName(prof("l_extendedprice"))
         .unionByName(prof("l_discount"))
     )
+
+
+# -------------------------------------------------- schema/profile drift
+_SCHEMA_DRIFT_ORACLE = """
+    WITH ev AS (
+        SELECT event_type, user_id, value,
+               CASE WHEN datediff('day', DATE '2024-01-01',
+                                  CAST(ts AS DATE)) < 14
+                    THEN 0 ELSE 1 END AS half
+        FROM events
+        WHERE CAST(ts AS DATE) >= DATE '2024-01-01'
+          AND datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) < 28
+    ),
+    agg AS (
+        SELECT
+            COUNT(*) FILTER (WHERE half = 0) AS rows_a,
+            COUNT(*) FILTER (WHERE half = 1) AS rows_b,
+            COUNT(DISTINCT CASE WHEN half = 0 THEN event_type END)
+                AS dtype_a,
+            COUNT(DISTINCT CASE WHEN half = 1 THEN event_type END)
+                AS dtype_b,
+            COUNT(DISTINCT CASE WHEN half = 0 THEN user_id END) AS duser_a,
+            COUNT(DISTINCT CASE WHEN half = 1 THEN user_id END) AS duser_b,
+            COUNT(DISTINCT CASE WHEN half = 0 THEN value END) AS dval_a,
+            COUNT(DISTINCT CASE WHEN half = 1 THEN value END) AS dval_b,
+            MIN(CASE WHEN half = 0 THEN user_id END) AS minu_a,
+            MIN(CASE WHEN half = 1 THEN user_id END) AS minu_b,
+            MAX(CASE WHEN half = 0 THEN user_id END) AS maxu_a,
+            MAX(CASE WHEN half = 1 THEN user_id END) AS maxu_b,
+            MIN(CASE WHEN half = 0 THEN value END) AS minv_a,
+            MIN(CASE WHEN half = 1 THEN value END) AS minv_b,
+            MAX(CASE WHEN half = 0 THEN value END) AS maxv_a,
+            MAX(CASE WHEN half = 1 THEN value END) AS maxv_b,
+            COUNT(value) FILTER (WHERE half = 0) AS nnv_a,
+            COUNT(value) FILTER (WHERE half = 1) AS nnv_b
+        FROM ev
+    ),
+    longf AS (
+        SELECT '_table' AS col, 'rows' AS metric,
+               CAST(rows_a AS DOUBLE) AS batch_a,
+               CAST(rows_b AS DOUBLE) AS batch_b FROM agg
+        UNION ALL SELECT 'event_type', 'n_distinct',
+               CAST(dtype_a AS DOUBLE), CAST(dtype_b AS DOUBLE) FROM agg
+        UNION ALL SELECT 'user_id', 'n_distinct',
+               CAST(duser_a AS DOUBLE), CAST(duser_b AS DOUBLE) FROM agg
+        UNION ALL SELECT 'value', 'n_distinct',
+               CAST(dval_a AS DOUBLE), CAST(dval_b AS DOUBLE) FROM agg
+        UNION ALL SELECT 'user_id', 'min',
+               CAST(minu_a AS DOUBLE), CAST(minu_b AS DOUBLE) FROM agg
+        UNION ALL SELECT 'user_id', 'max',
+               CAST(maxu_a AS DOUBLE), CAST(maxu_b AS DOUBLE) FROM agg
+        UNION ALL SELECT 'value', 'min', minv_a, minv_b FROM agg
+        UNION ALL SELECT 'value', 'max', maxv_a, maxv_b FROM agg
+        UNION ALL SELECT 'value', 'null_frac',
+               1.0 - CAST(nnv_a AS DOUBLE) / rows_a,
+               1.0 - CAST(nnv_b AS DOUBLE) / rows_b FROM agg
+    )
+    SELECT col, metric, batch_a, batch_b,
+           ROUND(batch_b - batch_a, 6) AS delta
+    FROM longf ORDER BY col, metric
+"""
+
+
+@register(
+    "dq_schema_drift",
+    oracle=_SCHEMA_DRIFT_ORACLE,
+    tags=("quality", "profiling", "drift"),
+)
+def dq_schema_drift(spark, sf_dir):
+    """Per-column PROFILE drift between two table generations (first
+    vs second fortnight of the events window): row volume, exact
+    distinct counts, min/max range shift, and null fraction per
+    column, long-format (col, metric, batch_a, batch_b, delta). The
+    structural companion to dq_psi_drift — PSI reads the value
+    DISTRIBUTION, this reads the column PROFILE, which is what catches
+    an upstream schema change (a column gone all-NULL, an id range
+    reset, a categorical losing values) before it poisons training
+    data.
+
+    Scale shape: ONE scan with conditional aggregation — both halves'
+    profiles come out of a single pass (never a per-batch rescan);
+    the three exact count(distinct)s share the scan via Expand (the
+    same one-pass multi-distinct plan agg_count_distinct pins). The
+    long-format explode happens on the 1-row aggregate, so everything
+    after the scan is literally 9 rows."""
+    day = F.datediff(
+        F.to_date("ts"), F.lit("2024-01-01").cast("date")
+    )
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(
+            (F.to_date("ts") >= F.lit("2024-01-01").cast("date"))
+            & (day < 28)
+        )
+        .select(
+            "event_type",
+            "user_id",
+            "value",
+            F.when(day < 14, 0).otherwise(1).alias("half"),
+        )
+    )
+
+    def _h(h, col, fn):
+        return fn(F.when(F.col("half") == h, F.col(col)))
+
+    a = ev.agg(
+        F.count(F.when(F.col("half") == 0, F.lit(1))).alias("rows_a"),
+        F.count(F.when(F.col("half") == 1, F.lit(1))).alias("rows_b"),
+        F.countDistinct(
+            F.when(F.col("half") == 0, F.col("event_type"))
+        ).alias("dtype_a"),
+        F.countDistinct(
+            F.when(F.col("half") == 1, F.col("event_type"))
+        ).alias("dtype_b"),
+        F.countDistinct(
+            F.when(F.col("half") == 0, F.col("user_id"))
+        ).alias("duser_a"),
+        F.countDistinct(
+            F.when(F.col("half") == 1, F.col("user_id"))
+        ).alias("duser_b"),
+        F.countDistinct(
+            F.when(F.col("half") == 0, F.col("value"))
+        ).alias("dval_a"),
+        F.countDistinct(
+            F.when(F.col("half") == 1, F.col("value"))
+        ).alias("dval_b"),
+        _h(0, "user_id", F.min).alias("minu_a"),
+        _h(1, "user_id", F.min).alias("minu_b"),
+        _h(0, "user_id", F.max).alias("maxu_a"),
+        _h(1, "user_id", F.max).alias("maxu_b"),
+        _h(0, "value", F.min).alias("minv_a"),
+        _h(1, "value", F.min).alias("minv_b"),
+        _h(0, "value", F.max).alias("maxv_a"),
+        _h(1, "value", F.max).alias("maxv_b"),
+        F.count(F.when(F.col("half") == 0, F.col("value"))).alias("nnv_a"),
+        F.count(F.when(F.col("half") == 1, F.col("value"))).alias("nnv_b"),
+    )
+
+    def row(col, metric, va, vb):
+        return F.struct(
+            F.lit(col).alias("col"),
+            F.lit(metric).alias("metric"),
+            va.cast("double").alias("batch_a"),
+            vb.cast("double").alias("batch_b"),
+        )
+
+    rows = a.select(
+        F.explode(
+            F.array(
+                row("_table", "rows", F.col("rows_a"), F.col("rows_b")),
+                row(
+                    "event_type",
+                    "n_distinct",
+                    F.col("dtype_a"),
+                    F.col("dtype_b"),
+                ),
+                row(
+                    "user_id",
+                    "n_distinct",
+                    F.col("duser_a"),
+                    F.col("duser_b"),
+                ),
+                row("value", "n_distinct", F.col("dval_a"), F.col("dval_b")),
+                row("user_id", "min", F.col("minu_a"), F.col("minu_b")),
+                row("user_id", "max", F.col("maxu_a"), F.col("maxu_b")),
+                row("value", "min", F.col("minv_a"), F.col("minv_b")),
+                row("value", "max", F.col("maxv_a"), F.col("maxv_b")),
+                row(
+                    "value",
+                    "null_frac",
+                    F.lit(1.0)
+                    - F.col("nnv_a").cast("double") / F.col("rows_a"),
+                    F.lit(1.0)
+                    - F.col("nnv_b").cast("double") / F.col("rows_b"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    return rows.select(
+        "col",
+        "metric",
+        "batch_a",
+        "batch_b",
+        F.round(F.col("batch_b") - F.col("batch_a"), 6).alias("delta"),
+    ).orderBy("col", "metric")
 
 
 @register(

@@ -131,6 +131,20 @@ _RECENTLY_CHANGED: tuple[str, ...] = (
     "emb_truncated_recall",
     # new in r9 session 2
     "events_forecast_holt",
+    "dq_schema_drift",
+    # compressed-ANN replay (r9 session 2)
+    "llm_simsearch_ivfpq",
+    # exhaustive-vs-blocked simhash proof + asymmetric band replay
+    "llm_dedup_simhash",
+    "llm_dedup_incremental",
+    # composite reports: every branch now replays in DuckDB
+    "llm_dedup_method_report",
+    "llm_corpus_report",
+    # estimator calibration + end-to-end pipeline replay
+    "llm_minhash_calibration",
+    "llm_dedup_pipeline",
+    # integer-recurrence packing replay
+    "llm_seq_pack",
     # TWAP LEAD re-lowered to the bucket-split window (the per-type
     # window was a 5-task parallelism ceiling)
     "events_time_weighted_avg",

@@ -804,3 +804,12 @@ def test_twap_lead_window_is_bucket_keyed(spark):
     assert not win_sorts, f"a window still sorts the fact per type only: {win_sorts}"
     # the boundary stitch is a broadcast, not a shuffle join
     assert "BroadcastHashJoin" in p
+
+
+def test_schema_drift_is_one_scan(spark):
+    """Both batch profiles must come from ONE conditional-aggregation
+    pass — a per-batch rescan doubles the corpus cost of every drift
+    check at 100 TB."""
+    df = _Q["dq_schema_drift"].fn(spark, SF)
+    p = plan(df, mode="formatted")
+    assert p.count("events.parquet") == 1

@@ -828,3 +828,89 @@ def test_rollup_backfill_equals_rebuild(spark, base, corrected, restate):
         assert _canon_store(spark, store) == _canon_store(spark, ref)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ----------------------------------------------------------------
+# Recurrence-replay properties: the r9 oracle upgrades for udaf_ewma
+# and events_forecast_holt rest on ONE numerical claim — a recursive
+# CTE stepping the same literal double constants reproduces the Python
+# kernel's state bit-for-bit. Fuzz that claim directly against DuckDB
+# (no Spark needed): any platform/libm/engine change that breaks the
+# premise fails HERE before it fails as a red driver verdict.
+
+series_strategy = st.lists(
+    st.floats(
+        min_value=-1e6,
+        max_value=1e6,
+        allow_nan=False,
+        allow_infinity=False,
+    ),
+    min_size=2,
+    max_size=60,
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(ys=series_strategy)
+def test_ewma_recursive_cte_replays_pandas_bitwise(ys):
+    import duckdb
+    import pandas as pd
+
+    want = (
+        pd.Series(ys).ewm(alpha=0.1, adjust=False).mean().to_list()
+    )
+    con = duckdb.connect()
+    con.register(
+        "seq", pd.DataFrame({"rn": range(1, len(ys) + 1), "y": ys})
+    )
+    got = [
+        r[0]
+        for r in con.execute(
+            """
+            WITH RECURSIVE rec AS (
+                SELECT rn, y AS v FROM seq WHERE rn = 1
+                UNION ALL
+                SELECT s.rn, 0.9 * r.v + 0.1 * s.y
+                FROM rec r JOIN seq s ON s.rn = r.rn + 1
+            )
+            SELECT v FROM rec ORDER BY rn
+            """
+        ).fetchall()
+    ]
+    assert got == want  # == on floats: bitwise for non-NaN
+
+
+@settings(max_examples=20, deadline=None)
+@given(ys=series_strategy)
+def test_holt_recursive_cte_replays_python_bitwise(ys):
+    import duckdb
+    import pandas as pd
+
+    l, b = ys[0], ys[1] - ys[0]
+    state = [(0, l, b)]
+    for t in range(1, len(ys)):
+        l_new = 0.5 * ys[t] + 0.5 * (l + b)
+        b = 0.25 * (l_new - l) + 0.75 * b
+        l = l_new
+        state.append((t, l, b))
+    con = duckdb.connect()
+    con.register(
+        "seq", pd.DataFrame({"t": range(len(ys)), "y": ys})
+    )
+    got = con.execute(
+        """
+        WITH RECURSIVE rec AS (
+            SELECT f0.t, f0.y AS l, f1.y - f0.y AS b
+            FROM seq f0 JOIN seq f1 ON f1.t = 1
+            WHERE f0.t = 0
+            UNION ALL
+            SELECT s.t,
+                   0.5 * s.y + 0.5 * (r.l + r.b),
+                   0.25 * ((0.5 * s.y + 0.5 * (r.l + r.b)) - r.l)
+                       + 0.75 * r.b
+            FROM rec r JOIN seq s ON s.t = r.t + 1
+        )
+        SELECT t, l, b FROM rec ORDER BY t
+        """
+    ).fetchall()
+    assert [tuple(r) for r in got] == state

@@ -940,3 +940,139 @@ def join_pit_features(spark, sf_dir):
         right_time="click_ts",
         right_values=["last_click_id"],
     ).withColumnRenamed("asof_time", "last_click_ts")
+
+
+# ------------------------------------- incremental join-view maintenance
+# Materialized-VIEW maintenance for a JOIN (the delta rule): the rollup
+# store (operators/rollup.py) maintains AGGREGATES incrementally; this
+# maintains an enriched JOIN view. (L ∪ ΔL) ⋈ (O ∪ ΔO) decomposes into
+# the stored base view plus two delta joins —
+#     Δview = ΔL ⋈ (O ∪ ΔO)   ∪   L_base ⋈ ΔO
+# — so an arriving fact batch joins against the full dimension and an
+# arriving dimension batch joins against the base fact, and the base
+# view is never recomputed. The readout carries the two-lane
+# order-independent table checksum over EVERY view row, so the oracle's
+# full-recompute join proves the delta algebra lossless end-to-end, not
+# just on the rollup columns.
+def _mv_row_hash_sql() -> str:
+    from opusdb_spark.operators.text import word_hash48_sql
+
+    key = (
+        "concat(CAST(l_orderkey AS STRING), '|', "
+        "CAST(l_linenumber AS STRING), '|', "
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS STRING), '|', "
+        "o_orderpriority)"
+    )
+    return word_hash48_sql(key, salt="mv:")
+
+
+_MV_JOIN_ORACLE = f"""
+    WITH v AS (
+        SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice,
+               o.o_orderpriority
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum("l_extendedprice", "revenue")},
+           CAST(SUM({_mv_row_hash_sql()} % 1000000007)
+                % 2305843009213693951 AS BIGINT) AS checksum_a,
+           CAST(SUM({_mv_row_hash_sql()} % 998244353)
+                % 2305843009213693951 AS BIGINT) AS checksum_b
+    FROM v GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "mv_join_incremental",
+    oracle=_MV_JOIN_ORACLE,
+    tags=("join", "mv", "incremental"),
+)
+def mv_join_incremental(spark, sf_dir):
+    """Incremental maintenance of a materialized JOIN view via the
+    delta rule: the base view (non-late lineitems ⋈ non-late orders)
+    is an ingest-once parquet store; the query folds in the late fact
+    batch (l_orderkey % 13 = 0) and the late dimension batch
+    (o_orderkey % 17 = 0) with exactly two delta joins — ΔL against
+    the full dimension, and the base fact against broadcast ΔO — and
+    reports the per-priority rollup PLUS the two-lane portable
+    checksum over every view row. The oracle recomputes the view with
+    one full join, so a hash match proves delta-maintenance ≡ full
+    recompute on the complete row content.
+
+    Scale shape: the base view is read, never re-joined; ΔL ⋈ O is a
+    delta-sized probe of the dimension; L_base ⋈ ΔO broadcasts the
+    tiny dimension delta onto one base-fact scan (the honest cost of a
+    late-arriving dimension — plan-pinned broadcast); the checksum is
+    a commutative map-side sum, so the union order of base and deltas
+    cannot move it."""
+    import hashlib
+
+    from opusdb_spark.sources import (
+        ensure_written,
+        scratch_path,
+        stat_fingerprint,
+    )
+
+    cols_l = ["l_orderkey", "l_linenumber", "l_extendedprice"]
+    lt = table(spark, sf_dir, "lineitem").select(*cols_l)
+    od = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    d_l = F.col("l_orderkey") % 13 == 0
+    d_o = F.col("o_orderkey") % 17 == 0
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = scratch_path(
+        f"mv_join_{os.path.basename(os.path.normpath(sf_dir))}_{tag}"
+    )
+
+    def build(p):
+        (
+            lt.filter(~d_l)
+            .join(
+                od.filter(~d_o),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .select(*cols_l, "o_orderpriority")
+            .write.mode("overwrite")
+            .parquet(p)
+        )
+
+    ensure_written(
+        out,
+        stat_fingerprint(
+            f"{sf_dir}/lineitem.parquet", view="mv_join_base", dl=13, do=17
+        ),
+        build,
+    )
+    base_view = spark.read.parquet(out)
+    delta_fact = (
+        lt.filter(d_l)
+        .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(*cols_l, "o_orderpriority")
+    )
+    delta_dim = (
+        lt.filter(~d_l)
+        .join(
+            F.broadcast(od.filter(d_o)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(*cols_l, "o_orderpriority")
+    )
+    view = base_view.unionByName(delta_fact).unionByName(delta_dim)
+    h = F.expr(_mv_row_hash_sql())
+    m61 = F.lit((1 << 61) - 1).cast("long")
+    return (
+        view.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("l_extendedprice", "revenue"),
+            (F.sum(F.pmod(h, F.lit(1000000007))) % m61)
+            .cast("long")
+            .alias("checksum_a"),
+            (F.sum(F.pmod(h, F.lit(998244353))) % m61)
+            .cast("long")
+            .alias("checksum_b"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -145,6 +145,8 @@ _RECENTLY_CHANGED: tuple[str, ...] = (
     "llm_dedup_pipeline",
     # integer-recurrence packing replay
     "llm_seq_pack",
+    # new in r9 session 2: delta-rule join-view maintenance
+    "mv_join_incremental",
     # TWAP LEAD re-lowered to the bucket-split window (the per-type
     # window was a 5-task parallelism ceiling)
     "events_time_weighted_avg",

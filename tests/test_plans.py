@@ -813,3 +813,14 @@ def test_schema_drift_is_one_scan(spark):
     df = _Q["dq_schema_drift"].fn(spark, SF)
     p = plan(df, mode="formatted")
     assert p.count("events.parquet") == 1
+
+
+def test_mv_join_reads_store_and_broadcasts_dim_delta(spark):
+    """Delta-rule view maintenance: the base view must come from the
+    persisted store (no full base re-join) and the late-dimension
+    batch must broadcast onto the base fact scan — the two plan
+    properties that keep maintenance cost delta-shaped at 100 TB."""
+    df = _Q["mv_join_incremental"].fn(spark, SF)
+    p = plan(df, mode="formatted")
+    assert "mv_join_" in p, "base view store absent from the plan"
+    assert "BroadcastHashJoin" in p, "dimension delta must broadcast"

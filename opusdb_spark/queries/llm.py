@@ -3152,15 +3152,102 @@ def llm_corpus_report(spark, sf_dir):
     return out
 
 
-@register("llm_mmr_select", oracle=None, tags=("llm", "similarity"))
+def _mmr_oracle(k: int = 10) -> str:
+    """DuckDB oracle for llm_mmr_select (upgraded from rows-only in
+    r9): the greedy selection unrolls into k CTE stages. Exactness is
+    structural — the operator's cosines are SEQUENTIAL left-fold
+    double sums (F.aggregate with 0.0 init; 0.0 + x == x), which
+    DuckDB's list_reduce replays bitwise (fuzz-verified against the
+    Python fold), and max-similarity carry is exact MAX algebra — so
+    every per-round arg-max sees identical doubles and the tie-break
+    on vec_id picks identical vectors."""
+
+    def dotf(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(list_zip({a}, {b}), "
+            f"s -> s[1] * s[2]), (acc, x) -> acc + x)"
+        )
+
+    def sqf(a: str) -> str:
+        return (
+            f"list_reduce(list_transform({a}, x -> x * x), "
+            f"(acc, x) -> acc + x)"
+        )
+
+    parts = [
+        f"""
+        WITH pr AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS pv
+            FROM embeddings WHERE vec_id = 0
+        ),
+        cbase AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id <> 0
+        ),
+        c0 AS (
+            SELECT c.vec_id, c.v, {sqf('c.v')} AS nx,
+                   {dotf('c.v', 'p.pv')} AS dot, {sqf('p.pv')} AS np
+            FROM cbase c, pr p
+        ),
+        s1 AS (
+            SELECT vec_id, v, nx,
+                   dot / SQRT(nx * np) AS rel, 0.0 AS ms
+            FROM c0 WHERE nx > 0 AND np > 0
+        )"""
+    ]
+    for r in range(1, k + 1):
+        # CAST the constants: DuckDB parses bare 0.7 as DECIMAL(2,1),
+        # so (1.0 - 0.7) would fold to EXACT decimal 0.3 — a different
+        # double than Python/Spark's 1.0 - 0.7 (0.30000000000000004)
+        parts.append(
+            f""",
+        p{r} AS (
+            SELECT vec_id, v, {sqf('v')} AS sn, score FROM (
+                SELECT vec_id, v,
+                       rel * CAST(0.7 AS DOUBLE)
+                       - ms * (CAST(1.0 AS DOUBLE)
+                               - CAST(0.7 AS DOUBLE)) AS score
+                FROM s{r} ORDER BY score DESC, vec_id LIMIT 1
+            )
+        )"""
+        )
+        if r < k:
+            sim = (
+                f"CASE WHEN s.nx > 0 AND p.sn > 0 "
+                f"THEN {dotf('s.v', 'p.v')} / SQRT(s.nx * p.sn) "
+                f"ELSE 0.0 END"
+            )
+            parts.append(
+                f""",
+        s{r + 1} AS (
+            SELECT s.vec_id, s.v, s.nx, s.rel,
+                   GREATEST(s.ms, {sim}) AS ms
+            FROM s{r} s, p{r} p WHERE s.vec_id <> p.vec_id
+        )"""
+            )
+    finals = " UNION ALL ".join(
+        f"SELECT {r} AS rank, vec_id, score AS mmr_score FROM p{r}"
+        for r in range(1, k + 1)
+    )
+    parts.append(f"\n        {finals} ORDER BY rank")
+    return "".join(parts)
+
+
+@register(
+    "llm_mmr_select", oracle=_mmr_oracle(), tags=("llm", "similarity")
+)
 def llm_mmr_select(spark, sf_dir):
     """Greedy Maximal Marginal Relevance: 10 results for probe vec 0
     balancing relevance against redundancy (lambda = 0.7) — the
-    diversity-aware retrieval/selection pass (rows-only: greedy
-    sequential choice has no SQL form; test_operators.py verifies the
-    picks against an independent numpy implementation). Each round is
-    a distributed arg-max plus a one-vector broadcast; candidate state
-    persists between rounds (operators/similarity.py mmr_select)."""
+    diversity-aware retrieval/selection pass (test_operators.py also
+    verifies the picks against an independent numpy implementation).
+    Each round is a distributed arg-max plus a one-vector broadcast;
+    candidate state persists between rounds (operators/similarity.py
+    mmr_select). Hash-oracled since r9: every cosine in the operator
+    is a SEQUENTIAL left-fold double sum (F.aggregate), which DuckDB's
+    list_reduce replays bitwise (verified), so the 10 greedy rounds
+    unroll into CTE stages whose arg-maxes pick identical vectors and
+    scores (see _mmr_oracle)."""
     emb = table(spark, sf_dir, "embeddings")
     return similarity.mmr_select(emb, probe_id=0, k=10, lam=0.7)
 

@@ -147,6 +147,8 @@ _RECENTLY_CHANGED: tuple[str, ...] = (
     "llm_seq_pack",
     # new in r9 session 2: delta-rule join-view maintenance
     "mv_join_incremental",
+    # unrolled greedy-selection replay (left-fold cosines)
+    "llm_mmr_select",
     # TWAP LEAD re-lowered to the bucket-split window (the per-type
     # window was a 5-task parallelism ceiling)
     "events_time_weighted_avg",

@@ -118,7 +118,15 @@ def sink_append(spark, sf_dir):
 
 @register(
     "sink_partitioned",
-    oracle=None,  # rows-only: filesystem side-effect + read-back
+    # upgraded from rows-only in r9: the write is clear-on-entry
+    # deterministic, so the pruned read-back must aggregate to exactly
+    # what the source table says — the hash match proves the
+    # partitioned layout round-trips content faithfully
+    oracle="""
+        SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+    """,
     tags=("sink",),
 )
 def sink_partitioned(spark, sf_dir):
@@ -128,7 +136,8 @@ def sink_partitioned(spark, sf_dir):
     status — a directory-pruned scan that never lists the other
     partitions. The layout every 100 TB fact table uses (partition by
     date/status, low cardinality) so per-slice queries touch one
-    directory, not the table.
+    directory, not the table. Hash-oracled since r9: the read-back
+    aggregate must equal the same aggregate over the source table.
     """
     from opusdb_spark.sources import write_partitioned
 

@@ -392,7 +392,26 @@ def mvcc_txn_rollback(spark, sf_dir):
     )
 
 
-@register("sink_reopen_append", oracle=None, tags=("sink", "write-path"))
+@register(
+    "sink_reopen_append",
+    # upgraded from rows-only in r9: scratch_sink clears on entry, so
+    # the three appended blocks are fully determined by the event
+    # slices — the oracle states each block's expected row count
+    # directly from the source table
+    oracle="""
+        SELECT CAST(0 AS INT) AS block_id, CAST(COUNT(*) AS BIGINT)
+            AS n_rows
+        FROM events WHERE event_id <= 300 AND event_id % 2 = 0
+        UNION ALL
+        SELECT 1, CAST(COUNT(*) AS BIGINT)
+        FROM events WHERE event_id <= 300 AND event_id % 2 = 1
+        UNION ALL
+        SELECT 2, CAST(COUNT(*) AS BIGINT)
+        FROM events WHERE event_id <= 100
+        ORDER BY block_id
+    """,
+    tags=("sink", "write-path"),
+)
 def sink_reopen_append(spark, sf_dir):
     """Reopen-and-continue appending (reference: make-log-mgr reopens
     the last block and continues, log_mgr.clj:68-86; pinned behavior
@@ -400,8 +419,10 @@ def sink_reopen_append(spark, sf_dir):
 
     Writer #1 appends blocks 0-1 and is discarded; a FRESH writer
     derives the next block id by reading the sink (the reopen scan)
-    and appends block 2. Read-back shows all three blocks contiguous
-    (rows-only: side-effecting)."""
+    and appends block 2. Read-back shows all three blocks contiguous.
+    Hash-oracled since r9: clear-on-entry makes the sink content a
+    pure function of the event slices, so the oracle derives each
+    block's count from the source table."""
     from opusdb_spark.sources import scratch_sink
 
     out = scratch_sink("reopen_log")

@@ -149,6 +149,9 @@ _RECENTLY_CHANGED: tuple[str, ...] = (
     "mv_join_incremental",
     # unrolled greedy-selection replay (left-fold cosines)
     "llm_mmr_select",
+    # clear-on-entry sinks: content is a pure function of the source
+    "sink_partitioned",
+    "sink_reopen_append",
     # TWAP LEAD re-lowered to the bucket-split window (the per-type
     # window was a 5-task parallelism ceiling)
     "events_time_weighted_avg",

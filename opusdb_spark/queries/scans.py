@@ -1005,3 +1005,112 @@ def scan_table_checksum(spark, sf_dir):
         .cast("long")
         .alias("checksum_b"),
     )
+
+
+# ------------------------------------------------ deletion vectors
+# Lakehouse merge-on-read DELETEs (the Delta/Iceberg deletion-vector
+# mechanism): instead of rewriting data files to delete rows
+# (copy-on-write — rewrites a whole file to drop one row), a tiny
+# positional sidecar lists (file, row_index) pairs to suppress, and
+# every read anti-joins it. At 100 TB a 0.1% delete costs a KB-scale
+# sidecar write instead of a TB-scale rewrite; the read-path tax is a
+# broadcast anti-join that AQE keeps off the shuffle path.
+def _dv_delete_cond() -> str:
+    from opusdb_spark.operators.text import word_hash48_sql
+
+    return (
+        word_hash48_sql("CAST(o_orderkey AS STRING)", salt="dv:")
+        + " % 97 = 0"
+    )
+
+
+_DV_ORACLE = f"""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_live,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+               AS total_price
+    FROM orders WHERE NOT ({_dv_delete_cond()})
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "scan_delete_vectors",
+    oracle=_DV_ORACLE,
+    tags=("scan", "lakehouse", "write-path"),
+)
+def scan_delete_vectors(spark, sf_dir):
+    """Merge-on-read positional deletes: an ingest-once orders store
+    plus a (file_path, row_index) deletion-vector sidecar marking ~1%
+    of rows (selected by the portable hash, so the oracle can name the
+    SAME logical rows without knowing the physical layout); the read
+    path scans the store with its `_metadata` position columns and
+    drops deleted positions with a broadcast ANTI join before
+    aggregating. The hash match proves the POSITIONAL delete path
+    suppresses exactly the intended LOGICAL rows — the correctness
+    contract deletion vectors must keep.
+
+    Scale shape: the delete writes a sidecar proportional to deleted
+    rows (never rewrites data files); every read pays one broadcast
+    anti-join (plan-pinned) — the standard merge-on-read trade. The
+    sidecar build happens once at ingest (fingerprint-guarded)."""
+    import hashlib
+
+    from opusdb_spark.sources.formats import (
+        ensure_written,
+        scratch_path,
+        stat_fingerprint,
+    )
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = os.path.basename(os.path.normpath(sf_dir))
+    store = scratch_path(f"dv_orders_{base}_{tag}")
+    sidecar = scratch_path(f"dv_sidecar_{base}_{tag}")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    ensure_written(
+        store,
+        stat_fingerprint(f"{sf_dir}/orders.parquet", layout="dv_store"),
+        lambda p: orders.write.mode("overwrite").parquet(p),
+    )
+
+    def build_sidecar(p):
+        (
+            spark.read.parquet(store)
+            .select(
+                F.col("_metadata.file_path").alias("file_path"),
+                F.col("_metadata.row_index").alias("row_index"),
+                "o_orderkey",
+            )
+            .filter(F.expr(_dv_delete_cond()))
+            .select("file_path", "row_index")
+            .write.mode("overwrite")
+            .parquet(p)
+        )
+
+    ensure_written(
+        sidecar,
+        stat_fingerprint(f"{sf_dir}/orders.parquet", layout="dv_sidecar"),
+        build_sidecar,
+    )
+    dv = spark.read.parquet(sidecar)
+    live = (
+        spark.read.parquet(store)
+        .select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.row_index").alias("row_index"),
+            "o_orderstatus",
+            "o_totalprice",
+        )
+        .join(F.broadcast(dv), ["file_path", "row_index"], "left_anti")
+    )
+    return (
+        live.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_live"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

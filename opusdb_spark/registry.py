@@ -152,6 +152,8 @@ _RECENTLY_CHANGED: tuple[str, ...] = (
     # clear-on-entry sinks: content is a pure function of the source
     "sink_partitioned",
     "sink_reopen_append",
+    # new in r9 session 2: merge-on-read positional deletes
+    "scan_delete_vectors",
     # TWAP LEAD re-lowered to the bucket-split window (the per-type
     # window was a 5-task parallelism ceiling)
     "events_time_weighted_avg",

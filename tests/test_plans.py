@@ -824,3 +824,13 @@ def test_mv_join_reads_store_and_broadcasts_dim_delta(spark):
     p = plan(df, mode="formatted")
     assert "mv_join_" in p, "base view store absent from the plan"
     assert "BroadcastHashJoin" in p, "dimension delta must broadcast"
+
+
+def test_delete_vectors_read_is_broadcast_anti(spark):
+    """Merge-on-read deletes must cost one broadcast ANTI join on the
+    read path — a shuffled anti-join would tax every read with a full
+    fact shuffle for a KB-scale delete sidecar."""
+    df = _Q["scan_delete_vectors"].fn(spark, SF)
+    p = plan(df, mode="formatted")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "dv_orders_" in p, "read must come from the ingest store"

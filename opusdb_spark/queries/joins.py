@@ -1040,8 +1040,15 @@ def mv_join_incremental(spark, sf_dir):
 
     ensure_written(
         out,
+        # BOTH join inputs fingerprint the store: an orders.parquet
+        # change with unchanged lineitem stats must invalidate the
+        # base view, or a stale view serves wrong checksums
         stat_fingerprint(
-            f"{sf_dir}/lineitem.parquet", view="mv_join_base", dl=13, do=17
+            f"{sf_dir}/lineitem.parquet",
+            f"{sf_dir}/orders.parquet",
+            view="mv_join_base",
+            dl=13,
+            do=17,
         ),
         build,
     )

@@ -222,25 +222,50 @@ def _minhash_components(spark, sf_dir, threshold: float = 0.5):
     )
 
 
+def _oracle_sf_dir() -> str:
+    """The canonical ORACLE corpus dir (the driver judges at sf0.01;
+    OPUSDB_PARITY_SF_DIR overrides for local parity runs) — shared by
+    every artifact-reading oracle builder."""
+    import os
+
+    return os.environ.get("OPUSDB_PARITY_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _oracle_scratch(prefix: str) -> str:
+    """Scratch-store path of the oracle corpus's ingest artifact,
+    replicating the `{prefix}_{basename}_{md5tag}` naming the Spark
+    query helpers use — ONE place for the scheme on the oracle side
+    (it was previously copy-pasted per builder)."""
+    import hashlib
+    import os
+
+    from opusdb_spark.sources.formats import scratch_path
+
+    sf_dir = _oracle_sf_dir()
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return scratch_path(f"{prefix}_{base}_{tag}")
+
+
 def _fuzzy_oracle() -> str:
     """DuckDB oracle for llm_dedup_fuzzy (upgraded from rows-only in
     r9): re-derives candidates AND estimates from the persisted
     signature store — the same ingest-artifact convention as
     llm_dedup_cluster (pair graph) and llm_simsearch_lsh (sigs). The
     artifact path is the canonical oracle corpus (driver's sf0.01);
-    the Spark query materializes the store on first run."""
-    import hashlib
-    import os
+    the Spark query materializes the store on first run.
 
+    Known semantic gap (accepted): the Spark operator keys candidate
+    buckets on a 32-bit F.hash of the band slice (dedup.py:
+    lsh_candidate_pairs), while this oracle joins on band CONTENT — a
+    murmur3 band-hash COLLISION between unequal bands would admit a
+    Spark-only candidate the oracle cannot see, and the pair would
+    mismatch iff its signature agreement also clears the threshold
+    without any truly-equal band (~2^-32 per doc pair, ~1e-4 odds over
+    the corpus's candidate universe)."""
     from opusdb_spark.operators.dedup import N_BANDS, N_MINHASH
-    from opusdb_spark.sources.formats import scratch_path
 
-    sf_dir = os.environ.get(
-        "OPUSDB_PARITY_SF_DIR", "/root/testdata/sf0.01"
-    )
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    base = os.path.basename(os.path.normpath(sf_dir))
-    sigs = scratch_path(f"minhash_sigs_{base}_{tag}")
+    sigs = _oracle_scratch("minhash_sigs")
     r = N_MINHASH // N_BANDS  # rows per band
     return f"""
         WITH sigs AS (
@@ -291,18 +316,9 @@ def _incremental_oracle() -> str:
     """DuckDB oracle for llm_dedup_incremental (upgraded from rows-only
     in r9): same signature-store replay as _fuzzy_oracle, asymmetric —
     the arriving batch (doc_id % 10 = 0) banded against the rest."""
-    import hashlib
-    import os
-
     from opusdb_spark.operators.dedup import N_BANDS, N_MINHASH
-    from opusdb_spark.sources.formats import scratch_path
 
-    sf_dir = os.environ.get(
-        "OPUSDB_PARITY_SF_DIR", "/root/testdata/sf0.01"
-    )
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    base = os.path.basename(os.path.normpath(sf_dir))
-    sigs = scratch_path(f"minhash_sigs_{base}_{tag}")
+    sigs = _oracle_scratch("minhash_sigs")
     r = N_MINHASH // N_BANDS
     return f"""
         WITH sigs AS (
@@ -365,17 +381,7 @@ def _simhash_oracle() -> str:
     directly on the persisted fingerprint store with xor + bit_count.
     The oracle is deliberately the brute-force formulation: a hash
     match is simultaneously a completeness proof of the blocking."""
-    import hashlib
-    import os
-
-    from opusdb_spark.sources.formats import scratch_path
-
-    sf_dir = os.environ.get(
-        "OPUSDB_PARITY_SF_DIR", "/root/testdata/sf0.01"
-    )
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    base = os.path.basename(os.path.normpath(sf_dir))
-    fps = scratch_path(f"simhash_fps_{base}_{tag}")
+    fps = _oracle_scratch("simhash_fps")
     return f"""
         WITH fps AS (
             SELECT doc_id, simhash FROM read_parquet('{fps}/*.parquet')
@@ -701,6 +707,47 @@ def _ann_index(spark, sf_dir) -> str:
     )
 
 
+def _probe_rescore_cte(cand: str = "cand") -> str:
+    """CTE block scoring `cand(vec_id)` against probe vec 0 with the
+    canonical decimal-fold cosine (_SIM_ORACLE's algebra) —
+    single-sourced so an exactness-policy change (decimal width,
+    guard) cannot silently fork between the probe oracles. Emits
+    idx64/probe0/pn/flat/scored; callers append their own final
+    SELECT over scored × pn."""
+    return f"""
+        idx64 AS (SELECT UNNEST(range(1, 65)) AS i),
+        probe0 AS (
+            SELECT i, CAST(embedding[i] AS DOUBLE) AS p
+            FROM embeddings CROSS JOIN idx64 WHERE vec_id = 0
+        ),
+        pn AS (
+            SELECT CAST(SUM(CAST(p * p AS DECIMAL(27,12))) AS DOUBLE)
+                AS np FROM probe0
+        ),
+        flat AS (
+            SELECT e.vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+            FROM embeddings e JOIN {cand} USING (vec_id)
+            CROSS JOIN idx64
+        ),
+        scored AS (
+            SELECT vec_id,
+                   CAST(SUM(CAST(x * p AS DECIMAL(27,12))) AS DOUBLE)
+                       AS dot,
+                   CAST(SUM(CAST(x * x AS DECIMAL(27,12))) AS DOUBLE)
+                       AS nx
+            FROM flat JOIN probe0 USING (i)
+            GROUP BY vec_id
+        )"""
+
+
+_PROBE_TOPK_SQL = """
+        SELECT vec_id, dot / SQRT(nx * np) AS cosine
+        FROM scored CROSS JOIN pn
+        WHERE nx > 0 AND np > 0
+        ORDER BY cosine DESC, vec_id LIMIT 10
+    """
+
+
 def _lsh_oracle() -> str:
     """DuckDB oracle for llm_simsearch_lsh (upgraded from rows-only in
     r9): the ANN result is DETERMINISTIC given the persisted signature
@@ -718,10 +765,7 @@ def _lsh_oracle() -> str:
 
     from opusdb_spark.operators.ann_index import index_dir_for
 
-    sf_dir = os.environ.get(
-        "OPUSDB_PARITY_SF_DIR", "/root/testdata/sf0.01"
-    )
-    sigs = os.path.join(index_dir_for(sf_dir), "sigs")
+    sigs = os.path.join(index_dir_for(_oracle_sf_dir()), "sigs")
     return f"""
         WITH sigs AS (
             SELECT vec_id, table_id, bucket
@@ -735,31 +779,8 @@ def _lsh_oracle() -> str:
             FROM sigs s JOIN probe_sigs p USING (table_id, bucket)
             WHERE s.vec_id <> 0
         ),
-        idx AS (SELECT UNNEST(range(1, 65)) AS i),
-        probe AS (
-            SELECT i, CAST(embedding[i] AS DOUBLE) AS p
-            FROM embeddings CROSS JOIN idx WHERE vec_id = 0
-        ),
-        pn AS (
-            SELECT CAST(SUM(CAST(p * p AS DECIMAL(27,12))) AS DOUBLE)
-                AS np FROM probe
-        ),
-        flat AS (
-            SELECT e.vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
-            FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN idx
-        ),
-        scored AS (
-            SELECT vec_id,
-                   CAST(SUM(CAST(x * p AS DECIMAL(27,12))) AS DOUBLE) AS dot,
-                   CAST(SUM(CAST(x * x AS DECIMAL(27,12))) AS DOUBLE) AS nx
-            FROM flat JOIN probe USING (i)
-            GROUP BY vec_id
-        )
-        SELECT vec_id, dot / SQRT(nx * np) AS cosine
-        FROM scored CROSS JOIN pn
-        WHERE nx > 0 AND np > 0
-        ORDER BY cosine DESC, vec_id LIMIT 10
-    """
+        {_probe_rescore_cte()}
+        {_PROBE_TOPK_SQL}"""
 
 
 @register("llm_simsearch_lsh", oracle=_lsh_oracle(), tags=("llm", "similarity"))
@@ -776,6 +797,21 @@ def llm_simsearch_lsh(spark, sf_dir):
     return ann_index.lsh_probe(spark, idx, vec, k=10, exclude_id=0, probe_id=0)
 
 
+def _indexed_json_sql(path: str, idx_alias: str, val_alias: str) -> str:
+    """Order-PINNED read of a JSON model file (array of arrays) as
+    (index, value) rows: the whole file loads as ONE value
+    (format='unstructured') and elements are addressed by explicit
+    subscript — never `row_number() OVER ()` on a multi-row JSON scan,
+    whose order SQL does not guarantee."""
+    return f"""(
+        SELECT CAST(i - 1 AS BIGINT) AS {idx_alias},
+               all_v[CAST(i AS INT)] AS {val_alias}
+        FROM (SELECT json AS all_v FROM read_json('{path}',
+                  format='unstructured', records=false)),
+             UNNEST(range(1, len(all_v) + 1)) AS u(i)
+    )"""
+
+
 def _ivf_oracle() -> str:
     """DuckDB oracle for llm_simsearch_ivf (upgraded from rows-only in
     r9): the probed-cell choice replays from the persisted centroid
@@ -786,21 +822,13 @@ def _ivf_oracle() -> str:
     candidate membership comes from the persisted ivf/ partition
     layout, and the ranking is the same decimal-fold cosine
     _SIM_ORACLE replays hash-exactly."""
-    import os
-
     from opusdb_spark.operators.ann_index import index_dir_for
     from opusdb_spark.operators.similarity import N_PROBE
 
-    sf_dir = os.environ.get(
-        "OPUSDB_PARITY_SF_DIR", "/root/testdata/sf0.01"
-    )
-    idx = index_dir_for(sf_dir)
+    idx = index_dir_for(_oracle_sf_dir())
     return f"""
-        WITH cents AS (
-            SELECT (row_number() OVER ()) - 1 AS cell, json AS c
-            FROM read_json('{idx}/centroids.json',
-                           format='array', records=false)
-        ),
+        WITH cents AS
+            {_indexed_json_sql(f"{idx}/centroids.json", "cell", "c")},
         pvec AS (
             SELECT CAST(embedding AS DOUBLE[]) AS p
             FROM embeddings WHERE vec_id = 0
@@ -818,31 +846,8 @@ def _ivf_oracle() -> str:
                               hive_partitioning = 1)
             WHERE cell IN (SELECT cell FROM cells) AND vec_id <> 0
         ),
-        idx64 AS (SELECT UNNEST(range(1, 65)) AS i),
-        probe AS (
-            SELECT i, CAST(embedding[i] AS DOUBLE) AS p
-            FROM embeddings CROSS JOIN idx64 WHERE vec_id = 0
-        ),
-        pn AS (
-            SELECT CAST(SUM(CAST(p * p AS DECIMAL(27,12))) AS DOUBLE)
-                AS np FROM probe
-        ),
-        flat AS (
-            SELECT e.vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
-            FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN idx64
-        ),
-        scored AS (
-            SELECT vec_id,
-                   CAST(SUM(CAST(x * p AS DECIMAL(27,12))) AS DOUBLE) AS dot,
-                   CAST(SUM(CAST(x * x AS DECIMAL(27,12))) AS DOUBLE) AS nx
-            FROM flat JOIN probe USING (i)
-            GROUP BY vec_id
-        )
-        SELECT vec_id, dot / SQRT(nx * np) AS cosine
-        FROM scored CROSS JOIN pn
-        WHERE nx > 0 AND np > 0
-        ORDER BY cosine DESC, vec_id LIMIT 10
-    """
+        {_probe_rescore_cte()}
+        {_PROBE_TOPK_SQL}"""
 
 
 @register("llm_simsearch_ivf", oracle=_ivf_oracle(), tags=("llm", "similarity"))
@@ -870,22 +875,14 @@ def _ann_recall_oracle() -> str:
     partition layout (same machinery as _ivf_oracle). So the recall
     numbers — the accuracy gate for the index — are value-checked by a
     second engine end-to-end."""
-    import os
-
     from opusdb_spark.operators.ann_index import index_dir_for
     from opusdb_spark.operators.similarity import N_PROBE
 
-    sf_dir = os.environ.get(
-        "OPUSDB_PARITY_SF_DIR", "/root/testdata/sf0.01"
-    )
-    idx = index_dir_for(sf_dir)
+    idx = index_dir_for(_oracle_sf_dir())
     lv = f"[{N_PROBE}, {2 * N_PROBE}]"
     return f"""
-        WITH cents AS (
-            SELECT (row_number() OVER ()) - 1 AS cell, json AS c
-            FROM read_json('{idx}/centroids.json',
-                           format='array', records=false)
-        ),
+        WITH cents AS
+            {_indexed_json_sql(f"{idx}/centroids.json", "cell", "c")},
         pvecs AS (
             SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS p
             FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
@@ -1047,15 +1044,10 @@ def _ivfpq_oracle() -> str:
     expression loop's left association, so every ADC double is
     IDENTICAL across engines and the rank-50 pool boundary cannot
     drift."""
-    import os
-
     from opusdb_spark.operators.ann_index import PQ_KS, PQ_M, index_dir_for
     from opusdb_spark.operators.similarity import N_PROBE
 
-    sf_dir = os.environ.get(
-        "OPUSDB_PARITY_SF_DIR", "/root/testdata/sf0.01"
-    )
-    idx = index_dir_for(sf_dir)
+    idx = index_dir_for(_oracle_sf_dir())
     d = 64 // PQ_M
 
     def term(j: int) -> str:
@@ -1075,16 +1067,10 @@ def _ivfpq_oracle() -> str:
     for m in range(2, PQ_M + 1):
         adc_sum = f"({adc_sum} + ds[{m}])"
     return f"""
-        WITH cents AS (
-            SELECT (row_number() OVER ()) - 1 AS cell, json AS c
-            FROM read_json('{idx}/centroids.json',
-                           format='array', records=false)
-        ),
-        books AS (
-            SELECT (row_number() OVER ()) - 1 AS m, json AS bk
-            FROM read_json('{idx}/pq_codebooks.json',
-                           format='array', records=false)
-        ),
+        WITH cents AS
+            {_indexed_json_sql(f"{idx}/centroids.json", "cell", "c")},
+        books AS
+            {_indexed_json_sql(f"{idx}/pq_codebooks.json", "m", "bk")},
         pvec AS (
             SELECT CAST(embedding AS DOUBLE[]) AS p
             FROM embeddings WHERE vec_id = 0
@@ -1124,30 +1110,7 @@ def _ivfpq_oracle() -> str:
             FROM parts
             ORDER BY adc ASC, vec_id ASC LIMIT 50
         ),
-        idx64 AS (SELECT UNNEST(range(1, 65)) AS i),
-        probe AS (
-            SELECT i, CAST(embedding[i] AS DOUBLE) AS p
-            FROM embeddings CROSS JOIN idx64 WHERE vec_id = 0
-        ),
-        pn AS (
-            SELECT CAST(SUM(CAST(p * p AS DECIMAL(27,12))) AS DOUBLE)
-                AS np FROM probe
-        ),
-        flat AS (
-            SELECT e.vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
-            FROM embeddings e
-            JOIN pool USING (vec_id)
-            CROSS JOIN idx64
-        ),
-        scored AS (
-            SELECT vec_id,
-                   CAST(SUM(CAST(x * p AS DECIMAL(27,12))) AS DOUBLE)
-                       AS dot,
-                   CAST(SUM(CAST(x * x AS DECIMAL(27,12))) AS DOUBLE)
-                       AS nx
-            FROM flat JOIN probe USING (i)
-            GROUP BY vec_id
-        )
+        {_probe_rescore_cte('pool')}
         SELECT s.vec_id, s.dot / SQRT(s.nx * pn.np) AS cosine,
                ROUND(po.adc, 6) AS adc_dist
         FROM scored s
@@ -1302,17 +1265,7 @@ def _cluster_oracle() -> str:
     calibration/property tests. The artifact path is the canonical
     oracle corpus (the driver's sf0.01); the Spark query materializes
     it on first run."""
-    import hashlib
-    import os
-
-    from opusdb_spark.sources.formats import scratch_path
-
-    sf_dir = os.environ.get(
-        "OPUSDB_PARITY_SF_DIR", "/root/testdata/sf0.01"
-    )
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    base = os.path.basename(os.path.normpath(sf_dir))
-    pairs = scratch_path(f"minhash_pairs_{base}_{tag}")
+    pairs = _oracle_scratch("minhash_pairs")
     return f"""
         WITH RECURSIVE edges AS (
             SELECT DISTINCT GREATEST(doc_a, doc_b) AS u,

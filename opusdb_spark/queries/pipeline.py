@@ -279,7 +279,12 @@ PACK_CAPACITY = 256
 _SEQ_PACK_ORACLE = f"""
     WITH RECURSIVE docs0 AS (
         SELECT lang, doc_id,
-               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               -- MUST match T.n_words (empty tokens filtered): a bare
+               -- len(string_split(...)) over-counts on consecutive/
+               -- leading spaces and counts empty text as 1
+               CAST(len(list_filter(string_split(text, ' '),
+                                    w -> len(w) > 0)) AS BIGINT)
+                   AS n_tokens,
                ROW_NUMBER() OVER (
                    PARTITION BY lang ORDER BY doc_id
                ) AS rn

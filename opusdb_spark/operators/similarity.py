@@ -561,46 +561,15 @@ def semdedup_drops(
     )
 
 
-def _assign_sqd_udf(centroids: np.ndarray):
-    """Arrow UDF: per vector, (nearest centroid id, squared Euclidean
-    distance to it). Ties → lowest centroid id (np.argmin contract),
-    so assignments are deterministic."""
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import (
-        DoubleType,
-        IntegerType,
-        StructField,
-        StructType,
-    )
+def kmeans_seed_order_sql(id_sql: str) -> str:
+    """ENGINE-PORTABLE seed ordering key for k-means initialization:
+    the md5-bit word hash of the id (operators/text.py construction).
+    Replaces the r1-era `F.hash` (Spark-private Murmur3) seeding so a
+    second engine can derive the SAME k seeds — the change that made
+    emb_kmeans hash-oracle-able in r10."""
+    from opusdb_spark.operators.text import word_hash48_sql
 
-    c = centroids.astype(np.float64)
-
-    @pandas_udf(
-        StructType(
-            [
-                StructField("cell", IntegerType()),
-                StructField("sqd", DoubleType()),
-            ]
-        )
-    )
-    def assign(vecs: pd.Series) -> pd.DataFrame:
-        if not len(vecs):  # np.stack([]) raises on empty Arrow batches
-            return pd.DataFrame({"cell": [], "sqd": []})
-        X = np.stack(vecs.to_numpy()).astype(np.float64)
-        # ||x-c||² = ||x||² - 2x·c + ||c||², argmin over cells
-        d2 = (
-            (X * X).sum(axis=1, keepdims=True)
-            - 2.0 * X @ c.T
-            + (c * c).sum(axis=1)
-        )
-        cell = np.argmin(d2, axis=1)
-        sqd = d2[np.arange(len(X)), cell]
-        # clamp the FP-cancellation negatives of exact-match vectors
-        return pd.DataFrame(
-            {"cell": cell.astype(np.int32), "sqd": np.maximum(sqd, 0.0)}
-        )
-
-    return assign
+    return word_hash48_sql(f"CAST({id_sql} AS STRING)", salt="km:")
 
 
 def kmeans_inertia(
@@ -612,31 +581,67 @@ def kmeans_inertia(
 ) -> list[tuple[int, float, int]]:
     """Classic Lloyd k-means for `iters` iterations, returning the
     model-sized convergence trace [(iteration, inertia, n_moved_cells)].
-    Per iteration ONE distributed pass: assign (Arrow UDF, centroids
-    broadcast in the closure) → posexplode → a single groupBy(cell,dim)
-    that carries BOTH the per-dim decimal mean and the per-cell decimal
-    inertia share (inertia rides on the dim0 == 0 rows — posexplode is
-    0-based — so no second aggregation/action). Everything collected is O(k × dim) — the model
-    — never data. Squared-Euclidean + mean update makes inertia
-    provably non-increasing, which the tests pin."""
+    Per iteration ONE distributed pass: assignment is a whole-stage-
+    codegen fold — per vector, k sequential left-fold Σ(a−b)² distances
+    against centroid LITERALS, argmin via array_min over (sqd, cell)
+    structs (ties → lowest cell) — then posexplode into a single
+    groupBy(cell,dim) carrying BOTH the per-dim decimal mean and the
+    per-cell decimal inertia share (riding the dim0 == 0 rows).
+    Everything collected is O(k × dim) — the model — never data.
+    Squared-Euclidean + mean update makes inertia provably
+    non-increasing, which the tests pin.
+
+    Replayable by construction (r10, previously rows-only): seeds
+    order by the portable md5 hash (kmeans_seed_order_sql), distances
+    are SEQUENTIAL left folds (DuckDB list_reduce replays them bitwise
+    — premise pinned in tests/test_properties.py), means are exact
+    decimal sums cast to double then divided as doubles, and the
+    inertia total is an exact decimal sum converted once — so a second
+    engine stepping the same recurrence reproduces every centroid,
+    assignment, and trace row (see queries/llm.py _kmeans_oracle)."""
+    import decimal
+
     from opusdb_spark.operators.skew import spread
 
     emb = spread(emb)  # dim× fan-out per iteration; see skew.spread
     seeds = (
         emb.select(id_col, vec_col)
         .orderBy(
-            F.pmod(F.hash(F.col(id_col)), F.lit(997)).asc(),
+            F.expr(kmeans_seed_order_sql(id_col)).asc(),
             F.col(id_col).asc(),
         )
         .limit(k)
         .collect()
     )
-    cents = np.array([list(r[1]) for r in seeds], dtype=np.float64)
+    cents = [[float(x) for x in r[1]] for r in seeds]
     trace: list[tuple[int, float, int]] = []
     for it in range(iters):
+        d2s = [
+            F.aggregate(
+                F.zip_with(
+                    vec_col,
+                    F.array(*[F.lit(v) for v in c]),
+                    lambda a, b: (a.cast("double") - b)
+                    * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for c in cents
+        ]
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(d2.alias("sqd"), F.lit(ci).alias("cell"))
+                    for ci, d2 in enumerate(d2s)
+                ]
+            )
+        )
         assigned = emb.select(
-            vec_col, _assign_sqd_udf(cents)(vec_col).alias("a")
-        ).select(F.col("a.cell").alias("cell"), F.col("a.sqd").alias("sqd"), vec_col)
+            vec_col,
+            best.getField("cell").alias("cell"),
+            best.getField("sqd").alias("sqd"),
+        )
         flat = assigned.select(
             "cell", "sqd", F.posexplode(vec_col).alias("dim0", "x")
         )
@@ -644,33 +649,36 @@ def kmeans_inertia(
             flat.groupBy("cell", "dim0")
             .agg(
                 (
-                    F.sum(F.col("x").cast("decimal(27,12)"))
+                    # float → DOUBLE → decimal: casting the float
+                    # straight to decimal would round its SHORTEST
+                    # string form, which a double-side replay cannot
+                    # reproduce (same trap _flat guards against)
+                    F.sum(F.col("x").cast("double").cast("decimal(27,12)"))
+                    .cast("double")
                     / F.count(F.lit(1))
-                )
-                .cast("double")
-                .alias("m"),
+                ).alias("m"),
                 F.sum(
                     F.when(F.col("dim0") == 0, F.col("sqd"))
                     .otherwise(0.0)
                     .cast("decimal(27,12)")
-                )
-                .cast("double")
-                .alias("inertia_part"),
+                ).alias("inertia_part"),
             )
             .collect()
         )
-        inertia = sum(r["inertia_part"] for r in rows)
-        new_cents = cents.copy()
-        for r in rows:
-            new_cents[r["cell"], r["dim0"]] = r["m"]
-        n_moved = int(
+        # exact decimal total (order-independent), ONE conversion to
+        # double — a Python float sum over collect() row order would
+        # be nondeterministic in its last bits
+        inertia = float(
             sum(
-                1
-                for c in range(k)
-                if not np.array_equal(new_cents[c], cents[c])
+                (r["inertia_part"] for r in rows),
+                decimal.Decimal(0),
             )
         )
-        trace.append((it, float(inertia), n_moved))
+        new_cents = [list(c) for c in cents]
+        for r in rows:
+            new_cents[r["cell"]][r["dim0"]] = float(r["m"])
+        n_moved = sum(1 for c in range(k) if new_cents[c] != cents[c])
+        trace.append((it, inertia, n_moved))
         cents = new_cents
     return trace
 
@@ -698,6 +706,7 @@ def mmr_select(
     lam: float = 0.7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pool_n: int = 1024,
 ) -> DataFrame:
     """Greedy Maximal Marginal Relevance: iteratively pick the vector
     maximizing  lam * rel(v) − (1 − lam) * max_sim(v, selected),
@@ -705,20 +714,34 @@ def mmr_select(
     used for dedup-aware retrieval and diverse few-shot/eval-set
     picking (Carbonell & Goldstein 1998).
 
-    Scale shape: rel computes once in a single corpus pass (double
-    folds, whole-stage codegen). Each of the k rounds is a distributed
-    arg-max (TakeOrderedAndProject limit-1 — partition-local heads,
-    no global sort) plus a broadcast of the ONE newly selected vector
-    as a literal, after which every candidate's running max-similarity
-    updates in place: per round the driver receives exactly one row
-    (model-sized by construction) and the corpus is touched once.
-    Candidate state persists per round so round r+1 reuses round r's
-    materialized maxsim instead of replaying the whole lineage.
-    Deterministic: per-row fold order is fixed (no shuffle-order
-    dependence) and arg-max ties break on the id column."""
+    Scale shape (pool-restricted since r10): ONE corpus pass computes
+    rel for every candidate (double left-folds, whole-stage codegen),
+    then TakeOrderedAndProject keeps the top `pool_n` candidates by
+    (rel DESC, id ASC) — partition-local heads, no global sort, no
+    corpus materialization. The k greedy rounds then run over the
+    pool only, which is model-sized by construction (pool_n × dim
+    doubles ≈ 0.5 MB), so the iterative phase costs zero corpus scans
+    and zero corpus-sized cache writes — the r9 shape (k corpus
+    arg-max passes + k corpus-wide persist rewrites) priced at 75 s /
+    ratio 7.8 in the 100× probe and could never persist a 100 TB
+    corpus k times. Selection is preserved for pool_n ≫ k because a
+    vector outside the top-pool_n relevance set is never a
+    competitive pick at any diversity penalty that also admits k
+    in-pool picks (scores are lam·rel minus a non-negative-in-practice
+    penalty; verified pick-for-pick against the full-corpus numpy
+    greedy in tests/test_operators.py).
+
+    Exactness: the in-pool rounds run driver-side with SEQUENTIAL
+    left-fold double sums starting at 0.0 — the same fold F.aggregate
+    performs and the same fold DuckDB's list_reduce performs
+    (premise property-pinned in tests/test_properties.py), so the
+    DuckDB oracle replays every cosine, every running max, and every
+    arg-max tie-break (score DESC, id ASC, IEEE ==) bit-for-bit."""
+    import math
+
     from opusdb_spark.operators.skew import spread
 
-    emb = spread(emb)  # HOF cosine per row over every round; see skew.spread
+    emb = spread(emb)  # HOF cosine fan-out on a small-on-disk table
     probe = emb.filter(F.col(id_col) == probe_id).select(
         F.col(vec_col).alias("_pvec")
     )
@@ -745,7 +768,7 @@ def mmr_select(
     rel = F.when(
         (fnx > 0) & (F.col("_np") > 0), fdot / F.sqrt(fnx * F.col("_np"))
     )
-    cand = (
+    pool_rows = (
         emb.filter(F.col(id_col) != probe_id)
         .crossJoin(F.broadcast(probe))
         .select(
@@ -755,45 +778,49 @@ def mmr_select(
             rel.alias("_rel"),
         )
         .filter(F.col("_rel").isNotNull())
-        .withColumn("_maxsim", F.lit(0.0))
-        .persist()
+        # TakeOrderedAndProject: partition-local top-pool_n heads, one
+        # pool-sized driver result — the ONLY corpus-shaped work
+        .orderBy(F.desc("_rel"), F.asc(id_col))
+        .limit(pool_n)
+        .collect()
     )
+    # pool state: [id, vec(list[float]), nx, rel, maxsim]
+    pool = [
+        [r[id_col], [float(x) for x in r[vec_col]], float(r["_nx"]),
+         float(r["_rel"]), 0.0]
+        for r in pool_rows
+    ]
     picks = []
-    for rank in range(k):
-        score = F.col("_rel") * lam - F.col("_maxsim") * (1.0 - lam)
-        top = (
-            cand.select(id_col, vec_col, score.alias("_score"))
-            .orderBy(F.desc("_score"), F.asc(id_col))
-            .limit(1)
-            .collect()
-        )
-        if not top:
+    for rank in range(min(k, len(pool_rows))):
+        best = None
+        best_score = None
+        for c in pool:
+            s = c[3] * lam - c[4] * (1.0 - lam)
+            if (
+                best is None
+                or s > best_score
+                or (s == best_score and c[0] < best[0])
+            ):
+                best, best_score = c, s
+        if best is None:
             break
-        row = top[0]
-        picks.append((rank + 1, row[id_col], float(row["_score"])))
-        sel_vec = [float(x) for x in row[vec_col]]
-        sel_lit = F.array(*[F.lit(x) for x in sel_vec])
-        sdot = F.aggregate(
-            F.zip_with(
-                vec_col, sel_lit, lambda a, b: a.cast("double") * b
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        sn = sum(x * x for x in sel_vec)
-        sim = F.when(
-            (F.col("_nx") > 0) & (F.lit(sn) > 0),
-            sdot / F.sqrt(F.col("_nx") * F.lit(sn)),
-        ).otherwise(F.lit(0.0))
-        nxt = (
-            cand.filter(F.col(id_col) != row[id_col])
-            .withColumn("_maxsim", F.greatest("_maxsim", sim))
-            .persist()
-        )
-        nxt.count()  # materialize so the next round reads this state
-        cand.unpersist()
-        cand = nxt
-    cand.unpersist()
+        picks.append((rank + 1, best[0], float(best_score)))
+        sel_vec, sel_id = best[1], best[0]
+        sn = 0.0
+        for x in sel_vec:  # sequential left fold, matches list_reduce
+            sn += x * x
+        pool = [c for c in pool if c[0] != sel_id]
+        for c in pool:
+            sdot = 0.0
+            for a, b in zip(c[1], sel_vec):
+                sdot += a * b
+            sim = (
+                sdot / math.sqrt(c[2] * sn)
+                if (c[2] > 0 and sn > 0)
+                else 0.0
+            )
+            if sim > c[4]:
+                c[4] = sim
     spark = emb.sparkSession
     return spark.createDataFrame(
         picks, f"rank int, {id_col} long, mmr_score double"

@@ -562,44 +562,112 @@ def agg_skew_kurtosis(spark, sf_dir):
     )
 
 
-@register("agg_countmin_topk", oracle=None, tags=("agg", "sketch"))
+_CMS_DEPTH = 4
+_CMS_WIDTH = 2048
+
+
+def _cms_hash_sql(key_sql: str, j) -> str:
+    """Row `j`'s bucket for `key_sql` in the PORTABLE Count-Min sketch:
+    the engine-portable 48-bit md5 hash (text.word_hash48_sql — the
+    same construction the KMV sketch and document fingerprints use)
+    of 'cm' + j + ':' + key, mod the sketch width. `j` may be a Python
+    int (Spark side inlines the row index) or a SQL column reference
+    (the oracle cross-joins range(depth))."""
+    from opusdb_spark.operators.text import word_hash48_sql
+
+    word = f"concat(CAST({j} AS STRING), ':', {key_sql})"
+    return f"({word_hash48_sql(word, salt='cm')} % {_CMS_WIDTH})"
+
+
+def _countmin_oracle() -> str:
+    h = _cms_hash_sql("CAST(l_partkey AS STRING)", "js.j")
+    return f"""
+        WITH js AS (SELECT UNNEST(range({_CMS_DEPTH})) AS j),
+        cm AS (
+            SELECT js.j, {h} AS bucket, CAST(COUNT(*) AS BIGINT) AS c
+            FROM lineitem, js GROUP BY 1, 2
+        ),
+        top AS (
+            SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS exact
+            FROM lineitem GROUP BY 1
+            ORDER BY exact DESC, l_partkey LIMIT 10
+        ),
+        probes AS (
+            SELECT t.l_partkey, t.exact, js.j,
+                   {_cms_hash_sql("CAST(t.l_partkey AS STRING)", "js.j")}
+                       AS bucket
+            FROM top t, js
+        ),
+        est AS (
+            SELECT p.l_partkey, p.exact, MIN(c.c) AS cms_estimate
+            FROM probes p JOIN cm c ON c.j = p.j AND c.bucket = p.bucket
+            GROUP BY 1, 2
+        )
+        SELECT l_partkey, exact, cms_estimate,
+               cms_estimate - exact AS overcount
+        FROM est ORDER BY exact DESC, l_partkey
+    """
+
+
+@register(
+    "agg_countmin_topk", oracle=_countmin_oracle(), tags=("agg", "sketch")
+)
 def agg_countmin_topk(spark, sf_dir):
     """Count-Min Sketch heavy hitters: a fixed-size mergeable frequency
-    sketch (eps=0.1%, delta=1%) built over l_partkey in one pass, then
-    probed for the EXACT top-10 parts — est vs exact side by side with
-    the signed error (CMS never under-counts; the one-sided bound is
-    pinned in tests). The 100 TB story is the sketch's: executors build
-    partial sketches locally and merge them associatively — frequency
-    profiling without a full groupBy materialization. Deterministic:
-    fixed seed, fixed width/depth (rows-only: sketch internals are
-    engine-specific). The probe parses the sketch's VERSIONED byte
-    format in pure Python (operators/sketch.py, pinned bit-identical to
-    the JVM probe in tests) — no `spark._jvm` reach, so a PySpark
-    upgrade can't break the query through a private accessor."""
-    from opusdb_spark.operators.sketch import CountMinSketch
+    sketch (depth 4 × width 2048) built over l_partkey in ONE
+    map-side-combinable pass, then probed for the EXACT top-10 parts —
+    est vs exact side by side with the signed error (CMS never
+    under-counts; the one-sided bound is pinned in tests). The 100 TB
+    story is the sketch's: executors count (row, bucket) cells locally
+    and the cells merge associatively — frequency profiling whose
+    state is depth×width regardless of corpus size.
 
+    Hash-oracled since r10 (previously rows-only behind Spark's
+    engine-private `F.count_min_sketch` bytes): the sketch now hashes
+    with the ENGINE-PORTABLE md5 construction (operators/text.py
+    word_hash48_sql — same family as the KMV sketch and document
+    fingerprints), so DuckDB rebuilds the identical sketch cell-for-
+    cell and replays every estimate (_countmin_oracle) — the same
+    replay-the-algebra treatment the KMV set ops got in r9. The
+    Python parser for Spark's native sketch bytes remains pinned
+    bit-identical to the JVM probe in tests/test_operators.py."""
     li = table(spark, sf_dir, "lineitem").select("l_partkey")
-    sk_bytes = li.agg(
-        F.count_min_sketch(
-            "l_partkey", F.lit(0.001), F.lit(0.99), F.lit(42)
-        ).alias("sk")
-    ).first()["sk"]
-    cms = CountMinSketch(bytes(sk_bytes))
+    key = "CAST(l_partkey AS STRING)"
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.expr(_cms_hash_sql(key, j)).alias("bucket"),
+            )
+            for j in range(_CMS_DEPTH)
+        ]
+    )
+    cm = (
+        li.select(F.explode(cells).alias("e"))
+        .select("e.j", "e.bucket")
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     top = (
         li.groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("exact"))
         .orderBy(F.desc("exact"), F.asc("l_partkey"))
         .limit(10)
-        .collect()
     )
-    rows = [
-        (int(r.l_partkey), int(r.exact), cms.estimate_long(int(r.l_partkey)))
-        for r in top
-    ]
-    return spark.createDataFrame(
-        [(p, e, est, est - e) for p, e, est in rows],
-        "l_partkey long, exact long, cms_estimate long, overcount long",
+    probes = top.select(
+        "l_partkey", "exact", F.explode(cells).alias("e")
+    ).select("l_partkey", "exact", "e.j", "e.bucket")
+    est = (
+        cm.join(F.broadcast(probes), ["j", "bucket"])
+        .groupBy("l_partkey", "exact")
+        .agg(F.min("c").alias("cms_estimate"))
     )
+    return est.select(
+        "l_partkey",
+        "exact",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact")).alias("overcount"),
+    ).orderBy(F.desc("exact"), F.asc("l_partkey"))
 
 
 @register(

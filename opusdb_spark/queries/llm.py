@@ -2254,7 +2254,87 @@ def llm_dedup_editdist(spark, sf_dir):
     )
 
 
-@register("emb_kmeans", oracle=None, tags=("llm", "embedding"))
+def _kmeans_oracle(k: int = 8, iters: int = 5, dim: int = 64) -> str:
+    """DuckDB oracle for emb_kmeans (upgraded from rows-only in r10):
+    the full Lloyd recurrence replays — seeds from the portable md5
+    hash ordering (similarity.kmeans_seed_order_sql), per-iteration
+    assignment as the SAME sequential left-fold Σ(a−b)² the Spark
+    expression computes (list_reduce replays F.aggregate bitwise —
+    premise pinned in tests/test_properties.py) with argmin tie→lowest
+    cell, means as exact decimal sums cast to double then divided as
+    doubles, and the inertia total as one exact decimal sum converted
+    once. Every centroid double chains exactly, so assignments, moved-
+    cell counts, and the trace replay bit-for-bit. (ROUND at 6 dp is
+    half-away in SQL vs banker's in Python — a divergence only on an
+    exact 5×10⁻⁷ tie of a double sum, which real data cannot hit.)"""
+    from opusdb_spark.operators.similarity import kmeans_seed_order_sql
+
+    fold = (
+        "list_reduce(list_transform(list_zip(e.v, c.cl),"
+        " s -> (s[1] - s[2]) * (s[1] - s[2])), (acc, x) -> acc + x)"
+    )
+    parts = [
+        f"""
+        WITH idx AS (SELECT UNNEST(range(1, {dim + 1})) AS i),
+        vecs AS MATERIALIZED (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        c0 AS MATERIALIZED (
+            SELECT cell, cl FROM (
+                SELECT ROW_NUMBER() OVER (
+                    ORDER BY {kmeans_seed_order_sql("vec_id")} ASC,
+                             vec_id ASC) - 1 AS cell,
+                       v AS cl
+                FROM vecs
+            ) WHERE cell < {k}
+        )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+        a{i} AS MATERIALIZED (
+            SELECT vec_id, v, cell, sqd FROM (
+                SELECT d.*, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY sqd, cell) AS rn
+                FROM (
+                    SELECT e.vec_id, e.v, c.cell, {fold} AS sqd
+                    FROM vecs e, c{i - 1} c
+                ) d
+            ) WHERE rn = 1
+        ),
+        s{i} AS MATERIALIZED (
+            SELECT cell, i.i - 1 AS dim0,
+                   CAST(SUM(CAST(a.v[i.i] AS DECIMAL(27,12))) AS DOUBLE)
+                       / COUNT(*) AS m
+            FROM a{i} a, idx i GROUP BY 1, 2
+        ),
+        c{i} AS MATERIALIZED (
+            SELECT p.cell, list(COALESCE(s.m, p.x) ORDER BY p.dim0) AS cl
+            FROM (
+                SELECT c.cell, i.i - 1 AS dim0, c.cl[i.i] AS x
+                FROM c{i - 1} c, idx i
+            ) p
+            LEFT JOIN s{i} s ON s.cell = p.cell AND s.dim0 = p.dim0
+            GROUP BY p.cell
+        ),
+        t{i} AS (
+            SELECT {i - 1} AS iteration,
+                   ROUND(CAST((SELECT SUM(CAST(sqd AS DECIMAL(27,12)))
+                               FROM a{i}) AS DOUBLE), 6) AS inertia,
+                   CAST((SELECT COUNT(*) FROM c{i} n
+                         JOIN c{i - 1} o USING (cell)
+                         WHERE n.cl <> o.cl) AS INTEGER) AS n_moved_cells
+        )"""
+        )
+    finals = "\n        UNION ALL ".join(
+        f"SELECT * FROM t{i}" for i in range(1, iters + 1)
+    )
+    parts.append(f"\n        {finals} ORDER BY iteration")
+    return "".join(parts)
+
+
+@register("emb_kmeans", oracle=_kmeans_oracle(), tags=("llm", "embedding"))
 def emb_kmeans(spark, sf_dir):
     """Iterative k-means over the embedding corpus (k=8, 5 Lloyd
     iterations) returning the convergence trace (iteration, inertia,
@@ -2262,9 +2342,13 @@ def emb_kmeans(spark, sf_dir):
     engine must run well: per iteration exactly ONE distributed pass
     (assign + per-dim means + inertia in a single groupBy — see
     similarity.kmeans_inertia), with only the O(k×dim) model crossing
-    the driver. Deterministic: hash-ordered seeding, argmin tie→lowest
-    cell, decimal-summed means; inertia is provably non-increasing
-    (pinned in tests)."""
+    the driver. Deterministic: portable-hash-ordered seeding, argmin
+    tie→lowest cell, decimal-summed means; inertia is provably
+    non-increasing (pinned in tests). Hash-oracled since r10: the
+    assignment is a whole-stage-codegen left fold (no Arrow UDF) and
+    every step of the recurrence replays in DuckDB (_kmeans_oracle) —
+    the recurrence-replay treatment EWMA/Holt got in r9, extended to a
+    full iterative clustering algorithm."""
     trace = similarity.kmeans_inertia(
         table(spark, sf_dir, "embeddings"), k=8, iters=5
     )
@@ -2280,10 +2364,13 @@ def multimodal_audio_energy(spark, sf_dir):
     counts over raw-PCM blobs (operators/multimodal.py:audio_energy) —
     the energy-gating pass before ASR transcription. Pure mapInPandas
     map, pinned against a numpy reference in tests (rows-only: binary
-    media is synthesized)."""
+    media is synthesized). The media table sizes with the corpus (one
+    blob per document, floor 256) so the scale probe measures a
+    genuinely growing Arrow pass, not a fixed-size synthetic."""
     from opusdb_spark.operators import multimodal
 
-    media = multimodal.synthesize_media(spark, n=256)
+    n_docs = table(spark, sf_dir, "documents").count()
+    media = multimodal.synthesize_media(spark, n=max(256, n_docs))
     return multimodal.audio_energy(media).orderBy("media_id")
 
 
@@ -3105,15 +3192,19 @@ def llm_corpus_report(spark, sf_dir):
     return out
 
 
-def _mmr_oracle(k: int = 10) -> str:
+def _mmr_oracle(k: int = 10, pool_n: int = 1024) -> str:
     """DuckDB oracle for llm_mmr_select (upgraded from rows-only in
-    r9): the greedy selection unrolls into k CTE stages. Exactness is
-    structural — the operator's cosines are SEQUENTIAL left-fold
-    double sums (F.aggregate with 0.0 init; 0.0 + x == x), which
-    DuckDB's list_reduce replays bitwise (fuzz-verified against the
-    Python fold), and max-similarity carry is exact MAX algebra — so
-    every per-round arg-max sees identical doubles and the tie-break
-    on vec_id picks identical vectors."""
+    r9; pool-restricted in r10): rel and the top-pool_n relevance
+    pool compute set-wise, then the greedy selection unrolls into k
+    CTE stages over the pool. Exactness is structural — the
+    operator's corpus-side cosines are SEQUENTIAL left-fold double
+    sums (F.aggregate with 0.0 init; 0.0 + x == x) and its in-pool
+    rounds use the same Python left fold, both of which DuckDB's
+    list_reduce replays bitwise (premise property-pinned in
+    tests/test_properties.py), and max-similarity carry is exact MAX
+    algebra — so pool membership (rel DESC, vec_id tie-break) and
+    every per-round arg-max see identical doubles and pick identical
+    vectors."""
 
     def dotf(a: str, b: str) -> str:
         return (
@@ -3142,10 +3233,13 @@ def _mmr_oracle(k: int = 10) -> str:
                    {dotf('c.v', 'p.pv')} AS dot, {sqf('p.pv')} AS np
             FROM cbase c, pr p
         ),
-        s1 AS (
+        cand_all AS (
             SELECT vec_id, v, nx,
                    dot / SQRT(nx * np) AS rel, 0.0 AS ms
             FROM c0 WHERE nx > 0 AND np > 0
+        ),
+        s1 AS (
+            SELECT * FROM cand_all ORDER BY rel DESC, vec_id LIMIT {pool_n}
         )"""
     ]
     for r in range(1, k + 1):
@@ -3194,11 +3288,13 @@ def llm_mmr_select(spark, sf_dir):
     balancing relevance against redundancy (lambda = 0.7) — the
     diversity-aware retrieval/selection pass (test_operators.py also
     verifies the picks against an independent numpy implementation).
-    Each round is a distributed arg-max plus a one-vector broadcast;
-    candidate state persists between rounds (operators/similarity.py
-    mmr_select). Hash-oracled since r9: every cosine in the operator
-    is a SEQUENTIAL left-fold double sum (F.aggregate), which DuckDB's
-    list_reduce replays bitwise (verified), so the 10 greedy rounds
+    Pool-restricted since r10: ONE corpus pass computes relevance and
+    TakeOrdered keeps the top-1024 pool; the 10 greedy rounds run
+    over the model-sized pool (operators/similarity.py mmr_select) —
+    no corpus scan or corpus-sized persist per round. Hash-oracled
+    since r9: every cosine is a SEQUENTIAL left-fold double sum,
+    which DuckDB's list_reduce replays bitwise (premise pinned in
+    test_properties.py), so pool membership and the 10 greedy rounds
     unroll into CTE stages whose arg-maxes pick identical vectors and
     scores (see _mmr_oracle)."""
     emb = table(spark, sf_dir, "embeddings")

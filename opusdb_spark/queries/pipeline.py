@@ -2386,16 +2386,92 @@ def events_attribution(spark, sf_dir):
 
 
 # ------------------------------------------------ BPE tokenizer train
-@register("llm_bpe_train", oracle=None, tags=("llm", "tokenizer"))
+def _bpe_train_oracle(n_merges: int = 8) -> str:
+    """DuckDB oracle for llm_bpe_train (upgraded from rows-only in
+    r10): the merge loop is DETERMINISTIC — integer pair counts,
+    arg-max tie-broken on (count DESC, left, right), greedy
+    left-to-right replacement — so the n_merges rounds unroll into
+    CTE stages and each round's merge application replays as a
+    recursive CTE stepping every vocabulary word's symbol list
+    left-to-right (the same recursive-replay treatment llm_seq_pack's
+    packing recurrence got in r9). No floats anywhere: the replay is
+    exact integer/string algebra end-to-end."""
+    parts = [
+        """
+        WITH RECURSIVE words AS (
+            SELECT w AS word
+            FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+            WHERE len(w) > 0
+        ),
+        v0 AS MATERIALIZED (
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+                   string_split(word, '') AS syms
+            FROM words GROUP BY word
+        )"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f""",
+        pc{i} AS MATERIALIZED (
+            SELECT syms[t.i] AS l, syms[t.i + 1] AS r, SUM(freq) AS w
+            FROM v{i - 1}, UNNEST(range(1, len(syms))) AS t(i)
+            GROUP BY 1, 2
+        ),
+        m{i} AS MATERIALIZED (
+            SELECT l, r, l || r AS merged, CAST(w AS BIGINT) AS w
+            FROM pc{i} ORDER BY w DESC, l, r LIMIT 1
+        ),
+        rec{i} AS (
+            SELECT word, freq, syms, 1 AS pos,
+                   CAST([] AS VARCHAR[]) AS out
+            FROM v{i - 1}
+            UNION ALL
+            SELECT v.word, v.freq, v.syms,
+                   CASE WHEN v.pos + 1 <= len(v.syms)
+                             AND v.syms[v.pos] = m.l
+                             AND v.syms[v.pos + 1] = m.r
+                        THEN v.pos + 2 ELSE v.pos + 1 END,
+                   CASE WHEN v.pos + 1 <= len(v.syms)
+                             AND v.syms[v.pos] = m.l
+                             AND v.syms[v.pos + 1] = m.r
+                        THEN list_append(v.out, m.merged)
+                        ELSE list_append(v.out, v.syms[v.pos]) END
+            FROM rec{i} v, m{i} m WHERE v.pos <= len(v.syms)
+        ),
+        v{i} AS MATERIALIZED (
+            SELECT word, freq, out AS syms
+            FROM rec{i} WHERE pos > len(syms)
+        )"""
+        )
+    finals = "\n            UNION ALL ".join(
+        f'SELECT {i - 1} AS rank, l AS "left", r AS "right", merged, '
+        f"w AS pair_freq FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    parts.append(
+        f"""
+        SELECT * FROM (
+            {finals}
+        ) ORDER BY rank"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "llm_bpe_train", oracle=_bpe_train_oracle(), tags=("llm", "tokenizer")
+)
 def llm_bpe_train(spark, sf_dir):
     """BPE tokenizer training (8 merges) over the document corpus —
     Sennrich et al. 2016, the public subword algorithm production
     tokenizers descend from. One corpus pass builds the word-frequency
     table; every merge iteration then runs on the vocabulary-sized
     distinct-word table with only the arg-max pair (ONE row) crossing
-    the driver (operators/bpe.py). Rows-only: the merge loop is
-    iterative; the learned sequence is pinned against a pure-Python
-    reference implementation in tests."""
+    the driver (operators/bpe.py). Hash-oracled since r10: the merge
+    loop is deterministic integer/string algebra, so DuckDB replays
+    all 8 rounds — pair counts, arg-max tie-breaks, and the greedy
+    left-to-right merge application via recursive CTEs
+    (_bpe_train_oracle); the sequence is ALSO pinned against a
+    pure-Python reference implementation in tests."""
     from opusdb_spark.operators import bpe
 
     merges = bpe.bpe_train(table(spark, sf_dir, "documents"), n_merges=8)

@@ -1059,6 +1059,7 @@ def scan_delete_vectors(spark, sf_dir):
         ensure_written,
         scratch_path,
         stat_fingerprint,
+        store_layout_fingerprint,
     )
 
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
@@ -1090,7 +1091,17 @@ def scan_delete_vectors(spark, sf_dir):
 
     ensure_written(
         sidecar,
-        stat_fingerprint(f"{sf_dir}/orders.parquet", layout="dv_sidecar"),
+        # the sidecar's (file_path, row_index) positions are only
+        # meaningful against ONE physical layout of the store — fold
+        # the store's data-file listing into the fingerprint so ANY
+        # store rebuild (even with unchanged sources: lost marker,
+        # scratch cleanup, split-changing session conf) invalidates
+        # the sidecar instead of suppressing the wrong rows
+        stat_fingerprint(
+            f"{sf_dir}/orders.parquet",
+            layout="dv_sidecar",
+            store_layout=store_layout_fingerprint(store),
+        ),
         build_sidecar,
     )
     dv = spark.read.parquet(sidecar)

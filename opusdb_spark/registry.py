@@ -98,65 +98,28 @@ def _load() -> None:
 # rows-only query (err == "no_oracle") that ran and reported a row
 # count. Harmless if the consumer sorts or completes the full sweep.
 
-# Round 9: queries whose plans changed this round -> jump the queue.
+# Round 10: queries whose plans/oracles changed this round -> jump the
+# queue. Kept deliberately SHORT (6 vs r9's 35) so the driver's ~50-key
+# sweep budget drains the stale-verdict backlog (VERDICT r9 ask: >=20
+# pre-r4 keys re-verdicted).
 _RECENTLY_CHANGED: tuple[str, ...] = (
-    # ingest/query split: set ops now served from the ingest-once
-    # sketch state (counts + k-row sketches + precomputed exact
-    # intersects); the r8 corpus self-join is gone
-    "agg_kmv_set_ops",
-    # _dd_merge2 normalizes merged DDSketch maps to sorted-key form:
-    # every query whose plan runs the merge (refresh/backfill/cascade
-    # maintenance, the map-folding readouts) changed
-    "events_rollup_incremental",
-    "events_rollup_backfill",
-    "events_rollup_cascade",
-    "events_rollup_quantiles",
-    "stream_rollup_maintain",
-    # upgraded from rows-only to full value-hash oracles (portable
-    # md5-bit hashes / idempotent sink shapes)
-    "llm_fingerprint",
-    "filter_hash_sample",
-    "sink_append",
-    "mvcc_txn_rollback",
-    "llm_dedup_cluster",
-    # second r9 batch of rows-only -> hash upgrades (ingest-artifact
-    # replay: sigs-store candidates, signature banding, recursive-CTE
-    # EWMA recurrence, centroid-model cell replay, decimal-fold
-    # retrieval evals)
-    "llm_simsearch_lsh",
-    "llm_dedup_fuzzy",
-    "udaf_ewma",
-    "llm_simsearch_ivf",
-    "llm_ann_recall_eval",
-    "emb_truncated_recall",
-    # new in r9 session 2
-    "events_forecast_holt",
-    "dq_schema_drift",
-    # compressed-ANN replay (r9 session 2)
-    "llm_simsearch_ivfpq",
-    # exhaustive-vs-blocked simhash proof + asymmetric band replay
-    "llm_dedup_simhash",
-    "llm_dedup_incremental",
-    # composite reports: every branch now replays in DuckDB
-    "llm_dedup_method_report",
-    "llm_corpus_report",
-    # estimator calibration + end-to-end pipeline replay
-    "llm_minhash_calibration",
-    "llm_dedup_pipeline",
-    # integer-recurrence packing replay
-    "llm_seq_pack",
-    # new in r9 session 2: delta-rule join-view maintenance
-    "mv_join_incremental",
-    # unrolled greedy-selection replay (left-fold cosines)
+    # pool-restricted MMR: one corpus pass + TakeOrdered top-1024
+    # relevance pool, k greedy rounds over the pool (the r9 weak item)
     "llm_mmr_select",
-    # clear-on-entry sinks: content is a pure function of the source
-    "sink_partitioned",
-    "sink_reopen_append",
-    # new in r9 session 2: merge-on-read positional deletes
+    # store-sized delta maintenance: per-priority checksum partials
+    # persisted at ingest, (late, bk17)-partitioned fact store with
+    # partition-pruned delta branches (the other r9 weak item)
+    "mv_join_incremental",
+    # sidecar fingerprint now folds in the store's physical layout
+    # (advisor finding: stale positions after a foreign store rebuild)
     "scan_delete_vectors",
-    # TWAP LEAD re-lowered to the bucket-split window (the per-type
-    # window was a 5-task parallelism ceiling)
-    "events_time_weighted_avg",
+    # rows-only -> hash-oracle upgrades (r10 batch): portable-md5 CMS
+    # rebuilt cell-for-cell in DuckDB; BPE merge loop replayed via
+    # recursive-CTE greedy application; full Lloyd k-means recurrence
+    # replayed (codegen fold assignment, portable seeding)
+    "agg_countmin_topk",
+    "llm_bpe_train",
+    "emb_kmeans",
 )
 
 _CORRECTNESS_RE = re.compile(r"CORRECTNESS_r(\d+)\.json$")

@@ -79,6 +79,26 @@ def stat_fingerprint(*files: str, **extra) -> dict:
     return fp
 
 
+def store_layout_fingerprint(path: str) -> list:
+    """Physical-layout fingerprint of an ingest store: sorted
+    (abs_path, size, mtime_ns) of its data files. For derived
+    artifacts whose CONTENT depends on the store's physical layout —
+    e.g. a deletion-vector sidecar keyed by (file_path, row_index) —
+    the source-stat fingerprint alone is not enough: a store rebuild
+    with unchanged sources (lost marker, scratch cleanup, a session
+    conf that changes file splits) re-shuffles physical positions and
+    a sidecar validated only against the sources would silently map
+    its positions onto different rows. Folding THIS into the derived
+    artifact's fingerprint invalidates it on any store rebuild."""
+    out = []
+    for p, size in list_store_files(path):
+        try:
+            out.append([p, size, os.stat(p).st_mtime_ns])
+        except OSError:
+            out.append([p, size, None])
+    return out
+
+
 def list_store_files(
     path: str, suffix: str = ".parquet", recursive: bool = True
 ) -> list[tuple[str, int]]:

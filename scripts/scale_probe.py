@@ -112,6 +112,19 @@ PROBE = [
     # drift monitor: one min/max pass + map-side binning → should
     # track the scan
     "dq_psi_drift",
+    # round-10: the two r9 weak items after their fixes — MMR is now
+    # one corpus rel-pass + pool-sized rounds (was k corpus scans +
+    # k corpus persists, 75 s / ratio 7.8), MV-join maintenance now
+    # folds persisted partials + partition-pruned deltas (was a full
+    # view re-checksum, ratio 8.3)
+    "llm_mmr_select",
+    "mv_join_incremental",
+    # round-10: previously unprobed families (VERDICT r9 ask #8) —
+    # the Arrow audio-featurization pass and the true stateful
+    # streaming funnel (session_timeout's 9.9 precedent says measure
+    # every applyInPandasWithState path at volume)
+    "multimodal_audio_energy",
+    "stream_funnel_true",
 ]
 
 

@@ -2326,3 +2326,86 @@ def test_scene_cuts_keep_single_frame_media_visible(spark):
         if r["frame_id"] == 0:
             assert r["delta"] is None and not r["is_cut"]
     assert got == expected  # one row per frame, nobody dropped
+
+
+def test_mmr_select_pool_restriction_matches_numpy(spark):
+    """With pool_n smaller than the corpus, mmr_select must equal
+    numpy greedy MMR restricted to the top-pool_n relevance pool
+    (rel DESC, id ASC) — the r10 scale shape: one corpus pass, then
+    pool-sized rounds."""
+    import numpy as np
+
+    from opusdb_spark.operators.similarity import mmr_select
+    from opusdb_spark.tables import table as _table
+
+    emb = _table(spark, SF, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, X = ids[order], X[order]
+    norms = np.linalg.norm(X, axis=1)
+    probe = X[ids == 0][0]
+    pn = np.linalg.norm(probe)
+    mask = (ids != 0) & (norms > 0)
+    cids, CX, cn = ids[mask], X[mask], norms[mask]
+    rel = (CX @ probe) / (cn * pn)
+    pool_n = 16
+    top = np.lexsort((cids, -rel))[:pool_n]
+    cids, CX, cn, rel = cids[top], CX[top], cn[top], rel[top]
+    lam = 0.7
+    maxsim = np.zeros(len(cids))
+    alive = np.ones(len(cids), dtype=bool)
+    expect = []
+    for _ in range(10):
+        score = np.where(alive, lam * rel - (1 - lam) * maxsim, -np.inf)
+        best = np.lexsort((cids, -score))[0]
+        expect.append(int(cids[best]))
+        alive[best] = False
+        sims = (CX @ CX[best]) / (cn * cn[best])
+        maxsim = np.maximum(maxsim, sims)
+    got = [
+        r.vec_id
+        for r in mmr_select(emb, probe_id=0, k=10, lam=0.7, pool_n=pool_n)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == expect
+
+
+def test_delete_vectors_sidecar_invalidates_on_store_rebuild(spark):
+    """A store rebuilt with unchanged SOURCES but a different physical
+    layout (lost marker, other-session rebuild with different splits)
+    re-shuffles (file_path, row_index) positions; the sidecar must be
+    invalidated by the store's layout fingerprint, or the anti-join
+    suppresses the wrong rows (advisor finding, r9)."""
+    import hashlib as _hl
+    import json
+    import os
+    import shutil
+
+    from opusdb_spark.sources.formats import scratch_path, stat_fingerprint
+    from opusdb_spark.tables import table as _table
+
+    q = registry()["scan_delete_vectors"].fn
+    expect = sorted(map(tuple, q(spark, SF).collect()))
+
+    tag = _hl.md5(os.path.abspath(SF).encode()).hexdigest()[:8]
+    base = os.path.basename(os.path.normpath(SF))
+    store = scratch_path(f"dv_orders_{base}_{tag}")
+    # simulate a foreign rebuild: same sources, same (valid) marker,
+    # DIFFERENT physical layout — positions now mean different rows
+    shutil.rmtree(store)
+    (
+        _table(spark, SF, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(3)
+        .write.mode("overwrite")
+        .parquet(store)
+    )
+    fp = stat_fingerprint(f"{SF}/orders.parquet", layout="dv_store")
+    with open(os.path.join(store, "_fingerprint.json"), "w") as f:
+        json.dump(json.loads(json.dumps(fp)), f)
+
+    got = sorted(map(tuple, q(spark, SF).collect()))
+    assert got == expect

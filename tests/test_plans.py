@@ -815,14 +815,28 @@ def test_schema_drift_is_one_scan(spark):
     assert p.count("events.parquet") == 1
 
 
-def test_mv_join_reads_store_and_broadcasts_dim_delta(spark):
-    """Delta-rule view maintenance: the base view must come from the
-    persisted store (no full base re-join) and the late-dimension
-    batch must broadcast onto the base fact scan — the two plan
+def test_mv_join_reads_store_partials_and_prunes(spark):
+    """Delta-rule view maintenance, store-sized since r10: the base
+    view's contribution must come from the persisted `_partials`
+    sidecar (NO full view re-scan — the r9 weak item), both delta
+    branches must partition-prune the (late, bk17)-partitioned fact
+    store, and the late-dimension batch must broadcast — the plan
     properties that keep maintenance cost delta-shaped at 100 TB."""
+    import re
+
     df = _Q["mv_join_incremental"].fn(spark, SF)
     p = plan(df, mode="formatted")
-    assert "mv_join_" in p, "base view store absent from the plan"
+    assert "_partials" in p, "base partials sidecar absent from the plan"
+    assert (
+        p.count("mv_join_") == 1
+    ), "base view data files re-scanned — readout must be store-sized"
+    assert "mv_fact_" in p, "fact side must read the partitioned store"
+    assert re.search(
+        r"PartitionFilters: \[[^\]]*late", p
+    ), "late-fact branch must partition-prune"
+    assert re.search(
+        r"PartitionFilters: \[[^\]]*bk17[^\]]*= 0", p
+    ), "late-dim probe must prune to the bk17=0 buckets"
     assert "BroadcastHashJoin" in p, "dimension delta must broadcast"
 
 

@@ -914,3 +914,135 @@ def test_holt_recursive_cte_replays_python_bitwise(ys):
         """
     ).fetchall()
     assert [tuple(r) for r in got] == state
+
+
+# ----------------------------------------------------------------
+# Fold-association premises behind the r9/r10 float-exact oracles.
+# _mmr_oracle and the pool-side driver rounds assume DuckDB's
+# list_reduce replays a Python/F.aggregate LEFT fold (0.0 init)
+# bit-for-bit; _ivfpq_oracle assumes numpy's 8-element .sum(axis=1)
+# is the balanced pairwise tree ((1+2)+(3+4))+((5+6)+(7+8)). Fuzz
+# both directly so a numpy/DuckDB summation-strategy change fails
+# HERE before it fails as a red driver verdict (advisor ask, r9).
+
+vec_strategy = st.lists(
+    st.floats(
+        min_value=-1e3,
+        max_value=1e3,
+        allow_nan=False,
+        allow_infinity=False,
+    ),
+    min_size=1,
+    max_size=64,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(xs=vec_strategy, ys=vec_strategy)
+def test_list_reduce_replays_python_left_fold(xs, ys):
+    import duckdb
+
+    n = min(len(xs), len(ys))
+    xs, ys = xs[:n], ys[:n]
+    sdot = 0.0
+    for a, b in zip(xs, ys):  # the mmr_select pool-round fold
+        sdot += a * b
+    sq = 0.0
+    for a in xs:
+        sq += a * a
+    con = duckdb.connect()
+    got_dot, got_sq = con.execute(
+        """
+        SELECT list_reduce(list_transform(list_zip($a, $b),
+                           s -> s[1] * s[2]), (acc, x) -> acc + x),
+               list_reduce(list_transform($a, x -> x * x),
+                           (acc, x) -> acc + x)
+        """,
+        {"a": xs, "b": ys},
+    ).fetchone()
+    assert got_dot == sdot  # == on floats: bitwise for non-NaN
+    assert got_sq == sq
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    row=st.lists(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=8,
+        max_size=8,
+    )
+)
+def test_numpy_axis_sum_8_is_balanced_pairwise_tree(row):
+    import numpy as np
+
+    arr = np.array([row], dtype=np.float64)
+    got = float(arr.sum(axis=1)[0])
+    x = row
+    want = ((x[0] + x[1]) + (x[2] + x[3])) + ((x[4] + x[5]) + (x[6] + x[7]))
+    assert got == want
+
+
+# ----------------------------------------------------------------
+# MV-join delta algebra (queries/joins.py mv_join_incremental): for
+# ANY split of the fact/dim tables into on-time rows and late deltas,
+# fold(partial(base) ∪ partial(ΔL⋈D) ∪ partial(L̄⋈ΔD)) must equal
+# fold(partial(L⋈D)) bit-for-bit — rows, exact decimal revenue, AND
+# both checksum lanes (the r9 verdict ask: pin the algebra the way
+# the rollup store's merge algebra is pinned above).
+
+mv_fact_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=30),  # l_orderkey
+        st.integers(min_value=1, max_value=7),  # l_linenumber
+        st.floats(min_value=0.01, max_value=9e4, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(
+    facts=mv_fact_strategy,
+    dl=st.integers(min_value=2, max_value=6),
+    do=st.integers(min_value=2, max_value=6),
+)
+def test_mv_join_delta_fold_equals_full_recompute(spark, facts, dl, do):
+    from pyspark.sql import functions as F
+
+    from opusdb_spark.queries.joins import _mv_fold, _mv_partial_agg
+
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED"]
+    okeys = sorted({f[0] for f in facts})
+    lt = spark.createDataFrame(
+        [(k, ln, round(p, 2)) for k, ln, p in facts],
+        "l_orderkey long, l_linenumber int, l_extendedprice double",
+    )
+    od = spark.createDataFrame(
+        [(k, prios[k % len(prios)]) for k in okeys],
+        "o_orderkey long, o_orderpriority string",
+    )
+    d_l = F.col("l_orderkey") % dl == 0
+    d_o = F.col("o_orderkey") % do == 0
+    on = F.col("l_orderkey") == F.col("o_orderkey")
+    cols = ["l_orderkey", "l_linenumber", "l_extendedprice",
+            "o_orderpriority"]
+    base = lt.filter(~d_l).join(od.filter(~d_o), on).select(*cols)
+    delta_fact = lt.filter(d_l).join(od, on).select(*cols)
+    delta_dim = lt.filter(~d_l).join(od.filter(d_o), on).select(*cols)
+    folded = _mv_fold(
+        _mv_partial_agg(base)
+        .unionByName(_mv_partial_agg(delta_fact))
+        .unionByName(_mv_partial_agg(delta_dim))
+    )
+    full = _mv_fold(_mv_partial_agg(lt.join(od, on).select(*cols)))
+    assert [tuple(r) for r in folded.collect()] == [
+        tuple(r) for r in full.collect()
+    ]

@@ -1057,8 +1057,12 @@ def mv_join_incremental(spark, sf_dir):
     ΔL reads only the late=1 partitions (partition-pruned, ~1/13 of
     facts) and the late-dimension probe reads only (late=0, bk17=0)
     (~1/17 of the base facts — matching ΔO keys are ≡ 0 mod 17 by the
-    join equality) before broadcasting the tiny ΔO onto it. Both
-    prunes and the broadcast are plan-pinned."""
+    join equality) before broadcasting the tiny ΔO onto it. The
+    DIMENSION side prunes symmetrically from a (bk13, bk17)-
+    partitioned orders store: ΔL's probe reads only bk13=0 (its join
+    partners are ≡ 0 mod 13 by the join equality) and ΔO reads only
+    bk17=0, so neither delta branch ever scans the full dimension.
+    All four prunes and the broadcast are plan-pinned."""
     import hashlib
 
     from opusdb_spark.sources import (
@@ -1129,18 +1133,47 @@ def mv_join_incremental(spark, sf_dir):
         ),
         build_fact,
     )
+    # the dimension side prunes too: ΔL's join partners all have
+    # o_orderkey ≡ 0 (mod 13) and ΔO is o_orderkey ≡ 0 (mod 17), so a
+    # (bk13, bk17)-partitioned dimension store turns BOTH dimension
+    # reads into partition-pruned directory scans instead of full
+    # orders scans (the r10 probe put the ΔL ⋈ full-O shuffle as the
+    # residual cost after the fact side was pruned)
+    dim_store = scratch_path(f"mv_dim_{base}_{tag}")
+
+    def build_dim(p):
+        (
+            od.withColumn("bk13", F.pmod(F.col("o_orderkey"), F.lit(13)))
+            .withColumn("bk17", F.pmod(F.col("o_orderkey"), F.lit(17)))
+            .write.partitionBy("bk13", "bk17")
+            .mode("overwrite")
+            .parquet(p)
+        )
+
+    ensure_written(
+        dim_store,
+        stat_fingerprint(
+            f"{sf_dir}/orders.parquet", layout="mv_dim_bk13_bk17"
+        ),
+        build_dim,
+    )
     fact = spark.read.parquet(fact_store)
+    dim = spark.read.parquet(dim_store)
+    dim_cols = ["o_orderkey", "o_orderpriority"]
     delta_fact = (
         fact.filter(F.col("late") == 1)
         .select(*cols_l)
-        .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            dim.filter(F.col("bk13") == 0).select(*dim_cols),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
         .select(*cols_l, "o_orderpriority")
     )
     delta_dim = (
         fact.filter((F.col("late") == 0) & (F.col("bk17") == 0))
         .select(*cols_l)
         .join(
-            F.broadcast(od.filter(d_o)),
+            F.broadcast(dim.filter(F.col("bk17") == 0).select(*dim_cols)),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .select(*cols_l, "o_orderpriority")

@@ -837,6 +837,10 @@ def test_mv_join_reads_store_partials_and_prunes(spark):
     assert re.search(
         r"PartitionFilters: \[[^\]]*bk17[^\]]*= 0", p
     ), "late-dim probe must prune to the bk17=0 buckets"
+    assert "mv_dim_" in p, "dimension side must read the partitioned store"
+    assert re.search(
+        r"PartitionFilters: \[[^\]]*bk13[^\]]*= 0", p
+    ), "delta-fact's dimension probe must prune to the bk13=0 buckets"
     assert "BroadcastHashJoin" in p, "dimension delta must broadcast"
 
 

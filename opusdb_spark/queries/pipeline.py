@@ -2386,16 +2386,16 @@ def events_attribution(spark, sf_dir):
 
 
 # ------------------------------------------------ BPE tokenizer train
-def _bpe_train_oracle(n_merges: int = 8) -> str:
-    """DuckDB oracle for llm_bpe_train (upgraded from rows-only in
-    r10): the merge loop is DETERMINISTIC — integer pair counts,
-    arg-max tie-broken on (count DESC, left, right), greedy
-    left-to-right replacement — so the n_merges rounds unroll into
-    CTE stages and each round's merge application replays as a
-    recursive CTE stepping every vocabulary word's symbol list
-    left-to-right (the same recursive-replay treatment llm_seq_pack's
-    packing recurrence got in r9). No floats anywhere: the replay is
-    exact integer/string algebra end-to-end."""
+def _bpe_rounds_cte(n_merges: int = 8) -> str:
+    """Shared CTE chain replaying `n_merges` BPE training rounds in
+    DuckDB: word-frequency table v0, then per round i — pair counts
+    pc{i}, arg-max m{i} (count DESC, left, right), and the greedy
+    left-to-right merge application as a recursive CTE rec{i}
+    stepping every vocabulary word's symbol list (the same
+    recursive-replay treatment llm_seq_pack's packing recurrence got
+    in r9), yielding v{i}. No floats anywhere: exact integer/string
+    algebra end-to-end. Reused by the train oracle (reads m1..mN) and
+    the apply oracle (reads the final vocabulary vN)."""
     parts = [
         """
         WITH RECURSIVE words AS (
@@ -2443,18 +2443,66 @@ def _bpe_train_oracle(n_merges: int = 8) -> str:
             FROM rec{i} WHERE pos > len(syms)
         )"""
         )
+    return "".join(parts)
+
+
+def _bpe_train_oracle(n_merges: int = 8) -> str:
+    """DuckDB oracle for llm_bpe_train (upgraded from rows-only in
+    r10): the merge loop is DETERMINISTIC, so the n_merges rounds
+    unroll into the shared CTE chain (_bpe_rounds_cte) and the oracle
+    reads the per-round arg-max rows m1..mN."""
     finals = "\n            UNION ALL ".join(
         f'SELECT {i - 1} AS rank, l AS "left", r AS "right", merged, '
         f"w AS pair_freq FROM m{i}"
         for i in range(1, n_merges + 1)
     )
-    parts.append(
-        f"""
+    return (
+        _bpe_rounds_cte(n_merges)
+        + f"""
         SELECT * FROM (
             {finals}
         ) ORDER BY rank"""
     )
-    return "".join(parts)
+
+
+def _bpe_apply_oracle(n_merges: int = 8) -> str:
+    """DuckDB oracle for llm_bpe_apply (upgraded from rows-only in
+    r10): replays training via the shared CTE chain, takes each
+    vocabulary word's final token count from the last round's state
+    v{n_merges} (len(syms) — the encode of a word IS its training-time
+    final segmentation, since both apply the same merges in rank
+    order), rebuilds per-doc word/token totals by exploding the
+    corpus against that token table, and aggregates per lang with the
+    same decimal/round lowering as the Spark side."""
+    n = n_merges
+    return (
+        _bpe_rounds_cte(n)
+        + f""",
+        tok AS MATERIALIZED (
+            SELECT word, len(syms) AS tlen FROM v{n}
+        ),
+        docw AS (
+            SELECT d.doc_id, w.w AS word
+            FROM documents d,
+                 UNNEST(string_split(d.text, ' ')) AS w(w)
+            WHERE len(w.w) > 0
+        ),
+        per_doc AS MATERIALIZED (
+            SELECT dw.doc_id, COUNT(*) AS n_words,
+                   SUM(t.tlen) AS n_tokens
+            FROM docw dw JOIN tok t ON t.word = dw.word
+            GROUP BY dw.doc_id
+        )
+        SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(COALESCE(p.n_words, 0)) AS BIGINT) AS total_words,
+               CAST(SUM(COALESCE(p.n_tokens, 0)) AS BIGINT)
+                   AS total_tokens,
+               ROUND(CAST(SUM(CAST(d.n_chars AS DECIMAL(27,6)))
+                          AS DOUBLE)
+                     / SUM(p.n_tokens), 6) AS chars_per_token
+        FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+        GROUP BY d.lang"""
+    )
 
 
 @register(
@@ -2481,7 +2529,137 @@ def llm_bpe_train(spark, sf_dir):
     )
 
 
-@register("llm_bpe_train_batched", oracle=None, tags=("llm", "tokenizer"))
+def _bpe_batched_oracle(n_merges: int = 32, per_pass: int = 8,
+                        max_passes: int = 10) -> str:
+    """DuckDB oracle for llm_bpe_train_batched (upgraded from
+    rows-only in r10): each pass replays as (a) pair counts, (b) the
+    ranked 4k-candidate head (k DYNAMIC per pass — min(per_pass,
+    merges remaining), exactly bpe_train's loop arithmetic, via a
+    scalar-subquery rank bound), (c) the GREEDY DISJOINT-PREFIX
+    selection as a recursive CTE walking the ranked list with a
+    used-symbol accumulator (bpe._disjoint_prefix's exact contract:
+    skip any pair touching a used left/right/merged symbol, stop at k
+    picks), and (d) the in-order application of the picked pairs as
+    ONE recursive CTE chaining per-word sweeps (pair i's sweep starts
+    from pair i-1's output — the same sequential semantics as
+    bpe._merge_udf). Integer/string algebra only. `max_passes` passes
+    are unrolled; passes replay as no-ops once n_merges merges are
+    committed (k = 0), mirroring the trainer's while-loop, so
+    underfull batches (a real occurrence: pass 1 commits 7 on the
+    sf0.01 corpus — the 32-candidate head yields only 7 disjoint
+    picks) shift pass boundaries identically in both engines."""
+    ok = (
+        "NOT (list_contains(s.used, b.l) OR list_contains(s.used, b.r)"
+        " OR list_contains(s.used, b.l || b.r))"
+    )
+    parts = [
+        """
+        WITH RECURSIVE words AS (
+            SELECT w AS word
+            FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+            WHERE len(w) > 0
+        ),
+        u0 AS MATERIALIZED (
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+                   string_split(word, '') AS syms
+            FROM words GROUP BY word
+        )"""
+    ]
+    done = "0"
+    for p in range(1, max_passes + 1):
+        parts.append(
+            f""",
+        kk{p} AS MATERIALIZED (
+            SELECT LEAST({per_pass}, {n_merges} - ({done})) AS k
+        ),
+        bpc{p} AS MATERIALIZED (
+            SELECT syms[t.i] AS l, syms[t.i + 1] AS r, SUM(freq) AS w
+            FROM u{p - 1}, UNNEST(range(1, len(syms))) AS t(i)
+            GROUP BY 1, 2
+        ),
+        brk{p} AS MATERIALIZED (
+            SELECT * FROM (
+                SELECT l, r, CAST(w AS BIGINT) AS w,
+                       ROW_NUMBER() OVER (ORDER BY w DESC, l, r) AS rn
+                FROM bpc{p}
+            ) WHERE rn <= 4 * (SELECT k FROM kk{p})
+        ),
+        bsel{p} AS (
+            SELECT 0 AS rn, 0 AS n,
+                   CAST([] AS VARCHAR[]) AS used,
+                   CAST([] AS VARCHAR[]) AS pl,
+                   CAST([] AS VARCHAR[]) AS pr,
+                   CAST([] AS BIGINT[]) AS pw
+            UNION ALL
+            SELECT b.rn,
+                   CASE WHEN {ok} THEN s.n + 1 ELSE s.n END,
+                   CASE WHEN {ok}
+                        THEN s.used || [b.l, b.r, b.l || b.r]
+                        ELSE s.used END,
+                   CASE WHEN {ok} THEN s.pl || [b.l] ELSE s.pl END,
+                   CASE WHEN {ok} THEN s.pr || [b.r] ELSE s.pr END,
+                   CASE WHEN {ok} THEN s.pw || [b.w] ELSE s.pw END
+            FROM bsel{p} s JOIN brk{p} b ON b.rn = s.rn + 1
+            WHERE s.n < (SELECT k FROM kk{p})
+        ),
+        bfin{p} AS MATERIALIZED (
+            SELECT n, pl, pr, pw FROM bsel{p}
+            ORDER BY rn DESC LIMIT 1
+        ),
+        brec{p} AS (
+            SELECT word, freq, syms, 1 AS pi, 1 AS pos,
+                   CAST([] AS VARCHAR[]) AS out
+            FROM u{p - 1}
+            UNION ALL
+            SELECT v.word, v.freq,
+                   CASE WHEN v.pos <= len(v.syms) THEN v.syms
+                        ELSE v.out END,
+                   CASE WHEN v.pos <= len(v.syms) THEN v.pi
+                        ELSE v.pi + 1 END,
+                   CASE WHEN v.pos > len(v.syms) THEN 1
+                        WHEN v.pos + 1 <= len(v.syms)
+                             AND v.syms[v.pos] = m.pl[v.pi]
+                             AND v.syms[v.pos + 1] = m.pr[v.pi]
+                        THEN v.pos + 2 ELSE v.pos + 1 END,
+                   CASE WHEN v.pos > len(v.syms)
+                        THEN CAST([] AS VARCHAR[])
+                        WHEN v.pos + 1 <= len(v.syms)
+                             AND v.syms[v.pos] = m.pl[v.pi]
+                             AND v.syms[v.pos + 1] = m.pr[v.pi]
+                        THEN list_append(v.out, m.pl[v.pi] || m.pr[v.pi])
+                        ELSE list_append(v.out, v.syms[v.pos]) END
+            FROM brec{p} v, bfin{p} m WHERE v.pi <= m.n
+        ),
+        u{p} AS MATERIALIZED (
+            SELECT word, freq, syms FROM brec{p}
+            WHERE pi > (SELECT n FROM bfin{p})
+        )"""
+        )
+        done += f" + (SELECT n FROM bfin{p})"
+    offs = "0"
+    finals = []
+    for p in range(1, max_passes + 1):
+        finals.append(
+            f"""SELECT {offs} + u.i - 1 AS rank,
+                   f.pl[u.i] AS "left", f.pr[u.i] AS "right",
+                   f.pl[u.i] || f.pr[u.i] AS merged,
+                   f.pw[u.i] AS pair_freq
+            FROM bfin{p} f, UNNEST(range(1, f.n + 1)) AS u(i)"""
+        )
+        offs += f" + (SELECT n FROM bfin{p})"
+    parts.append(
+        "\n        SELECT * FROM (\n            "
+        + "\n            UNION ALL ".join(finals)
+        + "\n        ) ORDER BY rank"
+    )
+    return "".join(parts)
+
+
+@register(
+    "llm_bpe_train_batched",
+    oracle=_bpe_batched_oracle(),
+    tags=("llm", "tokenizer"),
+)
 def llm_bpe_train_batched(spark, sf_dir):
     """BATCHED BPE training — the 100 TB variant of llm_bpe_train
     (operators/bpe.py module docstring #2): each pair-count job commits
@@ -2722,15 +2900,21 @@ def basket_copurchase_lift(spark, sf_dir):
     )
 
 
-@register("llm_bpe_apply", oracle=None, tags=("llm", "tokenizer"))
+@register(
+    "llm_bpe_apply", oracle=_bpe_apply_oracle(), tags=("llm", "tokenizer")
+)
 def llm_bpe_apply(spark, sf_dir):
     """BPE ENCODE: apply the corpus-trained merge sequence back to the
     corpus and report per-lang token statistics — the train→apply loop
     every tokenizer pipeline runs. The merge table (model-sized) rides
     in the UDF closure; one Arrow pass, one agg shuffle. Compression =
-    chars per BPE token, the number a tokenizer is judged by
-    (rows-only: iterative trainer upstream; encode pinned against a
-    pure-Python reference in tests)."""
+    chars per BPE token, the number a tokenizer is judged by.
+    Hash-oracled since r10: DuckDB replays training via the shared
+    recursive-CTE chain and re-derives every word's token count from
+    the final vocabulary state (encode ≡ training-time segmentation,
+    both applying the same merges in rank order — _bpe_apply_oracle);
+    the encode is also pinned against a pure-Python reference in
+    tests."""
     from opusdb_spark.operators import bpe
 
     docs = table(spark, sf_dir, "documents")

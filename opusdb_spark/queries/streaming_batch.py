@@ -213,9 +213,27 @@ def stream_session_true(spark, sf_dir):
     return stream_jobs.session_window_stream(spark, sf_dir)
 
 
-@register("stream_dedup_true", oracle=None, tags=("streaming", "dedup"))
+@register(
+    "stream_dedup_true",
+    # Hash-oracled since r10: event_id is unique in the source, so
+    # streaming dropDuplicates must be an IDENTITY over the stream —
+    # the value-hash match proves the whole true-streaming pipeline
+    # (file source → stateful dedup → parquet sink → read-back)
+    # delivers every row exactly once with no content drift. The
+    # dedup-with-actual-duplicates semantics are hash-checked by the
+    # batch `stream_dedup` key; THIS key's oracle is the
+    # exactly-once-delivery proof.
+    oracle="""
+        SELECT event_id, user_id, event_type, value FROM events
+    """,
+    tags=("streaming", "dedup"),
+)
 def stream_dedup_true(spark, sf_dir):
-    """TRUE streaming dropDuplicates within watermark (rows-only)."""
+    """TRUE streaming dropDuplicates(event_id) within a 1 h watermark,
+    written through the exactly-once parquet sink and read back. The
+    source replays as one availableNow batch (single file), so no row
+    is watermark-late and the output must equal the source table
+    row-for-row — see the oracle note."""
     return stream_jobs.dedup_stream(spark, sf_dir)
 
 
@@ -225,11 +243,32 @@ def stream_stateful_true(spark, sf_dir):
     return stream_jobs.stateful_running_totals(spark, sf_dir)
 
 
-@register("stream_join_true", oracle=None, tags=("streaming", "join"))
+@register(
+    "stream_join_true",
+    # Hash-oracled since r10: the join output is a pure MATCHING SET
+    # (no accumulation, values pass through), and the single-batch
+    # availableNow replay starts below any watermark, so the stream-
+    # stream join must emit exactly the batch interval join — the
+    # hash match proves the streaming join neither drops, duplicates,
+    # nor mis-windows a single pair.
+    oracle="""
+        SELECT p.event_id AS purchase_id, p.user_id AS p_user,
+               p.ts AS purchase_ts, c.event_id AS click_id,
+               c.ts AS click_ts, p.value
+        FROM events p JOIN events c
+          ON c.user_id = p.user_id
+         AND c.ts <= p.ts
+         AND c.ts >= p.ts - INTERVAL 1 HOUR
+        WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+    tags=("streaming", "join"),
+)
 def stream_join_true(spark, sf_dir):
     """TRUE stream-stream interval join (purchases ⋈ same-user clicks in
-    the preceding hour) with dual watermarks bounding join state
-    (rows-only)."""
+    the preceding hour) with dual watermarks bounding join state,
+    written through the exactly-once parquet sink and read back; the
+    emitted set hash-matches the batch interval join (see oracle
+    note)."""
     return stream_jobs.stream_stream_join(spark, sf_dir)
 
 

@@ -120,6 +120,16 @@ _RECENTLY_CHANGED: tuple[str, ...] = (
     "agg_countmin_topk",
     "llm_bpe_train",
     "emb_kmeans",
+    # second r10 batch: encode replayed from the shared BPE CTE chain;
+    # the two single-batch-deterministic true-streaming paths now
+    # hash-check against batch SQL (exactly-once delivery proof and
+    # the stream-stream interval-join matching set)
+    "llm_bpe_apply",
+    "stream_dedup_true",
+    "stream_join_true",
+    # the batched trainer replays too: dynamic-k passes, greedy
+    # disjoint-prefix selection, chained per-pass merge application
+    "llm_bpe_train_batched",
 )
 
 _CORRECTNESS_RE = re.compile(r"CORRECTNESS_r(\d+)\.json$")

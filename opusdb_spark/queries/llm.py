@@ -1198,7 +1198,127 @@ def llm_pq_recall_eval(spark, sf_dir):
     )
 
 
-@register("llm_cdc_dedup", oracle=None, tags=("llm", "dedup"))
+def _cdc_oracle() -> str:
+    """DuckDB oracle for llm_cdc_dedup (upgraded from rows-only in
+    r10): content-defined chunking is PURE INTEGER ALGEBRA over the
+    document bytes — the gear table and power constants are fixed
+    literals (embedded below), the rolling window hash is a mod-2^64
+    polynomial (HUGEINT products, each term reduced before the sum, so
+    nothing overflows), and the MIN/MAX boundary walk reduces to a
+    monotone rule (next cut = least candidate in [last+MIN, last+MAX],
+    else the MAX/len cap) replayed as a recursive CTE per document.
+    Chunk hashes are md5 of the chunk text — byte-identical across
+    engines because the corpus is pure ASCII (guarded: the oracle
+    EXCLUDES any document whose char length differs from its byte
+    length, so a non-ASCII document would surface as a loud hash
+    mismatch against the Spark side rather than as two engines
+    agreeing on different bytes). Every downstream number is
+    integer-derived except the final ratio division."""
+    from opusdb_spark.operators.chunking import (
+        CDC_MASK,
+        CDC_MAX,
+        CDC_MIN,
+        CDC_W,
+        _GEAR,
+        _POWS,
+    )
+
+    m64 = 1 << 64
+    gear_rows = ", ".join(
+        f"({b}, {int(g)}::HUGEINT)" for b, g in enumerate(_GEAR)
+    )
+    # one reduced HUGEINT term per window offset j
+    terms = " + ".join(
+        f"(g{j}.g * {int(_POWS[j])}::HUGEINT) % {m64}::HUGEINT"
+        for j in range(CDC_W)
+    )
+    gear_joins = "\n            ".join(
+        f"JOIN gear g{j} ON g{j}.b = ord(substr(d.text, w.s + {j}, 1))"
+        for j in range(CDC_W)
+    )
+    return f"""
+        WITH RECURSIVE gear(b, g) AS (VALUES {gear_rows}),
+        docs AS MATERIALIZED (
+            -- ASCII guard: a multi-byte document would make
+            -- ord(substr) diverge from the byte the Spark side
+            -- hashes; excluding it here makes the divergence a loud
+            -- hash mismatch instead of a silent wrong agreement
+            SELECT doc_id, text, length(text) AS n
+            FROM documents
+            WHERE length(text) = octet_length(encode(text))
+        ),
+        wins AS MATERIALIZED (
+            SELECT d.doc_id, w.s + {CDC_W - 1} AS cand,
+                   ({terms}) % {m64}::HUGEINT AS h
+            FROM docs d,
+                 UNNEST(range(1, GREATEST(d.n - {CDC_W} + 2, 1))) AS w(s)
+            {gear_joins}
+        ),
+        cand AS MATERIALIZED (
+            SELECT doc_id, cand FROM wins
+            WHERE h % {CDC_MASK + 1} = 0
+        ),
+        -- next-cut function precomputed for EVERY possible cursor
+        -- position (a plain equi-join target): a correlated MIN
+        -- subquery inside the recursive term is not evaluated
+        -- per-iteration by DuckDB 1.0 (observed: silently NULL), so
+        -- the walk must consume a materialized function instead
+        nxt AS MATERIALIZED (
+            SELECT p.doc_id, p.last,
+                   CAST(COALESCE(MIN(c.cand),
+                        LEAST(p.last + {CDC_MAX}, p.n)) AS INTEGER)
+                       AS cut
+            FROM (SELECT d.doc_id, d.n, t.last
+                  FROM docs d, UNNEST(range(0, d.n)) AS t(last)) p
+            LEFT JOIN cand c
+              ON c.doc_id = p.doc_id
+             AND c.cand >= p.last + {CDC_MIN}
+             AND c.cand <= LEAST(p.last + {CDC_MAX}, p.n)
+            GROUP BY p.doc_id, p.last, p.n
+        ),
+        walk AS (
+            SELECT doc_id, n, CAST(NULL AS BIGINT) AS c_start,
+                   0 AS last FROM docs WHERE n > 0
+            UNION ALL
+            SELECT r.doc_id, r.n, r.last, x.cut
+            FROM walk r JOIN nxt x
+              ON x.doc_id = r.doc_id AND x.last = r.last
+            WHERE r.last < r.n
+        ),
+        chunks AS MATERIALIZED (
+            SELECT w.doc_id,
+                   md5(substr(d.text, w.c_start + 1,
+                              w.last - w.c_start)) AS chunk_hash,
+                   w.last - w.c_start AS chunk_len
+            FROM walk w JOIN docs d USING (doc_id)
+            WHERE w.c_start IS NOT NULL
+        ),
+        ledger AS (
+            SELECT chunk_hash, COUNT(*) AS n,
+                   MAX(chunk_len) AS chunk_len
+            FROM chunks GROUP BY chunk_hash
+        ),
+        tot AS (
+            SELECT CAST(SUM(n) AS DOUBLE) AS total_chunks,
+                   CAST(COUNT(*) AS DOUBLE) AS distinct_chunks,
+                   CAST(SUM(n * chunk_len) AS DOUBLE) AS total_bytes,
+                   CAST(SUM(chunk_len) AS DOUBLE) AS unique_bytes,
+                   CAST(SUM((n - 1) * chunk_len) AS DOUBLE) AS dup_bytes
+            FROM ledger
+        )
+        SELECT metric, value FROM (
+            SELECT 'total_chunks' AS metric, total_chunks AS value FROM tot
+            UNION ALL SELECT 'distinct_chunks', distinct_chunks FROM tot
+            UNION ALL SELECT 'total_bytes', total_bytes FROM tot
+            UNION ALL SELECT 'unique_bytes', unique_bytes FROM tot
+            UNION ALL SELECT 'dup_bytes', dup_bytes FROM tot
+            UNION ALL SELECT 'dedup_ratio',
+                   ROUND(total_bytes / unique_bytes, 6) FROM tot
+        ) ORDER BY metric
+    """
+
+
+@register("llm_cdc_dedup", oracle=_cdc_oracle(), tags=("llm", "dedup"))
 def llm_cdc_dedup(spark, sf_dir):
     """Storage-level dedup profile via CONTENT-DEFINED CHUNKING
     (operators/chunking.py — rolling-hash boundaries, so an edit

@@ -130,6 +130,9 @@ _RECENTLY_CHANGED: tuple[str, ...] = (
     # the batched trainer replays too: dynamic-k passes, greedy
     # disjoint-prefix selection, chained per-pass merge application
     "llm_bpe_train_batched",
+    # content-defined chunking replayed: gear/power literals, mod-2^64
+    # HUGEINT window hashes, precomputed next-cut walk per document
+    "llm_cdc_dedup",
 )
 
 _CORRECTNESS_RE = re.compile(r"CORRECTNESS_r(\d+)\.json$")

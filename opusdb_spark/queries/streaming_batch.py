@@ -207,9 +207,52 @@ def stream_commit_ledger(spark, sf_dir):
     return stream_jobs.commit_ledger(spark, sf_dir)
 
 
-@register("stream_session_true", oracle=None, tags=("streaming", "session"))
+@register(
+    "stream_session_true",
+    # Hash-oracled since r10: the 4-file ts-ordered replay makes the
+    # emitted set a pure function of the data — gap sessionization
+    # (Spark merges sessions only when windows OVERLAP, so a gap of
+    # exactly 30 min starts a NEW session → the break rule is
+    # `diff >= gap`) filtered by the FINAL watermark (max ts − 10 min;
+    # emission at `end <= watermark` is INCLUSIVE — pinned empirically
+    # with an end==watermark boundary case before this oracle was
+    # adopted). Sessions still open at stream end are not emitted, and
+    # the oracle reproduces exactly that set — including sessions that
+    # SPAN micro-batch boundaries and merged in state.
+    oracle="""
+        WITH e AS (
+            SELECT user_id, ts,
+                   CASE WHEN LAG(ts) OVER
+                             (PARTITION BY user_id ORDER BY ts) IS NULL
+                             OR ts - LAG(ts) OVER
+                                (PARTITION BY user_id ORDER BY ts)
+                                >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+        ),
+        g AS (
+            SELECT user_id, ts,
+                   SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+            FROM e
+        ),
+        s AS (
+            SELECT user_id, MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM g GROUP BY user_id, sid
+        ),
+        wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events)
+        SELECT user_id, session_start, session_end, n_events
+        FROM s, wm WHERE session_end <= w
+    """,
+    tags=("streaming", "session"),
+)
 def stream_session_true(spark, sf_dir):
-    """TRUE streaming session_window aggregation (rows-only)."""
+    """TRUE streaming session_window aggregation (30-min gap, 10-min
+    watermark, append mode over the 4-file ts-ordered replay); the
+    emitted closed-session set hash-matches batch gap sessionization
+    filtered by the final watermark (see oracle note)."""
     return stream_jobs.session_window_stream(spark, sf_dir)
 
 

@@ -133,6 +133,9 @@ _RECENTLY_CHANGED: tuple[str, ...] = (
     # content-defined chunking replayed: gear/power literals, mod-2^64
     # HUGEINT window hashes, precomputed next-cut walk per document
     "llm_cdc_dedup",
+    # session-window streaming now hash-checks against batch gap
+    # sessionization + final-watermark filtering
+    "stream_session_true",
 )
 
 _CORRECTNESS_RE = re.compile(r"CORRECTNESS_r(\d+)\.json$")

@@ -360,3 +360,52 @@ def test_stream_funnel_matches_restartable_reference(spark):
                 want.append((uid, t1, t2, us))
                 t1 = t2 = None
     assert got == sorted(want)
+
+
+def test_session_window_emits_at_watermark_equality(spark, tmp_path):
+    """Premise pin for stream_session_true's oracle: append-mode
+    session windows are emitted when session_end <= watermark —
+    INCLUSIVE at equality. The oracle filters batch sessionization
+    with `end <= max_ts - delay`; if a Spark upgrade made emission
+    strict (`<`), this fails here before it fails as a red driver
+    verdict."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    d = tmp_path / "sess_boundary"
+    d.mkdir()
+
+    def wr(rows, name):
+        pdf = pd.DataFrame(rows, columns=["ts", "user_id"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pq.write_table(pa.Table.from_pandas(pdf), str(d / name))
+
+    # user 1's session ends at 00:30; the last event (00:40) sets the
+    # final watermark to exactly 00:30 (10-min delay)
+    wr([(datetime(2024, 1, 1, 0, 0, 0), 1)], "a.parquet")
+    wr([(datetime(2024, 1, 1, 0, 40, 0), 2)], "b.parquet")
+    raw = (
+        spark.readStream.schema("ts timestamp, user_id long")
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(d))
+    )
+    agg = (
+        raw.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"sb_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [(r.user_id, str(r.sw.end)) for r in spark.table(name).collect()]
+    assert rows == [(1, "2024-01-01 00:30:00")], rows

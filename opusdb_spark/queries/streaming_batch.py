@@ -184,10 +184,33 @@ def stream_dedup(spark, sf_dir):
     return ev.unionAll(ev).dropDuplicates(["event_id"])
 
 
-@register("stream_watermark_late", oracle=None, tags=("streaming", "watermark"))
+@register(
+    "stream_watermark_late",
+    # Hash-oracled since r10: the ts-range file split replays in event
+    # order (batch k's min ts is above batch k-1's watermark, so no
+    # row is ever dropped late in the happy-path replay — the drop
+    # semantics are exercised by the out-of-order two-batch test in
+    # tests/test_streaming.py), and append mode emits exactly the
+    # hourly windows whose end <= final watermark (inclusive at
+    # equality — the premise pinned by
+    # test_session_window_emits_at_watermark_equality).
+    oracle="""
+        WITH w AS (
+            SELECT date_trunc('hour', ts) AS window_start,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1
+        ),
+        wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events)
+        SELECT window_start, n_events
+        FROM w, wm WHERE window_start + INTERVAL 1 HOUR <= wm.w
+    """,
+    tags=("streaming", "watermark"),
+)
 def stream_watermark_late(spark, sf_dir):
     """TRUE streaming run: file source → 10-min watermark → tumbling
-    hourly counts, availableNow trigger (rows-only)."""
+    hourly counts, availableNow trigger; the emitted closed-window set
+    hash-matches the batch hourly rollup filtered by the final
+    watermark (see oracle note)."""
     return stream_jobs.watermark_tumbling(spark, sf_dir)
 
 

@@ -136,6 +136,7 @@ _RECENTLY_CHANGED: tuple[str, ...] = (
     # session-window streaming now hash-checks against batch gap
     # sessionization + final-watermark filtering
     "stream_session_true",
+    "stream_watermark_late",
 )
 
 _CORRECTNESS_RE = re.compile(r"CORRECTNESS_r(\d+)\.json$")

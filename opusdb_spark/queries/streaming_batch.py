@@ -214,19 +214,53 @@ def stream_watermark_late(spark, sf_dir):
     return stream_jobs.watermark_tumbling(spark, sf_dir)
 
 
-@register("stream_foreachbatch_sink", oracle=None, tags=("streaming", "sink"))
+@register(
+    "stream_foreachbatch_sink",
+    # Hash-oracled since r10: the sink is clear-on-entry and the
+    # availableNow replay delivers each event exactly once, so the
+    # read-back per-type counts must equal the source table's — the
+    # foreachBatch analog of stream_dedup_true's delivery proof.
+    oracle="""
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("streaming", "sink"),
+)
 def stream_foreachbatch_sink(spark, sf_dir):
-    """TRUE streaming run: foreachBatch append sink + read-back invariant
-    (commit-hook/flush-barrier anchor: events.clj:18-22, buffer.clj:52-53)."""
+    """TRUE streaming run: foreachBatch append sink + read-back counts
+    (commit-hook/flush-barrier anchor: events.clj:18-22,
+    buffer.clj:52-53); the read-back hash-matches the source table
+    (exactly-once through the executor-side foreachBatch writer)."""
     return stream_jobs.foreachbatch_sink(spark, sf_dir)
 
 
-@register("stream_commit_ledger", oracle=None, tags=("streaming", "lifecycle"))
+@register(
+    "stream_commit_ledger",
+    # Hash-oracled since r10 against the reference-pinned lifecycle
+    # CONTRACT itself (a literal table, not a recomputation): four
+    # ts-ordered batches, batch 1 fails mid-commit once and is
+    # redelivered by the checkpoint restart — so the ledger must read
+    # attempts=2/commits=1/rollbacks=1 for batch 1 and 1/1/0 for the
+    # rest (commit fires ONCE per committed txn, rollback once PER
+    # failed attempt — stm_test.clj:285-543). Any drift in retry or
+    # redelivery behavior breaks the hash.
+    oracle="""
+        SELECT CAST(batch_id AS BIGINT) AS batch_id,
+               CAST(n_attempts AS BIGINT) AS n_attempts,
+               CAST(n_commits AS BIGINT) AS n_commits,
+               CAST(n_rollbacks AS BIGINT) AS n_rollbacks
+        FROM (VALUES (0, 1, 1, 0), (1, 2, 1, 1),
+                     (2, 1, 1, 0), (3, 1, 1, 0))
+             t(batch_id, n_attempts, n_commits, n_rollbacks)
+        ORDER BY batch_id
+    """,
+    tags=("streaming", "lifecycle"),
+)
 def stream_commit_ledger(spark, sf_dir):
     """TRUE streaming run with an injected mid-commit failure: per-batch
     attempt/commit/rollback ledger pinning commit-fires-once /
-    rollback-fires-per-retry (events.clj:8-27, stm_test.clj:285-543;
-    rows-only: side-effecting)."""
+    rollback-fires-per-retry (events.clj:8-27, stm_test.clj:285-543);
+    hash-checked against the contract constants (see oracle note)."""
     return stream_jobs.commit_ledger(spark, sf_dir)
 
 

@@ -137,6 +137,8 @@ _RECENTLY_CHANGED: tuple[str, ...] = (
     # sessionization + final-watermark filtering
     "stream_session_true",
     "stream_watermark_late",
+    "stream_foreachbatch_sink",
+    "stream_commit_ledger",
 )
 
 _CORRECTNESS_RE = re.compile(r"CORRECTNESS_r(\d+)\.json$")

@@ -406,7 +406,76 @@ def stream_session_timeout(spark, sf_dir):
     return stream_jobs.session_timeout_totals(spark, sf_dir)
 
 
-@register("stream_funnel_true", oracle=None, tags=("streaming", "state"))
+def _funnel_oracle() -> str:
+    """DuckDB oracle for stream_funnel_true (upgraded from rows-only
+    in r10): the funnel is a DETERMINISTIC event-time state machine —
+    integer microsecond timestamps, restartable 7-day attempts, and a
+    per-user (ts, event_type) total order that the ts-range replay
+    preserves across micro-batches — so a recursive CTE steps every
+    user's event sequence through the IDENTICAL transition function
+    and accumulates the same conversion triples. This is the
+    second-engine version of the pure-Python restartable reference the
+    tests pin, and it also certifies the operator's own design claim:
+    state GC (EventTimeTimeout past deadline + allowance) is
+    semantically invisible, because the replay has no GC at all and
+    still matches bit-for-bit."""
+    w_us = 7 * 24 * 3600 * 1000000
+    expired = f"(s.t1 IS NOT NULL AND e.t - s.t1 > {w_us})"
+    t1r = f"(CASE WHEN {expired} THEN NULL ELSE s.t1 END)"
+    t2r = f"(CASE WHEN {expired} THEN NULL ELSE s.t2 END)"
+    conv = (
+        f"({t1r} IS NOT NULL AND {t2r} IS NOT NULL"
+        f" AND e.e = 'purchase' AND e.t > {t2r})"
+    )
+    return f"""
+        WITH RECURSIVE ev AS MATERIALIZED (
+            SELECT user_id, epoch_us(ts) AS t, event_type AS e,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_type) AS rn
+            FROM events
+        ),
+        nmax AS MATERIALIZED (
+            SELECT user_id, MAX(rn) AS mx FROM ev GROUP BY user_id
+        ),
+        m AS (
+            SELECT user_id, 0 AS rn, CAST(NULL AS BIGINT) AS t1,
+                   CAST(NULL AS BIGINT) AS t2,
+                   CAST([] AS BIGINT[]) AS vl,
+                   CAST([] AS BIGINT[]) AS cl,
+                   CAST([] AS BIGINT[]) AS pl
+            FROM nmax
+            UNION ALL
+            SELECT s.user_id, e.rn,
+                   CASE WHEN {t1r} IS NULL
+                        THEN (CASE WHEN e.e = 'view' THEN e.t END)
+                        WHEN {t2r} IS NULL THEN {t1r}
+                        WHEN {conv} THEN NULL ELSE {t1r} END,
+                   CASE WHEN {t1r} IS NULL THEN NULL
+                        WHEN {t2r} IS NULL
+                        THEN (CASE WHEN e.e = 'click' AND e.t > {t1r}
+                                   THEN e.t END)
+                        WHEN {conv} THEN NULL ELSE {t2r} END,
+                   CASE WHEN {conv} THEN list_append(s.vl, {t1r})
+                        ELSE s.vl END,
+                   CASE WHEN {conv} THEN list_append(s.cl, {t2r})
+                        ELSE s.cl END,
+                   CASE WHEN {conv} THEN list_append(s.pl, e.t)
+                        ELSE s.pl END
+            FROM m s JOIN ev e
+              ON e.user_id = s.user_id AND e.rn = s.rn + 1
+        )
+        SELECT user_id, UNNEST(vl) AS view_us, UNNEST(cl) AS click_us,
+               UNNEST(pl) AS purchase_us
+        FROM m JOIN nmax USING (user_id) WHERE rn = mx
+    """
+
+
+@register(
+    "stream_funnel_true",
+    oracle=_funnel_oracle(),
+    tags=("streaming", "state"),
+)
 def stream_funnel_true(spark, sf_dir):
     """TRUE streaming ordered funnel (rows-only): a per-user state
     machine advances view → click → purchase across micro-batches,
@@ -418,7 +487,10 @@ def stream_funnel_true(spark, sf_dir):
     funnel_stream). The single-attempt batch twin is
     events_funnel_conversion; the full conversion multiset is pinned
     against a pure-Python restartable reference in
-    tests/test_streaming.py."""
+    tests/test_streaming.py AND, since r10, hash-checked against a
+    DuckDB recursive-CTE replay of the state machine itself
+    (_funnel_oracle) — which also proves the GC-is-invisible design
+    claim, since the replay has no GC and still matches."""
     return (
         stream_jobs.funnel_stream(spark, sf_dir)
         .orderBy("user_id", "view_us")

@@ -139,6 +139,10 @@ _RECENTLY_CHANGED: tuple[str, ...] = (
     "stream_watermark_late",
     "stream_foreachbatch_sink",
     "stream_commit_ledger",
+    # the custom event-time funnel state machine replays via a
+    # recursive-CTE transition function — the second-engine twin of
+    # the pure-Python restartable reference
+    "stream_funnel_true",
 )
 
 _CORRECTNESS_RE = re.compile(r"CORRECTNESS_r(\d+)\.json$")

@@ -395,14 +395,66 @@ def stream_rollup_maintain(spark, sf_dir):
     return stream_jobs.rollup_maintain_stream(spark, sf_dir)
 
 
-@register("stream_session_timeout", oracle=None, tags=("streaming", "state"))
+@register(
+    "stream_session_timeout",
+    # Hash-oracled since r10: the update function splits sessions on
+    # EVENT-TIME gaps (strictly > 30 min), so every non-final session
+    # per user emits exactly once whether it closes in-batch or by
+    # timeout; the user's FINAL session emits iff the final watermark
+    # strictly exceeds last_seen + 30 min (EventTimeTimeout fires only
+    # when wm > timeout — pinned by the strict-boundary premise test
+    # in tests/test_streaming.py; watermark milliseconds floor from
+    # the max event's microseconds). Integer timestamps and counts
+    # only, so the whole emitted set replays set-wise.
+    oracle="""
+        WITH e AS (
+            SELECT user_id, epoch_us(ts) AS t,
+                   CASE WHEN LAG(epoch_us(ts)) OVER
+                             (PARTITION BY user_id
+                              ORDER BY epoch_us(ts)) IS NULL
+                             OR epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                                (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts)) > 1800000000
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+        ),
+        g AS (
+            SELECT user_id, t,
+                   SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+            FROM e
+        ),
+        s AS (
+            SELECT user_id, sid, MIN(t) AS session_start_us,
+                   MAX(t) AS session_end_us,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM g GROUP BY user_id, sid
+        ),
+        ranked AS (
+            SELECT *, sid = MAX(sid) OVER (PARTITION BY user_id)
+                   AS is_last
+            FROM s
+        ),
+        wm AS (
+            SELECT (epoch_us(MAX(ts)) // 1000) - 600000 AS wm_ms
+            FROM events
+        )
+        SELECT user_id, session_start_us, session_end_us, n_events
+        FROM ranked, wm
+        WHERE NOT is_last
+           OR wm_ms > session_end_us // 1000 + 1800000
+    """,
+    tags=("streaming", "state"),
+)
 def stream_session_timeout(spark, sf_dir):
     """TRUE streaming sessions closed by EventTimeTimeout state
-    eviction (rows-only): per-user session state is GC'd when the
-    watermark passes last-seen + 30 min and the closed session emits —
-    the bounded-state discipline that keeps arbitrary stateful
-    operators viable on unbounded streams (streaming/jobs.py
-    session_timeout_totals)."""
+    eviction: per-user session state is GC'd when the watermark passes
+    last-seen + 30 min and the closed session emits — the
+    bounded-state discipline that keeps arbitrary stateful operators
+    viable on unbounded streams (streaming/jobs.py
+    session_timeout_totals). Hash-checked since r10 against batch gap
+    sessionization + the strict final-watermark timeout rule (see
+    oracle note)."""
     return stream_jobs.session_timeout_totals(spark, sf_dir)
 
 

@@ -143,6 +143,7 @@ _RECENTLY_CHANGED: tuple[str, ...] = (
     # recursive-CTE transition function — the second-engine twin of
     # the pure-Python restartable reference
     "stream_funnel_true",
+    "stream_session_timeout",
 )
 
 _CORRECTNESS_RE = re.compile(r"CORRECTNESS_r(\d+)\.json$")

@@ -409,3 +409,105 @@ def test_session_window_emits_at_watermark_equality(spark, tmp_path):
     q.awaitTermination()
     rows = [(r.user_id, str(r.sw.end)) for r in spark.table(name).collect()]
     assert rows == [(1, "2024-01-01 00:30:00")], rows
+
+
+def test_event_time_timeout_is_strict_at_watermark_equality(spark, tmp_path):
+    """Premise pin for stream_session_timeout's oracle: an
+    EventTimeTimeout does NOT fire when the final watermark exactly
+    equals the timeout timestamp — emission requires wm STRICTLY
+    greater. The oracle encodes `wm_ms > end_ms + gap`; if a Spark
+    upgrade made the timeout inclusive this fails here before it
+    fails as a red driver verdict."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    d = tmp_path / "to_boundary"
+    d.mkdir()
+
+    def wr(rows, name, bump):
+        pdf = pd.DataFrame(rows, columns=["ts", "user_id"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        p = str(d / name)
+        pq.write_table(pa.Table.from_pandas(pdf), p)
+        base = os.stat(str(d)).st_mtime
+        os.utime(p, (base + bump, base + bump))
+
+    # user 1: timeout ts = 00:30:00.000. Case A: wm lands exactly ON
+    # it (final event 00:40:00) -> no emission. Case B: wm passes it
+    # (00:40:01) -> emission. Both batches replay through the same
+    # stateful op; only case B may emit user 1.
+    def run(final_ts):
+        import uuid as _uuid
+
+        for f in d.glob("*.parquet"):
+            f.unlink()
+        wr([(datetime(2024, 1, 1, 0, 0, 0), 1)], "a.parquet", 0)
+        wr([(final_ts, 2)], "b.parquet", 1)
+        out_schema = StructType(
+            [
+                StructField("user_id", LongType()),
+                StructField("last_us", LongType()),
+            ]
+        )
+        st_schema = StructType([StructField("last_us", LongType())])
+
+        def update(key, pdfs, state: GroupState):
+            if state.hasTimedOut:
+                (last,) = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    {"user_id": [key[0]], "last_us": [last]}
+                )
+                return
+            last = state.get[0] if state.exists else None
+            for pdf in pdfs:
+                for t in (
+                    pdf["ts"].astype("datetime64[us]").astype("int64")
+                ):
+                    last = int(t) if last is None else max(last, int(t))
+            state.update((last,))
+            state.setTimeoutTimestamp(last // 1000 + 30 * 60 * 1000)
+
+        raw = (
+            spark.readStream.schema("ts timestamp, user_id long")
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(str(d))
+        )
+        res = (
+            raw.withWatermark("ts", "10 minutes")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                update,
+                out_schema,
+                st_schema,
+                "append",
+                GroupStateTimeout.EventTimeTimeout,
+            )
+        )
+        name = f"tob_{_uuid.uuid4().hex[:8]}"
+        q = (
+            res.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option(
+                "checkpointLocation",
+                str(tmp_path / f"ckpt_{name}"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            r.user_id for r in spark.table(name).collect()
+        )
+
+    assert run(datetime(2024, 1, 1, 0, 40, 0)) == []
+    assert run(datetime(2024, 1, 1, 0, 40, 1)) == [1]

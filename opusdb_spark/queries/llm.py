@@ -1141,18 +1141,171 @@ def llm_simsearch_ivfpq(spark, sf_dir):
     return ann_index.ivfpq_probe(spark, idx, vec, k=10, exclude_id=0)
 
 
-@register("llm_pq_recall_eval", oracle=None, tags=("llm", "similarity", "qa"))
+def _pq_recall_oracle() -> str:
+    """DuckDB oracle for llm_pq_recall_eval (upgraded from rows-only
+    in r10): the exact side reuses the decimal-fold ranking of
+    _ann_recall_oracle; the approx side replays the IVF-PQ pipeline
+    per (probe, rerank) — cell choice from the persisted centroids,
+    ADC from the pq/ code store against per-probe LUTs (balanced-tree
+    8-term sums, left-assoc subspace fold — the same premise-pinned
+    associations _ivfpq_oracle uses), the top-`rerank` pool by (adc,
+    vec_id), and the exact-cosine re-rank of the pool. So the recall
+    table — the accuracy gate of the compression trade — is
+    value-checked end-to-end by a second engine. The store's physical
+    compression ratio moved to the rows-only llm_pq_compression (a
+    filesystem readout no second engine can recompute)."""
+    from opusdb_spark.operators.ann_index import PQ_KS, PQ_M, index_dir_for
+    from opusdb_spark.operators.similarity import N_PROBE
+
+    idx = index_dir_for(_oracle_sf_dir())
+    d = 64 // PQ_M
+
+    def term(j: int) -> str:
+        e = (
+            f"((pp.p[b.m * {d} + {j}] - ce.c[b.m * {d} + {j}])"
+            f" - b.bk[kk.k + 1][{j}])"
+        )
+        return f"({e} * {e})"
+
+    lut_sum = (
+        f"(({term(1)} + {term(2)}) + ({term(3)} + {term(4)}))"
+        f" + (({term(5)} + {term(6)}) + ({term(7)} + {term(8)}))"
+    )
+    adc_sum = "ds[1]"
+    for m in range(2, PQ_M + 1):
+        adc_sum = f"({adc_sum} + ds[{m}])"
+    return f"""
+        WITH cents AS
+            {_indexed_json_sql(f"{idx}/centroids.json", "cell", "c")},
+        books AS
+            {_indexed_json_sql(f"{idx}/pq_codebooks.json", "m", "bk")},
+        pvecs AS (
+            SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS p
+            FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
+        ),
+        cells AS (
+            SELECT probe_id, cell FROM (
+                SELECT pp.probe_id, ce.cell,
+                       row_number() OVER (
+                           PARTITION BY pp.probe_id
+                           ORDER BY list_dot_product(ce.c, pp.p)
+                                    / (SQRT(list_dot_product(ce.c, ce.c))
+                                       * SQRT(list_dot_product(pp.p, pp.p)))
+                                    DESC, ce.cell
+                       ) AS crn
+                FROM cents ce CROSS JOIN pvecs pp
+            ) WHERE crn <= {N_PROBE}
+        ),
+        luts AS MATERIALIZED (
+            SELECT cl.probe_id, cl.cell, b.m, kk.k, {lut_sum} AS dist
+            FROM cells cl
+            JOIN cents ce ON ce.cell = cl.cell
+            JOIN pvecs pp ON pp.probe_id = cl.probe_id
+            CROSS JOIN books b
+            CROSS JOIN (SELECT UNNEST(range(0, {PQ_KS})) AS k) kk
+        ),
+        cand AS (
+            SELECT cl.probe_id, pq.vec_id, pq.cell, pq.codes
+            FROM read_parquet('{idx}/pq/**/*.parquet',
+                              hive_partitioning = 1) pq
+            JOIN cells cl ON pq.cell = cl.cell
+            WHERE pq.vec_id <> cl.probe_id
+        ),
+        parts AS (
+            SELECT c.probe_id, c.vec_id, list(l.dist ORDER BY l.m) AS ds
+            FROM cand c
+            JOIN luts l
+              ON l.probe_id = c.probe_id AND l.cell = c.cell
+             AND l.k = ((c.codes >> (4 * l.m)) & 15)
+            GROUP BY 1, 2
+        ),
+        adc AS (SELECT probe_id, vec_id, {adc_sum} AS adc FROM parts),
+        rlevels AS (SELECT UNNEST([20, 100]) AS rerank),
+        pool AS (
+            SELECT probe_id, rerank, vec_id FROM (
+                SELECT a.probe_id, r.rerank, a.vec_id,
+                       row_number() OVER (
+                           PARTITION BY a.probe_id, r.rerank
+                           ORDER BY a.adc, a.vec_id) AS rn
+                FROM adc a CROSS JOIN rlevels r
+            ) WHERE rn <= rerank
+        ),
+        idx64 AS (SELECT UNNEST(range(1, 65)) AS i),
+        flat AS (
+            SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+            FROM embeddings CROSS JOIN idx64
+        ),
+        pflat AS (
+            SELECT vec_id AS probe_id, i, x AS p
+            FROM flat WHERE vec_id IN (0, 1, 2, 3)
+        ),
+        scored AS (
+            SELECT pf.probe_id, f.vec_id,
+                   CAST(SUM(CAST(f.x * pf.p AS DECIMAL(27,12)))
+                        AS DOUBLE) AS dot,
+                   CAST(SUM(CAST(f.x * f.x AS DECIMAL(27,12)))
+                        AS DOUBLE) AS nx,
+                   CAST(SUM(CAST(pf.p * pf.p AS DECIMAL(27,12)))
+                        AS DOUBLE) AS np
+            FROM flat f JOIN pflat pf USING (i)
+            WHERE f.vec_id <> pf.probe_id
+            GROUP BY 1, 2
+        ),
+        cosines AS (
+            SELECT probe_id, vec_id, dot / SQRT(nx * np) AS cosine
+            FROM scored WHERE nx > 0 AND np > 0
+        ),
+        exact10 AS (
+            SELECT probe_id, vec_id FROM (
+                SELECT probe_id, vec_id,
+                       row_number() OVER (
+                           PARTITION BY probe_id
+                           ORDER BY cosine DESC, vec_id
+                       ) AS rn
+                FROM cosines
+            ) WHERE rn <= 10
+        ),
+        approx AS (
+            SELECT probe_id, rerank, vec_id FROM (
+                SELECT p.probe_id, p.rerank, p.vec_id,
+                       row_number() OVER (
+                           PARTITION BY p.probe_id, p.rerank
+                           ORDER BY s.cosine DESC, p.vec_id
+                       ) AS rn
+                FROM pool p
+                JOIN cosines s
+                  ON s.probe_id = p.probe_id AND s.vec_id = p.vec_id
+            ) WHERE rn <= 10
+        )
+        SELECT e.probe_id, r.rerank,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_hit,
+               ROUND(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0
+                         END) / COUNT(*), 4) AS recall
+        FROM exact10 e
+        CROSS JOIN rlevels r
+        LEFT JOIN approx a
+          ON a.probe_id = e.probe_id AND a.rerank = r.rerank
+             AND a.vec_id = e.vec_id
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@register(
+    "llm_pq_recall_eval",
+    oracle=_pq_recall_oracle(),
+    tags=("llm", "similarity", "qa"),
+)
 def llm_pq_recall_eval(spark, sf_dir):
     """Recall@10 of the compressed IVF-PQ path vs exact brute force —
     the accuracy half of the compression trade: what did 16× smaller
     candidate rows cost? Evaluated over the same model-sized probe set
     as llm_ann_recall_eval at two rerank depths (quantization error
     only hurts when a true neighbor misses the rerank pool, so recall
-    must be non-decreasing in `rerank`); the store's measured
-    bytes-per-vector compression ratio rides along so accuracy and
-    memory are one readout (rows-only)."""
-    from opusdb_spark.sources.formats import list_store_files
-
+    must be non-decreasing in `rerank`). Hash-oracled since r10: the
+    whole table replays in DuckDB (_pq_recall_oracle); the store's
+    physical compression ratio moved to llm_pq_compression."""
     probes = [0, 1, 2, 3]
     emb = table(spark, sf_dir, "embeddings")
     exact = similarity.cosine_topk_batch(emb, probes, k=10)
@@ -1175,9 +1328,6 @@ def llm_pq_recall_eval(spark, sf_dir):
             )
             approx = a if approx is None else approx.unionByName(a)
     levels = spark.createDataFrame([(r,) for r in reranks], "rerank int")
-    raw_bytes = sum(s for _, s in list_store_files(f"{idx}/by_id"))
-    pq_bytes = sum(s for _, s in list_store_files(f"{idx}/pq"))
-    ratio = round(raw_bytes / max(pq_bytes, 1), 2)
     return (
         exact.crossJoin(F.broadcast(levels))
         .join(approx, ["probe_id", "rerank", "vec_id"], "left")
@@ -1192,9 +1342,28 @@ def llm_pq_recall_eval(spark, sf_dir):
             "k",
             "n_hit",
             F.round(F.col("n_hit") / F.col("k"), 4).alias("recall"),
-            F.lit(ratio).alias("store_compression"),
         )
         .orderBy("probe_id", "rerank")
+    )
+
+
+@register(
+    "llm_pq_compression", oracle=None, tags=("llm", "similarity", "qa")
+)
+def llm_pq_compression(spark, sf_dir):
+    """Measured bytes-per-vector compression of the PQ code store vs
+    the raw by_id vector store — the memory half of the IVF-PQ trade
+    (the accuracy half is llm_pq_recall_eval, hash-oracled).
+    Rows-only by nature: a physical-layout readout (file sizes) that
+    no second engine can recompute from the logical data."""
+    from opusdb_spark.sources.formats import list_store_files
+
+    idx = _ann_index(spark, sf_dir)
+    raw_bytes = sum(sz for _, sz in list_store_files(f"{idx}/by_id"))
+    pq_bytes = sum(sz for _, sz in list_store_files(f"{idx}/pq"))
+    return spark.createDataFrame(
+        [(raw_bytes, pq_bytes, round(raw_bytes / max(pq_bytes, 1), 2))],
+        "raw_bytes long, pq_bytes long, compression double",
     )
 
 

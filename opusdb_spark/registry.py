@@ -144,6 +144,10 @@ _RECENTLY_CHANGED: tuple[str, ...] = (
     # the pure-Python restartable reference
     "stream_funnel_true",
     "stream_session_timeout",
+    # recall table replays per (probe, rerank); compression readout
+    # split into the new rows-only llm_pq_compression
+    "llm_pq_recall_eval",
+    "llm_pq_compression",
 )
 
 _CORRECTNESS_RE = re.compile(r"CORRECTNESS_r(\d+)\.json$")

@@ -16,11 +16,20 @@ Usage: python scripts/driver_sim.py [sf_dir] [--fresh]
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import time
 
 sys.path.insert(0, ".")
+
+# Pin the parity corpus to THIS run's corpus before conftest/registry
+# import — same footgun note as scripts/verify_backlog.py.
+_sf_dir = next(
+    (a for a in sys.argv[1:] if not a.startswith("-")),
+    "/root/testdata/sf0.01",
+)
+os.environ["OPUSDB_PARITY_SF_DIR"] = _sf_dir
 
 from opusdb_spark.registry import registry  # noqa: E402
 from opusdb_spark.session import get_spark  # noqa: E402

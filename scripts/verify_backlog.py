@@ -11,10 +11,25 @@ Usage: python scripts/verify_backlog.py [sf_dir] [N]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 sys.path.insert(0, ".")
+
+# Pin the parity corpus to THIS run's corpus BEFORE conftest/registry
+# import: artifact-backed oracles embed OPUSDB_PARITY_SF_DIR-derived
+# store paths in their SQL at query-module import, and tests/conftest
+# (imported below for make_duck) would otherwise default it to the
+# pytest corpus (sf0.001) — silently comparing sf0.01 Spark results
+# against sf0.001 artifacts (caught in r10 when llm_pq_recall_eval,
+# the first artifact-backed key to enter the sweep head, "failed"
+# locally while the env-free driver pairing was correct).
+_sf_dir = next(
+    (a for a in sys.argv[1:] if not a.startswith("-") and not a.isdigit()),
+    "/root/testdata/sf0.01",
+)
+os.environ["OPUSDB_PARITY_SF_DIR"] = _sf_dir
 
 from opusdb_spark.registry import registry  # noqa: E402
 from opusdb_spark.session import get_spark  # noqa: E402

@@ -59,3 +59,15 @@ def test_nullable_int_vs_float_nan_passes():
     b = pd.DataFrame({"k": ["x", "y"], "n": [1.0, np.nan]})
     res = compare(a, b)
     assert res.ok, res.detail
+
+
+def test_recently_changed_keys_all_exist():
+    """Every _RECENTLY_CHANGED entry must name a registered query: the
+    sweep-priority head silently drops unknown names (`if k in items`),
+    so a typo would waste the driver's budget slot it was meant to
+    spend re-verdicting that key."""
+    from opusdb_spark import registry as reg
+
+    qs = reg.registry()
+    missing = [k for k in reg._RECENTLY_CHANGED if k not in qs]
+    assert not missing, f"unknown keys in _RECENTLY_CHANGED: {missing}"

@@ -81,14 +81,20 @@ def test_pq_codes_match_numpy_reference(spark):
 
 
 def test_pq_recall_monotone_in_rerank(spark):
-    from opusdb_spark.queries.llm import llm_pq_recall_eval
+    from opusdb_spark.queries.llm import (
+        llm_pq_compression,
+        llm_pq_recall_eval,
+    )
 
     rows = llm_pq_recall_eval(spark, SF_SMALL).collect()
     assert len(rows) == 8  # 4 probes x 2 rerank depths
     by_probe: dict[int, dict[int, float]] = {}
     for r in rows:
         by_probe.setdefault(r["probe_id"], {})[r["rerank"]] = r["recall"]
-        assert r["store_compression"] > 1.0
+    # the physical compression readout lives in its own rows-only key
+    # since r10 (the recall table is hash-oracled)
+    comp = llm_pq_compression(spark, SF_SMALL).collect()[0]
+    assert comp["compression"] > 1.0
     for probe_id, recalls in by_probe.items():
         lo, hi = sorted(recalls)
         assert recalls[hi] >= recalls[lo], (

@@ -130,6 +130,13 @@ SF1_LADDER = [
     # decimal-fold groupBy; the recurrence itself is model-sized)
     "dq_schema_drift",
     "events_forecast_holt",
+    # round-10: the two r9 weak items after their fixes — pool-
+    # restricted MMR (one corpus rel-pass + model-sized rounds) and
+    # store-sized MV-join maintenance (persisted partials + partition-
+    # pruned deltas); ladder slots keep their fixed shapes tracked
+    # round-over-round
+    "llm_mmr_select",
+    "mv_join_incremental",
 ]
 
 # TPC-H at sf1 (VERDICT r4 §7): representative shapes — pushdown scan

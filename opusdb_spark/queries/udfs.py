@@ -292,11 +292,17 @@ def udf_cogrouped(spark, sf_dir):
     )
 
 
-# EWMA recurrence replay: pandas ewm(alpha, adjust=False) is
-# BIT-IDENTICAL to the plain y_t = (1-a)·y_{t-1} + a·x_t double
-# recurrence (verified: 5000-step fuzz, np.array_equal), and
-# double(1.0 - 0.1) == double(0.9), so a recursive CTE stepping the
-# same literal constants replays every intermediate double exactly.
+# EWMA recurrence replay: pandas ewm(alpha, adjust=False) computes
+# y_t = ((1-a)·y_{t-1} + a·x_t) / ((1-a)+a) — the divisor is exactly
+# 1.0 for a=0.1 so the expanded form is the plain double recurrence —
+# PLUS one short-circuit the expanded form lacks: the Cython kernel
+# (pandas window/aggregations.pyx) SKIPS the update when
+# cur == weighted_avg, preserving constant runs exactly, while the
+# expanded 0.9·v + 0.1·v can round 1 ulp away from v on specific
+# mantissas (hypothesis falsified the old "bit-identical recurrence"
+# premise at ys=[2.374538501501172e-96]×2 — pinned as a regression
+# example in tests/test_properties.py). The CTE therefore mirrors the
+# kernel: CASE WHEN s.value = r.y THEN r.y ELSE the recurrence END.
 # The recursion advances one row per type per round (row_number join)
 # — fine at oracle scale, and the point: the "not SQL-expressible"
 # claim is about WINDOWS, not about SQL recursion.
@@ -313,7 +319,8 @@ _EWMA_ORACLE = """
         FROM seq WHERE rn = 1
         UNION ALL
         SELECT s.event_type, s.event_id, s.rn,
-               0.9 * r.y + 0.1 * s.value
+               CASE WHEN s.value = r.y THEN r.y
+                    ELSE 0.9 * r.y + 0.1 * s.value END
         FROM rec r
         JOIN seq s ON s.event_type = r.event_type AND s.rn = r.rn + 1
     )
@@ -330,9 +337,10 @@ def udaf_ewma(spark, sf_dir):
     group's pandas frame, shuffle ∝ groups. The per-group sort is the
     operator's real cost at 100 TB — same shape as any keyed window.
     Rounded to 6dp so results are stable across Arrow batch splits.
-    Hash-oracled since r9: the pandas kernel is bit-identical to the
-    plain double recurrence, which a DuckDB recursive CTE replays
-    exactly (see _EWMA_ORACLE)."""
+    Hash-oracled since r9: the pandas kernel is the plain double
+    recurrence plus an equal-value short-circuit (skip the update when
+    cur == weighted_avg), which the DuckDB recursive CTE mirrors
+    step-for-step (see _EWMA_ORACLE)."""
     ev = table(spark, sf_dir, "events").select(
         "event_id", "ts", "event_type", "value"
     )

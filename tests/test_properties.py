@@ -9,7 +9,7 @@ small and few — each example runs real Spark jobs.
 
 from __future__ import annotations
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from opusdb_spark import mvcc
@@ -850,7 +850,17 @@ series_strategy = st.lists(
 )
 
 
+# Kernel form (diagnosed r10, fixed r11): pandas' Cython ewm kernel
+# is the expanded recurrence PLUS a short-circuit that skips the
+# update when cur == weighted_avg (preserving constant runs exactly);
+# the bare 0.9·v + 0.1·v form drifts 1 ulp on specific mantissas.
+# The falsifying example hypothesis found is pinned below so the
+# regression class stays covered even at max_examples=20. The Holt
+# premise (next test) is NOT exposed to this class: both its sides
+# run the same explicit expanded-form loop (pipeline.py holt()), no
+# pandas kernel involved — audited r11.
 @settings(max_examples=20, deadline=None)
+@example(ys=[2.374538501501172e-96, 2.374538501501172e-96])
 @given(ys=series_strategy)
 def test_ewma_recursive_cte_replays_pandas_bitwise(ys):
     import duckdb
@@ -870,7 +880,9 @@ def test_ewma_recursive_cte_replays_pandas_bitwise(ys):
             WITH RECURSIVE rec AS (
                 SELECT rn, y AS v FROM seq WHERE rn = 1
                 UNION ALL
-                SELECT s.rn, 0.9 * r.v + 0.1 * s.y
+                SELECT s.rn,
+                       CASE WHEN s.y = r.v THEN r.v
+                            ELSE 0.9 * r.v + 0.1 * s.y END
                 FROM rec r JOIN seq s ON s.rn = r.rn + 1
             )
             SELECT v FROM rec ORDER BY rn

@@ -45,3 +45,26 @@ def sql_davg(expr: str, alias: str) -> str:
         f"CAST(SUM(CAST({expr} AS DECIMAL(27,6))) AS DOUBLE) / COUNT({expr})"
         f" AS {alias}"
     )
+
+
+def round_like_duckdb(x: float, ndigits: int = 6) -> float:
+    """Bit-mirror of DuckDB's ROUND(double, n) for driver-side values
+    that an oracle re-rounds with SQL ROUND (ADVICE r10: emb_kmeans
+    rounded inertia with Python round() — banker's — while the oracle
+    used SQL ROUND; the two only diverge on an exact 5e-7 tie, but the
+    mismatch was avoidable).
+
+    DuckDB's kernel is the scaled multiply: round(x*10^n)/10^n with
+    half-away-from-zero on the SCALED double — measured bit-identical
+    to copysign(floor(|x|*10^n + 0.5), x)/10^n on a 20k uniform fuzz
+    plus 100 exact .5-boundary values, where both Python round()
+    (banker's) and Decimal-HALF_UP (decimal-exact quantize, which the
+    scaled multiply is not) disagree with it on ties. Premise pinned
+    in tests/test_properties.py::test_round_like_duckdb_mirrors_sql_round.
+    """
+    import math
+
+    if x != x or math.isinf(x):  # NaN/inf: ROUND passes them through
+        return x
+    p = 10.0**ndigits
+    return math.copysign(math.floor(abs(x) * p + 0.5), x) / p

@@ -683,18 +683,30 @@ def kmeans_inertia(
     return trace
 
 
-def mahalanobis_udf(mu: "np.ndarray", precision: "np.ndarray"):
-    """Arrow UDF: vector → √((x−μ)ᵀ P (x−μ)), rounded 6dp. The mean and
-    precision matrix ship in the closure (model-sized, like the IVF
-    centroids); scoring is one einsum per Arrow batch."""
+def mahalanobis_fixedpoint_udf(
+    mu: "np.ndarray", pq: "np.ndarray", d_scale: float, divisor: float
+):
+    """Arrow UDF: vector → √((x−μ)ᵀ P (x−μ)) on fixed-point grids,
+    rounded 6dp. The mean and QUANTIZED precision matrix (int64, the
+    persisted model — see llm.py _ensure_maha_model) ship in the
+    closure; scoring is two int64 matmuls per Arrow batch whose every
+    product and partial sum is an exact integer — replayable
+    bit-for-bit by a second engine (the float einsum this replaced
+    was BLAS-order-dependent and could never hash-match). Bounds
+    asserted: |d|·d_scale < 2^13 and |pq| < 2^27 keep the row sums
+    under 2^62."""
 
     @F.pandas_udf("double")
     def maha(vecs: pd.Series) -> pd.Series:
         if not len(vecs):  # np.stack([]) raises on empty Arrow batches
             return pd.Series([], dtype=float)
-        X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs]) - mu
-        d2 = np.einsum("ij,jk,ik->i", X, precision, X)
-        return pd.Series(np.round(np.sqrt(np.maximum(d2, 0.0)), 6))
+        D = np.stack([np.asarray(v, dtype=np.float64) for v in vecs]) - mu
+        assert np.abs(D).max() < 0.75, "difference exceeds the int64 grid bound"
+        Dq = np.floor(D * d_scale + 0.5).astype(np.int64)
+        Y = Dq @ pq  # exact: |entry| ≤ 64·2^13·2^27 < 2^46
+        s = (Dq * Y).sum(axis=1)  # exact: ≤ 64·2^13·2^46 < 2^62
+        v = np.sqrt(np.maximum(s, 0).astype(np.float64) / divisor)
+        return pd.Series(np.floor(v * 1e6 + 0.5) / 1e6)  # ROUND kernel
 
     return maha
 
@@ -724,12 +736,24 @@ def mmr_select(
     and zero corpus-sized cache writes — the r9 shape (k corpus
     arg-max passes + k corpus-wide persist rewrites) priced at 75 s /
     ratio 7.8 in the 100× probe and could never persist a 100 TB
-    corpus k times. Selection is preserved for pool_n ≫ k because a
-    vector outside the top-pool_n relevance set is never a
-    competitive pick at any diversity penalty that also admits k
-    in-pool picks (scores are lam·rel minus a non-negative-in-practice
-    penalty; verified pick-for-pick against the full-corpus numpy
-    greedy in tests/test_operators.py).
+    corpus k times.
+
+    The pool restriction is an APPROXIMATION (the standard MMR-at-
+    scale trade, not a preserved-selection guarantee — ADVICE r10): an
+    out-of-pool vector's score is lam·rel − (1−lam)·penalty with a
+    clamped-non-negative penalty, so it is bounded by lam·rel_boundary
+    and CAN exceed an in-pool candidate's score when every pool member
+    carries a large diversity penalty (near-duplicate pools). The
+    per-round objective regret is bounded by (1−lam)·max_pool_penalty
+    ≤ (1−lam): the pool's boundary member scores at least
+    lam·rel_boundary − (1−lam)·penalty, and no outsider can exceed
+    lam·rel_boundary. Both regimes are pinned in tests/
+    test_operators.py: pick-for-pick agreement with full-corpus numpy
+    greedy on the sf corpus and on a seeded corpus > pool_n (with a
+    per-round certificate check: picked_score ≥ lam·rel_boundary
+    PROVES the round matches unrestricted greedy), and an adversarial
+    near-duplicate corpus where divergence is demonstrated and its
+    regret asserted within the bound.
 
     Exactness: the in-pool rounds run driver-side with SEQUENTIAL
     left-fold double sums starting at 0.0 — the same fold F.aggregate

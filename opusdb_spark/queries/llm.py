@@ -297,7 +297,7 @@ def _fuzzy_oracle() -> str:
     """
 
 
-@register("llm_dedup_fuzzy", oracle=_fuzzy_oracle(), tags=("llm", "dedup"))
+@register("llm_dedup_fuzzy", oracle=_fuzzy_oracle, tags=("llm", "dedup"))
 def llm_dedup_fuzzy(spark, sf_dir):
     """Near-dup pairs via MinHash+LSH over shingles. Band-bucket joins
     only — no all-pairs comparison; the pair graph comes from the
@@ -353,7 +353,7 @@ def _incremental_oracle() -> str:
 
 @register(
     "llm_dedup_incremental",
-    oracle=_incremental_oracle(),
+    oracle=_incremental_oracle,
     tags=("llm", "dedup", "incremental"),
 )
 def llm_dedup_incremental(spark, sf_dir):
@@ -395,7 +395,7 @@ def _simhash_oracle() -> str:
     """
 
 
-@register("llm_dedup_simhash", oracle=_simhash_oracle(), tags=("llm", "dedup"))
+@register("llm_dedup_simhash", oracle=_simhash_oracle, tags=("llm", "dedup"))
 def llm_dedup_simhash(spark, sf_dir):
     """Near-dup pairs via 64-bit SimHash, Hamming ≤ 3, pigeonhole-block
     candidate generation; fingerprints come from the persisted ingest
@@ -783,7 +783,7 @@ def _lsh_oracle() -> str:
         {_PROBE_TOPK_SQL}"""
 
 
-@register("llm_simsearch_lsh", oracle=_lsh_oracle(), tags=("llm", "similarity"))
+@register("llm_simsearch_lsh", oracle=_lsh_oracle, tags=("llm", "similarity"))
 def llm_simsearch_lsh(spark, sf_dir):
     """ANN top-10 via random-hyperplane LSH buckets over the PERSISTED
     index: the probe reads only its L bucket partitions (literal
@@ -850,7 +850,7 @@ def _ivf_oracle() -> str:
         {_PROBE_TOPK_SQL}"""
 
 
-@register("llm_simsearch_ivf", oracle=_ivf_oracle(), tags=("llm", "similarity"))
+@register("llm_simsearch_ivf", oracle=_ivf_oracle, tags=("llm", "similarity"))
 def llm_simsearch_ivf(spark, sf_dir):
     """ANN top-10 via the PERSISTED IVF index (deterministic k-means
     quantizer trained at build time): the probe's n_probe nearest cells
@@ -971,7 +971,7 @@ def _ann_recall_oracle() -> str:
 
 @register(
     "llm_ann_recall_eval",
-    oracle=_ann_recall_oracle(),
+    oracle=_ann_recall_oracle,
     tags=("llm", "similarity", "qa"),
 )
 def llm_ann_recall_eval(spark, sf_dir):
@@ -1122,7 +1122,7 @@ def _ivfpq_oracle() -> str:
 
 
 @register(
-    "llm_simsearch_ivfpq", oracle=_ivfpq_oracle(), tags=("llm", "similarity")
+    "llm_simsearch_ivfpq", oracle=_ivfpq_oracle, tags=("llm", "similarity")
 )
 def llm_simsearch_ivfpq(spark, sf_dir):
     """ANN top-10 via IVF + PRODUCT QUANTIZATION (Jégou et al. 2011)
@@ -1294,7 +1294,7 @@ def _pq_recall_oracle() -> str:
 
 @register(
     "llm_pq_recall_eval",
-    oracle=_pq_recall_oracle(),
+    oracle=_pq_recall_oracle,
     tags=("llm", "similarity", "qa"),
 )
 def llm_pq_recall_eval(spark, sf_dir):
@@ -1582,7 +1582,7 @@ def _cluster_oracle() -> str:
     """
 
 
-@register("llm_dedup_cluster", oracle=_cluster_oracle(), tags=("llm", "dedup"))
+@register("llm_dedup_cluster", oracle=_cluster_oracle, tags=("llm", "dedup"))
 def llm_dedup_cluster(spark, sf_dir):
     """Near-dup CLUSTERS: connected components over the MinHash-LSH pair
     graph (A~B, B~C collapse into one group), then per-component size +
@@ -1954,13 +1954,84 @@ def llm_semdedup(spark, sf_dir):
     return similarity.semdedup_drops(emb, _SEMDEDUP_TAU)
 
 
-@register("llm_embedding_neardup", oracle=None, tags=("llm", "dedup"))
+# Quantization grid for the near-dup cosine sweep: embeddings snap to
+# q = floor(x·2^22 + 0.5) before any dot product, making the whole
+# cosine pipeline exact-integer arithmetic (see the kernel comment in
+# llm_embedding_neardup) and therefore bit-replayable by a second
+# engine. |x| ≤ 2 keeps every intermediate under 2^53.
+_NEARDUP_SCALE = 4194304.0  # 2^22
+
+
+def _embedding_neardup_oracle() -> str:
+    """DuckDB oracle for llm_embedding_neardup (upgraded from
+    rows-only in r11, the VERDICT r10 ask): candidates are exactly the
+    within-(table, bucket) pairs of the persisted lsh/ store (the same
+    sigs-store replay convention as _lsh_oracle/_fuzzy_oracle), the
+    first-collision ownership rule replays as a list_filter over the
+    earlier tables' signatures, and — because the Spark kernel
+    quantizes embeddings to the 2^-22 integer grid — every cosine is
+    exact-integer dots divided by correctly-rounded sqrt/divide, which
+    this SQL reproduces bit-for-bit (BIGINT list folds, one
+    int→double product rounding, IEEE sqrt). Artifact path = the
+    canonical oracle corpus; lazy (resolved at oracle access)."""
+    import os
+
+    from opusdb_spark.operators.ann_index import index_dir_for
+
+    lsh = os.path.join(index_dir_for(_oracle_sf_dir()), "lsh")
+    return f"""
+        WITH rows AS (
+            SELECT vec_id, table_id, bucket, sig_all,
+                   list_transform(embedding, x -> CAST(floor(
+                       CAST(x AS DOUBLE) * {_NEARDUP_SCALE!r} + 0.5
+                   ) AS BIGINT)) AS q
+            FROM read_parquet('{lsh}/**/*.parquet', hive_partitioning=1)
+        ),
+        qn AS (
+            SELECT *, list_reduce(list_transform(q, v -> v * v),
+                                  (a, b) -> a + b) AS n2
+            FROM rows
+        ),
+        pairs AS (
+            SELECT CAST(list_reduce(list_transform(list_zip(a.q, b.q),
+                            s -> s[1] * s[2]), (x, y) -> x + y) AS DOUBLE)
+                   / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE))
+                       AS cos
+            FROM qn a JOIN qn b
+              ON a.table_id = b.table_id AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id
+            WHERE a.n2 > 0 AND b.n2 > 0
+              AND len(list_filter(range(1, CAST(a.table_id AS INT) + 1),
+                      t -> a.sig_all[t] = b.sig_all[t])) = 0
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+               MAX(cos) AS max_cosine,
+               CAST(SUM(CASE WHEN cos >= 0.95 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_ge_095,
+               CAST(SUM(CASE WHEN cos >= 0.80 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_ge_080,
+               CAST(SUM(CASE WHEN cos >= 0.60 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_ge_060,
+               CAST(SUM(CASE WHEN cos >= 0.40 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_ge_040
+        FROM pairs"""
+
+
+@register(
+    "llm_embedding_neardup",
+    oracle=_embedding_neardup_oracle,
+    tags=("llm", "dedup"),
+)
 def llm_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (cos ≥ 0.95) among LSH-bucket
-    candidates — the embedding-space dedup pass (rows-only). Buckets
-    come from the PERSISTED ANN index (ingest-once), not a per-query
-    re-bucketing of the corpus: at 100 TB the signature expressions run
-    exactly once, at ingest."""
+    candidates — the embedding-space dedup pass. Buckets come from the
+    PERSISTED ANN index (ingest-once), not a per-query re-bucketing of
+    the corpus: at 100 TB the signature expressions run exactly once,
+    at ingest. Hash-oracled since r11: embeddings quantize to the
+    2^-22 integer grid before the bucket matmul, so every cosine is
+    exact-integer arithmetic plus correctly-rounded sqrt/divide and
+    DuckDB replays the full sweep from the persisted lsh/ store
+    (_embedding_neardup_oracle)."""
     import os
 
     import numpy as np
@@ -2048,13 +2119,25 @@ def llm_embedding_neardup(spark, sf_dir):
                 if hi - lo < 2:
                     continue
                 X = X_all[lo:hi]
-                nrm = np.sqrt((X * X).sum(axis=1))
-                ok = nrm > 0
+                # Quantize to the 2^-22 grid BEFORE the matmul (r11,
+                # the rows-only→hash upgrade): Q holds integer-valued
+                # float64s (|x| ≤ 2 ⇒ |q| ≤ 2^23, pair dot ≤ 64·2^46 =
+                # 2^52 < 2^53), so every product and partial sum in
+                # the BLAS X@X.T is an EXACT integer — no rounding, no
+                # order/FMA sensitivity — and cos = dot/sqrt(n2a·n2b)
+                # is one int→double product rounding + IEEE sqrt + one
+                # division, all correctly-rounded ops DuckDB performs
+                # identically (_embedding_neardup_oracle). The 2^-22
+                # grid perturbs a unit-scale cosine by < 1e-6 — far
+                # from every sweep threshold on real data.
+                Q = np.floor(X * _NEARDUP_SCALE + 0.5)
+                n2 = (Q * Q).sum(axis=1)
+                ok = n2 > 0
                 if ok.sum() < 2:
                     continue
-                X, nrm = X[ok], nrm[ok]
-                S = (X @ X.T) / np.outer(nrm, nrm)
-                ai, bi = np.triu_indices(len(nrm), k=1)
+                Q, n2 = Q[ok], n2[ok]
+                S = Q @ Q.T
+                ai, bi = np.triu_indices(len(n2), k=1)
                 t0 = int(tb[lo])
                 # first-collision ownership: drop any pair that already
                 # collided in an earlier table (the bucket column is
@@ -2065,9 +2148,8 @@ def llm_embedding_neardup(spark, sf_dir):
                     owned = np.ones(len(ai), dtype=bool)
                     for t in range(t0):
                         owned &= G[ai, t] != G[bi, t]
-                    cos = S[ai, bi][owned]
-                else:
-                    cos = S[ai, bi]
+                    ai, bi = ai[owned], bi[owned]
+                cos = S[ai, bi] / np.sqrt(n2[ai] * n2[bi])
                 if cos.size == 0:
                     continue
                 acc["n"] += int(cos.size)
@@ -2637,12 +2719,21 @@ def emb_kmeans(spark, sf_dir):
     assignment is a whole-stage-codegen left fold (no Arrow UDF) and
     every step of the recurrence replays in DuckDB (_kmeans_oracle) —
     the recurrence-replay treatment EWMA/Holt got in r9, extended to a
-    full iterative clustering algorithm."""
+    full iterative clustering algorithm. Inertia is rounded with the
+    measured bit-mirror of DuckDB's ROUND kernel (exactness.
+    round_like_duckdb — ADVICE r10: Python round() is banker's and
+    could diverge on an exact tie), so both sides share ONE rounding
+    rule with no caveat."""
+    from opusdb_spark.exactness import round_like_duckdb
+
     trace = similarity.kmeans_inertia(
         table(spark, sf_dir, "embeddings"), k=8, iters=5
     )
     return spark.createDataFrame(
-        [(it, round(inertia, 6), moved) for it, inertia, moved in trace],
+        [
+            (it, round_like_duckdb(inertia, 6), moved)
+            for it, inertia, moved in trace
+        ],
         "iteration int, inertia double, n_moved_cells int",
     )
 
@@ -2655,10 +2746,17 @@ def multimodal_audio_energy(spark, sf_dir):
     map, pinned against a numpy reference in tests (rows-only: binary
     media is synthesized). The media table sizes with the corpus (one
     blob per document, floor 256) so the scale probe measures a
-    genuinely growing Arrow pass, not a fixed-size synthetic."""
+    genuinely growing Arrow pass, not a fixed-size synthetic — sized
+    from the parquet FOOTER row count (metadata-only, no Spark job;
+    ADVICE r10: the previous documents.count() action put a corpus
+    scan inside every timed invocation of the featurization pass)."""
+    import pyarrow.dataset as ds
+
     from opusdb_spark.operators import multimodal
 
-    n_docs = table(spark, sf_dir, "documents").count()
+    n_docs = ds.dataset(
+        f"{sf_dir}/documents.parquet", format="parquet"
+    ).count_rows()
     media = multimodal.synthesize_media(spark, n=max(256, n_docs))
     return multimodal.audio_energy(media).orderBy("media_id")
 
@@ -3225,45 +3323,183 @@ def llm_url_dedup(spark, sf_dir):
     )
 
 
-@register("emb_outlier_mahalanobis", oracle=None, tags=("llm", "embedding"))
+# Fixed-point grids for the Mahalanobis quadratic form (r11, the
+# rows-only→hash upgrade): differences quantize at 2^-12, precision
+# entries at 2^-20, so with the measured corpus bounds (|d| < 0.75,
+# |P| < 128 — asserted at runtime) every product and partial sum of
+# dqᵀ·Pq·dq stays below 2^62: EXACT int64 arithmetic in numpy, exact
+# HUGEINT in DuckDB, one correctly-rounded int→double conversion at
+# the end. Same replay recipe as llm_embedding_neardup's cosine grid.
+_MAHA_D_SCALE = 4096.0  # 2^12
+_MAHA_P_SCALE = 1048576.0  # 2^20
+_MAHA_DIV = 17592186044416.0  # 2^(12+12+20)
+
+
+def _maha_model_dir(sf_dir: str) -> str:
+    """Scratch path of the persisted Mahalanobis model (quantized
+    precision matrix + mean vector) for a corpus — the PQ-codebook
+    convention: numpy-only math (matrix inversion) runs once at
+    ingest and is PERSISTED, so a second engine can replay the
+    scoring from the artifact without replaying the inversion."""
+    import hashlib
+    import os
+
+    from opusdb_spark.sources.formats import scratch_path
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return scratch_path(f"maha_model_{base}_{tag}")
+
+
+def _ensure_maha_model(spark, sf_dir: str) -> str:
+    """Build-and-persist the Mahalanobis model: covariance from
+    emb_covariance's hash-exact distributed plan, Tikhonov-regularized
+    inverse (λ=1e-6·trace/dim), quantized to the 2^-20 grid, plus the
+    decimal-fold mean vector as doubles. Fingerprint-guarded."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opusdb_spark.sources.formats import ensure_written
+
+    path = _maha_model_dir(sf_dir)
+
+    def write_fn(out: str) -> None:
+        import os
+
+        rows = emb_covariance(spark, sf_dir).collect()
+        dim = 64
+        C = np.zeros((dim, dim))
+        for r in rows:
+            C[r["i"] - 1, r["j"] - 1] = r["cov"]
+            C[r["j"] - 1, r["i"] - 1] = r["cov"]
+        lam = 1e-6 * float(np.trace(C)) / dim
+        P = np.linalg.inv(C + lam * np.eye(dim))
+        assert np.abs(P).max() < 128.0, "precision exceeds the int64 grid bound"
+        Pq = np.floor(P * _MAHA_P_SCALE + 0.5).astype(np.int64)
+        emb = table(spark, sf_dir, "embeddings")
+        mu_rows = (
+            emb.select(F.posexplode("embedding").alias("i0", "x"))
+            .groupBy("i0")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("double").cast("decimal(27,12)"))
+                    / F.count(F.lit(1))
+                ).cast("double").alias("m")
+            )
+            .collect()
+        )
+        mu = np.zeros(dim)
+        for r in mu_rows:
+            mu[r["i0"]] = r["m"]
+        os.makedirs(out, exist_ok=True)
+        ii, jj = np.meshgrid(range(1, dim + 1), range(1, dim + 1), indexing="ij")
+        pq.write_table(
+            pa.table(
+                {
+                    "i": ii.ravel().astype(np.int32),
+                    "j": jj.ravel().astype(np.int32),
+                    "pq": Pq.ravel(),
+                }
+            ),
+            os.path.join(out, "precision.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {"i": np.arange(1, dim + 1, dtype=np.int32), "mu": mu}
+            ),
+            os.path.join(out, "mu.parquet"),
+        )
+
+    fingerprint = {
+        "corpus": sf_dir,
+        "d_scale": _MAHA_D_SCALE,
+        "p_scale": _MAHA_P_SCALE,
+        "lam_rule": "1e-6*trace/dim",
+        "version": 1,
+    }
+    return ensure_written(path, fingerprint, write_fn)
+
+
+def _maha_oracle() -> str:
+    """DuckDB oracle for emb_outlier_mahalanobis (upgraded from
+    rows-only in r11, the VERDICT r10 ask): reads the persisted model
+    (quantized precision + mean — the inversion itself stays numpy,
+    exactly like the PQ codebooks) and replays the quadratic form in
+    exact integer arithmetic: dq = floor((x−μ)·2^12 + 0.5), s =
+    Σ dq_i·pq_ij·dq_j summed as HUGEINT (the Spark kernel's int64
+    matmul computes the same exact integer), then ONE int→double
+    conversion, power-of-two scaling, IEEE sqrt and the shared ROUND
+    kernel. Lazy (resolved at oracle access)."""
+    import os
+
+    mdir = _maha_model_dir(_oracle_sf_dir())
+    return f"""
+        WITH pmat AS (
+            SELECT i, j, pq
+            FROM read_parquet('{os.path.join(mdir, "precision.parquet")}')
+        ),
+        mu AS (
+            SELECT i, mu
+            FROM read_parquet('{os.path.join(mdir, "mu.parquet")}')
+        ),
+        dq AS (
+            SELECT e.vec_id, e.label, m.i,
+                   CAST(floor(
+                       (CAST(e.embedding[m.i] AS DOUBLE) - m.mu)
+                       * {_MAHA_D_SCALE!r} + 0.5
+                   ) AS BIGINT) AS dq
+            FROM embeddings e, mu m
+        ),
+        s AS (
+            SELECT a.vec_id, ANY_VALUE(a.label) AS label,
+                   SUM(a.dq * p.pq * b.dq) AS s
+            FROM dq a
+            JOIN pmat p ON p.i = a.i
+            JOIN dq b ON b.vec_id = a.vec_id AND b.i = p.j
+            GROUP BY a.vec_id
+        )
+        SELECT vec_id, label,
+               ROUND(sqrt(CAST(GREATEST(s, 0) AS DOUBLE)
+                          / {_MAHA_DIV!r}), 6) AS mahalanobis
+        FROM s
+        ORDER BY mahalanobis DESC, vec_id ASC
+        LIMIT 20"""
+
+
+@register(
+    "emb_outlier_mahalanobis", oracle=_maha_oracle, tags=("llm", "embedding")
+)
 def emb_outlier_mahalanobis(spark, sf_dir):
     """Embedding outlier detection by Mahalanobis distance: the
     corpus covariance (model-sized, from emb_covariance's distributed
     plan) is inverted driver-side with Tikhonov regularization
     (λ=1e-6·trace/dim keeps near-singular directions finite), the
-    precision matrix ships in an Arrow UDF closure, and every vector
-    scores (x−μ)ᵀΣ⁻¹(x−μ) in one vectorized pass — the standard
+    QUANTIZED precision matrix is persisted as an ingest artifact and
+    ships in an Arrow UDF closure, and every vector scores
+    (x−μ)ᵀΣ⁻¹(x−μ) in one vectorized pass — the standard
     embedding-space anomaly score for encoder failures and
     out-of-domain junk. Top-20 by distance (TakeOrdered, id
-    tie-break). Rows-only: matrix inversion isn't SQL-expressible;
-    the score is pinned against a numpy re-computation in tests."""
+    tie-break). Hash-oracled since r11: differences and precision
+    entries snap to integer grids (2^-12 / 2^-20), the quadratic form
+    is exact int64 matmuls, and DuckDB replays the scoring from the
+    persisted model (_maha_oracle); the matrix INVERSION stays
+    engine-specific, covered by the numpy pin in tests."""
     import numpy as np
+    import pyarrow.parquet as paq
 
-    rows = emb_covariance(spark, sf_dir).collect()
+    mdir = _ensure_maha_model(spark, sf_dir)
+    pt = paq.read_table(f"{mdir}/precision.parquet").to_pandas()
     dim = 64
-    C = np.zeros((dim, dim))
-    for r in rows:
-        C[r["i"] - 1, r["j"] - 1] = r["cov"]
-        C[r["j"] - 1, r["i"] - 1] = r["cov"]
-    lam = 1e-6 * float(np.trace(C)) / dim
-    P = np.linalg.inv(C + lam * np.eye(dim))
-    emb = table(spark, sf_dir, "embeddings")
-    flat = emb.select(
-        F.posexplode("embedding").alias("i0", "x")
-    ).select("i0", F.col("x").cast("double").alias("x"))
-    mu_rows = (
-        flat.groupBy("i0")
-        .agg(
-            (
-                F.sum(F.col("x").cast("decimal(27,12)")) / F.count(F.lit(1))
-            ).cast("double").alias("m")
-        )
-        .collect()
-    )
+    Pq = np.zeros((dim, dim), dtype=np.int64)
+    Pq[pt["i"].to_numpy() - 1, pt["j"].to_numpy() - 1] = pt["pq"].to_numpy()
+    mt = paq.read_table(f"{mdir}/mu.parquet").to_pandas()
     mu = np.zeros(dim)
-    for r in mu_rows:
-        mu[r["i0"]] = r["m"]
-    maha = similarity.mahalanobis_udf(mu, P)
+    mu[mt["i"].to_numpy() - 1] = mt["mu"].to_numpy()
+    emb = table(spark, sf_dir, "embeddings")
+    maha = similarity.mahalanobis_fixedpoint_udf(
+        mu, Pq, _MAHA_D_SCALE, _MAHA_DIV
+    )
     return (
         emb.select("vec_id", "label", maha("embedding").alias("mahalanobis"))
         .orderBy(F.desc("mahalanobis"), F.asc("vec_id"))
@@ -3580,7 +3816,12 @@ def llm_mmr_select(spark, sf_dir):
     Pool-restricted since r10: ONE corpus pass computes relevance and
     TakeOrdered keeps the top-1024 pool; the 10 greedy rounds run
     over the model-sized pool (operators/similarity.py mmr_select) —
-    no corpus scan or corpus-sized persist per round. Hash-oracled
+    no corpus scan or corpus-sized persist per round. The pool
+    restriction is the standard MMR-at-scale approximation (per-round
+    regret ≤ 1−lambda; see mmr_select's docstring); the oracle applies
+    the identical restriction, so parity checks the restricted
+    algorithm, and the divergence-vs-unrestricted-greedy regime is
+    bounded by its own tests. Hash-oracled
     since r9: every cosine is a SEQUENTIAL left-fold double sum,
     which DuckDB's list_reduce replays bitwise (premise pinned in
     test_properties.py), so pool membership and the 10 greedy rounds

@@ -337,9 +337,29 @@ def stream_dedup_true(spark, sf_dir):
     return stream_jobs.dedup_stream(spark, sf_dir)
 
 
-@register("stream_stateful_true", oracle=None, tags=("streaming", "stateful"))
+@register(
+    "stream_stateful_true",
+    # Hash-oracled since r11 (the r10 verdict ask): the state carries
+    # exact integer micros (floor(v·1e6 + 0.5) per event — see
+    # streaming/jobs.py stateful_running_totals), so the running total
+    # is batch-split-independent, and the single-file availableNow
+    # replay (the dedup_true/join_true single-batch premise) emits
+    # each user exactly once with the full-log totals — which this
+    # batch SQL recomputes with the identical micros fold (HUGEINT
+    # sum, one int→double conversion, one division).
+    oracle="""
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1000000.0 AS total_value
+        FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
 def stream_stateful_true(spark, sf_dir):
-    """TRUE streaming per-user totals via applyInPandasWithState (rows-only)."""
+    """TRUE streaming per-user totals via applyInPandasWithState, the
+    arbitrary-state operator path; integer-micros accumulator makes
+    the emitted totals hash-replayable by batch SQL (see oracle
+    note)."""
     return stream_jobs.stateful_running_totals(spark, sf_dir)
 
 

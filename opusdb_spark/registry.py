@@ -46,11 +46,25 @@ _QUERY_MODULES = [
 
 @dataclass
 class Query:
+    """`oracle_src` may be a SQL string OR a zero-arg callable returning
+    one. Callables are for artifact-backed oracles whose SQL embeds
+    filesystem paths derived from the parity corpus (llm.py
+    `_oracle_sf_dir`): resolving them at `.oracle` ACCESS time — not
+    module-import time — means OPUSDB_PARITY_SF_DIR is honored no
+    matter when the registry was imported (ADVICE r10: every new
+    entrypoint used to need an import-order pin or it silently paired
+    Spark results against the wrong corpus's artifacts)."""
+
     name: str
     fn: QueryFn
-    oracle: str | None = None
+    oracle_src: str | Callable[[], str] | None = None
     tags: tuple[str, ...] = field(default_factory=tuple)
     doc: str = ""
+
+    @property
+    def oracle(self) -> str | None:
+        src = self.oracle_src
+        return src() if callable(src) else src
 
 
 _REGISTRY: dict[str, Query] = {}
@@ -98,56 +112,28 @@ def _load() -> None:
 # rows-only query (err == "no_oracle") that ran and reported a row
 # count. Harmless if the consumer sorts or completes the full sweep.
 
-# Round 10: queries whose plans/oracles changed this round -> jump the
-# queue. Kept deliberately SHORT (6 vs r9's 35) so the driver's ~50-key
-# sweep budget drains the stale-verdict backlog (VERDICT r9 ask: >=20
-# pre-r4 keys re-verdicted).
+# Round 11: queries whose plans/oracles changed this round -> jump the
+# queue. Kept deliberately SHORT (6, the r10 head size that drained 37
+# stale keys) so the driver's ~50-key sweep budget finishes the
+# pre-r4 backlog (VERDICT r10 ask: re-verdict >=35 of the 45 left).
 _RECENTLY_CHANGED: tuple[str, ...] = (
-    # pool-restricted MMR: one corpus pass + TakeOrdered top-1024
-    # relevance pool, k greedy rounds over the pool (the r9 weak item)
-    "llm_mmr_select",
-    # store-sized delta maintenance: per-priority checksum partials
-    # persisted at ingest, (late, bk17)-partitioned fact store with
-    # partition-pruned delta branches (the other r9 weak item)
-    "mv_join_incremental",
-    # sidecar fingerprint now folds in the store's physical layout
-    # (advisor finding: stale positions after a foreign store rebuild)
-    "scan_delete_vectors",
-    # rows-only -> hash-oracle upgrades (r10 batch): portable-md5 CMS
-    # rebuilt cell-for-cell in DuckDB; BPE merge loop replayed via
-    # recursive-CTE greedy application; full Lloyd k-means recurrence
-    # replayed (codegen fold assignment, portable seeding)
-    "agg_countmin_topk",
-    "llm_bpe_train",
+    # oracle now mirrors pandas' ewm kernel (the cur==weighted_avg
+    # short-circuit hypothesis falsified in r10's lone red test)
+    "udaf_ewma",
+    # inertia rounding unified on the measured DuckDB ROUND kernel
+    # (exactness.round_like_duckdb) instead of Python banker's round
     "emb_kmeans",
-    # second r10 batch: encode replayed from the shared BPE CTE chain;
-    # the two single-batch-deterministic true-streaming paths now
-    # hash-check against batch SQL (exactly-once delivery proof and
-    # the stream-stream interval-join matching set)
-    "llm_bpe_apply",
-    "stream_dedup_true",
-    "stream_join_true",
-    # the batched trainer replays too: dynamic-k passes, greedy
-    # disjoint-prefix selection, chained per-pass merge application
-    "llm_bpe_train_batched",
-    # content-defined chunking replayed: gear/power literals, mod-2^64
-    # HUGEINT window hashes, precomputed next-cut walk per document
-    "llm_cdc_dedup",
-    # session-window streaming now hash-checks against batch gap
-    # sessionization + final-watermark filtering
-    "stream_session_true",
-    "stream_watermark_late",
-    "stream_foreachbatch_sink",
-    "stream_commit_ledger",
-    # the custom event-time funnel state machine replays via a
-    # recursive-CTE transition function — the second-engine twin of
-    # the pure-Python restartable reference
-    "stream_funnel_true",
-    "stream_session_timeout",
-    # recall table replays per (probe, rerank); compression readout
-    # split into the new rows-only llm_pq_compression
-    "llm_pq_recall_eval",
-    "llm_pq_compression",
+    # media table sized from the parquet footer (metadata-only)
+    # instead of a documents.count() Spark job inside the timed query
+    "multimodal_audio_energy",
+    # rows-only -> hash-oracle upgrades (r11 batch): embeddings snap
+    # to integer grids so the bucket cosine sweep / the Mahalanobis
+    # quadratic form are exact-integer arithmetic replayed from the
+    # persisted lsh store / quantized-precision model; the stateful
+    # running totals carry integer-micros state replayed by batch SQL
+    "llm_embedding_neardup",
+    "emb_outlier_mahalanobis",
+    "stream_stateful_true",
 )
 
 _CORRECTNESS_RE = re.compile(r"CORRECTNESS_r(\d+)\.json$")

@@ -385,7 +385,19 @@ def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator: per-user totals via applyInPandasWithState
     (the arbitrary-state path the built-in aggregations can't express —
     per-key state mirrors the reference's per-txn lifecycle state,
-    events.clj:8-27)."""
+    events.clj:8-27).
+
+    The accumulator is an exact INTEGER-MICROS fold (r11, the
+    rows-only→hash upgrade the r10 verdict asked for — the same
+    quantization treatment session/funnel state got): each value snaps
+    to floor(v·1e6 + 0.5) and the state carries int64 micros, so the
+    running total is order- and batch-split-independent and a second
+    engine replays it from the batch table (int64 headroom: ~9.2e12
+    in total value per user before the micros fold wraps — a bound a
+    per-user accumulator never meets in practice; the float .sum()
+    this replaced was pairwise-order-dependent and could never
+    hash-match). The final division by 1e6 is one correctly-rounded
+    double op shared by both engines."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = StructType(
@@ -396,17 +408,26 @@ def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     state_schema = StructType(
-        [StructField("n", LongType()), StructField("total", DoubleType())]
+        [StructField("n", LongType()), StructField("total_q", LongType())]
     )
 
     def update(key, pdfs, state: GroupState):
-        n, total = state.get if state.exists else (0, 0.0)
+        import numpy as np
+
+        n, total_q = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
+            vq = np.floor(
+                pdf["value"].to_numpy(dtype=np.float64) * 1e6 + 0.5
+            ).astype(np.int64)
+            total_q += int(vq.sum())
+        state.update((n, total_q))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total_q / 1e6],
+            }
         )
 
     ev = _events_stream(spark, sf_dir).select("user_id", "ts", "value")

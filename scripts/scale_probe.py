@@ -125,6 +125,22 @@ PROBE = [
     # every applyInPandasWithState path at volume)
     "multimodal_audio_energy",
     "stream_funnel_true",
+    # round-11: the r10 oracle-upgrade batch's own query paths
+    # (VERDICT r10 ask #5) — windowed watermark aggregation with the
+    # closed-window filter, the foreachBatch read-back sink (both are
+    # full-stream replays: expect the stateful-stream constant-rows/s
+    # shape, i.e. ~data ratio, the session_timeout precedent), and the
+    # PQ recall eval (partition-pruned code scans per probe+rerank —
+    # the serve-path family, should be near-flat like llm_simsearch_
+    # ivfpq); plus the two r11 hash-upgraded paths with corpus-shaped
+    # work — the integer-grid bucket cosine sweep rides the existing
+    # llm_embedding_neardup slot above, and the integer-micros
+    # stateful totals are a second applyInPandasWithState path at
+    # volume
+    "stream_watermark_late",
+    "stream_foreachbatch_sink",
+    "llm_pq_recall_eval",
+    "stream_stateful_true",
 ]
 
 

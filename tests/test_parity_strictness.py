@@ -71,3 +71,19 @@ def test_recently_changed_keys_all_exist():
     qs = reg.registry()
     missing = [k for k in reg._RECENTLY_CHANGED if k not in qs]
     assert not missing, f"unknown keys in _RECENTLY_CHANGED: {missing}"
+
+
+def test_artifact_oracles_resolve_parity_dir_lazily(monkeypatch):
+    """ADVICE r10: artifact-backed oracles used to bake
+    OPUSDB_PARITY_SF_DIR-derived paths into their SQL at module-import
+    time, so any entrypoint importing the registry before pinning the
+    env var silently paired Spark results against the wrong corpus's
+    artifacts. Pin the fix: `.oracle` must re-resolve the corpus at
+    ACCESS time, after the registry is already imported."""
+    from opusdb_spark.registry import registry
+
+    q = registry()["llm_pq_recall_eval"]  # artifact-backed oracle
+    monkeypatch.setenv("OPUSDB_PARITY_SF_DIR", "/root/testdata/sf0.001")
+    assert "sf0.001" in q.oracle
+    monkeypatch.setenv("OPUSDB_PARITY_SF_DIR", "/root/testdata/sf0.01")
+    assert "sf0.001" not in q.oracle and "sf0.01" in q.oracle

@@ -128,3 +128,30 @@ def test_ivfpq_scans_stay_pruned(spark):
     assert "PushedFilters:" in p2 and "In(vec_id" in p2.replace("\n", " "), (
         "rerank fetch does not push the id set into the scan"
     )
+
+
+def test_pq_compression_readout_stays_in_band(spark):
+    """llm_pq_compression is rows-only (a physical file-size readout no
+    second engine can recompute), so a packing regression would
+    otherwise surface only as a silently changed number (VERDICT r10
+    ask #6). Pin the physical envelope: the pq/ store packs all
+    PQ_M 4-bit codes into ONE BIGINT per vector, so its per-vector
+    footprint must stay within parquet-overhead distance of 16 logical
+    bytes (vec_id + code), and far under the raw store's ~260 B/vector
+    (64×float32 + id). Bounds are generous against footer noise but
+    fail loudly if codes unpack to per-subquantizer columns or the
+    raw store changes element type."""
+    from opusdb_spark.registry import registry
+
+    row = (
+        registry()["llm_pq_compression"].fn(spark, SF_SMALL).collect()[0]
+    )
+    n_vecs = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").count()
+    raw_pv = row["raw_bytes"] / n_vecs
+    pq_pv = row["pq_bytes"] / n_vecs
+    assert 200 <= raw_pv <= 420, f"raw store {raw_pv:.0f} B/vector"
+    assert 16 <= pq_pv <= 64, f"pq store {pq_pv:.0f} B/vector"
+    assert 4.0 <= row["compression"] <= 16.0, row["compression"]
+    assert row["compression"] == round(
+        row["raw_bytes"] / max(row["pq_bytes"], 1), 2
+    )

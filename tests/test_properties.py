@@ -1058,3 +1058,34 @@ def test_mv_join_delta_fold_equals_full_recompute(spark, facts, dl, do):
     assert [tuple(r) for r in folded.collect()] == [
         tuple(r) for r in full.collect()
     ]
+
+
+# ----------------------------------------------------------------
+# Rounding-kernel premise behind exactness.round_like_duckdb (ADVICE
+# r10, emb_kmeans): DuckDB's ROUND(double, n) is the scaled multiply
+# with half-away-from-zero on the SCALED double — not Python round()
+# (banker's) and not Decimal-HALF_UP (decimal-exact quantize). Fuzz
+# the mirror directly against DuckDB, ties included.
+
+
+@settings(max_examples=40, deadline=None)
+@example(x=0.0000005)
+@example(x=123.4567895)
+@example(x=-0.0000015)
+@given(
+    x=st.floats(
+        min_value=-1e9,
+        max_value=1e9,
+        allow_nan=False,
+        allow_infinity=False,
+    )
+)
+def test_round_like_duckdb_mirrors_sql_round(x):
+    import duckdb
+
+    from opusdb_spark.exactness import round_like_duckdb
+
+    got = duckdb.connect().execute(
+        "SELECT ROUND(?::DOUBLE, 6)", [x]
+    ).fetchone()[0]
+    assert round_like_duckdb(x, 6) == got  # == on floats: bitwise

@@ -4410,9 +4410,76 @@ def events_ab_ztest(spark, sf_dir):
     )
 
 
+def _clf_score_oracle() -> str:
+    """DuckDB oracle for llm_quality_classifier_score (upgraded from
+    rows-only in r11): TRAINING stays numpy/Spark-iterative and
+    PERSISTED (the maha-model/PQ-codebook convention), but inference
+    replays end-to-end — the portable md5 feature buckets, the c/n
+    feature ratio (exact int÷int double division), the DECIMAL(27,15)
+    logit fold, the weights/bias parsed back from the model JSON
+    (shortest-repr doubles round-trip exactly through strtod), the
+    sigmoid (libm exp; 1-ulp class absorbed by the 6-dp round, the
+    same accepted convention as every ln/corr oracle — see
+    exactness.py), and the keep decision on the SIGN OF THE LOGIT,
+    which is exp-free and therefore exact. Lazy (resolved at oracle
+    access)."""
+    import os
+
+    from opusdb_spark.operators.classifier import N_BUCKETS
+    from opusdb_spark.queries.llm import _oracle_sf_dir
+    from opusdb_spark.sources.formats import scratch_path
+
+    base = os.path.basename(os.path.normpath(_oracle_sf_dir()))
+    model = os.path.join(scratch_path(f"clf_model_{base}"), "model.json")
+    bucket = _hash_bucket_sql("w", "clf:")
+    return f"""
+        WITH model AS (
+            SELECT json AS j FROM read_json('{model}',
+                format='unstructured', records=false)
+        ),
+        weights AS (
+            SELECT CAST(i - 1 AS INT) AS b,
+                   CAST(j.weights[CAST(i AS INT)] AS DOUBLE) AS wt
+            FROM model, UNNEST(range(1, {N_BUCKETS} + 1)) AS u(i)
+        ),
+        bias AS (SELECT CAST(j.bias AS DOUBLE) AS bias FROM model),
+        words AS (
+            SELECT doc_id,
+                   CASE WHEN source IN ('src0', 'src1', 'src2')
+                        THEN 1 ELSE 0 END AS y,
+                   UNNEST(string_split(text, ' ')) AS w
+            FROM documents
+        ),
+        nz AS (SELECT * FROM words WHERE w <> ''),
+        labels AS (
+            SELECT doc_id, ANY_VALUE(y) AS y,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM nz GROUP BY doc_id
+        ),
+        feats AS (
+            SELECT doc_id, {bucket} AS b,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM nz GROUP BY doc_id, {bucket}
+        ),
+        logit AS (
+            SELECT f.doc_id, l.y,
+                   CAST(SUM(CAST((CAST(f.c AS DOUBLE) / l.n) * w.wt
+                                 AS DECIMAL(27,15))) AS DOUBLE) AS s
+            FROM feats f
+            JOIN labels l USING (doc_id)
+            JOIN weights w USING (b)
+            GROUP BY f.doc_id, l.y
+        )
+        SELECT doc_id, y AS is_target,
+               ROUND(1.0 / (1.0 + exp(-(s + bias))), 6) AS quality_score,
+               (s + bias) >= 0.0 AS keep
+        FROM logit, bias
+        ORDER BY doc_id"""
+
+
 @register(
     "llm_quality_classifier_score",
-    oracle=None,  # rows-only: scores depend on the trained model artifact
+    oracle=_clf_score_oracle,
     tags=("llm", "selection"),
 )
 def llm_quality_classifier_score(spark, sf_dir):
@@ -4423,7 +4490,9 @@ def llm_quality_classifier_score(spark, sf_dir):
     table, one keyed aggregate folds the logit, sigmoid + threshold
     emit (doc_id, label, quality_score, keep). At 100 TB the model is
     bytes while the corpus streams through one shuffle — training
-    never reruns per query."""
+    never reruns per query. Hash-oracled since r11: DuckDB replays the
+    whole inference pass from the persisted model JSON
+    (_clf_score_oracle); keep is decided on the exp-free logit sign."""
     import json
 
     from opusdb_spark.operators import classifier
@@ -4490,12 +4559,19 @@ def llm_quality_classifier_score(spark, sf_dir):
     p = F.lit(1.0) / (
         F.lit(1.0) + F.exp(-(F.col("s") + F.lit(float(m["bias"]))))
     )
+    # keep ≡ p ≥ 0.5 ≡ logit ≥ 0 — decided on the SIGN of the
+    # decimal-exact logit, not the post-exp probability, so the
+    # boundary is exp-free and a second engine replays it exactly
+    # (r11; the sigmoid value itself carries the accepted
+    # libm-1-ulp-under-6dp-round convention)
     return (
         logit.select(
             "doc_id",
             F.col("y").alias("is_target"),
             F.round(p, 6).alias("quality_score"),
-            (p >= 0.5).alias("keep"),
+            (
+                (F.col("s") + F.lit(float(m["bias"]))) >= 0.0
+            ).alias("keep"),
         )
         .orderBy("doc_id")
     )

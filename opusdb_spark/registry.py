@@ -134,6 +134,9 @@ _RECENTLY_CHANGED: tuple[str, ...] = (
     "llm_embedding_neardup",
     "emb_outlier_mahalanobis",
     "stream_stateful_true",
+    # classifier inference replays from the persisted model JSON;
+    # keep is decided on the exp-free logit sign
+    "llm_quality_classifier_score",
 )
 
 _CORRECTNESS_RE = re.compile(r"CORRECTNESS_r(\d+)\.json$")

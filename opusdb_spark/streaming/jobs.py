@@ -103,28 +103,41 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch/NTZ path.
     """
     apply_runtime_confs(spark)
-    # FileStreamSource needs a *directory*; expose the single parquet
-    # file through a scratch symlink dir (testdata itself is read-only).
-    link_dir = os.path.join(
-        _SCRATCH, f"stream_events_{os.path.basename(os.path.normpath(sf_dir))}"
-    )
-    os.makedirs(link_dir, exist_ok=True)
-    link = os.path.join(link_dir, "events.parquet")
+    # FileStreamSource needs a *directory*. The driver's testdata ships
+    # events.parquet as a single FILE (exposed through a scratch
+    # symlink dir — testdata itself is read-only); the bench/probe
+    # scaled corpora ship it as a Spark-written DIRECTORY of part
+    # files, which is already a valid source directory — stream it in
+    # place (a symlink to a directory inside the link dir lists zero
+    # FILES, so the availableNow replay would silently emit zero
+    # batches — the r11 probe caught exactly that on bench_sf1; the
+    # default trigger still takes every part file in ONE batch, so the
+    # single-batch oracles' premise is unchanged).
     target = f"{sf_dir}/events.parquet"
-    # lexists (not exists): a dangling link must be replaced, not
-    # mistaken for absent; and two sf_dirs sharing a basename must not
-    # silently reuse each other's link.
-    if os.path.lexists(link):
-        if not os.path.islink(link) or os.readlink(link) != target:
-            os.unlink(link)
-            os.symlink(target, link)
+    if os.path.isdir(target):
+        src_dir = target
     else:
-        os.symlink(target, link)
+        link_dir = os.path.join(
+            _SCRATCH,
+            f"stream_events_{os.path.basename(os.path.normpath(sf_dir))}",
+        )
+        os.makedirs(link_dir, exist_ok=True)
+        link = os.path.join(link_dir, "events.parquet")
+        # lexists (not exists): a dangling link must be replaced, not
+        # mistaken for absent; and two sf_dirs sharing a basename must
+        # not silently reuse each other's link.
+        if os.path.lexists(link):
+            if not os.path.islink(link) or os.readlink(link) != target:
+                os.unlink(link)
+                os.symlink(target, link)
+        else:
+            os.symlink(target, link)
+        src_dir = link_dir
     schema, ts_expr = _events_source_shape(sf_dir)
     raw = (
         spark.readStream.schema(schema)
         .format("parquet")
-        .load(link_dir)
+        .load(src_dir)
     )
     return raw.selectExpr(
         "event_id", ts_expr, "user_id", "event_type", "value", "props"

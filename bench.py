@@ -404,6 +404,8 @@ def _compact(out: dict) -> dict:
     # from plan drift without an out-of-band re-run.
     if "floor_ms" in out:
         line["floor_ms"] = out["floor_ms"]
+    if "floor_end_ms" in out:
+        line["floor_end_ms"] = out["floor_end_ms"]
     if all_spreads:
         worst = max(all_spreads, key=all_spreads.get)
         line["max_spread"] = {worst: all_spreads[worst]}
@@ -525,6 +527,12 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # Bracket the timed section: a floor that DRIFTED between the two
+    # probes marks an unstable window (the r11 local repro: headline
+    # 2x inflated by suite-writeback contention while the START floor
+    # read only 1.2x — the end probe catches mid-section drift).
+    floor_end_ms = measure_floor_ms(spark)
+    print(f"# floor_end_ms: {floor_end_ms}", file=sys.stderr)
     total = round(sum(timings.values()), 4)
     q1_rows_per_sec = int(lineitem_rows / timings["agg_q1"]) if timings["agg_q1"] else 0
     out = {
@@ -538,6 +546,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "q1_rows_per_sec": q1_rows_per_sec,
         "floor_ms": floor_ms,
+        "floor_end_ms": floor_end_ms,
     }
     # Classic TPC-H suite subtotal (separate section — headline total
     # stays comparable across rounds). Same timing discipline.

@@ -1089,3 +1089,97 @@ def test_round_like_duckdb_mirrors_sql_round(x):
         "SELECT ROUND(?::DOUBLE, 6)", [x]
     ).fetchone()[0]
     assert round_like_duckdb(x, 6) == got  # == on floats: bitwise
+
+
+# ----------------------------------------------------------------
+# The libm-under-ROUND-6 premise: several oracles (entropy/log folds,
+# corr, the r11 classifier sigmoid) compare JVM Math.exp/log against
+# DuckDB's libm under a 6-dp round, relying on "1-ulp differences are
+# absorbed by the round except on a measure-zero boundary set". The
+# EWMA incident (r10) showed such premises must be MEASURED, not
+# asserted. Writing this test MEASURED the class's real law: an
+# n-ulp engine gap crosses a 5e-7 rounding boundary with probability
+# ~n x 2.2e-10 x |value| per value — absorption is a property of
+# SMALL magnitudes (at |v|=1.5e8 the first grid draft hit a flip
+# within 50k samples), and the JVM-vs-glibc gap measured here is up
+# to 8 ulps on composed exp/ln expressions (not the folklore 1). At
+# the sigmoid/entropy/corr magnitudes the repo actually rounds
+# (|v| <= ~1e3) the expected exposure stays ~1e-1 flips across the
+# full 280-oracle sweep — small, and zero on this 50k grid. Pins:
+# every rounded value agrees across engines, raw divergence stays
+# within 16 ulps (2x headroom over the measured 8), boundary
+# exposure on this grid is zero. If a platform/libm change widens
+# the class, this fails before a driver verdict goes red. Oracles
+# must NOT round-6 large libm-derived magnitudes; at |v| > ~1e6 use
+# a relative grid or an exact (decimal/integer) formulation.
+
+
+def test_libm_exp_log_round6_premise(spark):
+    import math
+
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    xs = np.concatenate(
+        [
+            rng.uniform(-20.0, 20.0, 25000),  # sigmoid-logit range
+            rng.uniform(1e-6, 1e6, 25000),  # entropy/log range
+        ]
+    )
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(xs)], "i long, x double"
+    )
+    got = (
+        df.select(
+            "i",
+            F.exp(
+                F.when(F.abs("x") <= 6.9, F.col("x")).otherwise(
+                    F.log(F.abs("x")) / 2.0
+                )
+            ).alias("e"),  # |e| <= ~1e3, the premise's envelope
+            F.log(F.abs("x") + 1e-9).alias("l"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    import duckdb
+
+    con = duckdb.connect()
+    con.register(
+        "t", __import__("pandas").DataFrame({"i": range(len(xs)), "x": xs})
+    )
+    want = con.execute(
+        """SELECT exp(CASE WHEN abs(x) <= 6.9 THEN x
+                          ELSE ln(abs(x)) / 2.0 END) AS e,
+           ln(abs(x) + 1e-9) AS l FROM t ORDER BY i"""
+    ).fetchall()
+
+    def ulps(a: float, b: float) -> int:
+        ia = np.frombuffer(np.float64(a).tobytes(), dtype=np.int64)[0]
+        ib = np.frombuffer(np.float64(b).tobytes(), dtype=np.int64)[0]
+        return abs(int(ia) - int(ib))
+
+    max_ulp = 0
+    boundary = 0
+    for row, (we, wl) in zip(got, want):
+        for g, w in ((row["e"], we), (row["l"], wl)):
+            max_ulp = max(max_ulp, ulps(g, w))
+            # rounded values must agree — the absorption claim itself
+            assert math.floor(abs(g) * 1e6 + 0.5) == math.floor(
+                abs(w) * 1e6 + 0.5
+            ), (g, w)
+            # boundary exposure: raw value within 4 ulps of a .5e-6
+            # rounding boundary, where a 1-ulp engine gap COULD flip
+            # the rounded value
+            frac = abs(g) * 1e6
+            if abs(frac - math.floor(frac) - 0.5) < 4 * abs(
+                np.spacing(frac)
+            ):
+                boundary += 1
+    assert max_ulp <= 16, f"libm divergence widened to {max_ulp} ulps"
+    assert boundary == 0, (
+        f"{boundary} grid values sit on a rounding boundary — "
+        "the absorption premise is exposed on this data"
+    )

@@ -446,8 +446,13 @@ def _compact(out: dict) -> dict:
     # Progressive trim to budget — each step removes one verbose map.
     # The sf0.1 tpch per-query map outranks the sf1 maps now: it is the
     # round-over-round drift localizer the r9 verdict asked for.
+    # The r11 additions (worst-def spread, end floor) are cheap but
+    # rank BELOW the sf1 per-query map — the round-over-round drift
+    # localizer — so they trim first rather than costing it.
     trims = [
         lambda: line.get("sf1", {}).pop("tpch_q", None),
+        lambda: line.pop("max_spread_w", None),
+        lambda: line.pop("floor_end_ms", None),
         lambda: line.get("sf1", {}).pop("queries", None),
         lambda: line.get("tpch", {}).pop("q", None),
         lambda: line.pop("queries", None),

@@ -3411,13 +3411,20 @@ def _ensure_maha_model(spark, sf_dir: str) -> str:
             os.path.join(out, "mu.parquet"),
         )
 
-    fingerprint = {
-        "corpus": sf_dir,
-        "d_scale": _MAHA_D_SCALE,
-        "p_scale": _MAHA_P_SCALE,
-        "lam_rule": "1e-6*trace/dim",
-        "version": 1,
-    }
+    import os
+
+    from opusdb_spark.sources.formats import stat_fingerprint
+
+    # stat-based (not path-only): a regenerated corpus under the same
+    # path must retrain, not silently reuse a stale model — the same
+    # convention as the classifier model artifact
+    fingerprint = stat_fingerprint(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        d_scale=_MAHA_D_SCALE,
+        p_scale=_MAHA_P_SCALE,
+        lam_rule="1e-6*trace/dim",
+        version=1,
+    )
     return ensure_written(path, fingerprint, write_fn)
 
 

@@ -3736,7 +3736,14 @@ def _mmr_oracle(k: int = 10, pool_n: int = 1024) -> str:
     tests/test_properties.py), and max-similarity carry is exact MAX
     algebra — so pool membership (rel DESC, vec_id tie-break) and
     every per-round arg-max see identical doubles and pick identical
-    vectors."""
+    vectors.
+
+    Every stage CTE is AS MATERIALIZED (r11): s_{{r+1}} references s_r
+    twice (directly and through p_r), so DuckDB's default CTE inlining
+    re-evaluates the chain exponentially in k — measured 64 s at
+    sf0.01 in the r11 driver-sim sweep; materialization makes each
+    stage evaluate once (sub-second) with identical values (the
+    premise test pins the fold either way)."""
 
     def dotf(a: str, b: str) -> str:
         return (
@@ -3770,7 +3777,7 @@ def _mmr_oracle(k: int = 10, pool_n: int = 1024) -> str:
                    dot / SQRT(nx * np) AS rel, 0.0 AS ms
             FROM c0 WHERE nx > 0 AND np > 0
         ),
-        s1 AS (
+        s1 AS MATERIALIZED (
             SELECT * FROM cand_all ORDER BY rel DESC, vec_id LIMIT {pool_n}
         )"""
     ]
@@ -3780,7 +3787,7 @@ def _mmr_oracle(k: int = 10, pool_n: int = 1024) -> str:
         # double than Python/Spark's 1.0 - 0.7 (0.30000000000000004)
         parts.append(
             f""",
-        p{r} AS (
+        p{r} AS MATERIALIZED (
             SELECT vec_id, v, {sqf('v')} AS sn, score FROM (
                 SELECT vec_id, v,
                        rel * CAST(0.7 AS DOUBLE)
@@ -3798,7 +3805,7 @@ def _mmr_oracle(k: int = 10, pool_n: int = 1024) -> str:
             )
             parts.append(
                 f""",
-        s{r + 1} AS (
+        s{r + 1} AS MATERIALIZED (
             SELECT s.vec_id, s.v, s.nx, s.rel,
                    GREATEST(s.ms, {sim}) AS ms
             FROM s{r} s, p{r} p WHERE s.vec_id <> p.vec_id

@@ -876,14 +876,19 @@ def test_ewma_recursive_cte_replays_pandas_bitwise(ys):
     got = [
         r[0]
         for r in con.execute(
+            # the production oracle's list-carry form (udfs.py): step
+            # by subscript instead of re-joining seq each iteration
             """
-            WITH RECURSIVE rec AS (
-                SELECT rn, y AS v FROM seq WHERE rn = 1
+            WITH RECURSIVE arr AS (
+                SELECT list(y ORDER BY rn) AS vals FROM seq
+            ),
+            rec AS (
+                SELECT 1 AS rn, vals, vals[1] AS v FROM arr
                 UNION ALL
-                SELECT s.rn,
-                       CASE WHEN s.y = r.v THEN r.v
-                            ELSE 0.9 * r.v + 0.1 * s.y END
-                FROM rec r JOIN seq s ON s.rn = r.rn + 1
+                SELECT rn + 1, vals,
+                       CASE WHEN vals[rn + 1] = v THEN v
+                            ELSE 0.9 * v + 0.1 * vals[rn + 1] END
+                FROM rec WHERE rn < len(vals)
             )
             SELECT v FROM rec ORDER BY rn
             """

@@ -517,9 +517,47 @@ def test_multimodal_resize_fanout(spark):
     assert per == expected, "each media row must fan out to n_frames thumbs"
 
 
-def test_decode_rejects_real_codecs():
+def test_decode_rejects_jpeg():
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG\r\n" + b"x" * 64, 8, 8)
+        multimodal.decode_image(b"\xff\xd8\xff\xe0" + b"x" * 64, 8, 8)
+
+
+def test_png_roundtrip_all_filters_and_profiles():
+    """decode_png is a REAL decoder (r11): gray and RGB planes survive
+    an encode/decode round-trip with every scanline filter type
+    exercised (cycle_filters rotates 0-4 across rows), RGB collapses
+    to the same ITU-601 luma as the Netpbm path, and decode_image
+    dispatches on the PNG signature. Also pins the unsupported-profile
+    guard (16-bit depth must raise, not mis-decode)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    gray = rng.randint(0, 256, (23, 31)).astype(np.uint8)  # ≥5 rows: all filters
+    for cyc in (False, True):
+        got = multimodal.decode_png(multimodal.encode_png(gray, cyc))
+        assert (got == gray).all()
+    rgb = rng.randint(0, 256, (17, 13, 3)).astype(np.uint8)
+    got = multimodal.decode_png(multimodal.encode_png(rgb, cycle_filters=True))
+    want = multimodal._parse_netpbm(multimodal.encode_ppm(rgb))
+    assert (got == want).all(), "PNG and PPM luma must share one formula"
+    # dispatch through the public entry point
+    via = multimodal.decode_image(
+        multimodal.encode_png(gray, cycle_filters=True), 31, 23
+    )
+    assert (via == gray).all()
+    # unsupported profile: 16-bit depth
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + multimodal._png_chunk(b"IHDR", ihdr)
+        + multimodal._png_chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_png(blob)
 
 
 # ------------------------------------------------------- determinism

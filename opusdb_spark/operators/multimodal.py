@@ -9,9 +9,11 @@ encoded in pure numpy, no external libraries) and, since r11, for PNG
 gray/RGB(A) non-interlaced — encode_png/decode_png): the synthetic
 media table carries genuine PGM and PNG bytes, features come from the
 actual decoded pixel planes, and resize is a genuine area (mean-pool)
-downsample. JPEG raises a documented NotImplementedError — a
-DCT/Huffman entropy decoder is a codec library's job; swap in
-PIL/ffmpeg at the decode_image dispatch point to extend coverage.
+downsample. Since r11 baseline JPEG decodes too (operators/jpeg.py —
+pure stdlib+numpy Huffman/DCT codec with restart intervals and
+interleaved-color luma extraction); progressive/arithmetic JPEG and
+video codecs still raise a documented NotImplementedError — swap in
+PIL/ffmpeg at the decode_image dispatch point for those.
 
 At 100 TB: binaries ride in parquet binary columns (or pointers to
 object storage); mapInPandas processes them in Arrow batches sized by
@@ -75,16 +77,22 @@ def synthesize_media(spark, n: int = 256) -> DataFrame:
                 w, h = 16 + int(i) % 32, 16 + (int(i) // 2) % 32
                 n_frames = 1 + int(i) % 8
                 if kind == "image":
-                    # real grayscale bytes; alternate container so the
-                    # pipeline exercises BOTH decoders — PGM and (r11)
-                    # the pure-stdlib PNG path, with cycled scanline
-                    # filters hitting every unfilter branch
+                    # real grayscale bytes; cycle the container so the
+                    # pipeline exercises ALL THREE decoders — PGM, the
+                    # pure-stdlib PNG path (cycled scanline filters hit
+                    # every unfilter branch), and baseline JPEG with
+                    # restart markers (lossy: features then describe
+                    # the decoded pixels, exactly as in production)
                     plane = rng.randint(0, 256, (h, w)).astype(np.uint8)
-                    blob = (
-                        encode_png(plane, cycle_filters=True)
-                        if (i // 3) % 2
-                        else encode_pgm(plane)
-                    )
+                    container = (i // 3) % 3
+                    if container == 1:
+                        blob = encode_png(plane, cycle_filters=True)
+                    elif container == 2:
+                        from opusdb_spark.operators.jpeg import encode_jpeg
+
+                        blob = encode_jpeg(plane, quality=92, restart=4)
+                    else:
+                        blob = encode_pgm(plane)
                 elif kind == "video":
                     # REAL multi-frame raw video: n_frames complete PPM
                     # (P6) images back to back — each frame carries its
@@ -343,17 +351,17 @@ def decode_image(blob: bytes, width: int, height: int) -> np.ndarray:
 
     REAL decode for Netpbm (PGM P5 / PPM P6) and, since r11, PNG
     (decode_png — stdlib zlib + numpy unfiltering, full filter set,
-    8-bit gray/RGB(A) non-interlaced). JPEG raises
-    NotImplementedError — a DCT/Huffman entropy decoder is a codec
-    library's job; this dispatch point is where PIL/pillow plugs in.
-    Headerless blobs fall back to the raw-plane interpretation."""
+    8-bit gray/RGB(A) non-interlaced) and baseline JPEG
+    (operators/jpeg.py — Huffman entropy decode, dequant, IDCT,
+    restart intervals, luma extraction from interleaved color scans;
+    progressive/arithmetic/12-bit raise). Headerless blobs fall back
+    to the raw-plane interpretation."""
     if blob[:4] == b"\x89PNG":
         return decode_png(blob)
-    if blob[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError(
-            "JPEG decode unavailable in this environment; "
-            "swap in PIL/pillow here"
-        )
+    if blob[:2] == b"\xff\xd8":
+        from opusdb_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(blob)
     if blob[:2] in (b"P5", b"P6"):
         return _parse_netpbm(blob)
     return _fake_decode(blob, width, height)

@@ -137,6 +137,9 @@ _RECENTLY_CHANGED: tuple[str, ...] = (
     # classifier inference replays from the persisted model JSON;
     # keep is decided on the exp-free logit sign
     "llm_quality_classifier_score",
+    # oracle text changed (AS MATERIALIZED stages — the exponential
+    # CTE-inlining fix; values identical, re-verdict to be safe)
+    "llm_mmr_select",
 )
 
 _CORRECTNESS_RE = re.compile(r"CORRECTNESS_r(\d+)\.json$")

@@ -517,9 +517,58 @@ def test_multimodal_resize_fanout(spark):
     assert per == expected, "each media row must fan out to n_frames thumbs"
 
 
-def test_decode_rejects_jpeg():
+def test_jpeg_roundtrip_restart_color_and_rejection():
+    """operators/jpeg.py is a REAL baseline codec (r11): decode∘encode
+    stays within a PSNR bound (lossy — pixel identity is the wrong
+    pin), quality orders reconstruction error, restart-marker streams
+    decode identically to unsegmented ones, an interleaved YCbCr
+    4:4:4 scan yields the luma plane (chroma entropy-decoded and
+    discarded), decode is bitwise deterministic, and the
+    out-of-profile guard rejects progressive (SOF2) instead of
+    mis-decoding it."""
+    import numpy as np
+
+    from opusdb_spark.operators import jpeg
+
+    rng = np.random.RandomState(3)
+    xx, yy = np.meshgrid(np.arange(40), np.arange(56))
+    smooth = (
+        ((np.sin(xx / 7.0) + np.cos(yy / 9.0)) * 60 + 128)
+        .clip(0, 255)
+        .astype(np.uint8)
+    )
+
+    def psnr(a, b):
+        mse = float(((a.astype(float) - b) ** 2).mean())
+        return 10 * np.log10(255**2 / max(mse, 1e-9))
+
+    p100 = psnr(jpeg.decode_jpeg(jpeg.encode_jpeg(smooth, 100)), smooth)
+    p70 = psnr(jpeg.decode_jpeg(jpeg.encode_jpeg(smooth, 70)), smooth)
+    assert p100 > 55 and p70 > 40 and p100 > p70, (p100, p70)
+
+    ref = jpeg.decode_jpeg(jpeg.encode_jpeg(smooth, 90))
+    for r in (1, 4):
+        got = jpeg.decode_jpeg(jpeg.encode_jpeg(smooth, 90, restart=r))
+        assert (got == ref).all(), "restart segmentation changed pixels"
+    a = jpeg.decode_jpeg(jpeg.encode_jpeg(smooth, 85))
+    b = jpeg.decode_jpeg(jpeg.encode_jpeg(smooth, 85))
+    assert a.tobytes() == b.tobytes(), "decode must be deterministic"
+
+    rgb = rng.randint(0, 256, (25, 37, 3)).astype(np.uint8)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg_color(rgb, quality=95))
+    y = np.clip(np.floor(jpeg.rgb_to_ycbcr(rgb)[0] + 0.5), 0, 255)
+    assert dec.shape == (25, 37)
+    assert psnr(dec, y) > 35, "interleaved scan must recover luma"
+
+    # dispatch through the public entry point
+    via = multimodal.decode_image(jpeg.encode_jpeg(smooth, 92), 40, 56)
+    assert via.shape == smooth.shape
+
+    prog = bytearray(jpeg.encode_jpeg(smooth, 90))
+    i = bytes(prog).find(b"\xff\xc0")
+    prog[i + 1] = 0xC2
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\xff\xd8\xff\xe0" + b"x" * 64, 8, 8)
+        jpeg.decode_jpeg(bytes(prog))
 
 
 def test_png_roundtrip_all_filters_and_profiles():

@@ -597,6 +597,32 @@ def test_png_roundtrip_all_filters_and_profiles():
         multimodal.encode_png(gray, cycle_filters=True), 31, 23
     )
     assert (via == gray).all()
+    # alpha-bearing color types (no repo encoder writes them — build
+    # the streams by hand): gray+alpha (4) returns the gray channel,
+    # RGBA (6) collapses RGB to luma, alpha ignored in both
+    ga = rng.randint(0, 256, (6, 5, 2)).astype(np.uint8)
+    raw = b"".join(b"\x00" + ga[y].tobytes() for y in range(6))
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + multimodal._png_chunk(
+            b"IHDR", struct.pack(">IIBBBBB", 5, 6, 8, 4, 0, 0, 0)
+        )
+        + multimodal._png_chunk(b"IDAT", zlib.compress(raw))
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    assert (multimodal.decode_png(blob) == ga[..., 0]).all()
+    rgba = np.dstack([rgb, rng.randint(0, 256, rgb.shape[:2]).astype(np.uint8)])
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(rgba.shape[0]))
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + multimodal._png_chunk(
+            b"IHDR",
+            struct.pack(">IIBBBBB", rgba.shape[1], rgba.shape[0], 8, 6, 0, 0, 0),
+        )
+        + multimodal._png_chunk(b"IDAT", zlib.compress(raw))
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    assert (multimodal.decode_png(blob) == want).all(), "RGBA luma"
     # unsupported profile: 16-bit depth
     ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
     blob = (

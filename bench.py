@@ -137,6 +137,13 @@ SF1_LADDER = [
     # round-over-round
     "llm_mmr_select",
     "mv_join_incremental",
+    # round-11: the two corpus-shaped plans among the rows-only→hash
+    # upgrades — classifier inference (feature explode + broadcast
+    # weight join + decimal logit fold; the model artifact is ingest,
+    # paid in prepare) and the fixed-point Mahalanobis scoring pass
+    # (persisted precision model + one int64-matmul Arrow pass)
+    "llm_quality_classifier_score",
+    "emb_outlier_mahalanobis",
 ]
 
 # TPC-H at sf1 (VERDICT r4 §7): representative shapes — pushdown scan
@@ -369,7 +376,13 @@ def run_ladder(spark, qs, sf1_dir: str) -> dict:
 # stdout carries EXACTLY ONE compact JSON line (budgeted below the
 # capture window); the full detail object goes to stderr and to
 # .scratch/bench_detail.json for humans and local diffing.
-_FINAL_LINE_BUDGET = 1800
+# 1800→1900 in r11: the capture window is exactly 2000 chars (measured
+# from BENCH_r10.json's tail field) and the line is flushed LAST, so
+# 1900 leaves ~100 chars of margin; at 1800 the two new sf1 ladder
+# keys left the line 44 chars over after the cheap trims and the next
+# trim step discards the whole 760-char sf1 per-query map — the
+# drift localizer — for those 44 chars.
+_FINAL_LINE_BUDGET = 1900
 
 
 def _compact(out: dict) -> dict:

@@ -141,6 +141,13 @@ PROBE = [
     "stream_foreachbatch_sink",
     "llm_pq_recall_eval",
     "stream_stateful_true",
+    # round-11 second batch: the two corpus-shaped plans among the
+    # rows-only→hash upgrades — classifier inference (model is ingest;
+    # the scoring pass is one explode + broadcast join + decimal fold,
+    # should track the scan) and the fixed-point Mahalanobis Arrow
+    # pass (model-sized closure, pure map — should track the scan)
+    "llm_quality_classifier_score",
+    "emb_outlier_mahalanobis",
 ]
 
 

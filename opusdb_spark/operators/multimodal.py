@@ -6,7 +6,8 @@ signatures, batch shapes — is real and tested. Decoding is REAL for
 uncompressed Netpbm images (PGM P5 grayscale / PPM P6 RGB — parsed and
 encoded in pure numpy, no external libraries) and, since r11, for PNG
 (stdlib zlib + numpy unfiltering, full scanline-filter set, 8-bit
-gray/RGB(A) non-interlaced — encode_png/decode_png): the synthetic
+gray/RGB(A), sequential and Adam7 interlaced — encode_png/decode_png):
+the synthetic
 media table carries genuine PGM and PNG bytes, features come from the
 actual decoded pixel planes, and resize is a genuine area (mean-pool)
 downsample. Since r11 baseline JPEG decodes too (operators/jpeg.py —
@@ -86,7 +87,11 @@ def synthesize_media(spark, n: int = 256) -> DataFrame:
                     plane = rng.randint(0, 256, (h, w)).astype(np.uint8)
                     container = (i // 3) % 3
                     if container == 1:
-                        blob = encode_png(plane, cycle_filters=True)
+                        blob = encode_png(
+                            plane,
+                            cycle_filters=True,
+                            interlace=bool((i // 9) % 2),  # Adam7 too
+                        )
                     elif container == 2:
                         from opusdb_spark.operators.jpeg import encode_jpeg
 
@@ -160,12 +165,15 @@ def _png_chunk(typ: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(img: np.ndarray, cycle_filters: bool = False) -> bytes:
+def encode_png(
+    img: np.ndarray, cycle_filters: bool = False, interlace: bool = False
+) -> bytes:
     """Encode an HxW uint8 plane (grayscale) or HxWx3 array (RGB) as a
     REAL PNG — stdlib zlib + the spec's scanline filters, no external
     codec. `cycle_filters` rotates filter types 0-4 across rows so a
     round-trip exercises every unfilter path in decode_png (the repo's
-    own decoder test vector generator)."""
+    own decoder test vector generator); `interlace` writes Adam7 —
+    each of the seven pass sub-images filtered independently."""
     import struct
     import zlib
 
@@ -173,10 +181,42 @@ def encode_png(img: np.ndarray, cycle_filters: bool = False) -> bytes:
     if arr.ndim == 2:
         ctype, ch = 0, 1
         h, w = arr.shape
+        arr3 = arr[:, :, None]
     else:
         ctype, ch = 2, 3
         h, w, _ = arr.shape
-    flat = arr.reshape(h, w * ch).astype(np.int32)
+        arr3 = arr
+    if interlace:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = arr3[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            raw += _png_filter_rows(sub, ch, cycle_filters)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b"")
+        )
+    raw = _png_filter_rows(arr3, ch, cycle_filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_filter_rows(
+    arr3: np.ndarray, ch: int, cycle_filters: bool
+) -> bytearray:
+    """Apply the spec's scanline filters to one (sub-)image
+    ((h, w, ch) uint8) and return the filtered byte stream."""
+    h, w = arr3.shape[0], arr3.shape[1]
+    flat = arr3.reshape(h, w * ch).astype(np.int32)
     zeros = np.zeros(ch, dtype=np.int32)
     prev = np.zeros(w * ch, dtype=np.int32)
     raw = bytearray()
@@ -203,23 +243,19 @@ def encode_png(img: np.ndarray, cycle_filters: bool = False) -> bytes:
         raw.append(f)
         raw.extend(enc.astype(np.uint8).tobytes())
         prev = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
-        + _png_chunk(b"IEND", b"")
-    )
+    return raw
 
 
 def decode_png(blob: bytes) -> np.ndarray:
     """REAL PNG decode to an HxW uint8 luma plane — stdlib zlib +
     numpy unfiltering, no external codec (r11: closes the VERDICT
-    'PNG decode missing' item; JPEG stays a documented stub — a
-    DCT/Huffman entropy decoder is a codec library's job).
+    'PNG decode missing' item; baseline JPEG decodes via
+    operators/jpeg.py).
 
     Supports the mainstream still-image profile: 8-bit depth, color
-    types 0/2/4/6 (gray, RGB, gray+alpha, RGBA), non-interlaced.
+    types 0/2/4/6 (gray, RGB, gray+alpha, RGBA), sequential AND Adam7
+    interlaced (r11 second pass — the seven pass sub-images unfilter
+    independently and scatter into the raster).
     All five scanline filters implemented per the spec; Sub
     reconstruction vectorizes as a per-channel prefix sum mod 256,
     Average/Paeth walk pixels (rows are short at thumbnail sizes —
@@ -247,17 +283,61 @@ def decode_png(blob: bytes) -> np.ndarray:
         raise ValueError("PNG missing IHDR")
     w, h, depth, ctype, _comp, _filt, interlace = ihdr
     ch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
-    if depth != 8 or interlace != 0 or ch is None:
+    if depth != 8 or interlace not in (0, 1) or ch is None:
         raise NotImplementedError(
-            "PNG profile beyond 8-bit non-interlaced gray/RGB(A)"
+            "PNG profile beyond 8-bit gray/RGB(A)"
         )
     raw = zlib.decompress(bytes(idat))
+    if interlace == 0:
+        px, used = _png_unfilter(raw, 0, w, h, ch)
+        if used != len(raw):
+            raise ValueError("PNG raster size mismatch")
+        px = px.reshape(h, w, ch)
+    else:  # Adam7: seven independently-filtered sub-images, scattered
+        px = np.empty((h, w, ch), dtype=np.uint8)
+        rpos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = -(-(w - x0) // dx) if w > x0 else 0
+            ph = -(-(h - y0) // dy) if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue  # empty pass contributes no bytes at all
+            sub, used = _png_unfilter(raw, rpos, pw, ph, ch)
+            rpos += used
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+        if rpos != len(raw):
+            raise ValueError("PNG raster size mismatch")
+    if ctype in (0, 4):  # gray / gray+alpha
+        return px[..., 0].copy()
+    r, g, b = (px[..., i].astype(np.uint32) for i in range(3))
+    return ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+
+
+# Adam7 pass origins and strides (x0, y0, dx, dy), in pass order.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(
+    raw: bytes, rpos: int, w: int, h: int, ch: int
+) -> tuple[np.ndarray, int]:
+    """Reverse the spec's scanline filters for one (sub-)image of
+    h rows × w pixels × ch channels starting at `raw[rpos]`; returns
+    (the (h, w·ch) uint8 raster, bytes consumed). Shared by the
+    sequential and Adam7 paths — each interlace pass filters
+    independently with its own prior-row state."""
     stride = w * ch
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG raster size mismatch")
+    need = h * (stride + 1)
+    if rpos + need > len(raw):
+        raise ValueError("PNG raster truncated")
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
-    rpos = 0
     for y in range(h):
         f = raw[rpos]
         rpos += 1
@@ -287,11 +367,7 @@ def decode_png(blob: bytes) -> np.ndarray:
                 cur[x] = (row[x] + pred) & 255
         out[y] = cur.astype(np.uint8)
         prev = cur
-    px = out.reshape(h, w, ch)
-    if ctype in (0, 4):  # gray / gray+alpha
-        return px[..., 0].copy()
-    r, g, b = (px[..., i].astype(np.uint32) for i in range(3))
-    return ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+    return out, h * (stride + 1)
 
 
 def _parse_netpbm_at(blob: bytes, start_pos: int = 0) -> tuple[np.ndarray, int]:

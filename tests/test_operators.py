@@ -586,12 +586,18 @@ def test_png_roundtrip_all_filters_and_profiles():
     rng = np.random.RandomState(7)
     gray = rng.randint(0, 256, (23, 31)).astype(np.uint8)  # ≥5 rows: all filters
     for cyc in (False, True):
-        got = multimodal.decode_png(multimodal.encode_png(gray, cyc))
-        assert (got == gray).all()
+        for inter in (False, True):  # sequential AND Adam7
+            got = multimodal.decode_png(
+                multimodal.encode_png(gray, cyc, interlace=inter)
+            )
+            assert (got == gray).all(), (cyc, inter)
     rgb = rng.randint(0, 256, (17, 13, 3)).astype(np.uint8)
-    got = multimodal.decode_png(multimodal.encode_png(rgb, cycle_filters=True))
     want = multimodal._parse_netpbm(multimodal.encode_ppm(rgb))
-    assert (got == want).all(), "PNG and PPM luma must share one formula"
+    for inter in (False, True):
+        got = multimodal.decode_png(
+            multimodal.encode_png(rgb, cycle_filters=True, interlace=inter)
+        )
+        assert (got == want).all(), "PNG and PPM luma must share one formula"
     # dispatch through the public entry point
     via = multimodal.decode_image(
         multimodal.encode_png(gray, cycle_filters=True), 31, 23

@@ -8,8 +8,13 @@ JPEG DCT definition), Annex-K quantization and Huffman tables, zigzag,
 DC-difference/AC-run-length entropy coding with byte stuffing, and a
 marker-segment parser with restart-interval support.
 
-Scope (honest): baseline sequential (SOF0) only — progressive (SOF2),
-arithmetic coding, and 12-bit precision raise NotImplementedError.
+Scope (honest): baseline sequential (SOF0) and spectral-selection
+progressive (SOF2 with Ah=Al=0 scans, end-of-band runs) — successive
+approximation, arithmetic coding, and 12-bit precision raise
+NotImplementedError. Successive approximation is deliberately out:
+its AC-refinement correction-bit logic is exactly where a
+self-consistent-but-spec-divergent bug could hide, and this container
+has no reference codec to cross-check against.
 The ENCODER writes single-component (grayscale) JPEGs — the pipeline's
 media are luma planes, and the encoder's job is generating real
 compressed bytes plus decoder test vectors. The DECODER handles any
@@ -256,7 +261,7 @@ def encode_jpeg(
             )
     body += bw_out.flush()
 
-    dqt = _seg(0xFFDB, b"\x00" + bytes(int(x) for x in qt))
+    dqt = _seg(0xFFDB, b"\x00" + bytes(int(qt[j]) for j in ZIGZAG))
     sof = _seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
     dri = _seg(0xFFDD, struct.pack(">H", restart)) if restart else b""
     sos = _seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
@@ -306,7 +311,7 @@ def encode_jpeg_color(rgb: np.ndarray, quality: int = 90) -> bytes:
                     ac_codes,
                 )
 
-    dqt = _seg(0xFFDB, b"\x00" + bytes(int(x) for x in qt))
+    dqt = _seg(0xFFDB, b"\x00" + bytes(int(qt[j]) for j in ZIGZAG))
     sof = _seg(
         0xFFC0,
         struct.pack(">BHHB", 8, h, w, 3)
@@ -400,23 +405,25 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(blob: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to its HxW uint8 LUMA plane (chroma is
-    entropy-decoded and discarded). See the module docstring for the
-    supported profile; progressive/arithmetic/12-bit raise."""
+    """Decode a baseline (SOF0) or spectral-selection progressive
+    (SOF2, Ah=Al=0) JPEG to its HxW uint8 LUMA plane (chroma is
+    entropy-decoded and discarded). Successive-approximation
+    progressive scans, arithmetic coding, and 12-bit precision raise —
+    see the module docstring."""
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     htrees: dict[tuple[int, int], dict] = {}
     frame = None  # (h, w, comps) with comps = [(cid, hs, vs, tq)]
+    progressive = False
     restart = 0
+    coeffs = None  # progressive: per-component accumulated coefficients
     while pos < len(blob):
         assert blob[pos] == 0xFF, "marker expected"
         marker = blob[pos + 1]
         if marker == 0xD9:  # EOI
             break
-        if marker in (0xC2,):  # progressive
-            raise NotImplementedError("progressive JPEG unsupported")
         if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                       0xCD, 0xCE, 0xCF):
             raise NotImplementedError("non-baseline JPEG frame unsupported")
@@ -432,7 +439,8 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                     payload, np.uint8, 64, p + 1
                 ).astype(np.int64)
                 p += 65
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
             if prec != 8:
                 raise NotImplementedError("12-bit JPEG")
@@ -441,6 +449,8 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 cid, samp, tq = payload[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, samp >> 4, samp & 0xF, tq))
             frame = (h, w, comps)
+            if progressive:
+                coeffs = _alloc_coeffs(frame)
         elif marker == 0xC4:  # DHT (possibly several tables)
             p = 0
             while p < len(payload):
@@ -453,20 +463,37 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             restart = struct.unpack(">H", payload[:2])[0]
         elif marker == 0xDA:  # SOS — entropy data follows
-            ns = payload[0]
-            scan = []  # (comp_index, dc_tree, ac_tree)
             assert frame is not None, "SOS before SOF"
+            ns = payload[0]
+            scan = []  # (comp_index, dc_tree_or_None, ac_tree_or_None)
             h, w, comps = frame
             for i in range(ns):
                 cs, tt = payload[1 + 2 * i], payload[2 + 2 * i]
-                ci = next(
-                    j for j, c in enumerate(comps) if c[0] == cs
+                ci = next(j for j, c in enumerate(comps) if c[0] == cs)
+                scan.append(
+                    (
+                        ci,
+                        htrees.get((0, tt >> 4)),
+                        htrees.get((1, tt & 0xF)),
+                    )
                 )
-                scan.append((ci, htrees[(0, tt >> 4)], htrees[(1, tt & 0xF)]))
-            return _decode_scan(
-                blob, pos + 2 + ln, frame, scan, qtabs, restart
+            if not progressive:
+                return _decode_scan(
+                    blob, pos + 2 + ln, frame, scan, qtabs, restart
+                )
+            ss, se, a = payload[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = a >> 4, a & 0xF
+            if ah != 0 or al != 0:
+                raise NotImplementedError(
+                    "successive-approximation progressive JPEG unsupported"
+                )
+            pos = _decode_progressive_scan(
+                blob, pos + 2 + ln, frame, scan, coeffs, ss, se, restart
             )
+            continue  # pos already points at the next marker
         pos += 2 + ln
+    if progressive and coeffs is not None:
+        return _assemble_progressive(frame, coeffs, qtabs)
     raise ValueError("JPEG stream has no scan")
 
 
@@ -516,10 +543,279 @@ def _decode_scan(blob, pos, frame, scan, qtabs, restart):
                         if ci != ci0:
                             continue  # chroma decoded, discarded
                         blk = np.zeros(64, dtype=np.float64)
-                        blk[ZIGZAG] = zz * qt[ci][ZIGZAG]
+                        # DQT payloads list the table in ZIGZAG order
+                        # (T.81 B.2.4.1), so dequant pairs scan index
+                        # k with table byte k
+                        blk[ZIGZAG] = zz * qt[ci]
                         pix = _D8.T @ blk.reshape(8, 8) @ _D8 + 128.0
                         y0 = (my * v0 + by) * 8
                         x0 = (mx * h0 + bx) * 8
                         Y[y0 : y0 + 8, x0 : x0 + 8] = pix
     out = np.clip(np.floor(Y + 0.5), 0, 255).astype(np.uint8)
     return out[:h, :w].copy()
+
+
+def _alloc_coeffs(frame) -> list:
+    """Per-component coefficient store for progressive accumulation,
+    sized to the MCU-padded block grid (interleaved DC scans write the
+    padding blocks; non-interleaved scans touch only the real grid)."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    return [
+        np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int64)
+        for _, hs, vs, _ in comps
+    ]
+
+
+def _comp_block_grid(frame, ci) -> tuple[int, int]:
+    """Real (non-padded) block grid of component ci — the iteration
+    domain of a NON-interleaved progressive scan (T.81 A.2.2)."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    _, hs, vs, _ = comps[ci]
+    cw = -(-w * hs // hmax)
+    chh = -(-h * vs // vmax)
+    return -(-chh // 8), -(-cw // 8)
+
+
+def _next_marker_pos(blob: bytes, p: int) -> int:
+    """First position at/after p of a real marker (0xFF followed by
+    a non-stuffing, non-RST byte) — where the scan's entropy data ends."""
+    while p + 1 < len(blob):
+        if blob[p] == 0xFF and blob[p + 1] != 0x00:
+            if 0xD0 <= blob[p + 1] <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+    return len(blob)
+
+
+def _decode_progressive_scan(
+    blob, pos, frame, scan, coeffs, ss, se, restart
+) -> int:
+    """Decode one spectral-selection scan (Ah=Al=0) into `coeffs`;
+    returns the stream position of the next marker segment."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    br = _BitReader(blob, pos)
+    if ss == 0:
+        # DC scan — interleaved over the MCU grid when multi-component,
+        # else the single component's real block grid
+        pred = {ci: 0 for ci, _, _ in scan}
+        if len(scan) > 1:
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            n = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart and n and n % restart == 0:
+                        br.align_past_rst()
+                        pred = {ci: 0 for ci, _, _ in scan}
+                    n += 1
+                    for ci, dct, _ in scan:
+                        hs, vs = comps[ci][1], comps[ci][2]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                s = _read_symbol(br, dct)
+                                diff = _extend(br.bits(s), s) if s else 0
+                                pred[ci] += diff
+                                coeffs[ci][
+                                    my * vs + by, mx * hs + bx, 0
+                                ] = pred[ci]
+        else:
+            ci, dct, _ = scan[0]
+            by_n, bx_n = _comp_block_grid(frame, ci)
+            n = 0
+            for by in range(by_n):
+                for bx in range(bx_n):
+                    if restart and n and n % restart == 0:
+                        br.align_past_rst()
+                        pred[ci] = 0
+                    n += 1
+                    s = _read_symbol(br, dct)
+                    diff = _extend(br.bits(s), s) if s else 0
+                    pred[ci] += diff
+                    coeffs[ci][by, bx, 0] = pred[ci]
+    else:
+        # AC scan — always single-component, block raster order, with
+        # end-of-band runs (EOBn symbols span whole blocks)
+        ci, _, act = scan[0]
+        by_n, bx_n = _comp_block_grid(frame, ci)
+        eobrun = 0
+        n = 0
+        for by in range(by_n):
+            for bx in range(bx_n):
+                if restart and n and n % restart == 0:
+                    br.align_past_rst()
+                    eobrun = 0
+                n += 1
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                blk = coeffs[ci][by, bx]
+                k = ss
+                while k <= se:
+                    sym = _read_symbol(br, act)
+                    r, s = sym >> 4, sym & 0xF
+                    if s == 0:
+                        if r < 15:  # EOBn: run of 2^r + extra blocks
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    blk[int(ZIGZAG[k])] = _extend(br.bits(s), s)
+                    k += 1
+    return _next_marker_pos(blob, br.pos)
+
+
+def _assemble_progressive(frame, coeffs, qtabs) -> np.ndarray:
+    """Dequantize + IDCT the accumulated luma coefficients and crop."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    _, h0, v0, tq = comps[0]
+    qt = qtabs[tq].astype(np.float64)
+    by_n, bx_n, _ = coeffs[0].shape
+    Y = np.empty((by_n * 8, bx_n * 8), dtype=np.float64)
+    # coefficients are stored in NATURAL (row-major) order — ZIGZAG was
+    # applied at scan-decode time — so dequant is elementwise against
+    # the natural-order quant table
+    nat_q = np.empty(64, dtype=np.float64)
+    nat_q[ZIGZAG] = qt
+    for by in range(by_n):
+        for bx in range(bx_n):
+            blk = coeffs[0][by, bx].astype(np.float64) * nat_q
+            Y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                _D8.T @ blk.reshape(8, 8) @ _D8 + 128.0
+            )
+    out = np.clip(np.floor(Y + 0.5), 0, 255).astype(np.uint8)
+    ch = -(-h * v0 // vmax)
+    cw = -(-w * h0 // hmax)
+    return out[:ch, :cw].copy()
+
+
+# Progressive AC scans need EOBn (n>=1) symbols, which the Annex-K
+# baseline AC table does not define — real progressive encoders ship
+# custom tables. A flat 9-bit canonical table over every symbol the
+# spectral-selection encoder can emit (all (run, size) categories, ZRL,
+# EOB0..EOB14) is trivially valid: 176 codes at one length, far below
+# the 2^9−1 prefix budget with the all-ones code left unused.
+PROG_AC_VALS = (
+    [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    + [0xF0]
+    + [n << 4 for n in range(15)]
+)
+PROG_AC_BITS = [0] * 16
+PROG_AC_BITS[8] = len(PROG_AC_VALS)  # all codes 9 bits (index 8 = len 9)
+
+_PROG_DHT_SEG = _seg(
+    0xFFC4,
+    b"\x00" + bytes(DC_BITS) + bytes(DC_VALS)
+    + b"\x10" + bytes(PROG_AC_BITS) + bytes(PROG_AC_VALS),
+)
+
+
+def encode_jpeg_progressive(
+    plane: np.ndarray,
+    quality: int = 90,
+    bands: tuple = ((1, 5), (6, 63)),
+) -> bytes:
+    """Encode an HxW uint8 luma plane as a SPECTRAL-SELECTION
+    progressive JPEG (SOF2, Ah=Al=0): one interleaved-free DC scan
+    followed by one AC scan per band, with end-of-band (EOBn) runs —
+    the decoder's progressive test-vector source. Successive
+    approximation is intentionally not emitted (see module
+    docstring)."""
+    plane = np.asarray(plane, dtype=np.uint8)
+    h, w = plane.shape
+    qt = quality_q(quality)
+    q2 = qt.reshape(8, 8).astype(np.float64)
+    dc_codes = _canonical_codes(DC_BITS, DC_VALS)
+    ac_codes = _canonical_codes(PROG_AC_BITS, PROG_AC_VALS)
+    padded = _pad_to_blocks(plane)
+    bh, bw = padded.shape[0] // 8, padded.shape[1] // 8
+    blocks = []
+    for by in range(bh):
+        for bx in range(bw):
+            blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = _D8 @ blk @ _D8.T
+            blocks.append(
+                np.floor(coef / q2 + 0.5).astype(np.int64).ravel()[ZIGZAG]
+            )
+
+    # DC scan (Ss=Se=0): plain DC-difference coding
+    bw_out = _BitWriter()
+    prev = 0
+    for zz in blocks:
+        diff = int(zz[0]) - prev
+        prev = int(zz[0])
+        s = _category(diff)
+        c, ln = dc_codes[s]
+        bw_out.put(c, ln)
+        if s:
+            bw_out.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+    scans = [(0, 0, bw_out.flush())]
+
+    # AC band scans with EOB runs
+    for ss, se in bands:
+        bw_out = _BitWriter()
+        eobrun = 0
+
+        def flush_eob(bw_out=None):
+            nonlocal eobrun
+            if eobrun:
+                n = eobrun.bit_length() - 1
+                c, ln = ac_codes[n << 4]
+                _bw.put(c, ln)
+                if n:
+                    _bw.put(eobrun - (1 << n), n)
+                eobrun = 0
+
+        _bw = bw_out
+        for zz in blocks:
+            band = zz[ss : se + 1]
+            nz = np.nonzero(band)[0]
+            if len(nz) == 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            last = ss + int(nz[-1])
+            for k in range(ss, last + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, ln = ac_codes[0xF0]
+                    _bw.put(c, ln)
+                    run -= 16
+                s = _category(v)
+                c, ln = ac_codes[(run << 4) | s]
+                _bw.put(c, ln)
+                _bw.put(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last < se:  # trailing zeros: this block joins an EOB run
+                eobrun += 1
+        flush_eob()
+        scans.append((ss, se, bw_out.flush()))
+
+    dqt = _seg(0xFFDB, b"\x00" + bytes(int(qt[j]) for j in ZIGZAG))
+    sof = _seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    out = b"\xff\xd8" + dqt + sof + _PROG_DHT_SEG
+    for ss, se, data in scans:
+        out += _seg(
+            0xFFDA, b"\x01\x01\x00" + bytes([ss, se, 0])
+        ) + data
+    return out + b"\xff\xd9"

@@ -10,11 +10,13 @@ gray/RGB(A), sequential and Adam7 interlaced — encode_png/decode_png):
 the synthetic
 media table carries genuine PGM and PNG bytes, features come from the
 actual decoded pixel planes, and resize is a genuine area (mean-pool)
-downsample. Since r11 baseline JPEG decodes too (operators/jpeg.py —
-pure stdlib+numpy Huffman/DCT codec with restart intervals and
-interleaved-color luma extraction); progressive/arithmetic JPEG and
-video codecs still raise a documented NotImplementedError — swap in
-PIL/ffmpeg at the decode_image dispatch point for those.
+downsample. Since r11 JPEG decodes too (operators/jpeg.py — pure
+stdlib+numpy Huffman/DCT codec: baseline with restart intervals and
+interleaved-color luma extraction, plus spectral-selection progressive
+with end-of-band runs); successive-approximation progressive,
+arithmetic JPEG and video codecs still raise a documented
+NotImplementedError — swap in PIL/ffmpeg at the decode_image dispatch
+point for those.
 
 At 100 TB: binaries ride in parquet binary columns (or pointers to
 object storage); mapInPandas processes them in Arrow batches sized by
@@ -93,9 +95,13 @@ def synthesize_media(spark, n: int = 256) -> DataFrame:
                             interlace=bool((i // 9) % 2),  # Adam7 too
                         )
                     elif container == 2:
-                        from opusdb_spark.operators.jpeg import encode_jpeg
+                        from opusdb_spark.operators import jpeg as J
 
-                        blob = encode_jpeg(plane, quality=92, restart=4)
+                        blob = (  # alternate baseline / progressive
+                            J.encode_jpeg_progressive(plane, quality=92)
+                            if (i // 9) % 2
+                            else J.encode_jpeg(plane, quality=92, restart=4)
+                        )
                     else:
                         blob = encode_pgm(plane)
                 elif kind == "video":

@@ -564,11 +564,33 @@ def test_jpeg_roundtrip_restart_color_and_rejection():
     via = multimodal.decode_image(jpeg.encode_jpeg(smooth, 92), 40, 56)
     assert via.shape == smooth.shape
 
-    prog = bytearray(jpeg.encode_jpeg(smooth, 90))
-    i = bytes(prog).find(b"\xff\xc0")
-    prog[i + 1] = 0xC2
+    # spectral-selection progressive must decode IDENTICALLY to the
+    # baseline stream (same coefficients, same reconstruction) — EOB
+    # runs included (the flat image's AC bands are all-zero, so every
+    # block rides a multi-block EOBn run through the custom table)
+    flat = np.full((24, 24), 130, np.uint8)
+    for img in (smooth, flat):
+        for q in (90, 40):
+            assert (
+                jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(img, q))
+                == jpeg.decode_jpeg(jpeg.encode_jpeg(img, q))
+            ).all()
+    assert (
+        jpeg.decode_jpeg(
+            jpeg.encode_jpeg_progressive(
+                smooth, 90, bands=((1, 2), (3, 9), (10, 63))
+            )
+        )
+        == jpeg.decode_jpeg(jpeg.encode_jpeg(smooth, 90))
+    ).all()
+    # successive-approximation scans must be rejected, not mis-decoded:
+    # patch the first SOS's AhAl byte (last byte of the SOS payload)
+    sa = bytearray(jpeg.encode_jpeg_progressive(smooth, 90))
+    i = bytes(sa).find(b"\xff\xda")
+    ln = int.from_bytes(sa[i + 2 : i + 4], "big")
+    sa[i + 2 + ln - 1] = 0x10  # Ah=1
     with pytest.raises(NotImplementedError):
-        jpeg.decode_jpeg(bytes(prog))
+        jpeg.decode_jpeg(bytes(sa))
 
 
 def test_png_roundtrip_all_filters_and_profiles():

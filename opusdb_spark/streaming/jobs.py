@@ -199,6 +199,23 @@ def _events_stream_batched(
     )
 
 
+def events_stream_n_batches(spark: SparkSession, sf_dir: str) -> int:
+    """Number of micro-batches the ts-split events replay produces —
+    the part-file count of the split directory, since the source runs
+    maxFilesPerTrigger=1 (one trigger per file under availableNow).
+
+    Published by bench.py as `n_batches` alongside the streaming slot's
+    wall time (VERDICT r11 ask #1): the stateful replay's wall cost is
+    dominated by per-batch scheduling + Python state-server overhead,
+    so a change in how the log splits (file count, a repartition bug, a
+    stale split store) would shift the slot's wall time without any
+    operator change — recording the batch count makes that failure mode
+    visible in the artifact instead of masquerading as throughput
+    drift."""
+    split = _events_split_dir(spark, sf_dir)
+    return sum(1 for f in os.listdir(split) if f.startswith("part-"))
+
+
 def watermark_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-min watermark + 1-hour tumbling counts (stream_watermark_late).
 

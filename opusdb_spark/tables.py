@@ -13,6 +13,9 @@ pushdown (verified in tests/test_plans.py). Loaders never collect.
 
 from __future__ import annotations
 
+import os
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -39,12 +42,43 @@ _EVENTS_TS_EXPR = (
 )
 
 
+# DataFrame-handle memo, keyed per live session (weak: a stopped
+# session's entries die with it) then by (abspath, mtime_ns, size) so a
+# rewritten store — ensure_written rebuilds bump the directory mtime —
+# can never serve a stale file listing. Why this exists (r12, the
+# VERDICT r11 TPC-H-drift investigation): every `spark.read.parquet`
+# launches one footer/schema-read JOB even for a path read a moment
+# ago, and on this VM a job costs 55-130 ms of scheduler floor
+# depending on the window. register_views pays that 10× per call, so
+# each sf0.1 TPC-H query ran ~10 overhead jobs + ~2-10 real ones —
+# the measured r8→r11 "drift" (15.09→19.48 s on byte-identical plans)
+# was exactly (number of jobs) × (that round's per-job floor). Reusing
+# the resolved handle removes the footer jobs; the query plan below it
+# is unchanged (same logical scan), so oracle parity and plan pins are
+# untouched. At cluster scale this is also just correct practice: one
+# schema resolution per table, not one per query.
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table with normalized schema."""
     apply_runtime_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        st = os.stat(path)
+        key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None  # nonexistent yet (error surfaces in the read below)
+    cache = _TABLE_CACHE.setdefault(spark, {})
+    if key is not None and key in cache:
+        return cache[key]
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr(_EVENTS_TS_EXPR))
+    if key is not None:
+        cache[key] = df
     return df
 
 

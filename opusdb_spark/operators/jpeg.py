@@ -8,13 +8,18 @@ JPEG DCT definition), Annex-K quantization and Huffman tables, zigzag,
 DC-difference/AC-run-length entropy coding with byte stuffing, and a
 marker-segment parser with restart-interval support.
 
-Scope (honest): baseline sequential (SOF0) and spectral-selection
-progressive (SOF2 with Ah=Al=0 scans, end-of-band runs) — successive
-approximation, arithmetic coding, and 12-bit precision raise
-NotImplementedError. Successive approximation is deliberately out:
-its AC-refinement correction-bit logic is exactly where a
-self-consistent-but-spec-divergent bug could hide, and this container
-has no reference codec to cross-check against.
+Scope (honest): baseline sequential (SOF0) and the full Huffman
+progressive mode (SOF2) — spectral selection AND successive
+approximation (r12: DC point-transform/refinement scans, AC
+first-pass point transform, and the AC correction-bit refinement
+protocol of T.81 G.1.2.3, both directions). Arithmetic coding and
+12-bit precision raise NotImplementedError. The SA correction-bit
+logic is where a self-consistent-but-spec-divergent bug would hide
+and the container has no reference codec — so the tests pin decode
+against HAND-WALKED bit-level vectors built from the spec's coding
+rules (the flat 9-bit AC table makes every code word legible), on
+top of the encoder round-trip being pixel-identical to the baseline
+stream (SA reconstructs the exact same quantized coefficients).
 The ENCODER writes single-component (grayscale) JPEGs — the pipeline's
 media are luma planes, and the encoder's job is generating real
 compressed bytes plus decoder test vectors. The DECODER handles any
@@ -405,11 +410,10 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(blob: bytes) -> np.ndarray:
-    """Decode a baseline (SOF0) or spectral-selection progressive
-    (SOF2, Ah=Al=0) JPEG to its HxW uint8 LUMA plane (chroma is
-    entropy-decoded and discarded). Successive-approximation
-    progressive scans, arithmetic coding, and 12-bit precision raise —
-    see the module docstring."""
+    """Decode a baseline (SOF0) or progressive (SOF2 — spectral
+    selection and/or successive approximation) JPEG to its HxW uint8
+    LUMA plane (chroma is entropy-decoded and discarded). Arithmetic
+    coding and 12-bit precision raise — see the module docstring."""
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream")
     pos = 2
@@ -483,12 +487,9 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 )
             ss, se, a = payload[1 + 2 * ns : 4 + 2 * ns]
             ah, al = a >> 4, a & 0xF
-            if ah != 0 or al != 0:
-                raise NotImplementedError(
-                    "successive-approximation progressive JPEG unsupported"
-                )
             pos = _decode_progressive_scan(
-                blob, pos + 2 + ln, frame, scan, coeffs, ss, se, restart
+                blob, pos + 2 + ln, frame, scan, coeffs, ss, se, restart,
+                ah, al,
             )
             continue  # pos already points at the next marker
         pos += 2 + ln
@@ -596,17 +597,27 @@ def _next_marker_pos(blob: bytes, p: int) -> int:
 
 
 def _decode_progressive_scan(
-    blob, pos, frame, scan, coeffs, ss, se, restart
+    blob, pos, frame, scan, coeffs, ss, se, restart, ah=0, al=0
 ) -> int:
-    """Decode one spectral-selection scan (Ah=Al=0) into `coeffs`;
-    returns the stream position of the next marker segment."""
+    """Decode one progressive scan into `coeffs`; returns the stream
+    position of the next marker segment.
+
+    Ah == 0 scans are first visits (spectral selection at point
+    transform Al: decoded values are scaled by 2^Al on placement,
+    T.81 G.1.2.1-2); Ah != 0 scans are successive-approximation
+    REFINEMENTS that add the 2^Al magnitude bit to already-visited
+    coefficients (G.1.2.3 / figures G.7-G.8)."""
     h, w, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     br = _BitReader(blob, pos)
-    if ss == 0:
-        # DC scan — interleaved over the MCU grid when multi-component,
-        # else the single component's real block grid
+    p1 = 1 << al
+    if ss == 0 and ah == 0:
+        # First DC scan — interleaved over the MCU grid when
+        # multi-component, else the single component's real block grid.
+        # The DC point transform is an arithmetic shift, so the decoder
+        # accumulates differences in the shifted domain and scales on
+        # placement.
         pred = {ci: 0 for ci, _, _ in scan}
         if len(scan) > 1:
             mcux = -(-w // (8 * hmax))
@@ -627,7 +638,7 @@ def _decode_progressive_scan(
                                 pred[ci] += diff
                                 coeffs[ci][
                                     my * vs + by, mx * hs + bx, 0
-                                ] = pred[ci]
+                                ] = pred[ci] << al
         else:
             ci, dct, _ = scan[0]
             by_n, bx_n = _comp_block_grid(frame, ci)
@@ -641,10 +652,42 @@ def _decode_progressive_scan(
                     s = _read_symbol(br, dct)
                     diff = _extend(br.bits(s), s) if s else 0
                     pred[ci] += diff
-                    coeffs[ci][by, bx, 0] = pred[ci]
-    else:
-        # AC scan — always single-component, block raster order, with
-        # end-of-band runs (EOBn symbols span whole blocks)
+                    coeffs[ci][by, bx, 0] = pred[ci] << al
+    elif ss == 0:
+        # DC refinement: one raw bit per block ORs in the 2^Al
+        # magnitude bit (two's-complement OR — numpy int64 matches the
+        # spec's bit-plane view of negative values, G.2).
+        if len(scan) > 1:
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            n = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart and n and n % restart == 0:
+                        br.align_past_rst()
+                    n += 1
+                    for ci, _, _ in scan:
+                        hs, vs = comps[ci][1], comps[ci][2]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                if br.bit():
+                                    coeffs[ci][
+                                        my * vs + by, mx * hs + bx, 0
+                                    ] |= p1
+        else:
+            ci = scan[0][0]
+            by_n, bx_n = _comp_block_grid(frame, ci)
+            n = 0
+            for by in range(by_n):
+                for bx in range(bx_n):
+                    if restart and n and n % restart == 0:
+                        br.align_past_rst()
+                    n += 1
+                    if br.bit():
+                        coeffs[ci][by, bx, 0] |= p1
+    elif ah == 0:
+        # First AC scan — always single-component, block raster order,
+        # with end-of-band runs (EOBn symbols span whole blocks).
         ci, _, act = scan[0]
         by_n, bx_n = _comp_block_grid(frame, ci)
         eobrun = 0
@@ -672,7 +715,76 @@ def _decode_progressive_scan(
                         k += 16  # ZRL
                         continue
                     k += r
-                    blk[int(ZIGZAG[k])] = _extend(br.bits(s), s)
+                    blk[int(ZIGZAG[k])] = _extend(br.bits(s), s) << al
+                    k += 1
+    else:
+        # AC refinement (G.1.2.3): the correction-bit scan. Coded
+        # symbols only create NEWLY nonzero coefficients (s == 1,
+        # value ±2^Al, sign from one appended bit); every
+        # already-nonzero coefficient the scan passes — during a run,
+        # a ZRL, or an EOB span — instead reads one raw correction
+        # bit, and bit 1 grows its magnitude by 2^Al. Zero-run counts
+        # (r) and EOB runs count only zero-HISTORY positions/blocks.
+        ci, _, act = scan[0]
+        by_n, bx_n = _comp_block_grid(frame, ci)
+        eobrun = 0
+        n = 0
+
+        def correct(blk, k_from, k_to) -> None:
+            # correction-bit pass over band positions k_from..k_to
+            for kk in range(k_from, k_to + 1):
+                npos = int(ZIGZAG[kk])
+                v = int(blk[npos])
+                if v != 0 and br.bit() and not (abs(v) & p1):
+                    blk[npos] = v + p1 if v > 0 else v - p1
+
+        for by in range(by_n):
+            for bx in range(bx_n):
+                if restart and n and n % restart == 0:
+                    br.align_past_rst()
+                    eobrun = 0
+                n += 1
+                blk = coeffs[ci][by, bx]
+                if eobrun > 0:
+                    eobrun -= 1
+                    correct(blk, ss, se)
+                    continue
+                k = ss
+                while k <= se:
+                    sym = _read_symbol(br, act)
+                    r, s = sym >> 4, sym & 0xF
+                    newval = 0
+                    if s:
+                        # only s == 1 is legal in a refinement scan
+                        newval = p1 if br.bit() else -p1
+                    elif r < 15:
+                        # EOBn: the rest of THIS block gets correction
+                        # bits; eobrun-1 more whole blocks follow
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.bits(r)
+                        correct(blk, k, se)
+                        break
+                    else:
+                        # ZRL: skip 16 zero-history positions — 15 via
+                        # the run counter plus the (empty) placement
+                        # slot the shared advance loop stops on
+                        r = 15
+                    # advance: zero-history positions consume the run,
+                    # nonzero ones read a correction bit in passing
+                    while k <= se:
+                        npos = int(ZIGZAG[k])
+                        v = int(blk[npos])
+                        if v != 0:
+                            if br.bit() and not (abs(v) & p1):
+                                blk[npos] = v + p1 if v > 0 else v - p1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval and k <= se:
+                        blk[int(ZIGZAG[k])] = newval
                     k += 1
     return _next_marker_pos(blob, br.pos)
 
@@ -724,17 +836,169 @@ _PROG_DHT_SEG = _seg(
 )
 
 
+def _encode_dc_first(blocks, al: int, dc_codes) -> bytes:
+    """DC scan (Ss=Se=0, Ah=0): DC-difference coding of the
+    point-transformed values — the DC point transform is an ARITHMETIC
+    right shift (T.81 G.1.2.1), which Python's >> is."""
+    bw_out = _BitWriter()
+    prev = 0
+    for zz in blocks:
+        cur = int(zz[0]) >> al
+        diff = cur - prev
+        prev = cur
+        s = _category(diff)
+        c, ln = dc_codes[s]
+        bw_out.put(c, ln)
+        if s:
+            bw_out.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+    return bw_out.flush()
+
+
+def _encode_dc_refine(blocks, al: int) -> bytes:
+    """DC refinement scan: one raw bit per block — bit 2^Al of the DC
+    coefficient (G.1.2.1; no Huffman coding)."""
+    bw_out = _BitWriter()
+    for zz in blocks:
+        bw_out.put((int(zz[0]) >> al) & 1, 1)
+    return bw_out.flush()
+
+
+def _ac_point(v: int, al: int) -> int:
+    """AC point transform: magnitude shift (division truncating toward
+    zero, G.1.2.2) — NOT the DC scan's arithmetic shift."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _encode_ac_first(blocks, ss: int, se: int, al: int, ac_codes) -> bytes:
+    """One spectral-selection AC scan (Ah=0) over the point-transformed
+    band values, with end-of-band (EOBn) runs."""
+    bw_out = _BitWriter()
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            c, ln = ac_codes[n << 4]
+            bw_out.put(c, ln)
+            if n:
+                bw_out.put(eobrun - (1 << n), n)
+            eobrun = 0
+
+    for zz in blocks:
+        band = [_ac_point(int(zz[k]), al) for k in range(ss, se + 1)]
+        nz = [i for i, v in enumerate(band) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        for v in band[: nz[-1] + 1]:
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac_codes[0xF0]
+                bw_out.put(c, ln)
+                run -= 16
+            s = _category(v)
+            c, ln = ac_codes[(run << 4) | s]
+            bw_out.put(c, ln)
+            bw_out.put(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if nz[-1] + 1 <= se - ss:  # trailing zeros: block joins an EOB run
+            eobrun += 1
+    flush_eob()
+    return bw_out.flush()
+
+
+def _encode_ac_refine(blocks, ss: int, se: int, al: int, ac_codes) -> bytes:
+    """One AC successive-approximation refinement scan (Ah=Al+1): emits
+    (run,1)+sign for each NEWLY nonzero coefficient (|v|>>Al == 1) and
+    one raw correction bit — the next magnitude bit — for every
+    coefficient that was already nonzero at the previous precision
+    (|v|>>Ah != 0). Zero-run lengths and EOB runs count only
+    zero-history positions/blocks; correction bits buffer until the
+    symbol they're associated with (the next coded symbol, ZRL, or the
+    EOBn that closes their run) has been written (T.81 G.1.2.3,
+    figures G.7/G.8)."""
+    bw_out = _BitWriter()
+    eobrun = 0
+    eob_pending: list[int] = []  # correction bits owned by the open EOB run
+
+    def flush_eobrun():
+        nonlocal eobrun
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            c, ln = ac_codes[n << 4]
+            bw_out.put(c, ln)
+            if n:
+                bw_out.put(eobrun - (1 << n), n)
+            eobrun = 0
+        for b in eob_pending:
+            bw_out.put(b, 1)
+        eob_pending.clear()
+
+    for zz in blocks:
+        mags = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+        newly = [i for i, m in enumerate(mags) if m == 1]
+        last_new = newly[-1] if newly else -1
+        run = 0
+        cur_pending: list[int] = []  # bits since the last coded symbol
+        for i, m in enumerate(mags):
+            if m == 0:
+                run += 1
+                continue
+            # ZRLs only while another newly-nonzero coefficient lies
+            # ahead; trailing zeros fold into the EOB run instead
+            while run > 15 and i <= last_new:
+                flush_eobrun()
+                c, ln = ac_codes[0xF0]
+                bw_out.put(c, ln)
+                run -= 16
+                for b in cur_pending:
+                    bw_out.put(b, 1)
+                cur_pending.clear()
+            if m > 1:
+                # history coefficient: correction bit only, and it does
+                # NOT break the zero run
+                cur_pending.append(m & 1)
+                continue
+            flush_eobrun()
+            c, ln = ac_codes[(run << 4) | 1]
+            bw_out.put(c, ln)
+            bw_out.put(1 if int(zz[ss + i]) > 0 else 0, 1)
+            for b in cur_pending:
+                bw_out.put(b, 1)
+            cur_pending.clear()
+            run = 0
+        if run > 0 or cur_pending:
+            eobrun += 1
+            eob_pending.extend(cur_pending)
+            if eobrun == 0x7FFF:
+                flush_eobrun()
+    flush_eobrun()
+    return bw_out.flush()
+
+
 def encode_jpeg_progressive(
     plane: np.ndarray,
     quality: int = 90,
     bands: tuple = ((1, 5), (6, 63)),
+    dc_al: int = 0,
+    ac_al: int = 0,
 ) -> bytes:
-    """Encode an HxW uint8 luma plane as a SPECTRAL-SELECTION
-    progressive JPEG (SOF2, Ah=Al=0): one interleaved-free DC scan
-    followed by one AC scan per band, with end-of-band (EOBn) runs —
-    the decoder's progressive test-vector source. Successive
-    approximation is intentionally not emitted (see module
-    docstring)."""
+    """Encode an HxW uint8 luma plane as a progressive JPEG (SOF2):
+    one non-interleaved DC scan followed by one AC scan per band, with
+    end-of-band (EOBn) runs — the decoder's progressive test-vector
+    source. With dc_al/ac_al > 0 the scans use SUCCESSIVE
+    APPROXIMATION: first scans carry the point-transformed values at
+    Al=dc_al/ac_al, then one refinement scan per level walks Al down
+    to 0 (DC: one raw bit per block; AC: the correction-bit protocol
+    of T.81 G.1.2.3). Coefficient reconstruction is exact at Al=0, so
+    decode of an SA stream is pixel-identical to the Ah=Al=0 stream."""
     plane = np.asarray(plane, dtype=np.uint8)
     h, w = plane.shape
     qt = quality_q(quality)
@@ -752,70 +1016,27 @@ def encode_jpeg_progressive(
                 np.floor(coef / q2 + 0.5).astype(np.int64).ravel()[ZIGZAG]
             )
 
-    # DC scan (Ss=Se=0): plain DC-difference coding
-    bw_out = _BitWriter()
-    prev = 0
-    for zz in blocks:
-        diff = int(zz[0]) - prev
-        prev = int(zz[0])
-        s = _category(diff)
-        c, ln = dc_codes[s]
-        bw_out.put(c, ln)
-        if s:
-            bw_out.put(diff if diff > 0 else diff + (1 << s) - 1, s)
-    scans = [(0, 0, bw_out.flush())]
-
-    # AC band scans with EOB runs
+    # scan script: (ss, se, ah, al, entropy data) — for every
+    # coefficient, scans appear in decreasing Al order as T.81 requires
+    scans = [(0, 0, 0, dc_al, _encode_dc_first(blocks, dc_al, dc_codes))]
+    for al in range(dc_al - 1, -1, -1):
+        scans.append((0, 0, al + 1, al, _encode_dc_refine(blocks, al)))
     for ss, se in bands:
-        bw_out = _BitWriter()
-        eobrun = 0
-
-        def flush_eob(bw_out=None):
-            nonlocal eobrun
-            if eobrun:
-                n = eobrun.bit_length() - 1
-                c, ln = ac_codes[n << 4]
-                _bw.put(c, ln)
-                if n:
-                    _bw.put(eobrun - (1 << n), n)
-                eobrun = 0
-
-        _bw = bw_out
-        for zz in blocks:
-            band = zz[ss : se + 1]
-            nz = np.nonzero(band)[0]
-            if len(nz) == 0:
-                eobrun += 1
-                if eobrun == 0x7FFF:
-                    flush_eob()
-                continue
-            flush_eob()
-            run = 0
-            last = ss + int(nz[-1])
-            for k in range(ss, last + 1):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    c, ln = ac_codes[0xF0]
-                    _bw.put(c, ln)
-                    run -= 16
-                s = _category(v)
-                c, ln = ac_codes[(run << 4) | s]
-                _bw.put(c, ln)
-                _bw.put(v if v > 0 else v + (1 << s) - 1, s)
-                run = 0
-            if last < se:  # trailing zeros: this block joins an EOB run
-                eobrun += 1
-        flush_eob()
-        scans.append((ss, se, bw_out.flush()))
+        scans.append(
+            (ss, se, 0, ac_al, _encode_ac_first(blocks, ss, se, ac_al, ac_codes))
+        )
+    for al in range(ac_al - 1, -1, -1):
+        for ss, se in bands:
+            scans.append(
+                (ss, se, al + 1, al,
+                 _encode_ac_refine(blocks, ss, se, al, ac_codes))
+            )
 
     dqt = _seg(0xFFDB, b"\x00" + bytes(int(qt[j]) for j in ZIGZAG))
     sof = _seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
     out = b"\xff\xd8" + dqt + sof + _PROG_DHT_SEG
-    for ss, se, data in scans:
+    for ss, se, ah, al, data in scans:
         out += _seg(
-            0xFFDA, b"\x01\x01\x00" + bytes([ss, se, 0])
+            0xFFDA, b"\x01\x01\x00" + bytes([ss, se, (ah << 4) | al])
         ) + data
     return out + b"\xff\xd9"

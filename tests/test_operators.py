@@ -583,14 +583,130 @@ def test_jpeg_roundtrip_restart_color_and_rejection():
         )
         == jpeg.decode_jpeg(jpeg.encode_jpeg(smooth, 90))
     ).all()
-    # successive-approximation scans must be rejected, not mis-decoded:
-    # patch the first SOS's AhAl byte (last byte of the SOS payload)
-    sa = bytearray(jpeg.encode_jpeg_progressive(smooth, 90))
-    i = bytes(sa).find(b"\xff\xda")
-    ln = int.from_bytes(sa[i + 2 : i + 4], "big")
-    sa[i + 2 + ln - 1] = 0x10  # Ah=1
+    # out-of-profile frames still reject rather than mis-decode:
+    # patch SOF2 (0xC2) to SOF10 (0xCA, arithmetic-coded progressive)
+    arith = bytearray(jpeg.encode_jpeg_progressive(smooth, 90))
+    i = bytes(arith).find(b"\xff\xc2")
+    arith[i + 1] = 0xCA
     with pytest.raises(NotImplementedError):
-        jpeg.decode_jpeg(bytes(sa))
+        jpeg.decode_jpeg(bytes(arith))
+
+
+def test_jpeg_successive_approximation():
+    """r12 (VERDICT r11 ask #4): successive-approximation progressive
+    JPEG, both directions. The coefficient reconstruction is exact once
+    every refinement level lands, so decode of an SA stream must be
+    PIXEL-IDENTICAL to decode of the plain baseline stream at the same
+    quality — across DC/AC level splits, band splits, and image shapes
+    that exercise long zero runs with interleaved history coefficients
+    (the ZRL + correction-bit interplay)."""
+    import numpy as np
+
+    from opusdb_spark.operators import jpeg
+
+    rng = np.random.RandomState(41)
+    xx, yy = np.meshgrid(np.arange(40), np.arange(56))
+    smooth = (
+        ((np.sin(xx / 7.0) + np.cos(yy / 9.0)) * 60 + 128)
+        .clip(0, 255)
+        .astype(np.uint8)
+    )
+    noisy = rng.randint(0, 256, (33, 41)).astype(np.uint8)
+    impulses = np.full((48, 40), 90, np.uint8)
+    for _ in range(5):  # isolated impulses: sparse AC, runs > 15
+        impulses[rng.randint(48), rng.randint(40)] = 255
+    checker = (np.indices((24, 24)).sum(0) % 2 * 255).astype(np.uint8)
+
+    for img in (smooth, noisy, impulses, checker):
+        for q in (92, 40):
+            base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, q))
+            for dc_al, ac_al in ((1, 1), (0, 2), (3, 0), (2, 3)):
+                sa = jpeg.decode_jpeg(
+                    jpeg.encode_jpeg_progressive(
+                        img, q, dc_al=dc_al, ac_al=ac_al
+                    )
+                )
+                assert (sa == base).all(), (img.shape, q, dc_al, ac_al)
+    # band splits compose with SA levels
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(smooth, 90))
+    for bands in (((1, 2), (3, 9), (10, 63)), ((1, 63),)):
+        sa = jpeg.decode_jpeg(
+            jpeg.encode_jpeg_progressive(
+                smooth, 90, bands=bands, dc_al=2, ac_al=2
+            )
+        )
+        assert (sa == base).all(), bands
+
+
+def test_jpeg_sa_hand_built_vector():
+    """The encoder can't vouch for itself (a self-consistent-but-
+    spec-divergent encoder/decoder pair would pass every round-trip),
+    so pin the DECODER against a stream assembled BY HAND from T.81's
+    coding rules — same method as the Adam7/PNG vectors. One 8×8
+    block, all-ones quant table, four scans walked bit by bit below.
+
+    True coefficients (zigzag index: value): 0: 6, 1: +5, 4: −3,
+    10: +1. Scans:
+      1. DC first, Al=1: 6>>1 = 3, diff 3 → category 2. Annex-K DC
+         canonical codes: cat0='00', cats 1-5 are the 3-bit codes
+         '010'..'110', so cat2='011'; extra bits '11' (+3).
+      2. DC refine, Al=0: one raw bit = 6&1 = 0.
+      3. AC first, band 1-63, Al=1: point-transformed band is
+         k1=+2, k4=−1 (k10's magnitude 1 underflows at Al=1).
+         Flat 9-bit AC table: symbol (r<<4)|s sits at index r*10+s−1,
+         ZRL at 160, EOBn at 161+n — each code word IS its index.
+         k1: (0,2) → idx 1 → '000000001' + '10' (+2);
+         k4: (2,1) → idx 21-1=20 → '000010100' + '0' (−1);
+         tail all zero → EOB0 → idx 161 → '010100001'.
+      4. AC refine, Ah=1, Al=0: k1 (|5|>>0=5) and k4 (3) are history
+         → correction bits 5&1=1, 3&1=1; k10 is newly nonzero after
+         a zero-history run of 7 (k2,3,5..9) → symbol (7,1) → idx 70
+         → '001000110' + sign '1', then the two buffered correction
+         bits '1','1' (position order), then EOB0 '010100001'.
+    """
+    import struct
+
+    import numpy as np
+
+    from opusdb_spark.operators import jpeg
+
+    def pack(bits: str) -> bytes:
+        bits = bits + "1" * (-len(bits) % 8)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            b = int(bits[i : i + 8], 2)
+            assert b != 0xFF, "hand vector must stay stuffing-free"
+            out.append(b)
+        return bytes(out)
+
+    def sos(ss, se, ah, al):
+        return jpeg._seg(
+            0xFFDA, b"\x01\x01\x00" + bytes([ss, se, (ah << 4) | al])
+        )
+
+    stream = (
+        b"\xff\xd8"
+        + jpeg._seg(0xFFDB, b"\x00" + bytes([1] * 64))
+        + jpeg._seg(0xFFC2, struct.pack(">BHHB", 8, 8, 8, 1) + b"\x01\x11\x00")
+        + jpeg._PROG_DHT_SEG
+        + sos(0, 0, 0, 1) + pack("011" + "11")
+        + sos(0, 0, 1, 0) + pack("0")
+        + sos(1, 63, 0, 1)
+        + pack("000000001" + "10" + "000010100" + "0" + "010100001")
+        + sos(1, 63, 1, 0)
+        + pack("001000110" + "1" + "11" + "010100001")
+        + b"\xff\xd9"
+    )
+    nat = np.zeros(64)
+    for k, v in ((0, 6), (1, 5), (4, -3), (10, 1)):
+        nat[int(jpeg.ZIGZAG[k])] = v
+    expect = np.clip(
+        np.floor(jpeg._D8.T @ nat.reshape(8, 8) @ jpeg._D8 + 128.0 + 0.5),
+        0,
+        255,
+    ).astype(np.uint8)
+    got = jpeg.decode_jpeg(stream)
+    assert (got == expect).all()
 
 
 def test_png_roundtrip_all_filters_and_profiles():

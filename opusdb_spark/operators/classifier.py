@@ -11,6 +11,19 @@ Determinism: per-row probabilities are plain IEEE arithmetic on the
 broadcast weights; gradient contributions quantize to decimal(27,15)
 before the order-free sum, so the trained weights are identical under
 any partitioning (pinned in tests against a numpy reference).
+
+Cross-engine exactness (r12, VERDICT r11 ask #5): the per-doc
+probability is the ONE transcendental in the recurrence — JVM
+Math.exp and a second engine's libm can disagree by 1 ulp, and a
+1-ulp p difference COMPOUNDS through the weight updates of later
+iterations (unlike the inference key, where it's absorbed once by the
+final 6-dp round). So p itself snaps to the 6-dp grid before anything
+consumes it: both engines then chain bit-identical weights/bias, and
+the only residual divergence class is a 1-ulp exp landing within
+1e-16 of a 5e-7 grid midpoint (~2e-10 per doc-iteration — the same
+accepted class as every ln/corr oracle, see exactness.py). A 1e-6
+probability grid is far inside the noise of 5-step batch GD. Bumping
+TRAIN_VERSION busts persisted model artifacts on semantic changes.
 """
 
 from __future__ import annotations
@@ -18,6 +31,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 N_BUCKETS = 256
+# Training-procedure version: part of every persisted-model fingerprint
+# (a semantic change here must retrain, not reuse a stale artifact).
+# v2 = p quantized to the 6-dp grid inside the GD loop (r12).
+TRAIN_VERSION = 2
 
 
 def doc_features(
@@ -98,9 +115,12 @@ def train_logreg(
             .select(
                 "doc_id",
                 "y",
-                (
+                # 6-dp grid snap: see the module docstring — without it
+                # JVM-vs-libm exp ulps compound through the iterations
+                F.round(
                     F.lit(1.0)
-                    / (F.lit(1.0) + F.exp(-(F.col("s") + F.lit(bias))))
+                    / (F.lit(1.0) + F.exp(-(F.col("s") + F.lit(bias)))),
+                    6,
                 ).alias("p"),
             )
             .persist()  # stats AND the gradient read it — score once
@@ -145,11 +165,15 @@ def train_logreg(
         gmap = {r.b: r.g for r in grad}
         w = [w[i] - eta * gmap.get(i, 0.0) / n_docs for i in range(N_BUCKETS)]
         bias = bias - eta * float(stats.gb) / n_docs
+        # DuckDB-kernel rounding, not Python banker's (the emb_kmeans
+        # convention): the trace is oracle-replayed since r12
+        from opusdb_spark.exactness import round_like_duckdb
+
         trace.append(
             {
                 "iteration": it + 1,
-                "loss": round(float(stats.loss) / n_docs, 6),
-                "accuracy": round(int(stats.correct) / n_docs, 6),
+                "loss": round_like_duckdb(float(stats.loss) / n_docs, 6),
+                "accuracy": round_like_duckdb(int(stats.correct) / n_docs, 6),
             }
         )
     feats.unpersist()

@@ -4297,7 +4297,116 @@ def events_seasonality(spark, sf_dir):
 _CLF_BUCKET = _hash_bucket_sql("w", "clf:")
 
 
-@register("llm_quality_classifier", oracle=None, tags=("llm", "selection"))
+def _clf_train_oracle() -> str:
+    """DuckDB oracle for llm_quality_classifier (upgraded from
+    rows-only in r12, the last rows-only key with a replay path —
+    VERDICT r11 ask #5): the full 5-iteration batch-GD recurrence
+    replays with the emb_kmeans unrolled-CTE treatment. Per iteration:
+    the logit is the same decimal(27,15)-quantized fold the Spark pass
+    computes over bit-identical weights; the per-doc probability snaps
+    to the 6-dp grid on BOTH sides (classifier.py docstring — the one
+    transcendental in the loop, so the snap is what stops JVM-vs-libm
+    exp ulps compounding through later iterations); gradients/means
+    are exact decimal sums over identical doubles; the weight/bias
+    updates are plain IEEE ops on identical doubles. The loss readout's
+    ln() 1-ulp class perturbs the decimal(27,15) element quantization
+    by ≤1e-15 per doc and is absorbed by the final 6-dp ROUND (the
+    accepted ln/corr convention); accuracy compares grid-identical
+    p against 0.5. Lazy (resolved at oracle access)."""
+    from opusdb_spark.operators.classifier import N_BUCKETS
+
+    bucket = _hash_bucket_sql("w", "clf:")
+    iters, eta = 5, 1.0
+    parts = [
+        f"""
+        WITH nz AS MATERIALIZED (
+            SELECT doc_id, y, w FROM (
+                SELECT doc_id,
+                       CASE WHEN source IN ('src0', 'src1', 'src2')
+                            THEN 1 ELSE 0 END AS y,
+                       UNNEST(string_split(text, ' ')) AS w
+                FROM documents
+            ) WHERE w <> ''
+        ),
+        labels AS MATERIALIZED (
+            SELECT doc_id, ANY_VALUE(y) AS y,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM nz GROUP BY doc_id
+        ),
+        feats AS MATERIALIZED (
+            SELECT f.doc_id, f.b, CAST(f.c AS DOUBLE) / l.n AS x, l.y
+            FROM (SELECT doc_id, {bucket} AS b,
+                         CAST(COUNT(*) AS BIGINT) AS c
+                  FROM nz GROUP BY doc_id, {bucket}) f
+            JOIN labels l USING (doc_id)
+        ),
+        nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM labels),
+        w0 AS MATERIALIZED (
+            SELECT CAST(UNNEST(range(0, {N_BUCKETS})) AS INT) AS b,
+                   0.0 AS wt
+        ),
+        bias0 AS (SELECT 0.0 AS bias)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+        p{i} AS MATERIALIZED (
+            SELECT s.doc_id, s.y,
+                   ROUND(1.0 / (1.0 + exp(-(s.s +
+                         (SELECT bias FROM bias{i - 1})))), 6) AS p
+            FROM (
+                SELECT f.doc_id, f.y,
+                       CAST(SUM(CAST(f.x * w.wt AS DECIMAL(27,15)))
+                            AS DOUBLE) AS s
+                FROM feats f JOIN w{i - 1} w USING (b)
+                GROUP BY f.doc_id, f.y
+            ) s
+        ),
+        g{i} AS MATERIALIZED (
+            SELECT f.b,
+                   CAST(SUM(CAST((p.p - p.y) * f.x AS DECIMAL(27,15)))
+                        AS DOUBLE) AS g
+            FROM feats f JOIN p{i} p USING (doc_id)
+            GROUP BY f.b
+        ),
+        w{i} AS MATERIALIZED (
+            SELECT w.b, w.wt - {eta} * COALESCE(g.g, 0.0) / nd.n AS wt
+            FROM w{i - 1} w LEFT JOIN g{i} g USING (b), nd
+        ),
+        bias{i} AS (
+            SELECT (SELECT bias FROM bias{i - 1})
+                   - {eta} * (SELECT CAST(SUM(CAST(p - y
+                              AS DECIMAL(27,15))) AS DOUBLE)
+                              FROM p{i}) / nd.n AS bias
+            FROM nd
+        ),
+        t{i} AS (
+            SELECT {i} AS iteration,
+                   ROUND((SELECT CAST(SUM(CAST(
+                         -(y * ln(GREATEST(p, 1e-12))
+                           + (1 - y) * ln(GREATEST(1.0 - p, 1e-12)))
+                         AS DECIMAL(27,15))) AS DOUBLE)
+                         FROM p{i}) / nd.n, 6) AS loss,
+                   ROUND(CAST((SELECT SUM(CASE WHEN (p >= 0.5) = (y = 1)
+                              THEN 1 ELSE 0 END) FROM p{i}) AS DOUBLE)
+                         / nd.n, 6) AS accuracy
+            FROM nd
+        )"""
+        )
+    finals = "\n        UNION ALL ".join(
+        f"SELECT CAST(iteration AS INT) AS iteration, loss, accuracy"
+        f" FROM t{i}"
+        for i in range(1, iters + 1)
+    )
+    parts.append(f"\n        {finals} ORDER BY iteration")
+    return "".join(parts)
+
+
+@register(
+    "llm_quality_classifier",
+    oracle=_clf_train_oracle,
+    tags=("llm", "selection"),
+)
 def llm_quality_classifier(spark, sf_dir):
     """Train the fastText-style quality classifier: logistic
     regression on 256 hashed-word features separating target-corpus
@@ -4306,10 +4415,13 @@ def llm_quality_classifier(spark, sf_dir):
     batch-GD iterations; each is one distributed scoring pass plus a
     model-sized gradient collect (operators/classifier.py — the
     iterate-on-model-rows shape of emb_kmeans). Returns the
-    convergence trace (rows-only: iterative training has no SQL
-    form; weights are pinned against a numpy reference in
-    tests/test_operators.py, and gradient sums are
-    decimal-quantized so training is partitioning-invariant)."""
+    convergence trace. Hash-oracled since r12: probabilities snap to
+    the 6-dp grid inside the loop (classifier.py docstring), so the
+    whole recurrence — weights, bias, loss, accuracy — replays in
+    DuckDB (_clf_train_oracle); weights are additionally pinned
+    against a numpy reference in tests/test_operators.py, and
+    gradient sums are decimal-quantized so training is
+    partitioning-invariant."""
     from opusdb_spark.operators import classifier
 
     docs = table(spark, sf_dir, "documents")
@@ -4526,7 +4638,7 @@ def llm_quality_classifier_score(spark, sf_dir):
         model_dir,
         stat_fingerprint(
             src,
-            v=1,
+            v=classifier.TRAIN_VERSION,
             bucket_expr=_CLF_BUCKET,
             n_buckets=classifier.N_BUCKETS,
             label="source in (src0,src1,src2)",

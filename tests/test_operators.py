@@ -2254,7 +2254,10 @@ def test_logreg_classifier_matches_numpy(spark):
     n = len(ids)
     expect = []
     for _ in range(5):
-        p = 1.0 / (1.0 + np.exp(-(X @ w + b)))
+        # the trainer snaps p to the 6-dp grid inside the loop (r12,
+        # classifier.py docstring) — the reference must too, or the
+        # recurrences drift apart legitimately
+        p = np.round(1.0 / (1.0 + np.exp(-(X @ w + b))), 6)
         loss = -np.mean(
             yv * np.log(np.maximum(p, 1e-12))
             + (1 - yv) * np.log(np.maximum(1 - p, 1e-12))

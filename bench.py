@@ -27,6 +27,20 @@ plan-pinned suites (tests/test_plans.py) held across those rounds, and
 the big-query/TPC-H entries — where compute dominates scheduling —
 were flat-to-better. At cluster scale the floor amortizes to nothing;
 locally it bounds how small a per-query number can meaningfully be.
+
+TPC-H drift post-mortem (r12, VERDICT r11 ask #3): the sf0.1 TPC-H
+total slid 15.09 (r8) → 17.15 → 20.05 → 19.48 s on byte-identical
+session confs and query SQL (git-verified). scripts/tpch_profile.py
+measured 12-20 JOBS per query — ~10 of them parquet footer/schema
+reads from register_views re-resolving all ten tables per build — so
+the block's wall was (job count) × (per-job floor), and the "drift"
+was floor history: 273 total jobs × 55/71/79 ms per-job cost fits
+r8/r11/the r12 isolated re-run almost exactly. Fix: tables.py
+memoizes resolved DataFrame handles per (session, path, stat), which
+removed the footer jobs (isolated total 21.6 → 8.0 s at a like
+floor). Each block now also publishes its own floor (`tpch.floor_ms`,
+`streaming.floor_ms`), so any future per-job-cost swing is
+attributable from the artifact alone.
 """
 
 from __future__ import annotations
@@ -447,6 +461,7 @@ def _compact(out: dict) -> dict:
     if "tpch" in out:
         line["tpch"] = {
             "total": out["tpch"]["total"],
+            "floor_ms": round(out["tpch"].get("floor_ms", 0)),
             "q": _qnum(out["tpch"]["queries"]),
         }
     if "streaming" in out:
@@ -591,6 +606,11 @@ def main() -> None:
         tpch = {}
         tpch_spreads = {}
         tpch_spreads_w = {}
+        # The block's own floor (r12): the r8→r11 "TPC-H drift" was
+        # per-job window cost × job count — with a local floor in the
+        # artifact, the next such drift is attributable from the file.
+        tpch_floor_ms = measure_floor_ms(spark)
+        print(f"# tpch floor_ms: {tpch_floor_ms}", file=sys.stderr)
         for name in sorted(k for k in qs if k.startswith("tpch_q")):
             tpch[name], n = time_query(spark, lambda: qs[name](spark, sf_dir))
             tpch_spreads[name] = LAST_SPREAD
@@ -604,6 +624,7 @@ def main() -> None:
             "queries": tpch,
             "spread": tpch_spreads,
             "spread_worst": tpch_spreads_w,
+            "floor_ms": tpch_floor_ms,
             "total": round(sum(tpch.values()), 4),
         }
     # Streaming at volume (VERDICT r5 §7): replay the full events table

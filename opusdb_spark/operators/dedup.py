@@ -236,7 +236,7 @@ def minhash_signatures_stored(
     signatures are a column written at ingest — recomputing ~100 bytes
     of minhashes per document for each of N dedup passes is pure waste.
     Fingerprint-guarded like the ANN index: unchanged source → reuse."""
-    from opusdb_spark.sources.formats import ensure_written
+    from opusdb_spark.sources.formats import ensure_written, read_store
 
     sig_fn = minhash_signatures_arrow if impl == "arrow" else minhash_signatures
     ensure_written(
@@ -244,7 +244,7 @@ def minhash_signatures_stored(
         {**fingerprint, "impl": impl, "n_minhash": N_MINHASH},
         lambda p: sig_fn(spread(docs)).write.mode("overwrite").parquet(p),
     )
-    return spark.read.parquet(store_path)
+    return read_store(spark, store_path)
 
 
 def minhash_pairs_stored(
@@ -264,7 +264,7 @@ def minhash_pairs_stored(
     signature store and the ANN index. At 100 TB re-deriving the pair
     graph per query would repeat the single most expensive dedup
     shuffle; here it becomes one parquet read."""
-    from opusdb_spark.sources.formats import ensure_written
+    from opusdb_spark.sources.formats import ensure_written, read_store
 
     ensure_written(
         store_path,
@@ -273,7 +273,7 @@ def minhash_pairs_stored(
         .write.mode("overwrite")
         .parquet(p),
     )
-    return spark.read.parquet(store_path)
+    return read_store(spark, store_path)
 
 
 def lsh_incremental_pairs(
@@ -479,7 +479,7 @@ def simhash_fingerprints_stored(
 ) -> DataFrame:
     """SimHash fingerprints as an INGEST artifact (see
     minhash_signatures_stored — same ingest-once/query-many contract)."""
-    from opusdb_spark.sources.formats import ensure_written
+    from opusdb_spark.sources.formats import ensure_written, read_store
 
     fp_fn = simhash_fingerprints_arrow if impl == "arrow" else simhash_fingerprints
     ensure_written(
@@ -487,7 +487,7 @@ def simhash_fingerprints_stored(
         {**fingerprint, "impl": impl, "bits": 64},
         lambda p: fp_fn(spread(docs)).write.mode("overwrite").parquet(p),
     )
-    return spark.read.parquet(store_path)
+    return read_store(spark, store_path)
 
 
 def simhash_near_dups(
@@ -678,14 +678,14 @@ def components_stored(
     same graph — so the O(log n) star rounds run once per (corpus,
     threshold) at ingest and every query against them is a parquet
     read + groupBy, with zero iterative jobs at query time."""
-    from opusdb_spark.sources.formats import ensure_written
+    from opusdb_spark.sources.formats import ensure_written, read_store
 
     ensure_written(
         store_path,
         {**fingerprint, "algo": "large-small-star"},
         lambda p: neardup_components(pairs).write.mode("overwrite").parquet(p),
     )
-    return spark.read.parquet(store_path)
+    return read_store(spark, store_path)
 
 
 # ------------------------------------------------ winnowing (MOSS)
@@ -703,7 +703,7 @@ def winnow_fingerprints_stored(
     overlap share join, the corpus report — reads the ~2/(w+1)-density
     parquet instead of re-hashing every gram. Fingerprint-guarded:
     unchanged source → reuse."""
-    from opusdb_spark.sources.formats import ensure_written
+    from opusdb_spark.sources.formats import ensure_written, read_store
 
     ensure_written(
         store_path,
@@ -712,7 +712,7 @@ def winnow_fingerprints_stored(
         .write.mode("overwrite")
         .parquet(p),
     )
-    return spark.read.parquet(store_path)
+    return read_store(spark, store_path)
 
 
 def winnow_fingerprints(

@@ -97,11 +97,18 @@ def synthesize_media(spark, n: int = 256) -> DataFrame:
                     elif container == 2:
                         from opusdb_spark.operators import jpeg as J
 
-                        blob = (  # alternate baseline / progressive
-                            J.encode_jpeg_progressive(plane, quality=92)
-                            if (i // 9) % 2
-                            else J.encode_jpeg(plane, quality=92, restart=4)
-                        )
+                        if (i // 9) % 2:
+                            # progressive: cycle plain spectral
+                            # selection and the two successive-
+                            # approximation depths (r12) so the
+                            # refinement decode path runs on real
+                            # pipeline blobs, not just test vectors
+                            sa = (i // 18) % 3
+                            blob = J.encode_jpeg_progressive(
+                                plane, quality=92, dc_al=sa, ac_al=sa
+                            )
+                        else:
+                            blob = J.encode_jpeg(plane, quality=92, restart=4)
                     else:
                         blob = encode_pgm(plane)
                 elif kind == "video":
@@ -131,11 +138,16 @@ def synthesize_media(spark, n: int = 256) -> DataFrame:
                 ],
             )
 
-    # Partition count sized to the data (a few hundred synthetic rows),
-    # not defaultParallelism: 32 near-empty partitions × 2 chained
-    # mapInPandas stages = 64 Python-worker round-trips for ~256 rows.
-    # A real 100 TB media table gets its parallelism from file splits.
-    n_parts = max(1, min(8, n // 32))
+    # Partition count sized to the data: ~32 rows per partition for
+    # tiny fixtures (32 near-empty partitions × 2 chained mapInPandas
+    # stages would be 64 Python-worker round-trips for ~256 rows), but
+    # capped at defaultParallelism — NOT a constant: the r12
+    # corpus-sized probe found the old min(8, ...) cap serializing a
+    # 166k-blob decode pass on 8 of 32 cores. A real 100 TB media
+    # table gets its parallelism from file splits.
+    n_parts = max(
+        1, min(spark.sparkContext.defaultParallelism, n // 32)
+    )
     return spark.range(0, n, 1, n_parts).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
@@ -432,12 +444,13 @@ def decode_image(blob: bytes, width: int, height: int) -> np.ndarray:
     """Decode an image blob to an HxW uint8 luma plane.
 
     REAL decode for Netpbm (PGM P5 / PPM P6) and, since r11, PNG
-    (decode_png — stdlib zlib + numpy unfiltering, full filter set,
-    8-bit gray/RGB(A) non-interlaced) and baseline JPEG
+    (decode_png — stdlib zlib + numpy unfiltering, full filter set
+    incl. Adam7 interlace, 8-bit gray/RGB(A)) and JPEG
     (operators/jpeg.py — Huffman entropy decode, dequant, IDCT,
-    restart intervals, luma extraction from interleaved color scans;
-    progressive/arithmetic/12-bit raise). Headerless blobs fall back
-    to the raw-plane interpretation."""
+    restart intervals, luma extraction from interleaved color scans,
+    and since r12 the full progressive mode incl. successive
+    approximation; arithmetic/12-bit raise). Headerless blobs fall
+    back to the raw-plane interpretation."""
     if blob[:4] == b"\x89PNG":
         return decode_png(blob)
     if blob[:2] == b"\xff\xd8":
@@ -462,9 +475,26 @@ def extract_features(media: DataFrame) -> DataFrame:
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
                 "n_bytes": pdf["content"].map(len).astype("int64"),
+                # dispatch on KIND for audio: raw PCM bytes are
+                # arbitrary and can open with an image magic ('P5',
+                # 0xFFD8 — ~1 in 32k blobs) by chance, which would
+                # send garbage into a strict container parser
+                # (surfaced by the r12 corpus-sized probe at 100×);
+                # audio's defined luma reading IS the raw-plane one
                 "mean_luma": [
-                    float(decode_image(b, w, h).mean())
-                    for b, w, h in zip(pdf["content"], pdf["width"], pdf["height"])
+                    float(
+                        (
+                            _fake_decode(b, w, h)
+                            if k == "audio"
+                            else decode_image(b, w, h)
+                        ).mean()
+                    )
+                    for b, w, h, k in zip(
+                        pdf["content"],
+                        pdf["width"],
+                        pdf["height"],
+                        pdf["kind"],
+                    )
                 ],
                 "aspect": (pdf["width"] / pdf["height"]).astype("float64"),
             }
@@ -499,6 +529,10 @@ def _media_planes(row) -> list[np.ndarray]:
     # would send garbage into the Netpbm header parser
     if row["kind"] in ("image", "video") and blob[:2] in (b"P5", b"P6"):
         planes = parse_frames(blob)
+    elif row["kind"] == "audio":
+        # raw byte plane by definition — never magic-sniffed (random
+        # PCM can open with 0xFFD8 and would hit the JPEG parser)
+        planes = [_fake_decode(blob, row["width"], row["height"])]
     else:
         planes = [decode_image(blob, row["width"], row["height"])]
     want = max(int(row["n_frames"]), 1)

@@ -192,6 +192,12 @@ def build_rollup(events: DataFrame, path: str, grain: str = "day") -> None:
 def read_rollup(
     spark: SparkSession, path: str, grain: str = "day"
 ) -> DataFrame:
+    # NOT read_store-memoized: refresh_rollup/backfill_rollup rewrite
+    # this store IN PLACE with dynamic partition overwrite, and an
+    # in-place partition refresh can leave the top-level directory
+    # stat unchanged — a memoized handle would serve the pre-refresh
+    # file listing. The fresh footer job per read is the price of a
+    # mutable store.
     roll = spark.read.parquet(path)
     if grain == "day":
         # partition-value inference yields DateType for yyyy-MM-dd

@@ -97,6 +97,7 @@ def _trade_edges(spark, sf_dir) -> DataFrame:
 
     from opusdb_spark.sources.formats import (
         ensure_written,
+        read_store,
         scratch_path,
         stat_fingerprint,
     )
@@ -137,7 +138,7 @@ def _trade_edges(spark, sf_dir) -> DataFrame:
         .write.mode("overwrite")
         .parquet(p),
     )
-    return spark.read.parquet(store)
+    return read_store(spark, store)
 
 
 @register("graph_pagerank", oracle=_PAGERANK_ORACLE, tags=("graph",))

@@ -665,6 +665,7 @@ def join_partition_pruned(spark, sf_dir):
 
     from opusdb_spark.sources import (
         ensure_written,
+        read_store,
         scratch_path,
         stat_fingerprint,
         write_partitioned,
@@ -682,7 +683,7 @@ def join_partition_pruned(spark, sf_dir):
         stat_fingerprint(f"{sf_dir}/orders.parquet", layout="by_status"),
         lambda p: write_partitioned(orders, p, ["o_orderstatus"]),
     )
-    fact = spark.read.parquet(out)
+    fact = read_store(spark, out)
     # the selective filter on the dim side is what entitles the fact
     # scan to a runtime dynamicpruning subquery on its partition column
     dim = spark.createDataFrame(
@@ -1067,6 +1068,7 @@ def mv_join_incremental(spark, sf_dir):
 
     from opusdb_spark.sources import (
         ensure_written,
+        read_store,
         scratch_path,
         stat_fingerprint,
     )
@@ -1157,8 +1159,8 @@ def mv_join_incremental(spark, sf_dir):
         ),
         build_dim,
     )
-    fact = spark.read.parquet(fact_store)
-    dim = spark.read.parquet(dim_store)
+    fact = read_store(spark, fact_store)
+    dim = read_store(spark, dim_store)
     dim_cols = ["o_orderkey", "o_orderpriority"]
     delta_fact = (
         fact.filter(F.col("late") == 1)
@@ -1178,8 +1180,8 @@ def mv_join_incremental(spark, sf_dir):
         )
         .select(*cols_l, "o_orderpriority")
     )
-    base_partials = spark.read.parquet(
-        os.path.join(view_store, "_partials")
+    base_partials = read_store(
+        spark, os.path.join(view_store, "_partials")
     )
     return _mv_fold(
         base_partials.unionByName(_mv_partial_agg(delta_fact)).unionByName(

@@ -2306,25 +2306,48 @@ def llm_dedup_pipeline(spark, sf_dir):
     )
 
 
+def _media_corpus_size(sf_dir: str, floor: int) -> int:
+    """Media-table row count for the multimodal keys: one blob per
+    document (metadata-only footer read — no Spark job in the timed
+    query), floored so tiny fixtures still exercise every decoder
+    branch. Corpus-sized since r12 (VERDICT r11 ask #6): with a fixed
+    n the scale probe measured a constant, not the decode pass."""
+    import pyarrow.dataset as ds
+
+    n_docs = ds.dataset(
+        f"{sf_dir}/documents.parquet", format="parquet"
+    ).count_rows()
+    return max(floor, n_docs)
+
+
 @register("multimodal_features", oracle=None, tags=("llm", "multimodal"))
 def multimodal_features(spark, sf_dir):
     """Binary media columns → mapInPandas feature extraction → per-kind
-    rollup (operators/multimodal.py; decode stubbed, plumbing real)."""
+    rollup (operators/multimodal.py). Decode is REAL since r11 —
+    pure-numpy PGM/PPM, pure-stdlib PNG (all filters, Adam7), and the
+    JPEG codec (baseline + full progressive incl. successive
+    approximation since r12); the media table sizes with the corpus so
+    the probe measures a genuinely growing per-byte Arrow pass."""
     from opusdb_spark.operators import multimodal
 
-    media = multimodal.synthesize_media(spark, n=256)
+    media = multimodal.synthesize_media(
+        spark, n=_media_corpus_size(sf_dir, 256)
+    )
     return multimodal.media_summary(media)
 
 
 @register("multimodal_resize", oracle=None, tags=("llm", "multimodal"))
 def multimodal_resize(spark, sf_dir):
     """Frame-sample/resize fan-out (1 media row → n_frames thumb rows),
-    counted per media_id — the explode shape of a video pipeline."""
+    counted per media_id — the explode shape of a video pipeline.
+    Corpus-sized like multimodal_features (r12)."""
     from pyspark.sql import functions as _F
 
     from opusdb_spark.operators import multimodal
 
-    media = multimodal.synthesize_media(spark, n=64)
+    media = multimodal.synthesize_media(
+        spark, n=_media_corpus_size(sf_dir, 64)
+    )
     thumbs = multimodal.resize_plan(media)
     return (
         thumbs.groupBy("media_id")
@@ -2750,14 +2773,11 @@ def multimodal_audio_energy(spark, sf_dir):
     from the parquet FOOTER row count (metadata-only, no Spark job;
     ADVICE r10: the previous documents.count() action put a corpus
     scan inside every timed invocation of the featurization pass)."""
-    import pyarrow.dataset as ds
-
     from opusdb_spark.operators import multimodal
 
-    n_docs = ds.dataset(
-        f"{sf_dir}/documents.parquet", format="parquet"
-    ).count_rows()
-    media = multimodal.synthesize_media(spark, n=max(256, n_docs))
+    media = multimodal.synthesize_media(
+        spark, n=_media_corpus_size(sf_dir, 256)
+    )
     return multimodal.audio_energy(media).orderBy("media_id")
 
 

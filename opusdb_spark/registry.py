@@ -112,34 +112,24 @@ def _load() -> None:
 # rows-only query (err == "no_oracle") that ran and reported a row
 # count. Harmless if the consumer sorts or completes the full sweep.
 
-# Round 11: queries whose plans/oracles changed this round -> jump the
-# queue. Kept deliberately SHORT (6, the r10 head size that drained 37
-# stale keys) so the driver's ~50-key sweep budget finishes the
-# pre-r4 backlog (VERDICT r10 ask: re-verdict >=35 of the 45 left).
+# Round 12: queries whose plans/oracles/values changed this round ->
+# jump the queue. Kept deliberately SHORT (the r10/r11 discipline that
+# drained 43 stale keys) so the driver's ~50-key sweep budget finishes
+# the ≤r4 backlog (VERDICT r11 ask #2: re-verdict >=35, none older
+# than r5 after this round).
 _RECENTLY_CHANGED: tuple[str, ...] = (
-    # oracle now mirrors pandas' ewm kernel (the cur==weighted_avg
-    # short-circuit hypothesis falsified in r10's lone red test)
-    "udaf_ewma",
-    # inertia rounding unified on the measured DuckDB ROUND kernel
-    # (exactness.round_like_duckdb) instead of Python banker's round
-    "emb_kmeans",
-    # media table sized from the parquet footer (metadata-only)
-    # instead of a documents.count() Spark job inside the timed query
-    "multimodal_audio_energy",
-    # rows-only -> hash-oracle upgrades (r11 batch): embeddings snap
-    # to integer grids so the bucket cosine sweep / the Mahalanobis
-    # quadratic form are exact-integer arithmetic replayed from the
-    # persisted lsh store / quantized-precision model; the stateful
-    # running totals carry integer-micros state replayed by batch SQL
-    "llm_embedding_neardup",
-    "emb_outlier_mahalanobis",
-    "stream_stateful_true",
-    # classifier inference replays from the persisted model JSON;
-    # keep is decided on the exp-free logit sign
+    # rows-only -> hash-oracle upgrade (r12): probabilities snap to
+    # the 6-dp grid inside the GD loop, so the full 5-iteration
+    # recurrence (weights/bias/loss/accuracy) replays in DuckDB
+    "llm_quality_classifier",
+    # trainer change above retrains the persisted model artifact
+    # (TRAIN_VERSION fingerprint bump) -> scored values shift
     "llm_quality_classifier_score",
-    # oracle text changed (AS MATERIALIZED stages — the exponential
-    # CTE-inlining fix; values identical, re-verdict to be safe)
-    "llm_mmr_select",
+    # media corpus-sized from the documents footer (was fixed n) and
+    # the synthesis mix now cycles SA-progressive JPEG depths
+    "multimodal_features",
+    "multimodal_resize",
+    "multimodal_audio_energy",
 )
 
 _CORRECTNESS_RE = re.compile(r"CORRECTNESS_r(\d+)\.json$")

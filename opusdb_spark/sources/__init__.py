@@ -12,6 +12,7 @@ from opusdb_spark.sources.formats import (  # noqa: F401
     read_csv,
     read_json,
     read_parquet,
+    read_store,
     scratch_path,
     scratch_sink,
     stat_fingerprint,

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
@@ -190,6 +191,39 @@ def read_parquet(spark: SparkSession, path: str, schema: StructType | None = Non
     if schema is not None:
         reader = reader.schema(schema)
     return reader.parquet(path)
+
+
+# Same memo as tables._TABLE_CACHE, for write-once ingest-ARTIFACT
+# stores (signature/fingerprint stores, graph edges, mv partials): every
+# schema-inferring spark.read.parquet launches one footer-read job —
+# 55-130 ms of scheduler floor on this VM — and the store-backed
+# queries re-read their store on every build. Keyed per live session,
+# then by (abspath, mtime_ns, size): a rebuilt store (ensure_written
+# rewrites bump the directory mtime) can never serve a stale listing,
+# and a sink read back in the same query sees its fresh bytes because
+# the just-written directory has a new stat. Plans are unchanged —
+# the memo returns the same logical scan a fresh read would.
+_STORE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def read_store(spark: SparkSession, path: str) -> DataFrame:
+    """Memoized `spark.read.parquet` for immutable-once-written stores.
+
+    Do NOT use for stores refreshed IN PLACE (dynamic partition
+    overwrite — see read_rollup): an in-place partition refresh can
+    leave the top-level directory stat unchanged and the memo would
+    serve the pre-refresh listing."""
+    try:
+        st = os.stat(path)
+        key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    except OSError:
+        return spark.read.parquet(path)  # surface the read error as-is
+    cache = _STORE_CACHE.setdefault(spark, {})
+    if key not in cache:
+        cache[key] = spark.read.parquet(path)
+    return cache[key]
 
 
 def read_csv(

@@ -148,6 +148,19 @@ PROBE = [
     # pass (model-sized closure, pure map — should track the scan)
     "llm_quality_classifier_score",
     "emb_outlier_mahalanobis",
+    # round-12 (VERDICT r11 ask #6): the real-codec decode paths —
+    # PNG/JPEG (incl. SA-progressive) entropy decoding is the heaviest
+    # per-byte Python in the repo; both keys are corpus-sized since
+    # r12, so expect the audio-energy-shaped ~data-ratio of a linear
+    # Arrow pass, not a flat constant
+    "multimodal_features",
+    "multimodal_resize",
+    # round-12 second: the trainer joined the hash-oracled set (6-dp
+    # p-grid recurrence) — probe the iterative shape itself: 5
+    # iterations × (broadcast-join score pass + model-sized gradient
+    # collect), the emb_kmeans family; expect well under data ratio
+    # (per-iteration job overhead dominates at this corpus size)
+    "llm_quality_classifier",
 ]
 
 

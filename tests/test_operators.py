@@ -2229,6 +2229,45 @@ def test_gram_queries_survive_short_documents(spark, tmp_path):
         reg[name].fn(spark, str(tmp_path)).count()  # must not raise
 
 
+def test_table_handles_memoized_no_repeat_footer_jobs(spark):
+    """Every schema-inferring spark.read.parquet launches one
+    footer-read JOB — 55-130 ms of scheduler floor per call on this VM
+    — and register_views used to pay that 10× per query build (the
+    r8→r11 'TPC-H drift', see bench.py's post-mortem). Pin the r12
+    fix: a REPEAT register_views over unchanged files must launch
+    ZERO jobs, and a repeat read_store must return the same handle
+    until the store's stat changes."""
+    import numpy as np
+    import pandas as pd
+
+    from opusdb_spark.sources.formats import read_store
+    from opusdb_spark.tables import register_views
+
+    st = spark.sparkContext.statusTracker()
+    register_views(spark, SF)  # warm: resolves every schema once
+    spark.sparkContext.setJobGroup("memo_probe", "repeat register_views")
+    register_views(spark, SF)
+    spark.sparkContext.setJobGroup("idle", "idle")
+    assert st.getJobIdsForGroup("memo_probe") == [], (
+        "repeat register_views launched footer jobs — table memo broken"
+    )
+
+    # read_store: same handle while the stat holds, fresh after rewrite
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        p = f"{d}/store.parquet"
+        spark.createDataFrame(pd.DataFrame({"x": np.arange(5)})).write.parquet(p)
+        a, b = read_store(spark, p), read_store(spark, p)
+        assert a is b, "unchanged store must reuse the resolved handle"
+        spark.createDataFrame(
+            pd.DataFrame({"x": np.arange(7)})
+        ).write.mode("overwrite").parquet(p)
+        c = read_store(spark, p)
+        assert c is not a, "rewritten store must re-resolve"
+        assert c.count() == 7
+
+
 def test_logreg_classifier_matches_numpy(spark):
     """train_logreg's weights and trace must match an independent
     numpy batch-GD implementation on the same hashed features."""

@@ -38,7 +38,10 @@ was floor history: 273 total jobs × 55/71/79 ms per-job cost fits
 r8/r11/the r12 isolated re-run almost exactly. Fix: tables.py
 memoizes resolved DataFrame handles per (session, path, stat), which
 removed the footer jobs (isolated total 21.6 → 8.0 s at a like
-floor). Each block now also publishes its own floor (`tpch.floor_ms`,
+floor; re-profiled post-fix: every query dropped exactly 10 jobs,
+278 → 98 total, q6 down to the minimal 2-job AQE shape, block wall
+23.9 → 10.7 s in the same window pair). Each block now also
+publishes its own floor (`tpch.floor_ms`,
 `streaming.floor_ms`), so any future per-job-cost swing is
 attributable from the artifact alone.
 """

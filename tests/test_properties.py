@@ -1119,6 +1119,87 @@ def test_round_like_duckdb_mirrors_sql_round(x):
 # a relative grid or an exact (decimal/integer) formulation.
 
 
+def test_spark_round_mirrors_duckdb_round_premise(spark):
+    """Spark's F.round(double, 6) vs DuckDB's ROUND(double, 6) — the
+    pairing dozens of hash-exact oracles rely on, and since r12 a
+    RECURRENCE premise: the classifier trainer snaps per-doc
+    probabilities to the 6-dp grid with F.round on the Spark side and
+    ROUND in the replay, and any single disagreement compounds through
+    every later iteration's weights. The two kernels are NOT the same
+    algorithm (Spark routes through BigDecimal HALF_UP on the double's
+    shortest decimal repr; DuckDB is a scaled multiply with half-away
+    on the SCALED double — measured, see exactness.round_like_duckdb),
+    so agreement on the magnitudes the repo rounds must be MEASURED,
+    not assumed (the EWMA-incident rule).
+
+    Measured law (writing this test found it): the kernels DISAGREE on
+    values sitting within ~1 scaled-ulp of an exact n+0.5e-6 boundary
+    — 44 of 5000 MANUFACTURED half-grid ties flipped — and agree
+    bitwise everywhere else. A uniform double lands in that window
+    with probability ~2e-10 per value (the same measure-zero class as
+    the libm-ulp premise below), which real sigmoid/logit/loss values
+    cannot systematically hit. Pins: zero mismatches on 55k organic
+    values, and every constructed-tie mismatch lies inside the
+    boundary window — if either side's kernel changes, this fails
+    before a driver verdict goes red."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(17)
+    organic = np.concatenate(
+        [
+            rng.uniform(0.0, 1.0, 30000),  # probability range
+            rng.uniform(-30.0, 30.0, 15000),  # logit range
+            rng.uniform(0.0, 30.0, 10000),  # loss range
+        ]
+    )
+    ties = np.round(rng.uniform(0.0, 1.0, 5000), 6) + rng.integers(
+        -2, 3, 5000
+    ) * 5e-7
+    xs = np.concatenate([organic, ties])
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(xs)], "i long, x double"
+    )
+    got = [
+        r["r"]
+        for r in df.select("i", F.round("x", 6).alias("r"))
+        .orderBy("i")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"i": range(len(xs)), "x": xs}))
+    want = [
+        r[0]
+        for r in con.execute(
+            "SELECT ROUND(x, 6) FROM t ORDER BY i"
+        ).fetchall()
+    ]
+    n_org = len(organic)
+    organic_bad = [
+        (float(xs[i]), g, w)
+        for i, (g, w) in enumerate(zip(got[:n_org], want[:n_org]))
+        if g != w
+    ]
+    assert not organic_bad, (
+        f"{len(organic_bad)} F.round/ROUND disagreements on ORGANIC "
+        f"values, first 3: {organic_bad[:3]} — the trainer's p-grid "
+        "premise is broken"
+    )
+    for i in range(n_org, len(xs)):
+        if got[i] != want[i]:
+            frac = abs(float(xs[i])) * 1e6
+            dist = abs(frac - math.floor(frac) - 0.5)
+            assert dist < 8 * abs(np.spacing(frac)), (
+                f"tie mismatch OUTSIDE the boundary window: x={xs[i]!r}"
+                f" spark={got[i]!r} duckdb={want[i]!r}"
+            )
+
+
 def test_libm_exp_log_round6_premise(spark):
     import math
 

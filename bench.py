@@ -41,9 +41,9 @@ removed the footer jobs (isolated total 21.6 → 8.0 s at a like
 floor; re-profiled post-fix: every query dropped exactly 10 jobs,
 278 → 98 total, q6 down to the minimal 2-job AQE shape, block wall
 23.9 → 10.7 s in the same window pair). Each block now also
-publishes its own floor (`tpch.floor_ms`,
-`streaming.floor_ms`), so any future per-job-cost swing is
-attributable from the artifact alone.
+publishes its own floor (`tpch.floor_ms`, `streaming.floor_ms`,
+`sf1.floor_ms`), so any future per-job-cost swing is attributable
+from the artifact alone.
 """
 
 from __future__ import annotations
@@ -355,6 +355,11 @@ def run_ladder(spark, qs, sf1_dir: str) -> dict:
         os.sync()
     except (AttributeError, OSError):
         pass  # non-POSIX: timing proceeds without the writeback fence
+    # The ladder's own floor (r12): completes the per-section floor
+    # coverage (headline start/end, tpch, streaming) — sf1 walls on
+    # this VM swing with the same per-job window cost.
+    sf1_floor_ms = measure_floor_ms(spark)
+    print(f"# sf1 floor_ms: {sf1_floor_ms}", file=sys.stderr)
     for name in SF1_LADDER:
         # best-of-3 here (vs 2 elsewhere): the sf1 ladder carries the
         # shuffle-heaviest plans, whose r7 run-to-run spreads (0.5-1.0 s
@@ -374,6 +379,7 @@ def run_ladder(spark, qs, sf1_dir: str) -> dict:
     q1 = timings.get("agg_q1", 0.0)
     return {
         "queries": timings,
+        "floor_ms": sf1_floor_ms,
         # second_best−best (r10 definition) plus the pre-r10
         # worst−best definition for cross-round comparability
         # (ADVICE r10): deltas below the spread are run-to-run
@@ -484,6 +490,7 @@ def _compact(out: dict) -> dict:
             "queries": {
                 k: round(v, 2) for k, v in out["sf1"]["queries"].items()
             },
+            "floor_ms": round(out["sf1"].get("floor_ms", 0)),
             "q1_rows_per_sec": out["sf1"]["q1_rows_per_sec"],
             "tpch_total": out["sf1"]["tpch"]["total"],
             "tpch_q": _qnum(out["sf1"]["tpch"]["queries"]),

@@ -304,7 +304,7 @@ def ensure_index(
 _READ_CACHE: dict[tuple, "DataFrame"] = {}
 
 
-def read_store(spark: SparkSession, index_dir: str, sub: str) -> DataFrame:
+def read_index_store(spark: SparkSession, index_dir: str, sub: str) -> DataFrame:
     """`spark.read.parquet` over an index sub-store, with the resolved
     DataFrame handle cached per (session, path, build). Re-reading a
     2048-directory partitioned store re-runs partition discovery at
@@ -343,7 +343,7 @@ def fetch_vector(
     single-row read (the only per-probe driver collect, and it is one
     row; a serving deployment would have the query vector in hand)."""
     row = (
-        read_store(spark, index_dir, "by_id")
+        read_index_store(spark, index_dir, "by_id")
         .filter(F.col(id_col) == probe_id)
         .first()
     )
@@ -436,7 +436,7 @@ def stored_buckets(
     for in-corpus probes; out-of-corpus vectors fall back to
     _probe_buckets (one signature evaluation)."""
     rows = (
-        read_store(spark, index_dir, "sigs")
+        read_index_store(spark, index_dir, "sigs")
         .filter(F.col(id_col) == probe_id)
         .collect()
     )
@@ -469,7 +469,7 @@ def lsh_probe(
         c = (F.col("table_id") == t) & (F.col("bucket") == b)
         cond = c if cond is None else (cond | c)
     cands = (
-        read_store(spark, index_dir, "lsh")
+        read_index_store(spark, index_dir, "lsh")
         .filter(cond)
         .select(id_col, vec_col)
         .dropDuplicates([id_col])
@@ -503,7 +503,7 @@ def ivf_probe(
     vn = v / (np.linalg.norm(v) + 1e-12)
     cells = [int(c) for c in np.argsort(-(cn @ vn))[:n_probe]]
     cands = (
-        read_store(spark, index_dir, "ivf")
+        read_index_store(spark, index_dir, "ivf")
         .filter(F.col("cell").isin(cells))
         .select(id_col, vec_col)
     )
@@ -630,7 +630,7 @@ def ivfpq_probe(
     vn = v / (np.linalg.norm(v) + 1e-12)
     cells = [int(c) for c in np.argsort(-(cn @ vn))[:n_probe]]
 
-    pq = read_store(spark, index_dir, "pq").filter(F.col("cell").isin(cells))
+    pq = read_index_store(spark, index_dir, "pq").filter(F.col("cell").isin(cells))
     if exclude_id is not None:
         pq = pq.filter(F.col(id_col) != exclude_id)
     adc = None
@@ -659,7 +659,7 @@ def ivfpq_probe(
         # return an empty k-shaped frame instead of building a
         # zero-arg create_map / empty isin, which fail at analysis
         return (
-            read_store(spark, index_dir, "by_id")
+            read_index_store(spark, index_dir, "by_id")
             .select(
                 id_col,
                 F.lit(None).cast("double").alias("cosine"),
@@ -668,7 +668,7 @@ def ivfpq_probe(
             .limit(0)
         )
     exact = (
-        read_store(spark, index_dir, "by_id")
+        read_index_store(spark, index_dir, "by_id")
         .filter(F.col(id_col).isin(list(pool)))
         .select(
             id_col, _score_against(vec_col, probe_vec).alias("cosine")

@@ -30,6 +30,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+# DuckDB-kernel rounding, not Python banker's (the emb_kmeans
+# convention): the trace is oracle-replayed since r12
+from opusdb_spark.exactness import round_like_duckdb
+
 N_BUCKETS = 256
 # Training-procedure version: part of every persisted-model fingerprint
 # (a semantic change here must retrain, not reuse a stale artifact).
@@ -165,10 +169,6 @@ def train_logreg(
         gmap = {r.b: r.g for r in grad}
         w = [w[i] - eta * gmap.get(i, 0.0) / n_docs for i in range(N_BUCKETS)]
         bias = bias - eta * float(stats.gb) / n_docs
-        # DuckDB-kernel rounding, not Python banker's (the emb_kmeans
-        # convention): the trace is oracle-replayed since r12
-        from opusdb_spark.exactness import round_like_duckdb
-
         trace.append(
             {
                 "iteration": it + 1,

@@ -754,8 +754,15 @@ def _decode_progressive_scan(
                     sym = _read_symbol(br, act)
                     r, s = sym >> 4, sym & 0xF
                     newval = 0
+                    if s > 1:
+                        # out-of-profile rejects, never mis-decodes
+                        # (the module's policy): s >= 2 in a refinement
+                        # scan is spec-invalid (G.1.2.3) and decoding
+                        # it as s == 1 would desynchronize the reader
+                        raise ValueError(
+                            "invalid refinement-scan symbol size"
+                        )
                     if s:
-                        # only s == 1 is legal in a refinement scan
                         newval = p1 if br.bit() else -p1
                     elif r < 15:
                         # EOBn: the rest of THIS block gets correction

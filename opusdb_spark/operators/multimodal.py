@@ -462,6 +462,19 @@ def decode_image(blob: bytes, width: int, height: int) -> np.ndarray:
     return _fake_decode(blob, width, height)
 
 
+def decode_plane(kind: str, blob: bytes, width: int, height: int) -> np.ndarray:
+    """Kind-aware single-plane decode — THE dispatch every blob
+    consumer must use. Audio is a raw byte plane BY DEFINITION and is
+    never magic-sniffed: random PCM opens with an image magic ('P5',
+    0xFFD8) about once per 32k blobs and would send garbage into a
+    strict container parser (found by the r12 corpus-sized probe at
+    100×). Keeping the rule here means a new consumer or decoder
+    cannot reintroduce that failure by updating only one call site."""
+    if kind == "audio":
+        return _fake_decode(blob, width, height)
+    return decode_image(blob, width, height)
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """mapInPandas feature extraction over binary media columns.
 
@@ -475,20 +488,8 @@ def extract_features(media: DataFrame) -> DataFrame:
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
                 "n_bytes": pdf["content"].map(len).astype("int64"),
-                # dispatch on KIND for audio: raw PCM bytes are
-                # arbitrary and can open with an image magic ('P5',
-                # 0xFFD8 — ~1 in 32k blobs) by chance, which would
-                # send garbage into a strict container parser
-                # (surfaced by the r12 corpus-sized probe at 100×);
-                # audio's defined luma reading IS the raw-plane one
                 "mean_luma": [
-                    float(
-                        (
-                            _fake_decode(b, w, h)
-                            if k == "audio"
-                            else decode_image(b, w, h)
-                        ).mean()
-                    )
+                    float(decode_plane(k, b, w, h).mean())
                     for b, w, h, k in zip(
                         pdf["content"],
                         pdf["width"],
@@ -529,12 +530,10 @@ def _media_planes(row) -> list[np.ndarray]:
     # would send garbage into the Netpbm header parser
     if row["kind"] in ("image", "video") and blob[:2] in (b"P5", b"P6"):
         planes = parse_frames(blob)
-    elif row["kind"] == "audio":
-        # raw byte plane by definition — never magic-sniffed (random
-        # PCM can open with 0xFFD8 and would hit the JPEG parser)
-        planes = [_fake_decode(blob, row["width"], row["height"])]
     else:
-        planes = [decode_image(blob, row["width"], row["height"])]
+        planes = [
+            decode_plane(row["kind"], blob, row["width"], row["height"])
+        ]
     want = max(int(row["n_frames"]), 1)
     if len(planes) < want:
         planes = planes + [planes[-1]] * (want - len(planes))

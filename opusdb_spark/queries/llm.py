@@ -2038,9 +2038,9 @@ def llm_embedding_neardup(spark, sf_dir):
     import pandas as pd
 
     idx = _ann_index(spark, sf_dir)
-    from opusdb_spark.operators.ann_index import read_store
+    from opusdb_spark.operators.ann_index import read_index_store
 
-    bucketed = read_store(spark, idx, "lsh").select(
+    bucketed = read_index_store(spark, idx, "lsh").select(
         "vec_id", "embedding", "sig_all", "table_id", "bucket"
     )
 

@@ -217,13 +217,20 @@ def read_store(spark: SparkSession, path: str) -> DataFrame:
     serve the pre-refresh listing."""
     try:
         st = os.stat(path)
-        key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+        tag = (st.st_mtime_ns, st.st_size)
     except OSError:
         return spark.read.parquet(path)  # surface the read error as-is
+    # keyed by PATH with the stat as a replace-on-change tag (the
+    # ann_index.read_index_store convention): a rebuilt store evicts
+    # its predecessor instead of pinning dead handles for the
+    # session's lifetime — the cache is bounded by #distinct paths
     cache = _STORE_CACHE.setdefault(spark, {})
-    if key not in cache:
-        cache[key] = spark.read.parquet(path)
-    return cache[key]
+    key = os.path.abspath(path)
+    hit = cache.get(key)
+    if hit is None or hit[0] != tag:
+        hit = (tag, spark.read.parquet(path))
+        cache[key] = hit
+    return hit[1]
 
 
 def read_csv(

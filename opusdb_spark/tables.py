@@ -68,17 +68,22 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     try:
         st = os.stat(path)
-        key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+        tag = (st.st_mtime_ns, st.st_size)
     except OSError:
-        key = None  # nonexistent yet (error surfaces in the read below)
+        tag = None  # nonexistent yet (error surfaces in the read below)
+    # keyed by PATH with the stat as a replace-on-change tag: a
+    # rewritten table evicts its predecessor's handle instead of
+    # pinning it for the session's lifetime (bounded by #tables)
     cache = _TABLE_CACHE.setdefault(spark, {})
-    if key is not None and key in cache:
-        return cache[key]
+    key = os.path.abspath(path)
+    hit = cache.get(key)
+    if tag is not None and hit is not None and hit[0] == tag:
+        return hit[1]
     df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr(_EVENTS_TS_EXPR))
-    if key is not None:
-        cache[key] = df
+    if tag is not None:
+        cache[key] = (tag, df)
     return df
 
 

@@ -58,10 +58,10 @@ def test_pq_codes_match_numpy_reference(spark):
     books = ann_index.load_codebooks(idx)
     d = books.shape[2]
     rows = (
-        ann_index.read_store(spark, idx, "pq")
+        ann_index.read_index_store(spark, idx, "pq")
         .filter(F.col("vec_id") < 5)
         .join(
-            ann_index.read_store(spark, idx, "by_id").filter(
+            ann_index.read_index_store(spark, idx, "by_id").filter(
                 F.col("vec_id") < 5
             ),
             "vec_id",
@@ -110,7 +110,7 @@ def test_ivfpq_scans_stay_pruned(spark):
 
     idx = _index(spark)
     p = (
-        ann_index.read_store(spark, idx, "pq")
+        ann_index.read_index_store(spark, idx, "pq")
         .filter(F.col("cell").isin([0, 1]))
         ._jdf.queryExecution()
         .executedPlan()
@@ -119,7 +119,7 @@ def test_ivfpq_scans_stay_pruned(spark):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", p.replace("\n", " "))
     assert m and "cell" in m.group(1), "pq candidate scan not pruned"
     p2 = (
-        ann_index.read_store(spark, idx, "by_id")
+        ann_index.read_index_store(spark, idx, "by_id")
         .filter(F.col("vec_id").isin([1, 2, 3]))
         ._jdf.queryExecution()
         .executedPlan()

@@ -397,10 +397,18 @@ def agg_kmv_set_ops(spark, sf_dir):
     """
     import os as _os
 
+    from opusdb_spark.sources.formats import read_store
+
     state = ensured_kmv_state(spark, sf_dir)
-    n = spark.read.parquet(_os.path.join(state, "n"))
-    sketch = spark.read.parquet(_os.path.join(state, "sketch"))
-    exact_i = spark.read.parquet(_os.path.join(state, "exact"))
+    # read_store, not raw read.parquet (r12 handle memo, extended here
+    # per VERDICT r12 ask #1): the KMV state is a write-once
+    # ensure_written artifact, so the three sub-store reads were paying
+    # three footer-read jobs (~100 ms scheduler floor each at sf1) per
+    # query build — the cost class the r12 memo removed elsewhere, and
+    # the attributed cause of this key's 0.51→0.69 s sf1 delta.
+    n = read_store(spark, _os.path.join(state, "n"))
+    sketch = read_store(spark, _os.path.join(state, "sketch"))
+    exact_i = read_store(spark, _os.path.join(state, "exact"))
     pairs = (
         n.select(F.col("event_type").alias("type_a"))
         .join(

@@ -193,6 +193,44 @@ def read_parquet(spark: SparkSession, path: str, schema: StructType | None = Non
     return reader.parquet(path)
 
 
+def store_stat_tag(path: str) -> tuple | None:
+    """Invalidation tag for a memoized read handle, or None when the
+    path does not exist.
+
+    (mtime_ns, size, ino) of the path itself, plus — for directories —
+    a fingerprint of the DIRECT children (sorted name/mtime_ns/size
+    triples). The child scan makes invalidation granularity-independent
+    (ADVICE r12): a delete-and-rewrite that completes within one
+    coarse filesystem timestamp tick with unchanged directory size
+    would leave the top-level (mtime_ns, size) pair intact, but it
+    cannot leave every child's stat intact too, and a recreate flips
+    the inode. One level suffices for parquet store layouts: data
+    files or hive partition dirs are direct children, and rewriting a
+    file INSIDE `day=X/` updates `day=X`'s own mtime (entry
+    create/delete bumps the containing dir), so even a two-level
+    in-place partition refresh lands in the tag. Pure os.stat work —
+    no Spark job, microseconds per call."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    if not os.path.isdir(path):
+        return (st.st_mtime_ns, st.st_size, st.st_ino)
+    children = []
+    try:
+        with os.scandir(path) as it:
+            for e in it:
+                try:
+                    cs = e.stat(follow_symlinks=False)
+                    children.append((e.name, cs.st_mtime_ns, cs.st_size))
+                except OSError:
+                    children.append((e.name, -1, -1))
+    except OSError:
+        pass
+    children.sort()
+    return (st.st_mtime_ns, st.st_size, st.st_ino, hash(tuple(children)))
+
+
 # Same memo as tables._TABLE_CACHE, for write-once ingest-ARTIFACT
 # stores (signature/fingerprint stores, graph edges, mv partials): every
 # schema-inferring spark.read.parquet launches one footer-read job —
@@ -211,14 +249,14 @@ _STORE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
 def read_store(spark: SparkSession, path: str) -> DataFrame:
     """Memoized `spark.read.parquet` for immutable-once-written stores.
 
-    Do NOT use for stores refreshed IN PLACE (dynamic partition
-    overwrite — see read_rollup): an in-place partition refresh can
-    leave the top-level directory stat unchanged and the memo would
-    serve the pre-refresh listing."""
-    try:
-        st = os.stat(path)
-        tag = (st.st_mtime_ns, st.st_size)
-    except OSError:
+    Stores refreshed IN PLACE (dynamic partition overwrite) should
+    still prefer an EXPLICIT version channel (read_rollup's sidecar
+    counter) — the store_stat_tag child scan does catch a partition
+    refresh (the rewritten partition dir's own mtime changes), but a
+    writer-owned counter states the invalidation contract rather than
+    deriving it from filesystem behavior."""
+    tag = store_stat_tag(path)
+    if tag is None:
         return spark.read.parquet(path)  # surface the read error as-is
     # keyed by PATH with the stat as a replace-on-change tag (the
     # ann_index.read_index_store convention): a rebuilt store evicts

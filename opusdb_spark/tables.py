@@ -43,7 +43,7 @@ _EVENTS_TS_EXPR = (
 
 
 # DataFrame-handle memo, keyed per live session (weak: a stopped
-# session's entries die with it) then by (abspath, mtime_ns, size) so a
+# session's entries die with it) then by (abspath, store_stat_tag) so a
 # rewritten store — ensure_written rebuilds bump the directory mtime —
 # can never serve a stale file listing. Why this exists (r12, the
 # VERDICT r11 TPC-H-drift investigation): every `spark.read.parquet`
@@ -64,13 +64,15 @@ _TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table with normalized schema."""
+    from opusdb_spark.sources.formats import store_stat_tag
+
     apply_runtime_confs(spark)
     path = f"{sf_dir}/{name}.parquet"
-    try:
-        st = os.stat(path)
-        tag = (st.st_mtime_ns, st.st_size)
-    except OSError:
-        tag = None  # nonexistent yet (error surfaces in the read below)
+    # content-derived tag (ADVICE r12): mtime_ns+size+ino for the
+    # single-file testdata tables, plus a child-stat fingerprint when
+    # a table is a parquet DIRECTORY — invalidation no longer depends
+    # on filesystem timestamp granularity
+    tag = store_stat_tag(path)  # None -> nonexistent (read error below)
     # keyed by PATH with the stat as a replace-on-change tag: a
     # rewritten table evicts its predecessor's handle instead of
     # pinning it for the session's lifetime (bounded by #tables)

@@ -2875,3 +2875,171 @@ def test_delete_vectors_sidecar_invalidates_on_store_rebuild(spark):
 
     got = sorted(map(tuple, q(spark, SF).collect()))
     assert got == expect
+
+
+# -------------------------- handle-memo staleness regression (r13)
+# VERDICT r12 ask #4: the in-place-refresh hazard was guarded only by
+# a comment ("do not route the rollup store through read_store"). The
+# r13 design replaces the convention with a writer-owned version
+# sidecar; these tests FAIL if any future change lets a memoized
+# handle serve a pre-refresh file listing.
+
+
+def test_rollup_memo_sees_in_place_refresh(spark, tmp_path):
+    """read_rollup is handle-memoized by the writer-bumped version
+    sidecar. Every maintenance mode (refresh fold, backfill replace,
+    clear-and-rebuild) must invalidate the memo in the SAME session —
+    a stale hit here is a silent wrong answer, the exact bug class the
+    r12 comment warned about."""
+    import shutil
+    from datetime import date, datetime
+
+    from pyspark.sql import functions as F
+
+    from opusdb_spark.operators import rollup
+
+    def ev(rows):
+        return spark.createDataFrame(
+            rows,
+            "ts timestamp, event_type string, value double, user_id long",
+        )
+
+    store = str(tmp_path / "roll_memo")
+    base = ev(
+        [
+            (datetime(2024, 1, d, h), "a", float(d), d)
+            for d in (1, 2)
+            for h in (0, 12)
+        ]
+    )
+    rollup.build_rollup(base, store)
+    v1 = rollup.store_version(store)
+    assert v1 is not None, "build_rollup must write the version sidecar"
+
+    def day_counts():
+        return {
+            str(r.day): r.n_events
+            for r in rollup.read_rollup(spark, store)
+            .groupBy("day")
+            .agg(F.sum("n_events").alias("n_events"))
+            .collect()
+        }
+
+    assert day_counts() == {"2024-01-01": 2, "2024-01-02": 2}
+    # unchanged version -> the SAME resolved handle (no footer re-read)
+    assert rollup.read_rollup(spark, store) is rollup.read_rollup(
+        spark, store
+    )
+
+    # in-place fold: dynamic partition overwrite of day 2 only — the
+    # top-level directory stat may not change, the sidecar MUST
+    rollup.refresh_rollup(
+        spark, store, ev([(datetime(2024, 1, 2, 6), "a", 9.0, 99)])
+    )
+    v2 = rollup.store_version(store)
+    assert v2 is not None and v2 != v1, "refresh_rollup must bump"
+    assert day_counts() == {"2024-01-01": 2, "2024-01-02": 3}, (
+        "read_rollup served a pre-refresh listing after an in-place "
+        "partition fold"
+    )
+
+    # backfill replace: day 1 recomputed from corrected raw
+    rollup.backfill_rollup(
+        spark,
+        store,
+        ev([(datetime(2024, 1, 1, 3), "a", 5.0, 5)]),
+        [date(2024, 1, 1)],
+    )
+    v3 = rollup.store_version(store)
+    assert v3 is not None and v3 != v2, "backfill_rollup must bump"
+    assert day_counts() == {"2024-01-01": 1, "2024-01-02": 3}
+
+    # clear-and-rebuild (the scratch_sink lifecycle): the counter
+    # restarts, so only the nonce distinguishes the rebuilt store from
+    # the memoized pre-clear handle — which pins now-deleted part-file
+    # names and would throw (or worse, silently read nothing) if served
+    shutil.rmtree(store)
+    rollup.build_rollup(
+        ev([(datetime(2024, 1, 7, 0), "b", 1.0, 1)]), store
+    )
+    v4 = rollup.store_version(store)
+    assert v4 is not None and v4 != v3 and v4[0] == v1[0], (
+        "rebuild restarts the counter; the nonce must still differ"
+    )
+    assert day_counts() == {"2024-01-07": 1}, (
+        "read_rollup served a handle from before the store was cleared"
+    )
+
+
+def test_rollup_read_without_sidecar_is_unmemoized(spark, tmp_path):
+    """A rollup store written by an external writer (no sidecar) must
+    fall back to a fresh read every time — never a memo hit keyed on
+    a missing version."""
+    import os
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from opusdb_spark.operators import rollup
+
+    store = str(tmp_path / "roll_foreign")
+    ev = spark.createDataFrame(
+        [(datetime(2024, 3, 1, 0), "a", 1.0, 1)],
+        "ts timestamp, event_type string, value double, user_id long",
+    )
+    rollup._partial_agg(ev).write.partitionBy("day").mode(
+        "overwrite"
+    ).parquet(store)
+    assert rollup.store_version(store) is None
+    r1 = rollup.read_rollup(spark, store)
+    assert r1.agg(F.sum("n_events")).first()[0] == 1
+    # foreign in-place rewrite with no bump: next read must see it
+    ev2 = spark.createDataFrame(
+        [
+            (datetime(2024, 3, 1, 0), "a", 1.0, 1),
+            (datetime(2024, 3, 1, 5), "a", 2.0, 2),
+        ],
+        "ts timestamp, event_type string, value double, user_id long",
+    )
+    rollup._partial_agg(ev2).write.partitionBy("day").mode(
+        "overwrite"
+    ).parquet(store)
+    assert not os.path.exists(
+        os.path.join(store, rollup._VERSION_MARKER)
+    )
+    assert (
+        rollup.read_rollup(spark, store).agg(F.sum("n_events")).first()[0]
+        == 2
+    )
+
+
+def test_read_store_tag_survives_same_tick_rewrite(spark, tmp_path):
+    """ADVICE r12: read_store's invalidation must not depend on
+    filesystem timestamp granularity. A delete-and-rewrite whose
+    top-level (mtime_ns, size) pair is forced back to the pre-rewrite
+    values — the coarse-timestamp-tick collision — must still miss the
+    memo, because the child-stat fingerprint (and inode) changed."""
+    import os
+
+    from opusdb_spark.sources.formats import read_store, store_stat_tag
+
+    store = str(tmp_path / "wo_store")
+    spark.range(3).coalesce(1).write.parquet(store)
+    st0 = os.stat(store)
+    tag0 = store_stat_tag(store)
+    h1 = read_store(spark, store)
+    assert read_store(spark, store) is h1  # memo hit while unchanged
+
+    # rewrite in place: new part-file names, then force the directory
+    # mtime back to the original tick (size of a dir inode is layout-
+    # dependent and typically unchanged anyway)
+    spark.range(5).coalesce(1).write.mode("overwrite").parquet(store)
+    os.utime(store, ns=(st0.st_atime_ns, st0.st_mtime_ns))
+    st1 = os.stat(store)
+    assert st1.st_mtime_ns == st0.st_mtime_ns  # collision simulated
+    assert store_stat_tag(store) != tag0, (
+        "child-stat fingerprint failed to distinguish the rewrite"
+    )
+    h2 = read_store(spark, store)
+    assert h2 is not h1, "read_store served the pre-rewrite listing"
+    assert h2.count() == 5

@@ -270,10 +270,12 @@ def time_query(spark, build, runs: int = _RUNS) -> tuple[float, int]:
     writeback) pins arbitrarily high no matter how many clean samples
     agree. Cross-round deltas below the spread are noise, not
     regressions."""
-    global LAST_SPREAD, LAST_SPREAD_WORST
+    global LAST_SPREAD, LAST_SPREAD_WORST, LAST_N_JOBS
     build().count()
     times: list[float] = []
     n = 0
+    sc = spark.sparkContext
+    st = sc.statusTracker()
 
     def one_run() -> None:
         nonlocal n
@@ -281,9 +283,26 @@ def time_query(spark, build, runs: int = _RUNS) -> tuple[float, int]:
         # logical plan, so the rebuilt query would hit it) — each timed
         # run must recompute everything itself.
         spark.catalog.clearCache()
+        # Job-count the timed window (VERDICT r12 ask #1): wall ≈
+        # n_jobs × per-job floor + compute, and the r12 post-mortem
+        # proved job-count × floor swings masquerade as plan drift.
+        # Counting per run via a job group costs microseconds; the
+        # count is a property of the BUILD (identical across runs on
+        # a warm session), so the last run's count is published.
+        # Group names are globally unique: the status tracker keys job
+        # ids by group NAME for the app's lifetime, so a reused name
+        # would accumulate other queries' jobs into the count.
+        _SEQ[0] += 1
+        group = f"bench_run_{_SEQ[0]}"
+        sc.setJobGroup(group, group)
         t0 = time.perf_counter()
         n = build().count()
         times.append(time.perf_counter() - t0)
+        sc.setJobGroup("bench_idle", "bench_idle")
+        try:
+            globals()["LAST_N_JOBS"] = len(st.getJobIdsForGroup(group))
+        except Exception:
+            globals()["LAST_N_JOBS"] = -1  # tracker hiccup: mark unknown
 
     for _ in range(runs):
         one_run()
@@ -303,6 +322,8 @@ def time_query(spark, build, runs: int = _RUNS) -> tuple[float, int]:
 
 LAST_SPREAD = 0.0
 LAST_SPREAD_WORST = 0.0
+LAST_N_JOBS = -1
+_SEQ = [0]
 
 
 def measure_floor_ms(spark, jobs: int = 11) -> float:
@@ -360,6 +381,7 @@ def run_ladder(spark, qs, sf1_dir: str) -> dict:
     # this VM swing with the same per-job window cost.
     sf1_floor_ms = measure_floor_ms(spark)
     print(f"# sf1 floor_ms: {sf1_floor_ms}", file=sys.stderr)
+    n_jobs: dict[str, int] = {}
     for name in SF1_LADDER:
         # best-of-3 here (vs 2 elsewhere): the sf1 ladder carries the
         # shuffle-heaviest plans, whose r7 run-to-run spreads (0.5-1.0 s
@@ -371,9 +393,10 @@ def run_ladder(spark, qs, sf1_dir: str) -> dict:
         )
         spreads[name] = LAST_SPREAD
         spreads_w[name] = LAST_SPREAD_WORST
+        n_jobs[name] = LAST_N_JOBS
         print(
             f"# sf1 {name}: {timings[name]:.3f}s (spread "
-            f"{LAST_SPREAD:.3f}s, {n} rows)",
+            f"{LAST_SPREAD:.3f}s, {n} rows, {LAST_N_JOBS} jobs)",
             file=sys.stderr,
         )
     q1 = timings.get("agg_q1", 0.0)
@@ -386,6 +409,13 @@ def run_ladder(spark, qs, sf1_dir: str) -> dict:
         # noise, not regressions
         "spread": spreads,
         "spread_worst": spreads_w,
+        # Per-slot JOB COUNTS (VERDICT r12 ask #1): the sf1 slots that
+        # rebuild/read .scratch stores inside the timed window pay
+        # multiple write/collect/footer jobs per run, so their walls
+        # carry an n_jobs × per-job-floor term that swings with the
+        # window. With n_jobs in the artifact, an above-spread delta
+        # decomposes as Δwall ≈ n_jobs × Δfloor without re-running.
+        "n_jobs": n_jobs,
         "lineitem_rows": lineitem_rows,
         "q1_rows_per_sec": int(lineitem_rows / q1) if q1 else 0,
     }
@@ -428,17 +458,19 @@ def _compact(out: dict) -> dict:
     all_spreads = dict(out.get("spread", {}))
     all_spreads.update(out.get("tpch", {}).get("spread", {}))
     all_spreads.update(out.get("sf1", {}).get("spread", {}))
-    all_spreads_w = dict(out.get("spread_worst", {}))
-    all_spreads_w.update(out.get("tpch", {}).get("spread_worst", {}))
-    all_spreads_w.update(out.get("sf1", {}).get("spread_worst", {}))
+    # r13 budget reclamation (the sf1 spread/n_jobs maps cost ~170
+    # chars and r12's line ran 1938/1950): `timing` is constant since
+    # r10 and `max_spread_w` was a two-round transition aid — both
+    # stay in the detail file but leave the line permanently; the
+    # headline per-query map drops to 2dp (its drift adjudications
+    # have all been at the 0.1 s floor scale, never the third digit).
     line = {
         "metric": out["metric"],
         "value": out["value"],
         "unit": out["unit"],
-        "timing": out["timing"],
         "sf": out["sf"],
         "q1_rows_per_sec": out["q1_rows_per_sec"],
-        "queries": {k: round(v, 3) for k, v in out["queries"].items()},
+        "queries": {k: round(v, 2) for k, v in out["queries"].items()},
     }
     # Window-noise calibration (VERDICT r10 §3): median no-op job cost
     # measured inside this run — separates a uniformly slow window
@@ -452,14 +484,6 @@ def _compact(out: dict) -> dict:
     if all_spreads:
         worst = max(all_spreads, key=all_spreads.get)
         line["max_spread"] = {worst: all_spreads[worst]}
-    # Both spread definitions published (ADVICE r10): max_spread is
-    # second_best−best (reproducibility of the reported minimum,
-    # since r10); max_spread_w is the pre-r10 worst−best definition,
-    # kept so spread deltas across the protocol change stay
-    # comparable from the artifact alone.
-    if all_spreads_w:
-        worst_w = max(all_spreads_w, key=all_spreads_w.get)
-        line["max_spread_w"] = {worst_w: all_spreads_w[worst_w]}
 
     def _qnum(maps: dict) -> dict:
         # "tpch_q21" -> "21": the per-query tpch map fits the budget
@@ -495,6 +519,41 @@ def _compact(out: dict) -> dict:
             "tpch_total": out["sf1"]["tpch"]["total"],
             "tpch_q": _qnum(out["sf1"]["tpch"]["queries"]),
         }
+        # sf1 noise visibility (VERDICT r12 ask #2): the ladder's
+        # noisiest slots (llm_decontaminate worst 5.37 s in r12) have
+        # swung with the window for three rounds, and adjudicating
+        # them required `.scratch` access. Publish the 3 widest
+        # per-query spreads in the PARSED line so a delta is
+        # separable from plans using the artifact alone. WORST−best
+        # (hence the _w suffix), not second_best−best: every r10–r12
+        # swing adjudication used the worst-case bound, because a
+        # best-of-3 minimum can regress by up to the full sampling
+        # noise, which second_best−best under-states.
+        sf1_sp = out["sf1"].get("spread_worst", {})
+        top3 = sorted(sf1_sp, key=sf1_sp.get, reverse=True)[:3]
+        if top3:
+            line["sf1"]["spread_w"] = {
+                k: round(sf1_sp[k], 2) for k in top3
+            }
+            # the global max_spread has been an sf1 slot every round
+            # since the ladder landed; when that slot already appears
+            # in sf1.spread_w (which bounds it from above — worst ≥
+            # second_best), the global copy is redundant and its ~50
+            # chars buy the extra sf1 entries
+            if set(line.get("max_spread", {})) <= set(top3):
+                line.pop("max_spread", None)
+        # Job counts for the store-backed watch-listed slots (VERDICT
+        # r12 ask #1): their walls carry an n_jobs × floor term, and
+        # the count in the line makes Δwall ≈ n_jobs × Δfloor
+        # checkable without the detail file. Full map in the detail.
+        sf1_nj = out["sf1"].get("n_jobs", {})
+        watch = {
+            k: sf1_nj[k]
+            for k in ("agg_kmv_set_ops", "events_rollup_incremental")
+            if k in sf1_nj
+        }
+        if watch:
+            line["sf1"]["n_jobs"] = watch
     # Progressive trim to budget — each step removes one verbose map.
     # The sf0.1 tpch per-query map outranks the sf1 maps now: it is the
     # round-over-round drift localizer the r9 verdict asked for.
@@ -505,11 +564,43 @@ def _compact(out: dict) -> dict:
     # tpch per-query map, because the r10/r11 drift adjudications
     # consumed the floors, and the sf1 tpch numbers live in
     # .scratch/bench_detail.json which the judge reads.
+    # r13 additions slot between tpch_q and the per-query maps: the
+    # sf1 spread/n_jobs entries are this round's adjudication data
+    # (they outrank the sf1 tpch per-query map, which the detail file
+    # also carries), but the per-query timing maps are still the
+    # primary drift localizers. The spread map degrades 3→1 entries
+    # before disappearing.
+    def _shrink_sf1_spread() -> None:
+        # one entry at a time, least-noisy first: fat rounds degrade
+        # 3→2→1 instead of losing the map wholesale
+        sp = line.get("sf1", {}).get("spread_w", {})
+        if len(sp) > 1:
+            sp.pop(min(sp, key=sp.get))
+        else:
+            line.get("sf1", {}).pop("spread_w", None)
+
+    def _shrink_njobs() -> None:
+        # degrade to the single still-unattributed watch slot before
+        # dropping the count channel entirely (agg_kmv_set_ops' delta
+        # is already explained by the r13 read_store fix)
+        nj = line.get("sf1", {}).get("n_jobs", {})
+        if len(nj) > 1 and "events_rollup_incremental" in nj:
+            line["sf1"]["n_jobs"] = {
+                "events_rollup_incremental": nj[
+                    "events_rollup_incremental"
+                ]
+            }
+        else:
+            line.get("sf1", {}).pop("n_jobs", None)
+
     trims = [
-        lambda: line.pop("max_spread_w", None),
         lambda: line.pop("floor_end_ms", None),
         lambda: line.get("sf1", {}).pop("tpch_q", None),
-        lambda: line.pop("timing", None),  # constant since r10
+        _shrink_njobs,
+        _shrink_sf1_spread,
+        _shrink_sf1_spread,
+        _shrink_njobs,
+        _shrink_sf1_spread,
         lambda: line.get("sf1", {}).pop("queries", None),
         lambda: line.get("tpch", {}).pop("q", None),
         lambda: line.pop("queries", None),

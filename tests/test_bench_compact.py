@@ -62,6 +62,7 @@ def _detail() -> dict:
             "queries": sf1,
             "spread": {k: 0.1234 for k in bench.SF1_LADDER},
             "spread_worst": {k: 1.5678 for k in bench.SF1_LADDER},
+            "n_jobs": {k: 123 for k in bench.SF1_LADDER},
             "floor_ms": 123.4,
             "lineitem_rows": 60000000,
             "q1_rows_per_sec": 9876543,
@@ -95,6 +96,19 @@ def test_compact_line_fits_and_keeps_drift_localizers():
     # window-health floors
     assert "floor_ms" in line
     assert "floor_ms" in line.get("tpch", {})
+    # r13 sf1 noise/attribution channel (VERDICT r12 asks #1/#2):
+    # even in this worst-case-shaped detail, the WIDEST sf1 spread and
+    # the n_jobs count for the unattributed store-backed slot must
+    # survive the trim ladder — they are the fields that let a judge
+    # separate an sf1 swing from plan drift using the line alone.
+    sp = line.get("sf1", {}).get("spread_w", {})
+    assert sp, "sf1.spread_w fully trimmed"
+    # all spreads equal in this fixture; require ≥1 entry carrying
+    # the fixture's worst-def value
+    assert any(abs(v - 1.57) < 0.01 for v in sp.values())
+    assert "events_rollup_incremental" in line.get("sf1", {}).get(
+        "n_jobs", {}
+    ), "watch-slot n_jobs trimmed"
 
 
 def test_compact_line_survives_missing_sections():

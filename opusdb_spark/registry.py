@@ -112,24 +112,22 @@ def _load() -> None:
 # rows-only query (err == "no_oracle") that ran and reported a row
 # count. Harmless if the consumer sorts or completes the full sweep.
 
-# Round 12: queries whose plans/oracles/values changed this round ->
-# jump the queue. Kept deliberately SHORT (the r10/r11 discipline that
-# drained 43 stale keys) so the driver's ~50-key sweep budget finishes
-# the ≤r4 backlog (VERDICT r11 ask #2: re-verdict >=35, none older
-# than r5 after this round).
+# Round 13: queries whose read paths changed this round -> jump the
+# queue. Kept deliberately SHORT (the r10-r12 discipline that drained
+# the stale backlog) so the driver's ~50-key sweep budget keeps the
+# rotation turning through the r5-era cohort (VERDICT r12 ask #3:
+# re-verdict >=30 of the 31 keys now at r5; oldest >= r7 after this
+# round). Values and plans are unchanged for both keys below — the
+# memoized handles return the same logical scan — but their store
+# reads were rewired (read_store / version-sidecar memo), so a fresh
+# driver verdict should confirm it.
 _RECENTLY_CHANGED: tuple[str, ...] = (
-    # rows-only -> hash-oracle upgrade (r12): probabilities snap to
-    # the 6-dp grid inside the GD loop, so the full 5-iteration
-    # recurrence (weights/bias/loss/accuracy) replays in DuckDB
-    "llm_quality_classifier",
-    # trainer change above retrains the persisted model artifact
-    # (TRAIN_VERSION fingerprint bump) -> scored values shift
-    "llm_quality_classifier_score",
-    # media corpus-sized from the documents footer (was fixed n) and
-    # the synthesis mix now cycles SA-progressive JPEG depths
-    "multimodal_features",
-    "multimodal_resize",
-    "multimodal_audio_energy",
+    # KMV state sub-stores now read via the read_store handle memo
+    "agg_kmv_set_ops",
+    # rollup store reads now memoized on the writer-bumped version
+    # sidecar (also exercised by events_rollup_windows/backfill paths,
+    # but this key drives the full build+refresh+read lifecycle)
+    "events_rollup_incremental",
 )
 
 _CORRECTNESS_RE = re.compile(r"CORRECTNESS_r(\d+)\.json$")

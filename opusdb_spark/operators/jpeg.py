@@ -361,10 +361,35 @@ class _BitReader:
         return (self.acc >> self.n) & 1
 
     def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
-        return v
+        # fill to >=k then extract in ONE shift/mask — value bits
+        # always exist in a well-formed stream, so this path stays
+        # STRICT (a marker mid-value propagates as _MarkerHit).
+        # Batch extraction replaced the per-bit loop in r13: the
+        # Huffman bit-walk was the measured hot residue of the
+        # multimodal decode family (VERDICT r12 ask #5).
+        while self.n < k:
+            self._fill()
+        self.n -= k
+        return (self.acc >> self.n) & ((1 << k) - 1)
+
+    def peek16(self) -> int:
+        """Top 16 unconsumed bits, padding with 1-bits past the scan's
+        trailing marker (T.81 pads entropy data with 1s, so a decoder
+        peeking into the pad sees exactly what the spec's serial
+        decoder sees). Padding is PEEK-only bookkeeping: a well-formed
+        stream's symbols consume only real bits, and `pos` never
+        advances past the marker, so restart/scan-end handling is
+        unchanged."""
+        while self.n < 16:
+            try:
+                self._fill()
+            except _MarkerHit:
+                self.acc = (self.acc << 8) | 0xFF
+                self.n += 8
+        return (self.acc >> (self.n - 16)) & 0xFFFF
+
+    def consume(self, k: int) -> None:
+        self.n -= k
 
     def align_past_rst(self) -> None:
         """Byte-align and consume one RSTn marker."""
@@ -381,28 +406,57 @@ class _MarkerHit(Exception):
         self.pos = pos
 
 
-def _decode_tree(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol for a canonical table."""
-    out: dict[tuple[int, int], int] = {}
+# Flat 16-bit Huffman lookup (r13, VERDICT r12 ask #5): the serial
+# per-bit tree walk (≤16 bit() calls + dict probes per symbol) was the
+# measured hot residue of the multimodal decode family. A canonical
+# code of length L owns the 2^(16-L) table slots whose top L bits are
+# its code word, so ONE peek16 + two list lookups decode any symbol.
+# Tables are cached by content — the corpus reuses the standard
+# tables, so the 65k-slot build is paid once per process, not per
+# image. Plain Python lists, not numpy: scalar indexing of a list is
+# ~3× faster than numpy scalar extraction, and the decode loop is
+# scalar by nature.
+_LUT_CACHE: dict[tuple, tuple[list[int], list[int]]] = {}
+
+
+def _decode_tree(
+    bits: list[int], vals: list[int]
+) -> tuple[list[int], list[int]]:
+    """(symbol[65536], code_length[65536]) for a canonical table;
+    length 0 marks an invalid prefix."""
+    key = (tuple(bits), tuple(vals))
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sym = np.zeros(1 << 16, dtype=np.int32)
+    ln = np.zeros(1 << 16, dtype=np.int32)
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            out[(length, code)] = vals[k]
+            lo = code << (16 - length)
+            hi = lo + (1 << (16 - length))
+            sym[lo:hi] = vals[k]
+            ln[lo:hi] = length
             code += 1
             k += 1
         code <<= 1
+    if len(_LUT_CACHE) >= 64:  # bounded: tables are tiny in variety
+        _LUT_CACHE.clear()
+    out = (sym.tolist(), ln.tolist())
+    _LUT_CACHE[key] = out
     return out
 
 
-def _read_symbol(br: _BitReader, tree: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.bit()
-        sym = tree.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code in JPEG stream")
+def _read_symbol(
+    br: _BitReader, tree: tuple[list[int], list[int]]
+) -> int:
+    idx = br.peek16()
+    length = tree[1][idx]
+    if length == 0:
+        raise ValueError("invalid Huffman code in JPEG stream")
+    br.consume(length)
+    return tree[0][idx]
 
 
 def _extend(v: int, s: int) -> int:
@@ -514,6 +568,11 @@ def _decode_scan(blob, pos, frame, scan, qtabs, restart):
     br = _BitReader(blob, pos)
     pred = [0] * len(comps)
     mcu_count = 0
+    # luma coefficient rows accumulate here and dequant+IDCT runs
+    # BATCHED after the entropy walk (r13): per-block 8×8 matmuls
+    # spent more time in numpy dispatch than in arithmetic
+    zz_rows: list[list[int]] = []
+    zz_pos: list[tuple[int, int]] = []
     for my in range(mcuy):
         for mx in range(mcux):
             if restart and mcu_count and mcu_count % restart == 0:
@@ -524,7 +583,7 @@ def _decode_scan(blob, pos, frame, scan, qtabs, restart):
                 hs, vs = comps[ci][1], comps[ci][2]
                 for by in range(vs):
                     for bx in range(hs):
-                        zz = np.zeros(64, dtype=np.float64)
+                        zz = [0] * 64
                         s = _read_symbol(br, dct)
                         diff = _extend(br.bits(s), s) if s else 0
                         pred[ci] += diff
@@ -543,15 +602,24 @@ def _decode_scan(blob, pos, frame, scan, qtabs, restart):
                             k += 1
                         if ci != ci0:
                             continue  # chroma decoded, discarded
-                        blk = np.zeros(64, dtype=np.float64)
-                        # DQT payloads list the table in ZIGZAG order
-                        # (T.81 B.2.4.1), so dequant pairs scan index
-                        # k with table byte k
-                        blk[ZIGZAG] = zz * qt[ci]
-                        pix = _D8.T @ blk.reshape(8, 8) @ _D8 + 128.0
-                        y0 = (my * v0 + by) * 8
-                        x0 = (mx * h0 + bx) * 8
-                        Y[y0 : y0 + 8, x0 : x0 + 8] = pix
+                        zz_rows.append(zz)
+                        zz_pos.append(
+                            ((my * v0 + by) * 8, (mx * h0 + bx) * 8)
+                        )
+    if zz_rows:
+        Z = np.array(zz_rows, dtype=np.float64)
+        B = np.zeros((len(zz_rows), 64), dtype=np.float64)
+        # DQT payloads list the table in ZIGZAG order (T.81 B.2.4.1),
+        # so dequant pairs scan index k with table byte k
+        B[:, ZIGZAG] = Z * qt[ci0]
+        pix = (
+            np.einsum(
+                "ij,njk,kl->nil", _D8.T, B.reshape(-1, 8, 8), _D8
+            )
+            + 128.0
+        )
+        for (y0, x0), p in zip(zz_pos, pix):
+            Y[y0 : y0 + 8, x0 : x0 + 8] = p
     out = np.clip(np.floor(Y + 0.5), 0, 255).astype(np.uint8)
     return out[:h, :w].copy()
 
@@ -804,18 +872,25 @@ def _assemble_progressive(frame, coeffs, qtabs) -> np.ndarray:
     _, h0, v0, tq = comps[0]
     qt = qtabs[tq].astype(np.float64)
     by_n, bx_n, _ = coeffs[0].shape
-    Y = np.empty((by_n * 8, bx_n * 8), dtype=np.float64)
     # coefficients are stored in NATURAL (row-major) order — ZIGZAG was
     # applied at scan-decode time — so dequant is elementwise against
     # the natural-order quant table
     nat_q = np.empty(64, dtype=np.float64)
     nat_q[ZIGZAG] = qt
-    for by in range(by_n):
-        for bx in range(bx_n):
-            blk = coeffs[0][by, bx].astype(np.float64) * nat_q
-            Y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                _D8.T @ blk.reshape(8, 8) @ _D8 + 128.0
-            )
+    # one batched dequant + IDCT over the whole block grid (r13):
+    # einsum over (by, bx, 8, 8) replaces per-block matmuls, then the
+    # (by,8,bx,8) transpose lays blocks out in raster order
+    blk = coeffs[0].astype(np.float64) * nat_q
+    pix = (
+        np.einsum(
+            "ij,yxjk,kl->yxil",
+            _D8.T,
+            blk.reshape(by_n, bx_n, 8, 8),
+            _D8,
+        )
+        + 128.0
+    )
+    Y = pix.transpose(0, 2, 1, 3).reshape(by_n * 8, bx_n * 8)
     out = np.clip(np.floor(Y + 0.5), 0, 255).astype(np.uint8)
     ch = -(-h * v0 // vmax)
     cw = -(-w * h0 // hmax)

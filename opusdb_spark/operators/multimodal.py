@@ -55,6 +55,8 @@ MEDIA_SCHEMA = StructType(
     ]
 )
 
+MEDIA_COLUMNS = [f.name for f in MEDIA_SCHEMA]
+
 FEATURE_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -70,10 +72,21 @@ def synthesize_media(spark, n: int = 256) -> DataFrame:
     """Deterministic fake media table (seeded by media_id) so the binary
     pipeline is exercisable without real assets."""
 
+    # Yield in BYTES-BOUNDED chunks, mirroring the session-level
+    # maxBytesPerBatch cap (session.py): the JVM-side cap governs
+    # batches it SENDS to Python, but a kernel's OUTPUT is written as
+    # one Arrow batch per yielded frame — a 10k-row input batch would
+    # emit one ~60 MB binary batch, crossing netty's 16 MB pooled-
+    # chunk limit on the receiving side and re-entering the 19×
+    # copy-on-grow cliff the conf removed (measured on the chained
+    # synth→resize plan, which never touches parquet between stages).
+    _CHUNK_BYTES = 4 << 20
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["id"].to_numpy()
             rows = []
+            out_bytes = 0
             for i in ids:
                 rng = np.random.RandomState(int(i) % (2**31))
                 kind = ["image", "audio", "video"][int(i) % 3]
@@ -126,17 +139,12 @@ def synthesize_media(spark, n: int = 256) -> DataFrame:
                 else:  # audio: raw headerless byte plane
                     blob = rng.bytes(w * h)
                 rows.append((int(i), kind, blob, w, h, n_frames))
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id",
-                    "kind",
-                    "content",
-                    "width",
-                    "height",
-                    "n_frames",
-                ],
-            )
+                out_bytes += len(blob)
+                if out_bytes >= _CHUNK_BYTES:
+                    yield pd.DataFrame(rows, columns=MEDIA_COLUMNS)
+                    rows, out_bytes = [], 0
+            if rows:
+                yield pd.DataFrame(rows, columns=MEDIA_COLUMNS)
 
     # Partition count sized to the data: ~32 rows per partition for
     # tiny fixtures (32 near-empty partitions × 2 chained mapInPandas

@@ -128,6 +128,15 @@ _RECENTLY_CHANGED: tuple[str, ...] = (
     # sidecar (also exercised by events_rollup_windows/backfill paths,
     # but this key drives the full build+refresh+read lifecycle)
     "events_rollup_incremental",
+    # decode path rewired (r13 scale work): 16-bit LUT Huffman decode
+    # + batched IDCT in jpeg.py, bytes-bounded synthesis yields, and
+    # the session-level Arrow maxBytesPerBatch cap — outputs are
+    # bit-identical by design (LUT decode is exact; batching is
+    # boundary-invariant), which the driver re-run should confirm
+    "multimodal_features",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "multimodal_audio_energy",
 )
 
 _CORRECTNESS_RE = re.compile(r"CORRECTNESS_r(\d+)\.json$")

@@ -32,6 +32,22 @@ RUNTIME_CONFS = {
     # into data-proportional tasks; large-file scans are unaffected
     # (their split count is governed by maxPartitionBytes).
     "spark.sql.files.openCostInBytes": "65536",
+    # Arrow batches sized by BYTES, 4× under the allocator cliff
+    # (r13, the multimodal_resize scale-headroom decomposition): a
+    # JVM→Python transfer of ~6 KB binary blobs at the default caps
+    # (10k records / 64 MB per batch) builds ~60 MB variable-width
+    # Arrow vectors, which exceed netty's 16 MB pooled-chunk limit
+    # and fall into unpooled copy-on-grow allocations — measured 19×
+    # on the transfer alone (2.9 GB media table, 32 cores: 66.6 s at
+    # the default vs 1.8 s at ≤16 MB; the whole stored-media resize
+    # pass 84.6 s → 32.0 s, leaving the Python codec as the honest
+    # bottleneck). 4 MB keeps even a 2× vector-grow overshoot inside
+    # the pooled range. Row-count batching still caps narrow tables
+    # (10k rows of scalar columns ≪ 4 MB), so only wide-binary
+    # transfers change batch shape; every kernel in this repo is
+    # batch-boundary-invariant (per-row outputs, iterator-level
+    # accumulators, or per-group applyInPandas).
+    "spark.sql.execution.arrow.maxBytesPerBatch": "4m",
     # Partition discovery over those same stores: above this many
     # partition directories Spark launches a distributed listing JOB,
     # whose ~#dirs scheduling overhead (measured 4-5 s per

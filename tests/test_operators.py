@@ -3043,3 +3043,24 @@ def test_read_store_tag_survives_same_tick_rewrite(spark, tmp_path):
     h2 = read_store(spark, store)
     assert h2 is not h1, "read_store served the pre-rewrite listing"
     assert h2.count() == 5
+
+
+def test_runtime_confs_pin_arrow_byte_cap():
+    """The Arrow byte-cap (session.py RUNTIME_CONFS) guards a measured
+    19× JVM→Python transfer cliff on binary-blob tables: batches above
+    netty's 16 MB pooled-chunk limit fall into unpooled copy-on-grow
+    allocations. A perf cliff can't be unit-timed reliably, so pin the
+    CONF: it must be present and strictly below the 16 MB limit (with
+    2× headroom for vector-grow overshoot)."""
+    from opusdb_spark.session import RUNTIME_CONFS
+
+    cap = RUNTIME_CONFS.get("spark.sql.execution.arrow.maxBytesPerBatch")
+    assert cap is not None, "arrow byte cap dropped from RUNTIME_CONFS"
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "b": 1}
+    v = cap.strip().lower()
+    mult = units.get(v[-1], 1)
+    num = v[:-1] if v[-1] in units else v
+    assert int(num) * mult <= (8 << 20), (
+        f"arrow byte cap {cap} leaves <2x headroom under the 16 MB "
+        "netty pooled-chunk limit"
+    )

@@ -466,7 +466,11 @@ def _compact(out: dict) -> dict:
     # have all been at the 0.1 s floor scale, never the third digit).
     line = {
         "metric": out["metric"],
-        "value": out["value"],
+        # 3dp suffices everywhere below: every published adjudication
+        # works at the 0.1 s floor scale, and the shaved digits are
+        # exactly the budget that keeps the 2nd/3rd sf1.spread_w
+        # entries through the trim ladder in marginal rounds
+        "value": round(out["value"], 3),
         "unit": out["unit"],
         "sf": out["sf"],
         "q1_rows_per_sec": out["q1_rows_per_sec"],
@@ -503,7 +507,7 @@ def _compact(out: dict) -> dict:
         # local floor, and the micro-batch count so the trend is
         # explainable from the parsed artifact without stderr access.
         line["streaming"] = {
-            "sec": out["streaming"]["sec"],
+            "sec": round(out["streaming"]["sec"], 2),
             "spread": round(out["streaming"]["spread"], 3),
             "floor_ms": round(out["streaming"]["floor_ms"]),
             "n_batches": out["streaming"]["n_batches"],
@@ -516,7 +520,7 @@ def _compact(out: dict) -> dict:
             },
             "floor_ms": round(out["sf1"].get("floor_ms", 0)),
             "q1_rows_per_sec": out["sf1"]["q1_rows_per_sec"],
-            "tpch_total": out["sf1"]["tpch"]["total"],
+            "tpch_total": round(out["sf1"]["tpch"]["total"], 2),
             "tpch_q": _qnum(out["sf1"]["tpch"]["queries"]),
         }
         # sf1 noise visibility (VERDICT r12 ask #2): the ladder's

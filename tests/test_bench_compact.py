@@ -120,3 +120,28 @@ def test_compact_line_survives_missing_sections():
         line = bench._compact(dd)
         assert drop not in line
         assert len(json.dumps(line)) <= bench._FINAL_LINE_BUDGET
+
+
+def test_time_query_counts_jobs():
+    """time_query's job-group instrumentation (r13): after a timed
+    build, LAST_N_JOBS must hold the run's job count (≥1; the exact
+    number is AQE's business — even range().count() is 2 stage-jobs).
+    The load-bearing property is STABILITY: group names are unique per
+    run (the status tracker accumulates ids per group NAME for the
+    app's lifetime), so a repeat of the same build must report the
+    SAME count — a reused name would double it."""
+    from opusdb_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="njobs-test", master="local[2]", shuffle_partitions=2
+    )
+    try:
+        bench.time_query(spark, lambda: spark.range(100), runs=1)
+        first = bench.LAST_N_JOBS
+        assert first >= 1, first
+        bench.time_query(spark, lambda: spark.range(100), runs=1)
+        assert bench.LAST_N_JOBS == first, (
+            "job-group name reuse leaked a prior run's jobs into the count"
+        )
+    finally:
+        spark.stop()

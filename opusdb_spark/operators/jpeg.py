@@ -338,6 +338,7 @@ class _BitReader:
         self.pos = pos
         self.acc = 0
         self.n = 0
+        self.n_pad = 0  # trailing 1-pad bits peek16 appended (bottom of acc)
 
     def _fill(self) -> None:
         b = self.data[self.pos]
@@ -355,19 +356,22 @@ class _BitReader:
         self.n += 8
 
     def bit(self) -> int:
-        if self.n == 0:
+        if self.n - self.n_pad == 0:
             self._fill()
         self.n -= 1
         return (self.acc >> self.n) & 1
 
     def bits(self, k: int) -> int:
-        # fill to >=k then extract in ONE shift/mask — value bits
-        # always exist in a well-formed stream, so this path stays
-        # STRICT (a marker mid-value propagates as _MarkerHit).
+        # fill to >=k REAL bits then extract in ONE shift/mask — value
+        # bits always exist in a well-formed stream, so this path stays
+        # STRICT: a marker mid-value propagates as _MarkerHit, and
+        # peek16's speculative pad never satisfies a value read (the
+        # n_pad exclusion — without it, a truncated stream would
+        # silently yield 1-bits where the pre-LUT reader raised).
         # Batch extraction replaced the per-bit loop in r13: the
         # Huffman bit-walk was the measured hot residue of the
         # multimodal decode family (VERDICT r12 ask #5).
-        while self.n < k:
+        while self.n - self.n_pad < k:
             self._fill()
         self.n -= k
         return (self.acc >> self.n) & ((1 << k) - 1)
@@ -386,15 +390,21 @@ class _BitReader:
             except _MarkerHit:
                 self.acc = (self.acc << 8) | 0xFF
                 self.n += 8
+                self.n_pad += 8
+        # once padded, pos sits AT the marker, so every later _fill
+        # raises — real bytes can never land beneath pad bits
         return (self.acc >> (self.n - 16)) & 0xFFFF
 
     def consume(self, k: int) -> None:
         self.n -= k
+        if self.n < self.n_pad:  # corrupt stream: symbol ate into pad
+            self.n_pad = self.n
 
     def align_past_rst(self) -> None:
         """Byte-align and consume one RSTn marker."""
         self.acc = 0
         self.n = 0
+        self.n_pad = 0
         while self.data[self.pos] != 0xFF:
             self.pos += 1
         assert 0xD0 <= self.data[self.pos + 1] <= 0xD7, "expected RSTn"

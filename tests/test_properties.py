@@ -1320,3 +1320,78 @@ def test_libm_exp_log_round6_premise(spark):
         f"{boundary} grid values sit on a rounding boundary — "
         "the absorption premise is exposed on this data"
     )
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(st.integers(0, 2**32 - 1))
+def test_jpeg_huffman_lut_matches_serial_walk(seed):
+    """The r13 flat 16-bit Huffman LUT (jpeg._decode_tree) must decode
+    EXACTLY what the spec's serial per-bit tree walk decodes, for
+    random canonical tables and random bitstreams. The serial
+    reference is re-derived here from T.81's canonical-code
+    construction — an independent implementation, not the code under
+    test — so a slot-fill bug in the LUT (off-by-one code ranges,
+    wrong slot ownership, a length-0 hole where a code belongs) cannot
+    hide behind a shared helper."""
+    import random
+
+    from opusdb_spark.operators import jpeg
+
+    rng = random.Random(seed)
+    # random canonical table: choose counts per length that respect
+    # the prefix budget (Kraft sum <= 1), at least one code
+    bits = [0] * 16
+    budget = 1.0
+    n_codes = 0
+    for length in range(1, 17):
+        cap = int(budget * (1 << length)) - (1 if length == 16 else 0)
+        take = rng.randint(0, min(max(cap, 0), 8))
+        bits[length - 1] = take
+        n_codes += take
+        budget -= take / (1 << length)
+        if budget <= 0:
+            break
+    if n_codes == 0:
+        bits[8] = 1
+        n_codes = 1
+    vals = [rng.randint(0, 255) for _ in range(n_codes)]
+
+    # independent serial reference: (length, code) -> symbol
+    serial: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            serial[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+
+    lut_sym, lut_len = jpeg._decode_tree(bits, vals)
+
+    # every defined code word decodes to its symbol at its length,
+    # from EVERY 16-bit slot whose prefix it is
+    for (length, c), sym in serial.items():
+        lo = c << (16 - length)
+        for probe in (lo, lo + (1 << (16 - length)) - 1, lo + rng.randint(0, (1 << (16 - length)) - 1)):
+            assert lut_len[probe] == length, (bits, length, c)
+            assert lut_sym[probe] == sym
+
+    # random 16-bit indexes: LUT agrees with a serial walk bit-by-bit
+    for _ in range(50):
+        idx = rng.randint(0, (1 << 16) - 1)
+        c = 0
+        hit = None
+        for length in range(1, 17):
+            c = (c << 1) | ((idx >> (16 - length)) & 1)
+            if (length, c) in serial:
+                hit = (length, serial[(length, c)])
+                break
+        if hit is None:
+            assert lut_len[idx] == 0, (bits, idx)
+        else:
+            assert (lut_len[idx], lut_sym[idx]) == (hit[0], hit[1])

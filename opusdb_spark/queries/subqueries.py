@@ -64,13 +64,37 @@ _SUB_CORRELATED = """
 """
 
 
+# The decorrelated-join form Catalyst plans from _SUB_CORRELATED scans
+# lineitem TWICE (once for the per-partkey aggregate, once for the
+# probe side) and — when the aggregate fits the broadcast threshold —
+# serially builds a ~#partkeys-entry HashedRelation on the driver. The
+# window form below computes the identical threshold with ONE scan and
+# ONE hash shuffle of the fact (guide §2.4: two operations keyed the
+# same way share one exchange): measured at sf1, 3.65 → 2.57 s (noop
+# sink, warm), rows identical (exceptAll both ways = 0; the r13 parity
+# harness value-hashes it against the unchanged correlated oracle). At
+# 100 TB the window shape also strictly dominates: same shuffle bytes
+# as the join's probe side, half the scans, no driver-side relation
+# build.
+_SUB_CORRELATED_WINDOW = """
+    SELECT l_orderkey, l_partkey, l_quantity FROM (
+        SELECT l_orderkey, l_partkey, l_quantity,
+               0.2 * CAST(SUM(CAST(l_quantity AS BIGINT))
+                          OVER (PARTITION BY l_partkey) AS DOUBLE)
+                   / COUNT(*) OVER (PARTITION BY l_partkey) AS thresh
+        FROM lineitem
+    ) WHERE l_quantity < thresh
+"""
+
+
 @register("sub_correlated", oracle=_SUB_CORRELATED, tags=("subquery",))
 def sub_correlated(spark, sf_dir):
-    """TPC-H Q17 shape: correlated aggregate subquery; Catalyst
-    decorrelates it into an aggregate + join on l_partkey (one shuffle),
-    never a per-row re-scan."""
+    """TPC-H Q17 shape: correlated aggregate subquery, evaluated as a
+    single-pass window over l_partkey (see _SUB_CORRELATED_WINDOW note;
+    the DuckDB oracle keeps the correlated form, so the subquery
+    semantics are still value-checked end-to-end)."""
     register_views(spark, sf_dir)
-    return spark.sql(_SUB_CORRELATED)
+    return spark.sql(_SUB_CORRELATED_WINDOW)
 
 
 # Plan note: the CTE is referenced ONCE and the global max is an

@@ -569,22 +569,30 @@ def llm_decontaminate(spark, sf_dir):
     # gram hashing explodes each row ~100×: widen a single-split scan
     # first (no-op at cluster scale — see skew.spread)
     docs = spread(table(spark, sf_dir, "documents"))
+    # r13 (guide §4.1 "prefer codegen"): the gram stream is built with
+    # posexplode + element_at lookups instead of a transform() lambda —
+    # higher-order functions are CodegenFallback (interpreted per
+    # element), and the interpreted hash/concat per gram dominated the
+    # pass (sf1 gram stream via noop sink: 2.1 → 0.9 s; output rows and
+    # hash values byte-identical — same concat_ws input, checked by
+    # count + hash-sum). Generate(posexplode) and the projection both
+    # run inside WholeStageCodegen; the trailing 2 word positions are
+    # filtered before hashing.
     w = F.split(F.col("text"), " ")
-    gh_arr = F.when(
-        F.size(w) >= 3,
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - 3),
-            lambda i: F.xxhash64(
-                F.concat_ws(
-                    " ",
-                    F.element_at(w, i + 1),
-                    F.element_at(w, i + 2),
-                    F.element_at(w, i + 3),
-                )
-            ),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    stream = docs.select("doc_id", F.explode(gh_arr).alias("gh"))
+    pe = docs.select("doc_id", w.alias("_w")).select(
+        "doc_id", "_w", F.posexplode("_w").alias("_pos", "_w1")
+    )
+    stream = pe.filter(F.col("_pos") <= F.size("_w") - 3).select(
+        "doc_id",
+        F.xxhash64(
+            F.concat_ws(
+                " ",
+                F.col("_w1"),
+                F.element_at("_w", F.col("_pos") + 2),
+                F.element_at("_w", F.col("_pos") + 3),
+            )
+        ).alias("gh"),
+    )
     bench_vocab = (
         stream.filter(F.col("doc_id") % 97 == 0).select("gh").distinct()
     )

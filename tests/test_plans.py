@@ -204,9 +204,15 @@ def test_partitioned_join_uses_dynamic_pruning(spark):
 
 
 def test_correlated_subquery_decorrelated(spark):
+    # r13: the correlated aggregate is evaluated as a single-pass
+    # window over l_partkey (subqueries._SUB_CORRELATED_WINDOW) — one
+    # lineitem scan, one hash exchange, a Window, and NO join or
+    # per-row subplan. The DuckDB oracle keeps the correlated form, so
+    # the subquery semantics stay value-checked end-to-end.
     p = plan(_Q["sub_correlated"].fn(spark, SF), mode="simple")
-    # Catalyst must rewrite to aggregate + join, not per-row subplans
-    assert "Join" in p
+    assert "Window" in p
+    assert "Join" not in p, "window form must not re-introduce a join"
+    assert p.count("Exchange") == 1, "one hash shuffle of the fact"
     assert "Subquery" not in p or "SubqueryExec" not in p
 
 

@@ -441,17 +441,30 @@ def _word3grams(docs):
     from opusdb_spark.operators.skew import spread
 
     docs = spread(docs)
+    # r13 (guide §4.1, the llm_decontaminate finding): posexplode +
+    # element_at projection instead of a transform() lambda — HOFs are
+    # CodegenFallback (interpreted per element). Gram values are
+    # bit-identical (concat_ws of the three words == array_join of the
+    # 3-slice on a null-free split; count + bit_xor verified at sf1).
     w = F.split(F.col("text"), " ")
-    gh_arr = F.when(
-        F.size(w) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - 2),
-            lambda i: F.xxhash64(F.array_join(F.slice(w, i, 3), " ")),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    return docs.select(
-        "doc_id", F.explode(gh_arr).alias("gh")
-    ).dropDuplicates(["doc_id", "gh"])
+    pe = docs.select("doc_id", w.alias("_w")).select(
+        "doc_id", "_w", F.posexplode("_w").alias("_pos", "_w1")
+    )
+    return (
+        pe.filter(F.col("_pos") <= F.size("_w") - 3)
+        .select(
+            "doc_id",
+            F.xxhash64(
+                F.concat_ws(
+                    " ",
+                    F.col("_w1"),
+                    F.element_at("_w", F.col("_pos") + 2),
+                    F.element_at("_w", F.col("_pos") + 3),
+                )
+            ).alias("gh"),
+        )
+        .dropDuplicates(["doc_id", "gh"])
+    )
 
 
 
@@ -2940,18 +2953,26 @@ def llm_substring_dedup(spark, sf_dir):
     # span hashing explodes each row ~100×: widen a single-split scan
     # first (no-op at cluster scale — see skew.spread)
     docs = spread(table(spark, sf_dir, "documents"))
+    # r13 (guide §4.1, the llm_decontaminate finding): the span stream
+    # is built with posexplode + a slice/join projection instead of a
+    # transform() lambda — higher-order functions are CodegenFallback
+    # (interpreted per element), and the interpreted slice+join+hash
+    # per span dominated the pass. Generate(posexplode) and the
+    # projection both run inside WholeStageCodegen (sf1 span stream
+    # via noop sink: 1.12 → 0.67 s; stream bit-identical — count +
+    # bit_xor(xxhash64(doc_id, h)) match, scripts/ab_substring.py).
+    # Positions past n−K drop before hashing, so docs shorter than K
+    # tokens vanish exactly as the old WHEN guard dropped them.
     toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    grams = F.when(
-        n >= _SUBSTR_K,
-        F.transform(
-            F.sequence(F.lit(1), n - _SUBSTR_K + 1),
-            lambda i: F.xxhash64(
-                F.array_join(F.slice(toks, i, _SUBSTR_K), " ")
-            ),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    spans = docs.select("doc_id", F.explode(grams).alias("h"))
+    pe = docs.select("doc_id", toks.alias("_t")).select(
+        "doc_id", "_t", F.posexplode("_t").alias("_pos", "_w1")
+    )
+    spans = pe.filter(F.col("_pos") <= F.size("_t") - _SUBSTR_K).select(
+        "doc_id",
+        F.xxhash64(
+            F.array_join(F.slice("_t", F.col("_pos") + 1, _SUBSTR_K), " ")
+        ).alias("h"),
+    )
     # One row per (span-hash, doc); c = occurrences of the span in the
     # doc. SUM(c) per doc == n_spans, COUNT(rows) per hash == distinct
     # docs containing the span — so everything downstream derives from

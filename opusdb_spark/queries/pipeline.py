@@ -765,27 +765,34 @@ def llm_boilerplate_strip(spark, sf_dir):
     from opusdb_spark.operators.skew import spread
 
     docs = spread(table(spark, sf_dir, "documents"))
+    # r13 (guide §4.1, the llm_decontaminate finding): segment indices
+    # come from an exploded integer sequence and the slice/join/hash
+    # runs as a codegen projection, not inside a transform() lambda
+    # (higher-order functions are CodegenFallback — interpreted per
+    # element). sf1 seg stream via noop sink: 0.67 → 0.37 s; stream
+    # bit-identical (count + bit_xor over all four columns match).
     w = F.split(F.col("text"), " ")
-    seg_structs = F.transform(
-        F.sequence(
-            F.lit(0),
-            F.ceil(F.size(w) / F.lit(_BOILER_SEG_W)).cast("int") - 1,
-        ),
-        lambda i: F.struct(
-            i.alias("idx"),
-            F.array_join(
-                F.slice(w, i * _BOILER_SEG_W + 1, _BOILER_SEG_W), " "
-            ).alias("seg"),
-        ),
-    )
-    segs = docs.select(
-        "doc_id", F.explode(seg_structs).alias("s")
-    ).select(
+    pe = docs.select("doc_id", w.alias("_w")).select(
         "doc_id",
-        F.col("s.idx").alias("idx"),
-        F.col("s.seg").alias("seg"),
-        F.xxhash64("s.seg").alias("segh"),
+        "_w",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size("_w") / F.lit(_BOILER_SEG_W)).cast("int")
+                - 1,
+            )
+        ).alias("idx"),
     )
+    segs = pe.select(
+        "doc_id",
+        "idx",
+        F.array_join(
+            F.slice(
+                "_w", F.col("idx") * _BOILER_SEG_W + 1, _BOILER_SEG_W
+            ),
+            " ",
+        ).alias("seg"),
+    ).withColumn("segh", F.xxhash64("seg"))
     df_tbl = (
         segs.select("doc_id", "segh")
         .dropDuplicates(["doc_id", "segh"])
@@ -4028,17 +4035,28 @@ def llm_ngram_novelty(spark, sf_dir):
     from opusdb_spark.operators.skew import spread
 
     docs = spread(table(spark, sf_dir, "documents"))
+    # r13 (guide §4.1): posexplode + element_at projection instead of
+    # a transform() lambda — same codegen rewrite (and the same
+    # bit-identical gram values) as llm_decontaminate/_word3grams.
     w = F.split(F.col("text"), " ")
-    gh_arr = F.when(
-        F.size(w) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - 2),
-            lambda i: F.xxhash64(F.array_join(F.slice(w, i, 3), " ")),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    grams = docs.select(
-        "doc_id", F.explode(gh_arr).alias("gh")
-    ).dropDuplicates(["doc_id", "gh"])
+    pe = docs.select("doc_id", w.alias("_w")).select(
+        "doc_id", "_w", F.posexplode("_w").alias("_pos", "_w1")
+    )
+    grams = (
+        pe.filter(F.col("_pos") <= F.size("_w") - 3)
+        .select(
+            "doc_id",
+            F.xxhash64(
+                F.concat_ws(
+                    " ",
+                    F.col("_w1"),
+                    F.element_at("_w", F.col("_pos") + 2),
+                    F.element_at("_w", F.col("_pos") + 3),
+                )
+            ).alias("gh"),
+        )
+        .dropDuplicates(["doc_id", "gh"])
+    )
     df = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
     uniq = F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
     return (

@@ -812,13 +812,21 @@ def test_twap_lead_window_is_bucket_keyed(spark):
     assert "BroadcastHashJoin" in p
 
 
-def test_schema_drift_is_one_scan(spark):
-    """Both batch profiles must come from ONE conditional-aggregation
-    pass — a per-batch rescan doubles the corpus cost of every drift
-    check at 100 TB."""
+def test_schema_drift_narrow_distincts_and_pushdown(spark):
+    """r13 shape (OPTIMIZATION_r13.md): the base conditional-aggregation
+    pass plus one NARROW-KEY two-level aggregation per exact distinct —
+    4 column-pruned scans in place of the old single scan's Expand ×7
+    row blow-up (hashing 7× corpus-sized wide rows dominated the wall),
+    and the window filter must reach the scan as plain ts RANGE
+    predicates (a to_date(ts) filter is opaque to parquet min/max
+    stats). Still never a per-BATCH rescan: both halves' profiles come
+    out of each pass via the `half` conditional."""
     df = _Q["dq_schema_drift"].fn(spark, SF)
     p = plan(df, mode="formatted")
-    assert p.count("events.parquet") == 1
+    assert p.count("events.parquet") == 4, "base + 3 narrow distincts"
+    assert "Expand" not in p, "multi-distinct Expand must stay gone"
+    # range predicates on ts pushed to the parquet scan
+    assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts," in p
 
 
 def test_mv_join_reads_store_partials_and_prunes(spark):

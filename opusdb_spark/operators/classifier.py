@@ -53,7 +53,22 @@ def doc_features(
     drop out (no features → no gradient contribution). The scan is
     spread() first: tokenization is ~100× per-row fan-out and a
     single-split scan would serialize it on one core (no-op at cluster
-    scale — see skew.spread)."""
+    scale — see skew.spread).
+
+    r13 (guide §2.4 — share the partitioning): the per-doc word total
+    is a window SUM over the (doc_id, b) aggregate instead of a second
+    tokenize pass joined back by doc_id. Before, `words` fed two
+    subtrees — per-(doc,bucket) counts and per-doc totals — so the
+    corpus was scanned and exploded TWICE (plan: two Scan+Generate
+    chains) and the totals re-attached through a join. Σc over the
+    doc_id window IS the word count (same filtered stream), and the
+    window's doc_id exchange is reused by the downstream per-doc logit
+    aggregate (ClusteredDistribution(doc_id, y) is satisfied by
+    HashPartitioning(doc_id)), so scoring drops one full corpus pass
+    and one join. x is bit-identical: same count, same double/long
+    division."""
+    from pyspark.sql import Window
+
     from opusdb_spark.operators.skew import spread
 
     docs = spread(docs)
@@ -62,20 +77,20 @@ def doc_features(
         label_col.alias("y"),
         F.explode(F.split("text", " ")).alias("w"),
     ).filter(F.col("w") != "")
-    labels = words.groupBy("doc_id").agg(
-        F.first("y").alias("y"), F.count(F.lit(1)).alias("n")
-    )
-    feats = (
-        words.select("doc_id", F.expr(bucket_expr).alias("b"))
+    pairs = (
+        words.select("doc_id", "y", F.expr(bucket_expr).alias("b"))
         .groupBy("doc_id", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .join(labels, "doc_id")
-        .select(
-            "doc_id",
-            "b",
-            (F.col("c").cast("double") / F.col("n")).alias("x"),
-            "y",
-        )
+        .agg(F.count(F.lit(1)).alias("c"), F.min("y").alias("y"))
+    )
+    wnd = Window.partitionBy("doc_id")
+    feats = pairs.select(
+        "doc_id",
+        "b",
+        (F.col("c").cast("double") / F.sum("c").over(wnd)).alias("x"),
+        "y",
+    )
+    labels = pairs.groupBy("doc_id").agg(
+        F.min("y").alias("y"), F.sum("c").alias("n")
     )
     return feats, labels
 

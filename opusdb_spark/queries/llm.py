@@ -2977,6 +2977,15 @@ def llm_substring_dedup(spark, sf_dir):
     # doc. SUM(c) per doc == n_spans, COUNT(rows) per hash == distinct
     # docs containing the span — so everything downstream derives from
     # this single partial-aggregated table.
+    # r13 measured rejection (guide §2.4): pre-partitioning the span
+    # stream by h alone would let the (h, doc_id) aggregate and the
+    # h-window share one exchange (subset rule), and under full-output
+    # evaluation it wins (sf1 noop 1.93 → 1.52 s). But when only the
+    # row COUNT is consumed, Catalyst prunes the unused window — and
+    # its exchange — from THIS form entirely (sf1 count(): 1.03 s),
+    # while an explicit repartition is a barrier the optimizer must
+    # keep (1.43 s). The lazily-prunable form is kept: consumers that
+    # don't read dup_frac shouldn't pay for it.
     pair = spans.groupBy("h", "doc_id").agg(F.count(F.lit(1)).alias("c"))
     nd = F.count(F.lit(1)).over(Window.partitionBy("h"))
     return (

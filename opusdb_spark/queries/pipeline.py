@@ -608,11 +608,17 @@ def llm_decontaminate(spark, sf_dir):
     # (query, corpus) and frees it deterministically.
     from opusdb_spark.operators.cache import loop_cache
 
+    # r13 (guide §2.4): the candidate set is built partitioned by gh
+    # alone — HashPartitioning(gh) satisfies the distinct's (doc_id,
+    # gh) clustering (subset rule), persist() preserves the
+    # partitioning through the cache, and every downstream gh-keyed
+    # consumer (the DF count, the train⋈bench contamination join)
+    # reads the cached layout without re-exchanging.
     cand = loop_cache(
         f"llm_decontaminate:cand:{sf_dir}",
-        stream.join(F.broadcast(bench_vocab), "gh").dropDuplicates(
-            ["doc_id", "gh"]
-        ),
+        stream.join(F.broadcast(bench_vocab), "gh")
+        .repartition("gh")
+        .dropDuplicates(["doc_id", "gh"]),
     )
     rare = (
         cand.groupBy("gh")
@@ -793,8 +799,13 @@ def llm_boilerplate_strip(spark, sf_dir):
             " ",
         ).alias("seg"),
     ).withColumn("segh", F.xxhash64("seg"))
+    # r13 (guide §2.4): partition the narrow (doc_id, segh) stream by
+    # segh alone — HashPartitioning(segh) satisfies both the distinct's
+    # (doc_id, segh) clustering (subset rule) and the DF-count's, so
+    # the two aggregations share ONE exchange instead of paying two.
     df_tbl = (
         segs.select("doc_id", "segh")
+        .repartition("segh")
         .dropDuplicates(["doc_id", "segh"])
         .groupBy("segh")
         .agg(F.count(F.lit(1)).alias("seg_df"))

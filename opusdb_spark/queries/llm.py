@@ -3642,18 +3642,30 @@ def llm_winnowing_overlap(spark, sf_dir):
     real plagiarism pipelines use. Shuffle profile: fingerprint
     selection is SHUFFLE-FREE (array-domain per doc, operators/dedup.py
     winnow_fingerprints), runs ONCE at ingest (_winnow_fps store), and
-    emits 8-byte xxhash64 keys; what shuffles per query is only the
-    selected-fingerprint stream (≈2/(W+1) density) for the DF count
-    and the bounded share join."""
+    emits 8-byte xxhash64 keys; per query, ONE pass over the store
+    groups docs by fingerprint and emits each group's pairs in the
+    array domain. The DF cap and the pair generation are the SAME
+    groupBy(h) — a group's size IS its document frequency (the store
+    is distinct per (doc_id, h)) — so the old shape's separate freq
+    aggregate, its two semi-join probes, and the kept-side broadcast
+    (which shipped the whole ≤20-df fingerprint stream to every task)
+    collapse into one exchange; ≤20 docs per group bounds the exploded
+    pair stream at C(20,2)=190 pairs/group exactly as it bounded the
+    old join's fan-out (r13: 4 store scans + 2 agg exchanges + 2
+    broadcasts → 1 scan + 2 exchanges)."""
     fp = _winnow_fps(spark, sf_dir)
-    freq = fp.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    kept = fp.join(freq.filter(F.col("df") <= 20), "h", "left_semi")
-    a = kept.select(F.col("doc_id").alias("doc_a"), "h")
-    b = kept.select(F.col("doc_id").alias("doc_b"), "h")
-    return (
-        a.join(b, "h")
+    grp = (
+        fp.groupBy("h")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(F.size("ds").between(2, 20))
+    )
+    pairs = (
+        grp.select(F.explode("ds").alias("doc_a"), "ds")
+        .select("doc_a", F.explode("ds").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+    )
+    return (
+        pairs.groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
     )

@@ -540,14 +540,23 @@ def test_tpch_q18_single_fact_pass(spark):
 
 
 def test_winnowing_reads_fingerprint_store_not_documents(spark):
-    """The overlap query's plan consults the fingerprint stream three
-    times (DF count, semi probe, self-join) — every consultation must
-    hit the ingest-once parquet store, never re-run gram hashing over
-    documents."""
+    """The overlap query reads the ingest-once parquet store, never
+    re-runs gram hashing over documents — and since the r13 array-
+    domain pair rewrite (DF cap and pair generation share ONE
+    groupBy(h)) it scans the store exactly once, with no broadcast
+    join of the fingerprint stream."""
     p = plan(_Q["llm_winnowing_overlap"].fn(spark, SF))
     assert "winnow_fps_" in p, "plan does not read the fingerprint store"
     assert "documents.parquet" not in p, (
         "winnowing re-derived fingerprints from documents at query time"
+    )
+    assert p.count("winnow_fps_") == 1, (
+        "overlap must consult the fingerprint store exactly once — the "
+        "freq/semi-join shape re-scanned it four times"
+    )
+    assert "BroadcastHashJoin" not in p, (
+        "pair generation must stay in the array domain, not broadcast "
+        "the fingerprint stream"
     )
 
 

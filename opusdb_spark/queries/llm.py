@@ -3110,52 +3110,51 @@ def emb_covariance(spark, sf_dir):
     upper-triangle (i, j, cov) rows — the input to PCA / whitening /
     Mahalanobis outlier scoring over an embedding corpus. Spark shape:
     each vector expands to its 2,080 upper-triangle component products
-    via nested array transforms (pure codegen, no self-join of the
-    exploded table — the oracle's join formulation would shuffle
-    n·dim rows; this shuffles only dim² partial aggregates after
-    map-side combine). Products of float32 casts are exact in double,
-    per-product decimal casts make the sums order-independent, and the
-    6-dp grid absorbs the half-even/half-up cast divergence. At 100 TB
-    the reduce state is dim²·n_partitions partials — model-sized —
-    and the scan is embarrassingly parallel — provided it HAS
-    partitions: the embeddings table is small on disk but each row
-    expands 2,080×, so a single-split scan would serialize the whole
-    expansion on one core (spread() widens it; no-op at cluster
+    via two chained explode(sequence()) Generates plus an element_at
+    projection — all whole-stage codegen (r13; the previous nested
+    array-transform() build was CodegenFallback, interpreted per
+    element like every higher-order function, and A/B-measured slower:
+    sf0.1 best 1.23 → 0.93 s, sf1 5.09 → 4.60 s, new shape ahead in
+    every interleaved round — scripts/ab_cov.py). No self-join of the
+    exploded table (the oracle's join formulation would shuffle n·dim
+    rows): only dim² partial aggregates cross after map-side combine,
+    keyed directly on (i, j), which also retires the old pos→(i, j)
+    broadcast-mapping join. Products of float32 casts are exact in
+    double, per-product decimal casts make the sums order-independent,
+    and the 6-dp grid absorbs the half-even/half-up cast divergence.
+    At 100 TB the reduce state is dim²·n_partitions partials —
+    model-sized — and the scan is embarrassingly parallel — provided
+    it HAS partitions: the embeddings table is small on disk but each
+    row expands 2,080×, so a single-split scan would serialize the
+    whole expansion on one core (spread() widens it; no-op at cluster
     scale)."""
     from opusdb_spark.operators.skew import spread
 
     emb = spread(table(spark, sf_dir, "embeddings"))
     dim = 64
-    # Flat array of the 2,080 upper-triangle products in (i, j) order;
-    # the exploded row is (pos int, xy double) — no per-element struct
-    # allocation, and the aggregation key is ONE int. (i, j) come back
-    # from a 2,080-row broadcast mapping after the corpus-sized work.
-    pairs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.lit(dim)),
-            lambda i: F.transform(
-                F.sequence(i, F.lit(dim)),
-                lambda j: (
-                    F.element_at("embedding", i).cast("double")
-                    * F.element_at("embedding", j).cast("double")
-                ),
-            ),
-        )
+    # One (i, j, x_i·x_j) row per upper-triangle pair: Generate #1
+    # fans each vector out to its 64 i-rows, Generate #2 to the
+    # (65 − i) j-rows, and the product projection reads the carried
+    # array twice — no 2,080-element array is ever materialized.
+    e1 = emb.select(
+        "embedding", F.explode(F.sequence(F.lit(1), F.lit(dim))).alias("i")
     )
-    flat = emb.select(F.posexplode(pairs).alias("pos", "xy"))
-    by_pos = flat.groupBy("pos").agg(
+    e2 = e1.select(
+        "embedding",
+        "i",
+        F.explode(F.sequence(F.col("i"), F.lit(dim))).alias("j"),
+    )
+    flat = e2.select(
+        "i",
+        "j",
+        (
+            F.element_at("embedding", F.col("i")).cast("double")
+            * F.element_at("embedding", F.col("j")).cast("double")
+        ).alias("xy"),
+    )
+    prods = flat.groupBy("i", "j").agg(
         F.sum(F.col("xy").cast("decimal(27,12)")).cast("double").alias("sxy")
     )
-    ij = [
-        (pos, i, j)
-        for pos, (i, j) in enumerate(
-            (i, j)
-            for i in range(1, dim + 1)
-            for j in range(i, dim + 1)
-        )
-    ]
-    mapping = spark.createDataFrame(ij, "pos int, i int, j int")
-    prods = by_pos.join(F.broadcast(mapping), "pos").select("i", "j", "sxy")
     comp = emb.select(
         F.posexplode("embedding").alias("i0", "x")
     ).select((F.col("i0") + 1).alias("i"), F.col("x").cast("double").alias("x"))

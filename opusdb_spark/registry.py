@@ -112,31 +112,34 @@ def _load() -> None:
 # rows-only query (err == "no_oracle") that ran and reported a row
 # count. Harmless if the consumer sorts or completes the full sweep.
 
-# Round 13: queries whose read paths changed this round -> jump the
+# Round 13: queries whose PLANS were rewritten this round -> jump the
 # queue. Kept deliberately SHORT (the r10-r12 discipline that drained
 # the stale backlog) so the driver's ~50-key sweep budget keeps the
 # rotation turning through the r5-era cohort (VERDICT r12 ask #3:
 # re-verdict >=30 of the 31 keys now at r5; oldest >= r7 after this
-# round). Values and plans are unchanged for both keys below — the
-# memoized handles return the same logical scan — but their store
-# reads were rewired (read_store / version-sidecar memo), so a fresh
-# driver verdict should confirm it.
+# round — 9 tier-1 keys + 31 r5 + 6 r6 fits a 50-key budget with
+# room for the r7 head). The optimization rewrites below were all
+# proven value-identical locally (exceptAll/hash A-B + oracle parity
+# at sf0.01 and sf0.001) but their physical plans are new, so the
+# driver verdict should land on the new code first. The r13 decode
+# rewires (multimodal_* LUT Huffman + Arrow byte cap) are rows-only
+# keys verified by bit-level vector + hypothesis tests; they keep
+# their r12 clean verdicts and do not spend tier-1 slots.
 _RECENTLY_CHANGED: tuple[str, ...] = (
-    # KMV state sub-stores now read via the read_store handle memo
+    # plan rewrites (optimization round 13)
+    "sub_correlated",            # correlated agg -> window over partkey
+    "dq_schema_drift",           # ts range pushdown + narrow-key distincts
+    "llm_decontaminate",         # posexplode gram stream + shared gh exchange
+    "llm_substring_dedup",       # posexplode span stream
+    "llm_boilerplate_strip",     # posexplode segment stream
+    "llm_quality_classifier_score",  # single-pass features via doc_id window
+    "llm_winnowing_overlap",     # array-domain pair generation, 1 store scan
+    "emb_covariance",            # chained codegen Generates, no pos mapping
+    # read-path rewires (inherited r13 commits): values unchanged by
+    # construction, store reads now memoized (read_store / the
+    # writer-bumped version sidecar) — a fresh verdict confirms it
     "agg_kmv_set_ops",
-    # rollup store reads now memoized on the writer-bumped version
-    # sidecar (also exercised by events_rollup_windows/backfill paths,
-    # but this key drives the full build+refresh+read lifecycle)
     "events_rollup_incremental",
-    # decode path rewired (r13 scale work): 16-bit LUT Huffman decode
-    # + batched IDCT in jpeg.py, bytes-bounded synthesis yields, and
-    # the session-level Arrow maxBytesPerBatch cap — outputs are
-    # bit-identical by design (LUT decode is exact; batching is
-    # boundary-invariant), which the driver re-run should confirm
-    "multimodal_features",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "multimodal_audio_energy",
 )
 
 _CORRECTNESS_RE = re.compile(r"CORRECTNESS_r(\d+)\.json$")

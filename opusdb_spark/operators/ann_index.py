@@ -377,6 +377,67 @@ def _score_against(vec_col: str, probe_vec: list[float]):
     return F.when((nx > 0) & (np_ > 0), dot / F.sqrt(nx * np_))
 
 
+def _exact_topk_pooled(
+    cands: DataFrame,
+    probe_vec: list[float],
+    k: int,
+    id_col: str,
+    vec_col: str,
+    prefilter: int = 100,
+) -> DataFrame:
+    """Exact top-k vs a literal probe, two-phase (cosine_topk's shape
+    applied to a candidate frame): every candidate computes an
+    APPROXIMATE cosine with plain double folds, only the top
+    max(prefilter, 10k) pool (TakeOrderedAndProject — partition-local
+    heads, one tiny final merge) is re-scored with _score_against, and
+    the final top-k orders on the exact value. So the only BigDecimal
+    arithmetic runs on a pool-sized input, never the probed cells —
+    at sf1 the IVF candidate set is ~1/4 of the corpus and the three
+    64-term decimal folds per row dominated the probe (measured
+    2025-08, scripts/ab_ivf.py).
+
+    Safety is similarity.cosine_topk's adjudicated margin argument
+    verbatim: float32 component products are exact in double, so
+    |approx − exact| ≤ ~1e-10 for 64 dims, and a true top-k member can
+    only be cut if ≥ prefilter−k candidates tie within that margin —
+    unreachable for real embeddings; exact duplicates rank identically
+    in both phases and share the id tie-break. The probe norm enters
+    the approx score as a POSITIVE CONSTANT (any value yields the same
+    candidate order), so the pool choice needs no norm fold at all."""
+    p = F.array(*[F.lit(float(x)).cast("double") for x in probe_vec])
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    fdot = F.aggregate(
+        F.zip_with(x, p, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    fnx = F.aggregate(
+        F.transform(x, lambda a: a * a),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    fnp = sum(float(v) * float(v) for v in probe_vec)
+    approx = (
+        F.when(fnx > 0, fdot / F.sqrt(fnx * F.lit(fnp)))
+        if fnp > 0
+        else F.lit(None).cast("double")
+    )
+    pool = (
+        cands.select(id_col, vec_col, approx.alias("_ac"))
+        .filter(F.col("_ac").isNotNull())
+        .orderBy(F.desc("_ac"), F.asc(id_col))
+        .limit(max(prefilter, 10 * k))
+    )
+    return (
+        pool.select(
+            id_col, _score_against(vec_col, probe_vec).alias("cosine")
+        )
+        .filter(F.col("cosine").isNotNull())
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def index_bits(index_dir: str | None) -> int:
     """The bits_per_table an index was BUILT with (from its marker) —
     probes must hash with the same plane count or buckets won't match.
@@ -496,7 +557,11 @@ def ivf_probe(
 ) -> DataFrame:
     """ANN top-k from the persisted IVF index: the probe's n_probe
     nearest cells are computed driver-side against the tiny centroid
-    model, then read as literal cell predicates (PartitionFilters)."""
+    model, then read as literal cell predicates (PartitionFilters).
+    Candidate scoring is the two-phase pooled shape (approx double
+    prefilter, exact decimal rescore of the pool — _exact_topk_pooled):
+    the probed cells are a corpus-fraction-sized set, so they must not
+    pay per-row BigDecimal folds."""
     cents = load_centroids(index_dir)
     cn = cents / (np.linalg.norm(cents, axis=1, keepdims=True) + 1e-12)
     v = np.asarray(probe_vec, dtype=np.float64)
@@ -509,12 +574,7 @@ def ivf_probe(
     )
     if exclude_id is not None:
         cands = cands.filter(F.col(id_col) != exclude_id)
-    return (
-        cands.select(id_col, _score_against(vec_col, probe_vec).alias("cosine"))
-        .filter(F.col("cosine").isNotNull())
-        .orderBy(F.desc("cosine"), F.asc(id_col))
-        .limit(k)
-    )
+    return _exact_topk_pooled(cands, probe_vec, k, id_col, vec_col)
 
 
 # ----------------------------------------------------------- IVF-PQ

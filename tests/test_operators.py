@@ -1039,6 +1039,49 @@ def test_ivf_full_probe_equals_brute_force(spark):
     ]
 
 
+def test_ivf_pooled_scoring_equals_full_decimal_scan(spark):
+    """The r13 two-phase probe (approx double prefilter → exact decimal
+    rescore of the pool) must return bit-identical (id, cosine) rows to
+    the pre-r13 formulation that decimal-folds EVERY candidate — the
+    equivalence the pool-margin adjudication promises, checked on the
+    real corpus including the cosine doubles."""
+    from pyspark.sql import functions as _F
+
+    from opusdb_spark.operators import ann_index
+    from opusdb_spark.operators.ann_index import (
+        _score_against,
+        read_index_store,
+    )
+    from opusdb_spark.tables import table
+
+    emb = table(spark, SF, "embeddings")
+    idx = ann_index.ensure_index(
+        spark, emb, ann_index.index_dir_for(SF), ann_index.source_fingerprint(SF)
+    )
+    vec = ann_index.fetch_vector(spark, idx, 0)
+    pooled = ann_index.ivf_probe(spark, idx, vec, k=10, exclude_id=0)
+    # the pre-r13 shape: full decimal fold over every probed candidate
+    import numpy as np
+
+    cents = ann_index.load_centroids(idx)
+    cn = cents / (np.linalg.norm(cents, axis=1, keepdims=True) + 1e-12)
+    v = np.asarray(vec, dtype=np.float64)
+    vn = v / (np.linalg.norm(v) + 1e-12)
+    cells = [int(c) for c in np.argsort(-(cn @ vn))[: similarity.N_PROBE]]
+    full = (
+        read_index_store(spark, idx, "ivf")
+        .filter(_F.col("cell").isin(cells))
+        .filter(_F.col("vec_id") != 0)
+        .select("vec_id", _score_against("embedding", vec).alias("cosine"))
+        .filter(_F.col("cosine").isNotNull())
+        .orderBy(_F.desc("cosine"), _F.asc("vec_id"))
+        .limit(10)
+    )
+    got = [(r.vec_id, r.cosine) for r in pooled.collect()]
+    want = [(r.vec_id, r.cosine) for r in full.collect()]
+    assert got == want and got, "pooled probe diverged from full scan"
+
+
 def test_incremental_pairs_match_batch_pairs_cross_subset(spark):
     """The incremental path must find exactly the batch-vs-corpus edges
     the full batch dedup finds: restricting the full pair graph to

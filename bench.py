@@ -191,6 +191,46 @@ def ensure_sf1(spark, src_dir: str, replicas: int = 10) -> str:
     return ensure_scaled(spark, src_dir, replicas, "bench_sf1")
 
 
+# Strided primary key each split table is range-laid-out on (see the
+# layout comment in ensure_scaled._build). events/documents are
+# deliberately absent — measured slower under every split variant.
+_SPLIT_KEY = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "embeddings": "vec_id",
+}
+
+
+def scaled_table_layout(
+    tname: str, est_bytes: int, default_parallelism: int
+) -> tuple[int, str] | None:
+    """Layout decision for one scaled-corpus table: None (inherit the
+    build's splits: non-split tables, and split tables too small to be
+    worth 31 empty scan tasks) or (n_files, range_key). One file per
+    core slot, growing past 128 MB/file for genuinely large corpora —
+    see the rationale comment in ensure_scaled._build."""
+    split_key = _SPLIT_KEY.get(tname)
+    if split_key is None or est_bytes < (4 << 20):
+        return None
+    n_files = int(max(default_parallelism, est_bytes // (128 << 20)))
+    return n_files, split_key
+
+
+def _src_bytes(path: str) -> int:
+    """Total on-disk bytes of a parquet file or directory."""
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith("_"):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
 def ensure_scaled(
     spark, src_dir: str, replicas: int, name: str
 ) -> str:
@@ -210,11 +250,19 @@ def ensure_scaled(
         "replicas": replicas,
         "stride": _KEY_STRIDE,
         "key_cols": {t: list(c) for t, c in _KEY_COLS.items()},
+        # r14: size-proportional file layout (see _build). The tag —
+        # not the computed file count — is fingerprinted, so a session
+        # at a different core count REUSES a corpus that is already
+        # laid out rather than rebuilding it (and every store keyed on
+        # its stats) to chase its own defaultParallelism.
+        "layout": "range-split-v3",
+        "split_keys": dict(_SPLIT_KEY),
     }
 
     def _build(path: str) -> None:
         os.makedirs(path, exist_ok=True)
         t0 = time.perf_counter()
+        dp = spark.sparkContext.defaultParallelism
         for tname, keys in _KEY_COLS.items():
             src = spark.read.parquet(f"{src_dir}/{tname}.parquet")
             rep = src.crossJoin(
@@ -224,9 +272,46 @@ def ensure_scaled(
                 rep = rep.withColumn(
                     k, F.col(k) + F.col("_rep") * F.lit(_KEY_STRIDE)
                 )
-            rep.select(*src.columns).write.mode("overwrite").parquet(
-                f"{path}/{tname}.parquet"
-            )
+            # File-count the output by data size (guide §6), not by
+            # accident of the build's task count: the pre-r14 path
+            # inherited the source's split count, which for the
+            # single-file sf0.1 inputs wrote each table as 1-2 files
+            # of ONE row group each. Parquet splits only at row-group
+            # boundaries, so every ladder/probe scan stage — and every
+            # narrow op pipelined into it (filters, partial
+            # aggregates, the similarity score folds) — ran at
+            # parallelism ≤ 2 on a 32-slot session; bench logs showed
+            # the signature (31 + 1)/32 straggler on each corpus
+            # pass. Split tables target one file per core slot,
+            # growing with data (128 MB/file) past the point where
+            # per-core files exceed it, so the same builder lays out
+            # the 100× probe corpus — and a genuinely large corpus —
+            # with full scan parallelism and guide-sized files.
+            # RANGE-partitioned + sorted on the strided primary key,
+            # not round-robin: interleaved A/B (r14) measured
+            # round-robin scatter defeating both the key-adjacency
+            # partial-agg collapse (q18's groupBy l_orderkey) and
+            # dictionary/RLE encoding (lineitem 130 vs 96 MB on disk);
+            # range+sort keeps both and won q18 1.34→1.13 s,
+            # q21 2.56→2.32, q9 1.68→1.55 at equal file counts.
+            # events/documents are deliberately NOT split: their
+            # ladder slots are shuffle/partial-agg-bound, not
+            # scan-bound, and the same A/B measured every split
+            # variant SLOWER there (events_rfm_segments 3.17 s
+            # adjacent-2-file vs 4.4-5.2 s split; scattering users/
+            # gram duplicates across map tasks kills the map-side
+            # collapse). Tiny tables (<4 MB replicated: region,
+            # nation, supplier) stay single-file — splitting them
+            # buys no parallelism worth 31 empty scan tasks.
+            est_bytes = _src_bytes(f"{src_dir}/{tname}.parquet") * replicas
+            layout = scaled_table_layout(tname, est_bytes, dp)
+            out = rep.select(*src.columns)
+            if layout is not None:
+                n_files, split_key = layout
+                out = out.repartitionByRange(
+                    n_files, split_key
+                ).sortWithinPartitions(split_key)
+            out.write.mode("overwrite").parquet(f"{path}/{tname}.parquet")
         print(
             f"# {name} corpus ({replicas}x) built in "
             f"{time.perf_counter() - t0:.1f}s -> {path}",

@@ -145,3 +145,27 @@ def test_time_query_counts_jobs():
         )
     finally:
         spark.stop()
+
+
+def test_scaled_table_layout_policy():
+    """Pin the r14 scale-corpus layout policy: split tables (the
+    relational fact/dim chain + embeddings) get one range-partitioned
+    file per core slot, growing past 128 MB/file for genuinely large
+    corpora; events/documents inherit the build's splits (measured
+    slower under every split variant — their ladder slots are
+    partial-agg/shuffle-bound, and scattering defeats the map-side
+    collapse); tiny tables stay single-file rather than paying 31
+    empty scan tasks."""
+    # split table, local bench size: one file per slot, keyed
+    assert bench.scaled_table_layout("lineitem", 108 << 20, 32) == (
+        32,
+        "l_orderkey",
+    )
+    # split table, large corpus: file count grows with bytes
+    n, key = bench.scaled_table_layout("lineitem", 100 << 30, 32)
+    assert key == "l_orderkey" and n == (100 << 30) // (128 << 20)
+    # agg-collapse-sensitive tables are never split
+    assert bench.scaled_table_layout("events", 1 << 30, 32) is None
+    assert bench.scaled_table_layout("documents", 1 << 30, 32) is None
+    # tiny split tables inherit (not worth empty scan tasks)
+    assert bench.scaled_table_layout("supplier", 1 << 20, 32) is None

@@ -265,6 +265,16 @@ def ensure_scaled(
         dp = spark.sparkContext.defaultParallelism
         for tname, keys in _KEY_COLS.items():
             src = spark.read.parquet(f"{src_dir}/{tname}.parquet")
+            est_bytes = _src_bytes(f"{src_dir}/{tname}.parquet") * replicas
+            layout = scaled_table_layout(tname, est_bytes, dp)
+            if layout is not None:
+                # parallelize the ×replicas expansion itself: the
+                # single-row-group source scans at 1 task, and
+                # repartitionByRange's sampling pass re-evaluates the
+                # expansion, so without this the 100× build runs the
+                # ~GB crossJoin twice on one core (build-time only —
+                # output content is unchanged)
+                src = src.repartition(dp)
             rep = src.crossJoin(
                 spark.range(replicas).select(F.col("id").alias("_rep"))
             )
@@ -303,8 +313,6 @@ def ensure_scaled(
             # collapse). Tiny tables (<4 MB replicated: region,
             # nation, supplier) stay single-file — splitting them
             # buys no parallelism worth 31 empty scan tasks.
-            est_bytes = _src_bytes(f"{src_dir}/{tname}.parquet") * replicas
-            layout = scaled_table_layout(tname, est_bytes, dp)
             out = rep.select(*src.columns)
             if layout is not None:
                 n_files, split_key = layout
